@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Benchmark harness: times every headline registry query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed with the `noop` writer so the full plan (scan ->
+compute -> exchange) runs distributed without driver-side collect overhead.
+Median of BENCH_RUNS (default 3) warm runs per query after one JVM-warmup
+pass of the flagship.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hbase_hadoop_flightsearch_spark.plans.registry import load_all
+from hbase_hadoop_flightsearch_spark.session import get_spark
+
+
+def time_query(spark, q, sf_dir: str, runs: int) -> float:
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    return statistics.median(samples)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0.1)
+
+    spark = get_spark(app_name="bench")
+    registry = load_all()
+    headline = [q for q in registry.values() if q.headline]
+
+    # JVM / codegen warmup (not timed).
+    headline[0].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for q in headline:
+        timings[q.name] = round(time_query(spark, q, sf_dir, runs), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,198 @@
+"""The flagship query: per-carrier monthly average arrival delay.
+
+This single query IS the reference — HCompute (HCompute/Main.java:73-162,
+HBase scan input) and Secondary (Secondary/Main.java:82-182, CSV input) both
+compute: for year 2008, excluding cancelled and diverted flights, the
+per-carrier per-month average arrival delay, pivoted to 12 columns.
+
+Quirks preserved in compat mode (SURVEY.md §4):
+  * rounding is ``Math.round(sum/count + 0.5f)`` == floor(avg)+1 for avg>=0
+    (HCompute/Main.java:145) — an exact average of 3.0 reports 4;
+  * an empty carrier-month is 0f/0 = NaN, Math.round(NaN) == 0
+    (HCompute/Main.java:143-146) — here the pivot yields NULL, filled to 0;
+  * the cancelled/diverted test is float->int TRUNCATION
+    ((int)Float.parseFloat(x) != 1, HCompute/Main.java:118-120);
+  * the formatted line is "AIR-<carrier>\\t, (1,d1), …, (12,d12)" with a
+    LEADING ", " (HCompute/Main.java:151-161).
+
+Physical shape (vs the reference's MapReduce): scan → fused
+filter+project (whole-stage codegen) → partial HashAggregate →
+Exchange(carrier) → final HashAggregate. The reference ships every surviving
+row through the shuffle (no combiner — absence at HCompute/Main.java:45-71);
+Spark's partial aggregation shrinks shuffle volume to O(carriers × 12) per
+task, which is what makes this plan survive 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.flights import FLIGHTS_CTE, flights
+from .registry import register
+
+MONTHS = list(range(1, 13))
+
+
+def _completed_2008(fl: DataFrame) -> DataFrame:
+    # F1 year filter (HCompute/Main.java:109-111) + F2 completed-flight
+    # filter with the float->int truncation quirk (:118-120).
+    return fl.filter(
+        (F.col("year") == 2008)
+        & (F.col("cancelled").cast("int") != 1)
+        & (F.col("diverted").cast("int") != 1)
+    )
+
+
+_ORACLE_FILTER = (
+    "year = 2008 AND CAST(FLOOR(cancelled) AS INT) != 1 "
+    "AND CAST(FLOOR(diverted) AS INT) != 1"
+)
+# NB: DuckDB CAST(double AS INT) rounds-half-even while Spark truncates, so
+# the oracle spells truncation as FLOOR. Values are exactly 0.0/1.0 in data;
+# FLOOR keeps the quirk faithful for hypothetical 0.99 inputs too.
+
+
+def delay_report_from(fl: DataFrame) -> DataFrame:
+    """Compat-mode pivot over an arbitrary flights DataFrame (used by both
+    the registered query and the golden quirk test)."""
+    agg = (
+        _completed_2008(fl)
+        .groupBy("carrier")
+        .pivot("month", MONTHS)
+        .agg((F.floor(F.avg("arr_delay_minutes")) + 1).cast("int"))
+        .na.fill(0)
+    )
+    return agg.select(
+        "carrier", *[F.col(str(m)).alias(f"m{m}") for m in MONTHS]
+    )
+
+
+def format_report(pivoted: DataFrame) -> DataFrame:
+    """X1/X2 rendering (HCompute/Main.java:151-161): 'AIR-<carrier>' key and
+    the month list with its leading ', '."""
+    return pivoted.select(
+        F.concat(F.lit("AIR-"), F.col("carrier")).alias("report_key"),
+        F.concat(
+            *[
+                F.format_string(", (%d,%d)", F.lit(m), F.col(f"m{m}"))
+                for m in MONTHS
+            ]
+        ).alias("report_line"),
+    )
+
+
+@register(
+    "flight_delay_report",
+    oracle=FLIGHTS_CTE
+    + """
+SELECT carrier,
+"""
+    + ",\n".join(
+        f"  COALESCE(CAST(FLOOR(AVG(arr_delay_minutes) "
+        f"FILTER (WHERE month = {m})) AS INT) + 1, 0) AS m{m}"
+        for m in MONTHS
+    )
+    + f"""
+FROM flights
+WHERE {_ORACLE_FILTER}
+GROUP BY carrier
+""",
+    headline=True,
+    doc="Flagship compat-mode pivot: floor(avg)+1, empty month -> 0.",
+)
+def flight_delay_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compat-mode flagship: carrier x month pivot of floor(avg)+1."""
+    return delay_report_from(flights(spark, sf_dir))
+
+
+@register(
+    "flight_delay_report_formatted",
+    oracle=FLIGHTS_CTE
+    + """
+, pivoted AS (
+  SELECT carrier,
+"""
+    + ",\n".join(
+        f"    COALESCE(CAST(FLOOR(AVG(arr_delay_minutes) "
+        f"FILTER (WHERE month = {m})) AS INT) + 1, 0) AS m{m}"
+        for m in MONTHS
+    )
+    + f"""
+  FROM flights
+  WHERE {_ORACLE_FILTER}
+  GROUP BY carrier
+)
+SELECT 'AIR-' || carrier AS report_key,
+  """
+    + " || ".join(f"printf(', (%d,%d)', {m}, m{m})" for m in MONTHS)
+    + """ AS report_line
+FROM pivoted
+""",
+    doc="Exact reference output lines: AIR-<carrier> + ', (m,d)' x 12.",
+)
+def flight_delay_report_formatted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2 string formatting (HCompute/Main.java:151-161), leading ', '
+    included: the golden-output rendering of the flagship."""
+    return format_report(flight_delay_report(spark, sf_dir))
+
+
+@register(
+    "flight_delay_clean",
+    oracle=FLIGHTS_CTE
+    + f"""
+SELECT carrier, month,
+  ROUND(AVG(arr_delay_minutes), 2) AS avg_delay,
+  COUNT(*) AS n_flights
+FROM flights
+WHERE {_ORACLE_FILTER}
+GROUP BY carrier, month
+""",
+    doc="Clean-mode long-format report (no quirks): avg delay per carrier-month.",
+)
+def flight_delay_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idiomatic (non-compat) version: long format, true average."""
+    return (
+        _completed_2008(flights(spark, sf_dir))
+        .groupBy("carrier", "month")
+        .agg(
+            F.round(F.avg("arr_delay_minutes"), 2).alias("avg_delay"),
+            F.count(F.lit(1)).alias("n_flights"),
+        )
+    )
+
+
+@register(
+    "flight_cancellation_rates",
+    oracle=FLIGHTS_CTE
+    + """
+SELECT carrier,
+  COUNT(*) AS n_total,
+  CAST(SUM(CASE WHEN cancelled = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_cancelled,
+  CAST(SUM(CASE WHEN diverted = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_diverted,
+  ROUND(SUM(CASE WHEN cancelled = 1.0 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+    AS cancel_rate
+FROM flights
+GROUP BY carrier
+""",
+    doc="Carrier-level data-quality rollup over the raw (unfiltered) feed.",
+)
+def flight_cancellation_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension query over the same feed: per-carrier cancel/divert counts."""
+    fl = flights(spark, sf_dir)
+    return fl.groupBy("carrier").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("cancelled") == 1.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cancelled"),
+        F.sum(F.when(F.col("diverted") == 1.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_diverted"),
+        F.round(
+            F.sum(F.when(F.col("cancelled") == 1.0, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("cancel_rate"),
+    )

@@ -1,0 +1,75 @@
+"""Central query registry — the single source of truth.
+
+Every implemented operator/query registers here with:
+  - a PySpark builder ``fn(spark, sf_dir) -> DataFrame``
+  - an optional DuckDB oracle SQL string (None => rows-only check)
+  - a ``headline`` flag (included in bench.py timings)
+
+``__spark_entry__.queries()/oracle_sql()``, ``bench.py``, and the
+oracle-differential tests all iterate this registry, so a query is
+implemented exactly once.
+
+Column-name contract: the driver sorts columns by name before value-hashing,
+so the Spark builder and the oracle SQL must alias every computed column to
+the SAME name. Float outputs are rounded to a fixed number of decimals on
+BOTH sides to absorb summation-order differences between engines.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL over pre-registered table views
+    headline: bool  # timed by bench.py
+    doc: str
+
+
+QUERIES: dict[str, Query] = {}
+
+# Modules that register queries on import.
+_QUERY_MODULES = [
+    "hbase_hadoop_flightsearch_spark.plans.delay_report",
+    "hbase_hadoop_flightsearch_spark.operators.joins",
+    "hbase_hadoop_flightsearch_spark.operators.aggregates",
+    "hbase_hadoop_flightsearch_spark.operators.windows",
+    "hbase_hadoop_flightsearch_spark.operators.setops",
+    "hbase_hadoop_flightsearch_spark.operators.dedup",
+    "hbase_hadoop_flightsearch_spark.operators.similarity",
+    "hbase_hadoop_flightsearch_spark.functions.scalar",
+    "hbase_hadoop_flightsearch_spark.functions.text",
+    "hbase_hadoop_flightsearch_spark.functions.multimodal",
+    "hbase_hadoop_flightsearch_spark.streaming.windows",
+]
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    headline: bool = False,
+    doc: str = "",
+) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = Query(name, fn, oracle, headline, doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, Query]:
+    """Import all query modules (idempotent) and return the registry."""
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+    return QUERIES

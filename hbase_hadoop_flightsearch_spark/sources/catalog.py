@@ -1,0 +1,38 @@
+"""Parquet-backed table catalog.
+
+Replaces the reference's two sources — HDFS text scan
+(Secondary/Main.java:199) and HBase full-table scan (HCompute/Main.java:50-51)
+— with schema'd Parquet reads. Because the reference stores random-UUID
+rowkeys (HPopulate/Main.java:97-98) its ONLY access pattern is a full scan;
+Parquet + Catalyst instead give free column pruning and predicate pushdown
+(visible as PushedFilters/ReadSchema in .explain).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import TABLE_NAMES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table. Schema comes from the parquet footer (it
+    matches TESTDATA_SCHEMAS; asserting here would add a blocking footer
+    read per call)."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; one of {TABLE_NAMES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so spark.sql() queries work."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
