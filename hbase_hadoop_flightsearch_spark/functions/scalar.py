@@ -1,1 +1,137 @@
-"""Placeholder — populated in build phases (SURVEY.md §7)."""
+"""Scalar function surface (SURVEY.md §2b E9): string / date / math / JSON.
+
+The reference's entire scalar repertoire is four casts and a string concat
+(HCompute/Main.java:110,119,138-139,151-161). Everything here is built-in
+`pyspark.sql.functions` — JVM-side, codegen'd, no Python in the hot path.
+Functions chosen to have bit-identical semantics in DuckDB so the whole
+surface is oracle-checkable (e.g. sqrt is IEEE-exact in both; ln/exp are
+libm-dependent and deliberately avoided in oracle outputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+
+@register(
+    "scalar_events_enriched",
+    oracle="""
+SELECT event_id,
+  upper(event_type) AS type_upper,
+  substr(event_type, 1, 3) AS type_prefix,
+  CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+  epoch_us(ts) AS ts_us,
+  CAST(year(ts) AS INT) AS y,
+  CAST(month(ts) AS INT) AS m,
+  CAST(day(ts) AS INT) AS d,
+  CAST(hour(ts) AS INT) AS h,
+  ROUND(sqrt(value), 6) AS value_sqrt,
+  ROUND(value * value, 4) AS value_sq,
+  CAST(FLOOR(value) AS BIGINT) % 7 AS value_mod7,
+  'user_' || CAST(user_id AS VARCHAR) AS user_label
+FROM events
+""",
+    doc="Row-level enrichment: JSON extraction, date parts, math, strings.",
+)
+def scalar_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("type_upper"),
+        F.substring("event_type", 1, 3).alias("type_prefix"),
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.round(F.sqrt("value"), 6).alias("value_sqrt"),
+        F.round(F.col("value") * F.col("value"), 4).alias("value_sq"),
+        # FLOOR, not a bare cast: DuckDB's double->bigint CAST rounds while
+        # Spark's truncates; floor is unambiguous for the positive domain.
+        (F.floor("value") % 7).alias("value_mod7"),
+        F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias(
+            "user_label"
+        ),
+    )
+
+
+@register(
+    "scalar_json_value_by_type",
+    oracle="""
+SELECT event_type,
+  ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+  CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k,
+  COUNT(*) AS n
+FROM events
+GROUP BY event_type
+""",
+    doc="JSON path extraction feeding an aggregate (E9 + E4).",
+)
+def scalar_json_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).cast("int").alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "scalar_string_surgery",
+    oracle="""
+SELECT c_custkey,
+  CAST(length(c_name) AS INT) AS name_len,
+  replace(c_name, 'Customer#', 'C-') AS short_name,
+  CAST(CAST(substr(c_name, 10) AS BIGINT) AS BIGINT) AS parsed_id,
+  lower(c_mktsegment) AS segment_lower,
+  CASE WHEN c_acctbal < 0 THEN 'debt'
+       WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS balance_band
+FROM customer
+""",
+    doc="String functions + CASE banding (E9) on customer.",
+)
+def scalar_string_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.length("c_name").alias("name_len"),
+        F.regexp_replace("c_name", "Customer#", "C-").alias("short_name"),
+        F.substring("c_name", 10, 100).cast("bigint").alias("parsed_id"),
+        F.lower("c_mktsegment").alias("segment_lower"),
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("balance_band"),
+    )
+
+
+@register(
+    "scalar_array_map_ops",
+    oracle="""
+SELECT p_partkey,
+  string_split(p_name, '_') AS name_parts,
+  CAST(length(string_split(p_name, '_')) AS INT) AS n_parts,
+  CAST(p_size * 2 AS INT) AS size_doubled,
+  CAST(greatest(p_size, 25) AS INT) AS size_floor25
+FROM part
+""",
+    doc="Array construction + element ops (E9): split, size, greatest.",
+)
+def scalar_array_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    parts = F.split("p_name", "_")
+    return part.select(
+        "p_partkey",
+        parts.alias("name_parts"),
+        F.size(parts).alias("n_parts"),
+        (F.col("p_size") * 2).cast("int").alias("size_doubled"),
+        F.greatest(F.col("p_size"), F.lit(25)).cast("int").alias(
+            "size_floor25"
+        ),
+    )

@@ -1,1 +1,212 @@
-"""Placeholder — populated in build phases (SURVEY.md §7)."""
+"""Aggregation operators (SURVEY.md §2b E4-E5).
+
+The reference's one aggregation is the hand-rolled 12-slot sum/count pivot
+in its reducer (HCompute/Main.java:132-146) with NO combiner, so the whole
+filtered record stream crosses the shuffle. Everything here relies on
+Spark's partial aggregation (HashAggregate partial -> Exchange -> final):
+shuffle volume is O(groups), not O(rows) — the property that makes these
+plans viable at 100 TB.
+
+`approx_*` sketches (HLL) are the scale path for distinct counts: exact
+countDistinct needs a per-group dedup shuffle; HLL merges fixed-size
+sketches map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table, register_views
+
+
+@register(
+    "agg_q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+  ROUND(SUM(l_quantity), 2) AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  ROUND(AVG(l_quantity), 4) AS avg_qty,
+  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+  ROUND(AVG(l_discount), 4) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    headline=True,
+    doc="TPC-H Q1: the canonical wide hash aggregate over the fact table.",
+)
+def agg_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "agg_rollup_region_nation",
+    oracle="""
+SELECT COALESCE(r_name, '__ALL__') AS region,
+  COALESCE(n_name, '__ALL__') AS nation,
+  COUNT(*) AS n_customers,
+  ROUND(SUM(c_acctbal), 2) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    doc="ROLLUP (E5): hierarchical subtotals region -> nation -> grand total.",
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("__ALL__")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("__ALL__")).alias("nation"),
+            "n_customers",
+            "total_acctbal",
+        )
+    )
+
+
+@register(
+    "agg_cube_status_priority",
+    oracle="""
+SELECT COALESCE(o_orderstatus, '__ALL__') AS status,
+  COALESCE(o_orderpriority, '__ALL__') AS priority,
+  COUNT(*) AS n_orders,
+  ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="CUBE (E5): all 2^2 grouping combinations in one pass.",
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("__ALL__")).alias(
+                "status"
+            ),
+            F.coalesce(F.col("o_orderpriority"), F.lit("__ALL__")).alias(
+                "priority"
+            ),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets_sql",
+    oracle="""
+SELECT COALESCE(o_orderstatus, '__ALL__') AS status,
+  COALESCE(o_orderpriority, '__ALL__') AS priority,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+    doc="GROUPING SETS via the SQL surface (spark.sql over registered views).",
+)
+def agg_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the engine's SQL entry point, not just the DataFrame API."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, '__ALL__') AS status,
+               COALESCE(o_orderpriority, '__ALL__') AS priority,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "agg_distinct_customers",
+    oracle="""
+SELECT o_orderpriority AS priority,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="Exact count-distinct (E4): expand+dedup shuffle, exact answer.",
+)
+def agg_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "agg_approx_distinct_customers",
+    oracle=None,  # sketch output is engine-specific; accuracy self-checked in tests
+    doc="HLL approx count-distinct (E4): the 100 TB path — fixed-size sketch, "
+    "no dedup shuffle. rsd=0.01.",
+)
+def agg_approx_distinct_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias(
+            "approx_customers"
+        )
+    )
+
+
+@register(
+    "agg_percentiles_order_value",
+    oracle="""
+SELECT o_orderpriority AS priority,
+  ROUND(median(o_totalprice), 2) AS p50,
+  ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+  ROUND(MIN(o_totalprice), 2) AS min_price,
+  ROUND(MAX(o_totalprice), 2) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="Exact percentiles (E4) via sort-based percentile; approx_percentile "
+    "is the documented scale path.",
+)
+def agg_percentiles_order_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )

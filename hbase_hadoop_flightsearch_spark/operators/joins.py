@@ -1,1 +1,273 @@
-"""Placeholder — populated in build phases (SURVEY.md §7)."""
+"""Join operators (SURVEY.md §2b E1-E3).
+
+The reference has NO joins — every MapReduce job has exactly one input
+(absence verified across all three Main.java files; SURVEY.md §2a). This
+module supplies the join surface a real analytics engine needs, Spark-first:
+
+Scale notes (the part that matters at 100 TB):
+  * Dimension tables (region 5 rows, nation 25, supplier/part O(10^5) even
+    at TPC-H SF100k) are explicitly `F.broadcast()`-hinted: the hint keeps
+    the plan a BroadcastHashJoin even when stats are stale, eliminating the
+    shuffle of the fact side entirely.
+  * Fact-fact joins (lineitem ⋈ orders) shuffle on the join key; AQE
+    handles skew-splitting. On a real deployment both tables would be
+    bucketed by orderkey to co-locate, turning the Exchange into a no-op.
+  * Semi/anti joins use left_semi/left_anti so the build side only carries
+    the key column and rows short-circuit on first match — never a
+    join-then-distinct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "join_q3_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  CAST(o_orderdate AS DATE) AS order_date
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1997-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    headline=True,
+    doc="TPC-H Q3-style: 3-way join + agg + global top-10 by revenue.",
+)
+def join_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem; customer side is the selective filter,
+    so it joins first and broadcast-prunes orders early."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1997-06-01"
+    )
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust.select("c_custkey")),
+                orders.o_custkey == F.col("c_custkey"),
+            ).select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "join_q5_region_revenue",
+    oracle="""
+SELECT n_name,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  COUNT(*) AS n_lineitems
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY n_name
+""",
+    headline=True,
+    doc="TPC-H Q5-style 6-table star join with broadcast dimensions.",
+)
+def join_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join: every dimension broadcast, facts shuffle once on
+    orderkey. The s_nationkey = c_nationkey clause is the classic Q5
+    'local supplier' condition."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1999-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+
+    dims = (
+        cust.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region), nation.n_regionkey == region.r_regionkey
+                )
+            ),
+            cust.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey", "c_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == dims.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "join_q14_promo_share",
+    oracle="""
+SELECT ROUND(
+    100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+    / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct,
+  COUNT(*) AS n_rows
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1997-07-01'
+""",
+    doc="TPC-H Q14-style: broadcast fact-dim join + conditional aggregation.",
+)
+def join_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-07-01")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "join_semi_urgent_customers",
+    oracle="""
+SELECT c_custkey, c_name, c_nationkey
+FROM customer
+WHERE c_mktsegment = 'MACHINERY'
+  AND c_custkey IN (SELECT o_custkey FROM orders
+                    WHERE o_orderpriority = '1-URGENT')
+""",
+    doc="Left-semi join (E2): existence check without materializing matches.",
+)
+def join_semi_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi keeps the probe row on first match — no dedup needed, and
+    only o_custkey crosses the shuffle."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "MACHINERY"
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_nationkey")
+
+
+@register(
+    "join_anti_customers_without_pending",
+    oracle="""
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderstatus = 'P')
+""",
+    doc="Left-anti join (E2): customers with no pending orders.",
+)
+def join_anti_customers_without_pending(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    pending = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_custkey")
+    )
+    return cust.join(
+        pending, cust.c_custkey == pending.o_custkey, "left_anti"
+    ).select("c_custkey", "c_acctbal")
+
+
+@register(
+    "join_range_acctbal_dominance",
+    oracle="""
+SELECT n_nationkey AS nationkey,
+  COUNT(*) AS n_pairs,
+  ROUND(AVG(s_acctbal - c_acctbal), 2) AS avg_gap
+FROM supplier
+JOIN customer ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY n_nationkey
+""",
+    doc="Range/theta join (E3): equi key + inequality residual condition.",
+)
+def join_range_acctbal_dominance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Equi-join on nationkey carries the shuffle; the acctbal inequality is
+    a residual predicate evaluated inside the join — never a cartesian
+    product, so the plan scales with the equi-key cardinality."""
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey")
+    return (
+        supp.join(
+            cust,
+            (supp.s_nationkey == cust.c_nationkey)
+            & (supp.s_acctbal > cust.c_acctbal),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(F.col("n_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(F.col("s_acctbal") - F.col("c_acctbal")), 2).alias(
+                "avg_gap"
+            ),
+        )
+    )

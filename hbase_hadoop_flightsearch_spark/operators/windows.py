@@ -1,1 +1,165 @@
-"""Placeholder — populated in build phases (SURVEY.md §7)."""
+"""Window-function operators (SURVEY.md §2b E6-E7).
+
+Absent from the reference (its only 'window' is the hand-pivoted Float[12]
+month array, HCompute/Main.java:132-142). Spark window functions shuffle
+once on partitionBy keys and sort within partitions; every ORDER BY below
+includes a unique tiebreaker column so results are deterministic and
+oracle-comparable.
+
+Scale note: a window over partitionBy(c) is one Exchange(c) + in-partition
+sort — same cost envelope as a groupBy(c) plus sort. The top-k pattern
+(row_number <= k) never materializes a global sort; only per-group heads
+survive the filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+
+@register(
+    "window_topk_orders_per_segment",
+    oracle="""
+SELECT * FROM (
+  SELECT c_mktsegment AS segment, o_orderkey, o_custkey,
+    ROUND(o_totalprice, 2) AS totalprice,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY c_mktsegment
+      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rn <= 3
+""",
+    doc="Top-k per group (E7): row_number window + filter, no global sort.",
+)
+def window_topk_orders_per_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "window_order_gaps_lag",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+  CAST(date_diff('day',
+    LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey),
+    o_orderdate) AS INT) AS gap_days
+FROM orders
+""",
+    doc="LAG (E6): days since the customer's previous order (NULL for first).",
+)
+def window_order_gaps_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    )
+
+
+@register(
+    "window_running_revenue",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+  ROUND(SUM(o_totalprice) OVER (
+    PARTITION BY o_custkey
+    ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+""",
+    doc="Running sum with an explicit ROWS frame (E6).",
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "window_moving_avg_3",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+  ROUND(AVG(o_totalprice) OVER (
+    PARTITION BY o_custkey
+    ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 3) AS moving_avg
+FROM orders
+""",
+    doc="Sliding ROWS frame (E6): 3-order moving average per customer.",
+)
+def window_moving_avg_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    # Rounded at 3 decimals: a 3-row average divides 2-decimal prices by
+    # 1, 2 or 3, and /2 lands EXACTLY on .xx5 half-boundaries where Spark
+    # and DuckDB round differently; at 3 decimals no divisor <=3 can
+    # produce an exact half-boundary.
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.avg("o_totalprice").over(w), 3).alias("moving_avg"),
+    )
+
+
+@register(
+    "window_rank_dense_ntile",
+    oracle="""
+SELECT p_partkey, p_brand,
+  CAST(RANK() OVER w AS INT) AS price_rank,
+  CAST(DENSE_RANK() OVER w AS INT) AS price_dense_rank,
+  CAST(NTILE(4) OVER w AS INT) AS price_quartile
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+""",
+    doc="rank / dense_rank / ntile (E6) sharing one window spec.",
+)
+def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return part.select(
+        "p_partkey",
+        "p_brand",
+        F.rank().over(w).cast("int").alias("price_rank"),
+        F.dense_rank().over(w).cast("int").alias("price_dense_rank"),
+        F.ntile(4).over(w).cast("int").alias("price_quartile"),
+    )

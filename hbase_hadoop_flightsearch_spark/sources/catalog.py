@@ -29,6 +29,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     read per call)."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; one of {TABLE_NAMES}")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects; read nanos as long and truncate to micros
+        # (integer DIV — a double division would lose precision past 2^53,
+        # and DuckDB truncates identically, keeping oracles aligned).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(table_path(sf_dir, name)).withColumn(
+            "ts", F.expr("timestamp_micros(ts DIV 1000)")
+        )
     return spark.read.parquet(table_path(sf_dir, name))
 
 
