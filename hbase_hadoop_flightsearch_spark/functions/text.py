@@ -1,1 +1,252 @@
-"""Placeholder — populated in build phases (SURVEY.md §7)."""
+"""Text analysis for training-data pipelines (SURVEY.md §2b E12):
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+All built from JVM-side string/array expressions; the semantics are chosen
+to be engine-portable (length/replace arithmetic instead of regex where the
+regex engines could disagree), so nearly the whole family is oracle-checked.
+
+Scale note: every query here is embarrassingly parallel row-level work fused
+into the scan by codegen — zero shuffles except the final aggregates. At
+100 TB this family is I/O-bound, which is the right bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+# Tiny stopword table for the n-gram language heuristic. The corpus is
+# synthetic word-soup, so the heuristic's real job is to be deterministic
+# and cheap; the per-language evidence words mirror how a real n-gram
+# language ID scores character/word n-grams per language.
+_LANG_MARKERS = [
+    ("en", ["the", "and", "of"]),
+    ("es", ["el", "la", "de"]),
+    ("de", ["der", "die", "und"]),
+    ("fr", ["le", "la", "et"]),
+]
+
+
+def _n_tokens(text: Column) -> Column:
+    """Whitespace token count via pure length arithmetic (identical in any
+    engine, immune to regex dialect differences)."""
+    return (
+        F.length(text) - F.length(F.regexp_replace(text, " ", "")) + 1
+    ).cast("int")
+
+
+def lang_id_score(text: Column) -> Column:
+    """First matching language by marker-word evidence, else 'unk'."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    expr = F.lit("unk")
+    for lang, words in reversed(_LANG_MARKERS):
+        hits = sum(
+            (padded.contains(f" {w} ")).cast("int") for w in words
+        )
+        expr = F.when(hits >= 2, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def _lang_id_duck() -> str:
+    cases = []
+    for lang, words in _LANG_MARKERS:
+        hits = " + ".join(
+            f"CASE WHEN contains(' ' || text || ' ', ' {w} ') "
+            f"THEN 1 ELSE 0 END"
+            for w in words
+        )
+        cases.append(f"WHEN ({hits}) >= 2 THEN '{lang}'")
+    return "CASE " + " ".join(cases) + " ELSE 'unk' END"
+
+
+@register(
+    "text_stats",
+    oracle="""
+SELECT doc_id, lang, source,
+  CAST(length(text) AS INT) AS n_chars_actual,
+  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS n_tokens,
+  ROUND((length(text) - (length(text) - length(replace(text, ' ', ''))))
+        * 1.0 / (length(text) - length(replace(text, ' ', '')) + 1), 4)
+    AS avg_token_len,
+  CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END AS mentions_spark
+FROM documents
+""",
+    doc="Per-document token counting + shape stats (E12), pure arithmetic.",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_spaces = F.length(text) - F.length(F.regexp_replace(text, " ", ""))
+    n_tokens = (n_spaces + 1).cast("int")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length(text).cast("int").alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        F.round((F.length(text) - n_spaces) * 1.0 / (n_spaces + 1), 4).alias(
+            "avg_token_len"
+        ),
+        text.contains("spark").cast("int").alias("mentions_spark"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+    length(text) - length(replace(text, ' ', '')) + 1 AS n_toks,
+    length(text) AS n_ch,
+    len(list_distinct(string_split(text, ' '))) AS n_uniq
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n_toks AS INT) AS n_tokens,
+  ROUND(n_uniq * 1.0 / n_toks, 4) AS uniq_ratio,
+  CASE WHEN n_toks >= 20 AND n_ch >= 100
+            AND n_uniq * 1.0 / n_toks >= 0.3 THEN 'keep'
+       WHEN n_toks >= 10 THEN 'review'
+       ELSE 'drop' END AS quality_bucket
+FROM t
+""",
+    doc="Quality scoring (E12): length + lexical-diversity gates, the "
+    "standard pre-training filter shape.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_toks = _n_tokens(text)
+    n_uniq = F.size(F.array_distinct(F.split(text, " ")))
+    uniq_ratio = n_uniq * 1.0 / n_toks
+    return docs.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.round(uniq_ratio, 4).alias("uniq_ratio"),
+        F.when(
+            (n_toks >= 20) & (F.length(text) >= 100) & (uniq_ratio >= 0.3),
+            "keep",
+        )
+        .when(n_toks >= 10, "review")
+        .otherwise("drop")
+        .alias("quality_bucket"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+SELECT {_lang_id_duck()} AS predicted_lang, lang AS labeled_lang,
+  COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+""",
+    doc="Language-ID heuristic (E12): marker-word n-gram evidence vs the "
+    "dataset's own labels, as a confusion rollup.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            lang_id_score(F.col("text")).alias("predicted_lang"),
+            F.col("lang").alias("labeled_lang"),
+        )
+        .groupBy("predicted_lang", "labeled_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "text_fingerprint_clusters",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id,
+    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+        ' ')) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS cluster_size
+FROM fp
+GROUP BY fingerprint
+""",
+    doc="Document fingerprinting (E12): normalized sorted-token-set hash "
+    "(OpenRefine-style), clustering permutation duplicates.",
+)
+def text_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fingerprint = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " "
+        ).cast("binary")
+    )
+    return (
+        docs.select("doc_id", fingerprint.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+    )
+
+
+@register(
+    "text_token_frequencies",
+    oracle="""
+SELECT token, COUNT(*) AS freq
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY freq DESC, token
+LIMIT 20
+""",
+    doc="Corpus token histogram (E12): explode + count + top-20, the "
+    "vocabulary-building primitive.",
+)
+def text_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_rolling_hash_fingerprint",
+    oracle="""
+SELECT doc_id,
+  CAST(list_aggregate(
+    [(ascii(text[i]) * 31 + i) % 1000000007 for i in range(1, least(length(text), 64) + 1)],
+    'sum') % 1000000007 AS BIGINT) AS rolling_hash
+FROM documents
+""",
+    doc="Rolling-hash fingerprint (E12) over the first 64 chars — "
+    "position-sensitive (unlike the token-set fingerprint).",
+)
+def text_rolling_hash_fingerprint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Polynomial-style rolling hash as a pure array expression: hash =
+    sum over positions i of (ascii(char_i)*31 + i) mod p. Deterministic,
+    engine-portable, fused into the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    prefix_len = F.least(F.length(text), F.lit(64))
+    terms = F.transform(
+        F.sequence(F.lit(1), prefix_len),
+        lambda i: (
+            F.ascii(F.substring(text, 1, 1000000).substr(i, F.lit(1)))
+            * 31
+            + i
+        )
+        % 1000000007,
+    )
+    rolling = (
+        F.aggregate(terms, F.lit(0).cast("long"), lambda s, x: s + x)
+        % 1000000007
+    )
+    return docs.select("doc_id", rolling.cast("long").alias("rolling_hash"))

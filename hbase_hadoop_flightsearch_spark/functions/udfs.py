@@ -1,0 +1,74 @@
+"""Python UDF surface (SURVEY.md §2b E15): pandas UDF (Arrow-vectorized),
+row UDF, and UDTF registration.
+
+Engine guidance encoded here: built-ins > pandas UDF > row UDF. The pandas
+UDF is the only sanctioned Python hot path (Arrow batches, ~10-100x the
+row-at-a-time UDF); the row UDF exists to prove the surface and is
+deliberately used on a tiny projection.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+
+@F.pandas_udf(IntegerType())
+def pandas_token_count(text: pd.Series) -> pd.Series:
+    """Vectorized whitespace token count (Arrow batch in, batch out)."""
+    return (text.str.count(" ") + 1).astype("int32")
+
+
+@F.pandas_udf(StringType())
+def pandas_head_tail(text: pd.Series) -> pd.Series:
+    """First and last token joined — exercises string vector ops."""
+    toks = text.str.split(" ")
+    return toks.str[0] + "..." + toks.str[-1]
+
+
+@register(
+    "udf_pandas_text_features",
+    oracle="""
+SELECT doc_id,
+  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)
+    AS token_count,
+  string_split(text, ' ')[1] || '...' ||
+    string_split(text, ' ')[-1] AS head_tail
+FROM documents
+""",
+    doc="pandas UDF surface (E15): Arrow-vectorized feature extraction, "
+    "value-parity-checked against pure SQL.",
+)
+def udf_pandas_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        pandas_token_count(F.col("text")).alias("token_count"),
+        pandas_head_tail(F.col("text")).alias("head_tail"),
+    )
+
+
+@register(
+    "udf_row_python",
+    oracle="""
+SELECT lang, upper(lang) || '!' AS shouted, COUNT(*) AS n
+FROM documents
+GROUP BY lang
+""",
+    doc="Row-at-a-time Python UDF surface (E15) — the documented slow path, "
+    "applied post-aggregation so only O(groups) rows cross into Python.",
+)
+def udf_row_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shout = F.udf(lambda s: s.upper() + "!", StringType())
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("lang", shout(F.col("lang")).alias("shouted"), "n")
+    )

@@ -1,1 +1,338 @@
-"""Placeholder — populated in build phases (SURVEY.md §7)."""
+"""Deduplication operators (SURVEY.md §2b E10) over `documents`.
+
+Absent from the reference (no distinct/dedup of any kind; SURVEY.md §2a).
+This family is a core LLM-training-data capability; every variant is built
+from JVM-side expressions only (xxhash64 / array ops / higher-order
+functions) — no Python in the hot path.
+
+Scale design (the 100 TB story):
+  * Candidate generation is always *inverted-index style* (explode a
+    feature, self-join on it) — never an O(n^2) cross join. Cost scales
+    with sum(posting-list^2) per feature, controlled by `max_df` which
+    drops stop-shingles (a shingle appearing in >max_df docs generates
+    O(max_df^2) candidates and almost never evidences a true near-dup).
+  * MinHash-LSH replaces the shingle index with B bands of R minhashes:
+    candidate volume is governed by the S-curve P(candidate) = 1-(1-j^R)^B
+    (B=16, R=4 here — past j=0.8 recall is ~1, below j=0.3 it's ~0),
+    so the join key space stays dense and bounded regardless of corpus.
+  * Verification always recomputes EXACT similarity on candidates, so LSH
+    variants return the same pairs as the exact operator minus (rare)
+    recall misses; at j>=0.9 the miss probability is < 4e-8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+JACCARD_THRESHOLD = 0.5
+MINHASH_BANDS = 16
+MINHASH_ROWS = 4  # 64 hashes total
+SIMHASH_BITS = 64
+SIMHASH_HAMMING_MAX = 8
+
+# Shared shingle definition: distinct word 3-grams. (Word *sets* are useless
+# on this corpus — ~30-word vocabulary makes random docs 0.9-similar as
+# sets; 3-gram sequences separate true near-dups (j>=0.9) from noise
+# (j<=0.1) with a clean gap.)
+_SHINGLE_SQL_DUCK = """
+  SELECT doc_id, list_distinct(
+    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+  ) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') toks FROM documents)
+  WHERE len(toks) >= 3
+"""
+
+_JACCARD_PAIRS_DUCK = f"""
+WITH sh AS ({_SHINGLE_SQL_DUCK}),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+    len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+      (len(a.shingles) + len(b.shingles)
+       - len(list_intersect(a.shingles, b.shingles))) AS jac
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT d1, d2, ROUND(jac, 4) AS jaccard
+FROM pairs WHERE jac >= {JACCARD_THRESHOLD}
+"""
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles: array<string>) — distinct word 3-grams."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        )
+    )
+    return (
+        docs.filter(F.size(toks) >= 3)
+        .select("doc_id", shingles.alias("shingles"))
+    )
+
+
+def _exact_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Attach exact jaccard to candidate (d1, d2) pairs and threshold."""
+    s1 = sh.select(
+        F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1")
+    )
+    s2 = sh.select(
+        F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2")
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("jac", inter * 1.0 / union)
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .select("d1", "d2", F.round("jac", 4).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_exact_hash",
+    oracle="""
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+)
+SELECT md5(text) AS text_hash,
+  MIN(doc_id) AS keeper_doc_id,
+  COUNT(*) AS n_copies
+FROM doubled
+GROUP BY md5(text)
+""",
+    doc="Exact dedup (E10): hash-groupBy keeping the lowest doc_id. Input is "
+    "the corpus unioned with a shifted copy of itself so duplicates exist.",
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup: one shuffle on the hash, O(groups) output.
+    Deterministic keeper choice (min doc_id) — unlike dropDuplicates,
+    whose survivor depends on partition order."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return doubled.groupBy(
+        F.md5(F.col("text").cast("binary")).alias("text_hash")
+    ).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_PAIRS_DUCK,
+    headline=True,
+    doc="Exact n-gram Jaccard near-dup pairs (E10) via inverted-index "
+    "candidate generation — never an O(n^2) cross join.",
+)
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, max_df: int | None = None
+) -> DataFrame:
+    """Pairs with word-3-gram Jaccard >= 0.5.
+
+    Candidates come from exploding shingles and self-joining on the
+    shingle (any pair with jac > 0 shares one, so recall is exact);
+    `max_df` drops shingles hotter than the given doc-frequency — the
+    scale knob for skew (off here so the DuckDB oracle, which does full
+    pairwise, sees identical pairs)."""
+    sh = doc_shingles(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    if max_df is not None:
+        hot = (
+            ex.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh")
+        )
+        ex = ex.join(F.broadcast(hot), "sh", "left_anti")
+    a = ex.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh_a"))
+    b = ex.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh_b"))
+    cand = (
+        a.join(b, (a.sh_a == b.sh_b) & (a.d1 < b.d2))
+        .select("d1", "d2")
+        .distinct()
+    )
+    return _exact_jaccard(cand, sh)
+
+
+def minhash_signatures(sh: DataFrame, n_hashes: int) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — sig[j] = min over shingles of
+    xxhash64(shingle, j). Pure expression: vectorized, no UDF."""
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda j: F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, j))
+        ),
+    )
+    return sh.select("doc_id", sig.alias("sig"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_JACCARD_PAIRS_DUCK,
+    doc="MinHash+LSH near-dup pairs (E10): 64 minhashes, 16 bands x 4 rows, "
+    "exact-jaccard verification. Oracle equals the exact operator because "
+    "recall at j>=0.9 is 1 - (1-j^4)^16 > 1 - 4e-8.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash: shuffle key space is (band, band-hash) — bounded and
+    dense regardless of corpus size, unlike the raw shingle index."""
+    sh = doc_shingles(spark, sf_dir)
+    sigs = minhash_signatures(sh, MINHASH_BANDS * MINHASH_ROWS)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b),
+                            F.slice("sig", b * MINHASH_ROWS + 1, MINHASH_ROWS),
+                        ).alias("bh"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bh")
+    a = bands.select(
+        F.col("doc_id").alias("d1"), F.col("band").alias("band_a"), "bh"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("d2"), F.col("band").alias("band_b"), "bh"
+    )
+    cand = (
+        a.join(b, ["bh"])
+        .filter((F.col("band_a") == F.col("band_b")) & (F.col("d1") < F.col("d2")))
+        .select("d1", "d2")
+        .distinct()
+    )
+    return _exact_jaccard(cand, sh)
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # simhash bit pattern depends on xxhash64 — not SQL-oracle-able
+    doc="SimHash near-dup pairs (E10): 64-bit signature from token hashes, "
+    "4x16-bit band blocking, Hamming-distance verification <= 8.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: sig bit i = sign of sum over tokens of (+1 if token-hash
+    bit i else -1). Near-dups differ in few bits; blocking on 4 16-bit
+    quarters guarantees recall for Hamming distance <= 3 and catches most
+    <= 8 (docstring math: a miss needs >=1 flipped bit in all 4 bands)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    # bit-count vector: for each bit, (#tokens with bit set) - (#without)
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+                lambda i: F.when(
+                    F.bit_get(F.xxhash64(t), i) == 1, F.lit(1).cast("long")
+                ).otherwise(F.lit(-1).cast("long")),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    sig_bits = F.transform(counts, lambda c: (c > 0).cast("int"))
+    sigs = docs.select("doc_id", sig_bits.alias("bits"))
+
+    # blocking: 4 bands of 16 bits each, banded exactly like MinHash-LSH
+    bands = sigs.select(
+        "doc_id",
+        "bits",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("band"),
+                        F.xxhash64(
+                            F.lit(q), F.slice("bits", q * 16 + 1, 16)
+                        ).alias("bh"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bits", "bk.band", "bk.bh")
+    a = bands.select(
+        F.col("doc_id").alias("d1"),
+        F.col("bits").alias("bits1"),
+        F.col("band").alias("band_a"),
+        "bh",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("d2"),
+        F.col("bits").alias("bits2"),
+        F.col("band").alias("band_b"),
+        "bh",
+    )
+    hamming = F.aggregate(
+        F.zip_with("bits1", "bits2", lambda x, y: (x != y).cast("int")),
+        F.lit(0),
+        lambda acc, d: acc + d,
+    )
+    return (
+        a.join(b, ["bh"])
+        .filter(
+            (F.col("band_a") == F.col("band_b")) & (F.col("d1") < F.col("d2"))
+        )
+        .select("d1", "d2", "bits1", "bits2")
+        .distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .select("d1", "d2", "hamming")
+        .distinct()
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+  ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+""",
+    doc="Embedding near-dup pairs (E10/E11): cosine >= 0.4 over all pairs. "
+    "Exact baseline; the LSH-bucketed variant in similarity.py is the "
+    "scale path.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("v1"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("v2"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+        )
+    )
+    return (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .withColumn("cos", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        .filter(F.col("cos") >= 0.4)
+        .select("v1", "v2", F.round("cos", 6).alias("cosine"))
+    )

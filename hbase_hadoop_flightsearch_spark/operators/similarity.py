@@ -1,1 +1,194 @@
-"""Placeholder — populated in build phases (SURVEY.md §7)."""
+"""Similarity search over embeddings (SURVEY.md §2b E11).
+
+Two tiers, mirroring how ANN is actually deployed:
+  * `similarity_knn_bruteforce` — exact top-k, broadcast the (small) query
+    set against the full corpus: one pass over the corpus, per-partition
+    top-k via window, no cross-shuffle of the corpus. This is the
+    correctness baseline and the oracle-checked query.
+  * `similarity_ann_lsh` — random-hyperplane LSH (sign-bit signatures,
+    banded): candidates only meet inside a bucket, so corpus-side work is
+    O(rows-in-bucket) instead of O(corpus) per query. The 100 TB path;
+    recall vs the exact baseline is asserted in tests, not oracle-compared
+    (bucket boundaries are hash-dependent).
+
+All vector math is array expressions over array<double> (zip_with /
+aggregate) — JVM codegen, no Python. Embeddings are cast float->double
+BEFORE arithmetic so Spark and DuckDB accumulate identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+KNN_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+LSH_PLANES = 12  # sign bits per signature
+LSH_BANDS = 3  # 3 bands x 4 bits
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+
+
+def _norm(c: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+        )
+    )
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+@register(
+    "similarity_knn_bruteforce",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    list_cosine_similarity(q.v, c.v) AS cos
+  FROM e q JOIN e c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= {KNN_K}
+""",
+    headline=True,
+    doc="Exact cosine top-k (E11): broadcast queries x corpus scan + "
+    "per-query window top-k.",
+)
+def similarity_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors for each query vector (vec_id < 10). The query set is
+    broadcast, so the corpus is scanned once with no shuffle of vectors;
+    only (query_id, neighbor_id, score) rows reach the top-k window."""
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos", _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= KNN_K)
+        .select(
+            "query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn"
+        )
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes via a fixed LCG (seeded by
+    plane/dim indices only — reproducible across sessions and engines)."""
+    planes = []
+    state = 0x5DEECE66D
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (
+                1 << 64
+            )
+            row.append(((state >> 16) % 2000001) / 1000000.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+@register(
+    "similarity_ann_lsh",
+    oracle=None,  # bucket membership is hash-defined; recall asserted in tests
+    doc="ANN via random-hyperplane LSH (E11): 12 sign bits -> 3 banded "
+    "bucket keys; candidates meet only inside buckets, then exact cosine "
+    "re-rank. The sub-linear scale path for similarity search.",
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    dim = 64
+    planes = _hyperplanes(LSH_PLANES, dim)
+    bits_per_band = LSH_PLANES // LSH_BANDS
+
+    def signature(v: Column) -> Column:
+        return F.array(
+            *[
+                (
+                    _dot(v, F.array(*[F.lit(x) for x in plane])) > 0
+                ).cast("int")
+                for plane in planes
+            ]
+        )
+
+    sig = emb.withColumn("sig", signature(F.col("v")))
+    bands = sig.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "",
+                            *[
+                                F.element_at("sig", b * bits_per_band + i + 1)
+                                .cast("string")
+                                for i in range(bits_per_band)
+                            ],
+                        ).alias("bkey"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "v", "bk.band", "bk.bkey")
+
+    queries = bands.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        "band",
+        "bkey",
+    )
+    cand = (
+        bands.join(queries, ["band", "bkey"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn(
+            "cos",
+            _dot(F.col("qv"), F.col("v"))
+            / (_norm(F.col("qv")) * _norm(F.col("v"))),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= KNN_K)
+        .select(
+            "query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn"
+        )
+    )

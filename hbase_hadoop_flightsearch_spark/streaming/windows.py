@@ -1,1 +1,196 @@
-"""Placeholder — populated in build phases (SURVEY.md §7)."""
+"""Structured Streaming operators (SURVEY.md §2b E14): tumbling / sliding /
+session windows with watermarks over the `events` stream.
+
+Design: each window shape is a BUILDER that accepts either a batch or a
+streaming DataFrame — Structured Streaming's unified model means the same
+logical plan serves both. The registry entries run the builders in batch
+mode (DuckDB-oracle-checked, exploiting that a completed stream's output
+== the batch query over the same data); `stream_from_dir` + tests run the
+SAME builders through readStream -> watermark -> memory sink to prove the
+incremental path.
+
+Scale notes: windowed aggregation state lives in the state store keyed by
+(window, group); the watermark bounds state size — without it a 100 TB/day
+stream accumulates state forever. Session windows use Spark's native
+session_window (merging state machine), not a custom stateful UDF.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+WATERMARK = "10 minutes"
+
+
+# ---------------------------------------------------------------- builders
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_seconds(F.col("window.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width, slide))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_seconds(F.col("window.start")).alias("window_start_s"),
+            "n_events",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("session_window.start")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.col("session_window.end")).alias(
+                "session_end_us"
+            ),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+# ------------------------------------------------------- streaming harness
+def stream_from_dir(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream over parquet event files (the standard pattern
+    for replayable ingestion); applies the engine's nanos->micros rule and
+    a watermark so windowed state is bounded."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    return (
+        spark.readStream.schema(raw_schema)
+        .parquet(src_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        .withWatermark("ts", WATERMARK)
+    )
+
+
+def copy_events_to_dir(sf_dir: str, dest_dir: str) -> str:
+    """Stage the events table as a file-stream source directory."""
+    os.makedirs(dest_dir, exist_ok=True)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(dest_dir, "events.parquet"),
+    )
+    return dest_dir
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, name: str, spark: SparkSession
+) -> DataFrame:
+    """Execute a streaming plan with availableNow (process-everything-then-
+    stop) into a memory sink; returns the sink contents as a DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+# ------------------------------------------------------ registered queries
+@register(
+    "stream_tumbling_event_counts",
+    oracle="""
+SELECT CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) * 3600
+    AS window_start_s,
+  event_type,
+  COUNT(*) AS n_events,
+  ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    headline=True,
+    doc="Tumbling 1h window (E14), batch-equivalence form of the streaming "
+    "plan (epoch-aligned, matching F.window).",
+)
+def stream_tumbling_event_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_sliding_event_counts",
+    oracle="""
+WITH starts AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 1800000000.0) AS BIGINT) * 1800 AS w
+  FROM events
+  UNION ALL
+  SELECT CAST(FLOOR(epoch_us(ts) / 1800000000.0) AS BIGINT) * 1800 - 1800
+  FROM events
+)
+SELECT w AS window_start_s, COUNT(*) AS n_events
+FROM starts
+GROUP BY w
+""",
+    doc="Sliding 1h/30m window (E14): each event lands in exactly two "
+    "epoch-aligned windows; the oracle enumerates them explicitly.",
+)
+def stream_sliding_event_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w >= INTERVAL 5 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT epoch_us(MIN(ts)) AS session_start_us,
+  epoch_us(MAX(ts) + INTERVAL 5 MINUTE) AS session_end_us,
+  user_id,
+  COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+""",
+    doc="Session windows, 5m gap (E14): Spark's merging session_window vs "
+    "a gaps-and-islands SQL oracle. end = last event + gap (half-open).",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_counts(load_table(spark, sf_dir, "events"))

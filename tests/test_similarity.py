@@ -1,0 +1,38 @@
+"""Self-checks for the non-oracle-able similarity path (SURVEY.md §7 R3):
+ANN recall is measured against the exact brute-force baseline."""
+
+from __future__ import annotations
+
+from hbase_hadoop_flightsearch_spark.operators.similarity import (
+    similarity_ann_lsh,
+    similarity_knn_bruteforce,
+)
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_correctness):
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity_knn_bruteforce(spark, sf_correctness).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity_ann_lsh(spark, sf_correctness).collect()
+    }
+    assert exact, "brute-force baseline returned nothing"
+    recall = len(exact & ann) / len(exact)
+    # 12-bit/3-band hyperplane LSH on 64-dim data: recall is imperfect by
+    # design; assert it's meaningfully above chance (50 random picks from
+    # 500 vectors would land ~1%).
+    assert recall >= 0.3, f"ANN recall {recall:.2f} below floor"
+
+
+def test_ann_results_are_true_cosines(spark, sf_correctness):
+    """Every ANN hit must carry the same cosine the exact scorer computes."""
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity_knn_bruteforce(spark, sf_correctness).collect()
+    }
+    for r in similarity_ann_lsh(spark, sf_correctness).collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:
+            assert abs(exact[key] - r.cosine) < 1e-9
