@@ -132,37 +132,72 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=_JACCARD_PAIRS_DUCK,
     headline=True,
-    doc="Exact n-gram Jaccard near-dup pairs (E10) via inverted-index "
-    "candidate generation — never an O(n^2) cross join.",
+    doc="Exact n-gram Jaccard near-dup pairs (E10) via posting-list pair "
+    "counting — intersection sizes fall out of a groupBy, never an O(n^2) "
+    "cross join and never an array re-verification pass.",
 )
 def dedup_ngram_jaccard(
     spark: SparkSession, sf_dir: str, max_df: int | None = None
 ) -> DataFrame:
-    """Pairs with word-3-gram Jaccard >= 0.5.
+    """Pairs with word-3-gram Jaccard >= 0.5, by inverted-index counting:
 
-    Candidates come from exploding shingles and self-joining on the
-    shingle (any pair with jac > 0 shares one, so recall is exact);
-    `max_df` drops shingles hotter than the given doc-frequency — the
-    scale knob for skew (off here so the DuckDB oracle, which does full
-    pairwise, sees identical pairs)."""
+      explode shingles -> hash to int64 -> groupBy shingle = posting list
+      -> emit ordered doc pairs per list -> groupBy (d1,d2) count
+      = |intersection| -> join tiny (doc_id, |shingles|) table
+      -> jaccard = inter / (n1 + n2 - inter).
+
+    Exactly the pairs of the pairwise oracle (any pair with jac > 0 shares
+    a shingle), but cost is sum(posting_len^2) not n_docs^2, and the only
+    shuffles are two partial-aggregated groupBys. Each doc's shingle count
+    rides inside the posting entries, so Jaccard needs NO join back to the
+    corpus — the plan is a single tree (the shingle expression runs once).
+    `max_df` caps posting length — the skew knob at 100 TB (a stop-shingle
+    in k docs emits k^2/2 pairs in one task); off by default so the DuckDB
+    oracle, which does full pairwise, sees identical pairs."""
     sh = doc_shingles(spark, sf_dir)
-    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    if max_df is not None:
-        hot = (
-            ex.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("sh")
+    posting = (
+        sh.select(
+            "doc_id",
+            F.size("shingles").alias("n"),
+            F.explode("shingles").alias("s"),
         )
-        ex = ex.join(F.broadcast(hot), "sh", "left_anti")
-    a = ex.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh_a"))
-    b = ex.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh_b"))
-    cand = (
-        a.join(b, (a.sh_a == b.sh_b) & (a.d1 < b.d2))
-        .select("d1", "d2")
-        .distinct()
+        .select("doc_id", "n", F.xxhash64("s").alias("h"))
+        .groupBy("h")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ids")
+        )
+        .filter(F.size("ids") >= 2)
     )
-    return _exact_jaccard(cand, sh)
+    if max_df is not None:
+        posting = posting.filter(F.size("ids") <= max_df)
+    # All ordered pairs from each posting list (sorted by doc_id, so
+    # x.doc_id < y.doc_id for every emitted (x, y)).
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("d1"),
+                    y["doc_id"].alias("d2"),
+                    x["n"].alias("n1"),
+                    y["n"].alias("n2"),
+                ),
+            ),
+        )
+    )
+    inter = (
+        posting.select(F.explode(pair_structs).alias("p"))
+        .select("p.d1", "p.d2", "p.n1", "p.n2")
+        .groupBy("d1", "d2", "n1", "n2")  # n1/n2 functionally dep. on d1/d2
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        inter.withColumn("jac", jac)
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .select("d1", "d2", F.round("jac", 4).alias("jaccard"))
+    )
 
 
 def minhash_signatures(sh: DataFrame, n_hashes: int) -> DataFrame:
