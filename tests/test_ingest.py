@@ -1,0 +1,149 @@
+"""Ingest path (HPopulate-equivalent) round-trip tests.
+
+Covers S1 (CSV scan), P1 (quote-aware positional parse), T1 (casts),
+T2 (uuid rowkey), S3/S5 (bronze write, create-if-absent), S4 (text sink),
+and the partition-pruning upgrade over the reference's full-scan-only
+storage (HPopulate/Main.java:97-100).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hbase_hadoop_flightsearch_spark.plans.delay_report import (
+    delay_report_from,
+    flight_delay_report,
+    format_report,
+)
+from hbase_hadoop_flightsearch_spark.sources.flights import flights
+from hbase_hadoop_flightsearch_spark.sources.ingest import (
+    flights_from_lines,
+    ingest_flights,
+    read_bronze,
+    read_bts_csv,
+    write_report_text,
+)
+
+SF = "/root/testdata/sf0.001"
+N_COLS = 109  # the real BTS export is ~109 columns wide
+
+
+def _bts_line(year, quarter, month, carrier, delay, cancelled, diverted):
+    """Render one headerless BTS-shaped CSV line with the reference's
+    positional contract: 0=Year 1=Quarter 2=Month 6=UniqueCarrier
+    37=ArrDelayMinutes 41=Cancelled 43=Diverted."""
+    cells = ["x"] * N_COLS
+    cells[0], cells[1], cells[2] = str(year), str(quarter), str(month)
+    cells[6] = carrier
+    cells[37] = f"{delay:.2f}"
+    cells[41] = f"{cancelled:.2f}"
+    cells[43] = f"{diverted:.2f}"
+    return ",".join(cells)
+
+
+@pytest.fixture(scope="module")
+def bts_csv(spark, tmp_path_factory):
+    """A deterministic BTS-shaped CSV derived from the sf0.001 flights view,
+    so ingest output can be compared to the in-memory source exactly."""
+    rows = flights(spark, SF).collect()
+    path = tmp_path_factory.mktemp("bts") / "ontime.csv"
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(
+                _bts_line(
+                    r.year, 1, r.month, r.carrier,
+                    r.arr_delay_minutes, r.cancelled, r.diverted,
+                )
+                + "\n"
+            )
+    return str(path)
+
+
+def test_csv_parse_positional_contract(spark, bts_csv):
+    df = read_bts_csv(spark, bts_csv)
+    assert df.columns == [
+        "year", "quarter", "month", "carrier",
+        "arr_delay_minutes", "cancelled", "diverted", "raw_line",
+    ]
+    src = flights(spark, SF)
+    key = ["year", "month", "carrier", "arr_delay_minutes",
+           "cancelled", "diverted"]
+    assert sorted(map(tuple, df.select(*key).collect())) == sorted(
+        map(tuple, src.select(*key).collect())
+    )
+
+
+def test_quote_aware_parse(spark):
+    # opencsv parity (HCompute/Main.java:88): quoted cells may contain commas.
+    cells = ["x"] * N_COLS
+    cells[0], cells[2] = "2008", "7"
+    cells[6] = '"AA,weird"'
+    cells[37], cells[41], cells[43] = "12.00", "0.00", "0.00"
+    line = ",".join(cells)
+    df = flights_from_lines(
+        spark.createDataFrame([(line,)], ["raw_line"])
+    )
+    row = df.collect()[0]
+    assert row.carrier == "AA,weird"
+    assert row.year == 2008 and row.arr_delay_minutes == 12.0
+    assert row.raw_line == line
+
+
+def test_ingest_bronze_roundtrip(spark, bts_csv, tmp_path):
+    bronze = str(tmp_path / "bronze")
+    ingest_flights(spark, bts_csv, bronze)
+
+    # Partition layout: the year filter becomes directory pruning.
+    years = {d for d in os.listdir(bronze) if d.startswith("year=")}
+    assert years == {"year=2007", "year=2008"}
+
+    back = read_bronze(spark, bronze)
+    n = back.count()
+    assert n == flights(spark, SF).count()
+    # T2: uuid rowkey present and unique.
+    assert back.select("rowkey").distinct().count() == n
+    # raw_line blob fidelity, like HPopulate's info:data cell.
+    assert back.filter(F.length("raw_line") < 100).count() == 0
+
+    # mode="ignore" == create-table-if-absent (S5): second run is a no-op.
+    ingest_flights(spark, bts_csv, bronze)
+    assert read_bronze(spark, bronze).count() == n
+
+    # The flagship query over the bronze table matches the direct path.
+    got = delay_report_from(back.drop("raw_line", "rowkey"))
+    want = flight_delay_report(spark, SF)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_partition_pruning_in_plan(spark, bts_csv, tmp_path):
+    bronze = str(tmp_path / "bronze")
+    ingest_flights(spark, bts_csv, bronze)
+    plan = (
+        read_bronze(spark, bronze)
+        .filter(F.col("year") == 2008)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "year" in plan
+
+
+def test_text_sink_format(spark, tmp_path):
+    # S4: key \t value lines, exact reference rendering (leading ", ").
+    report = format_report(flight_delay_report(spark, SF))
+    out = str(tmp_path / "report")
+    write_report_text(report, out)
+    lines = sorted(
+        spark.read.text(out).rdd.map(lambda r: r.value).collect()
+    )
+    assert len(lines) == report.count()
+    first = lines[0]
+    key, _, rest = first.partition("\t")
+    assert key.startswith("AIR-")
+    assert rest.startswith(", (1,") and ", (12," in rest
