@@ -51,6 +51,7 @@ _QUERY_MODULES = [
     "hbase_hadoop_flightsearch_spark.functions.multimodal",
     "hbase_hadoop_flightsearch_spark.functions.udfs",
     "hbase_hadoop_flightsearch_spark.streaming.windows",
+    "hbase_hadoop_flightsearch_spark.streaming.stateful",
 ]
 
 

@@ -4,7 +4,16 @@ sink, and the incremental result must equal the batch result."""
 
 from __future__ import annotations
 
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
 from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+from hbase_hadoop_flightsearch_spark.streaming.stateful import (
+    stream_stateful_user_activity,
+    user_activity_stateful,
+)
 from hbase_hadoop_flightsearch_spark.streaming.windows import (
     copy_events_to_dir,
     run_stream_to_memory,
@@ -42,3 +51,118 @@ def test_stream_is_actually_streaming(spark, sf_smoke, tmp_path):
     src = copy_events_to_dir(sf_smoke, str(tmp_path / "stream_src3"))
     stream = stream_from_dir(spark, src)
     assert stream.isStreaming
+
+
+def test_stateful_operator_converges_to_batch(spark, sf_smoke, tmp_path):
+    """The applyInPandasWithState upsert stream's final value per user must
+    equal the batch twin registered as stream_stateful_user_activity."""
+    src = copy_events_to_dir(sf_smoke, str(tmp_path / "stream_src4"))
+    stream = stream_from_dir(spark, src)
+    q = (
+        user_activity_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # Upsert stream: last emitted row per user wins. Single input file ->
+    # single microbatch -> exactly one row per user, but dedup anyway.
+    got = {
+        r.user_id: (r.n_events, r.total_value, r.last_ts_us)
+        for r in spark.sql("SELECT * FROM stateful_sink").collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.total_value, r.last_ts_us)
+        for r in stream_stateful_user_activity(spark, sf_smoke).collect()
+    }
+    assert got == want
+
+
+def _write_events_file(path, rows):
+    """rows: list of (event_id, ts_us, user_id, event_type, value). The
+    stream source schema stores ts as int64 nanoseconds (like the driver's
+    events.parquet)."""
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] * 1000 for r in rows], pa.int64()),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        path,
+    )
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Three microbatches (maxFilesPerTrigger=1). Batch 0 carries the
+    watermark to 10:50; batch 1 lets it commit (Spark applies the
+    row-level late filter with the watermark as of the previous completed
+    batch); batch 2 then contains one event far older than the watermark
+    (dropped — numRowsDroppedByWatermark confirms) and one within (kept)."""
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    h = 3_600_000_000  # one hour in micros
+    # Batch 0: events in hour-10 and hour-11 windows; max ts = 11:00.
+    _write_events_file(
+        os.path.join(src, "b1.parquet"),
+        [(1, 10 * h, 1, "view", 1.0), (2, 11 * h, 1, "view", 1.0)],
+    )
+    # Batch 1: on-time filler so the 10:50 watermark becomes effective.
+    f2 = os.path.join(src, "b2.parquet")
+    _write_events_file(f2, [(5, 11 * h + 1_000_000, 1, "view", 1.0)])
+    # Batch 2: event at 01:00 is far older than watermark 10:50 -> dropped;
+    # event at 10:55 is within -> counted in the hour-10 window.
+    f3 = os.path.join(src, "b3.parquet")
+    _write_events_file(
+        f3,
+        [(3, 1 * h, 1, "view", 1.0), (4, 10 * h + 55 * 60_000_000, 1, "view", 1.0)],
+    )
+    # Force b1 -> b2 -> b3 processing order via mtime.
+    os.utime(f2, (2_000_000_000, 2_000_000_000))
+    os.utime(f3, (2_100_000_000, 2_100_000_000))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName("late_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM late_sink").collect()
+    starts = {r.window_start_s for r in emitted}
+    # hour-1 window must never materialize: its only event arrived late.
+    assert 1 * 3600 not in starts
+    # hour-10 window's final count includes the in-watermark late event.
+    h10 = max(
+        r.n_events for r in emitted if r.window_start_s == 10 * 3600
+    )
+    assert h10 == 2
+    # The state operator explicitly reports the dropped row.
+    dropped = sum(
+        o.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for o in p.get("stateOperators", [])
+    )
+    assert dropped == 1
