@@ -13,6 +13,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import udtf
 from pyspark.sql.types import IntegerType, StringType
 
 from ..plans.registry import register
@@ -71,4 +72,37 @@ def udf_row_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n"))
         .select("lang", shout(F.col("lang")).alias("shouted"), "n")
+    )
+
+
+@udtf(returnType="pos int, token string")
+class TokenizeUdtf:
+    """Table function: one input row -> one row per token with its
+    position. The UDTF shape (one-to-many with per-row Python state) is
+    what `explode` can't express when emission logic is imperative."""
+
+    def eval(self, text: str):
+        for i, tok in enumerate(text.split(" ")):
+            yield i + 1, tok
+
+
+@register(
+    "udtf_tokenize_lateral",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, CAST(i AS INT) AS pos, toks[i] AS token
+FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+WHERE doc_id < 100
+""",
+    doc="Python UDTF surface (E15): LATERAL table function expanding each "
+    "document into (pos, token) rows, value-checked against SQL unnest.",
+)
+def udtf_tokenize_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.udtf.register("tokenize_udtf", TokenizeUdtf)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token "
+        "FROM _udtf_docs d, LATERAL tokenize_udtf(d.text) t"
     )

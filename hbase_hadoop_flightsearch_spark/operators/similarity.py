@@ -28,6 +28,8 @@ KNN_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 LSH_PLANES = 12  # sign bits per signature
 LSH_BANDS = 3  # 3 bands x 4 bits
+IVF_CENTROID_STEP = 100  # vec_id % step == 7 -> coarse centroid
+IVF_NPROBE = 3  # query probes its 3 nearest cells
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -95,6 +97,68 @@ def similarity_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= KNN_K)
+        .select(
+            "query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn"
+        )
+    )
+
+
+@register(
+    "similarity_ann_ivf",
+    oracle=None,  # cell membership is quantizer-defined; recall vs exact in tests
+    doc="ANN via IVF (E11): coarse-quantize the corpus into centroid cells "
+    "(broadcast centroids, argmin assignment), queries probe their "
+    f"{IVF_NPROBE} nearest cells, exact cosine re-rank inside. The "
+    "inverted-file scale path: corpus-side work per query is the probed "
+    "cells only, not the corpus.",
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k. The coarse quantizer is a deterministic sample of the
+    corpus (vec_id % step == 7) standing in for trained k-means centroids —
+    in production the quantizer is a small trained artifact either way, and
+    it is ALWAYS broadcast: assignment is a broadcast join + per-cell argmin,
+    never a shuffle of the corpus. The partition-by-cell layout this
+    produces is exactly how an IVF index is laid out on disk at 100 TB
+    (cell = partition -> probing prunes partitions)."""
+    emb = _embeddings(spark, sf_dir)
+    cents = emb.filter(
+        F.col("vec_id") % IVF_CENTROID_STEP == 7
+    ).select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+
+    def nearest_cells(df: DataFrame, id_col: str, vcol: str, n: int) -> DataFrame:
+        scored = df.join(F.broadcast(cents)).withColumn(
+            "cdist", _dot(F.col(vcol), F.col("cv")) / (_norm(F.col(vcol)) * _norm(F.col("cv")))
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("cdist"), F.asc("cent_id"))
+        return (
+            scored.withColumn("crn", F.row_number().over(w))
+            .filter(F.col("crn") <= n)
+            .drop("cv", "cdist", "crn")
+        )
+
+    assigned = nearest_cells(emb, "vec_id", "v", 1)  # corpus: home cell only
+    probes = nearest_cells(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        ),
+        "query_id",
+        "qv",
+        IVF_NPROBE,
+    )
+    cand = (
+        assigned.join(probes, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn(
+            "cos",
+            _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= KNN_K)
         .select(
             "query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn"

@@ -4,6 +4,7 @@ ANN recall is measured against the exact brute-force baseline."""
 from __future__ import annotations
 
 from hbase_hadoop_flightsearch_spark.operators.similarity import (
+    similarity_ann_ivf,
     similarity_ann_lsh,
     similarity_knn_bruteforce,
 )
@@ -24,6 +25,32 @@ def test_ann_recall_vs_bruteforce(spark, sf_correctness):
     # design; assert it's meaningfully above chance (50 random picks from
     # 500 vectors would land ~1%).
     assert recall >= 0.3, f"ANN recall {recall:.2f} below floor"
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_correctness):
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity_knn_bruteforce(spark, sf_correctness).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity_ann_ivf(spark, sf_correctness).collect()
+    }
+    assert exact, "brute-force baseline returned nothing"
+    recall = len(exact & ivf) / len(exact)
+    # nprobe=3 of 5 cells at sf0.01 — well above chance, below 1 by design.
+    assert recall >= 0.3, f"IVF recall {recall:.2f} below floor"
+
+
+def test_ivf_results_are_true_cosines(spark, sf_correctness):
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity_knn_bruteforce(spark, sf_correctness).collect()
+    }
+    for r in similarity_ann_ivf(spark, sf_correctness).collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:
+            assert abs(exact[key] - r.cosine) < 1e-9
 
 
 def test_ann_results_are_true_cosines(spark, sf_correctness):
