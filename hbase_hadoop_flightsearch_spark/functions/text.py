@@ -94,6 +94,40 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer approximation. Deliberately restricted to
+# syntax RE2 (DuckDB) and java.util.regex (Spark) evaluate identically:
+# alternation + character classes only — no lookarounds, no backrefs.
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+_BPE_SQL = BPE_ISH_PATTERN.replace("'", "''")
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS INT)
+    AS bpe_tokens,
+  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)
+    AS ws_tokens
+FROM documents
+""",
+    doc="Token counting (E12): BPE-ish pre-tokenizer regex count next to "
+    "the whitespace count — the cost-estimation primitive for training-"
+    "data budgeting.",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both token-count flavors per document, single scan, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
+        .cast("int")
+        .alias("bpe_tokens"),
+        _n_tokens(text).alias("ws_tokens"),
+    )
+
+
 @register(
     "text_quality_score",
     oracle="""

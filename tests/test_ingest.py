@@ -147,3 +147,20 @@ def test_text_sink_format(spark, tmp_path):
     key, _, rest = first.partition("\t")
     assert key.startswith("AIR-")
     assert rest.startswith(", (1,") and ", (12," in rest
+
+
+def test_hbase_edge_is_gated(spark):
+    """No HBase in this environment: the connector edge must fail with an
+    actionable error, not an opaque ClassNotFound at action time."""
+    import pytest as _pytest
+
+    from hbase_hadoop_flightsearch_spark.sources.hbase import (
+        HBaseConnectorUnavailable,
+        flight_blob_catalog,
+        read_flight_table,
+    )
+
+    with _pytest.raises(HBaseConnectorUnavailable, match="Parquet"):
+        read_flight_table(spark)
+    cat = flight_blob_catalog("FlightRecords")
+    assert '"info"' in cat and '"data"' in cat  # reference cell layout
