@@ -115,3 +115,112 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.octet_length("payload")).alias("total_bytes"),
         F.max(F.octet_length("payload")).cast("int").alias("max_bytes"),
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, thumb_w int, thumb_h int, "
+    "thumb_bytes int"
+)
+THUMB_MAX = 128  # longest thumbnail edge
+
+
+def resize_media(payload: bytes, fake: bool = False):
+    """Resize codec entry point — stubbed like decode_media. The fake
+    derives source dims from byte length (same law as decode_media) and
+    scales the longest edge down to THUMB_MAX preserving aspect ratio with
+    integer truncation; 'thumbnail' size is w*h*3 (RGB)."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs are not installed; pass fake=True for the stub"
+        )
+    n = len(payload)
+    w, h = n % 640 + 1, (n * 7) % 480 + 1
+    longest = max(w, h)
+    scale_num = min(longest, THUMB_MAX)
+    tw = max(1, (w * scale_num) // longest)
+    th = max(1, (h * scale_num) // longest)
+    return {
+        "width": w, "height": h,
+        "thumb_w": tw, "thumb_h": th, "thumb_bytes": tw * th * 3,
+    }
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = pd.DataFrame([resize_media(p, fake=True) for p in pdf["payload"]])
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+    octet_length(encode(text)) % 640 + 1 AS w,
+    (octet_length(encode(text)) * 7) % 480 + 1 AS h
+  FROM documents
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+  CAST(GREATEST(1, w * LEAST(GREATEST(w, h), {THUMB_MAX}) // GREATEST(w, h))
+    AS INT) AS thumb_w,
+  CAST(GREATEST(1, h * LEAST(GREATEST(w, h), {THUMB_MAX}) // GREATEST(w, h))
+    AS INT) AS thumb_h,
+  CAST(GREATEST(1, w * LEAST(GREATEST(w, h), {THUMB_MAX}) // GREATEST(w, h))
+     * GREATEST(1, h * LEAST(GREATEST(w, h), {THUMB_MAX}) // GREATEST(w, h))
+     * 3 AS INT) AS thumb_bytes
+FROM m
+""",
+    doc="Multimodal resize plumbing (E13): aspect-preserving thumbnail "
+    "dims via Arrow-batched mapInPandas. Codec stubbed; batch shape, "
+    "schema and arithmetic real and oracle-checked.",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir).select("doc_id", "payload")
+    return media.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_offset int"
+FRAME_BYTES = 64  # fake fixed-size frame
+FRAME_STRIDE = 4  # sample every 4th frame
+
+
+def _frame_sample_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """One-to-many expansion: each 'video' payload yields a row per sampled
+    frame. The imperative emission loop is the part explode can't express
+    when the real codec (e.g. av keyframe iteration) drives it."""
+    for pdf in batches:
+        ids, idxs, offs = [], [], []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = len(p) // FRAME_BYTES
+            for i in range(0, n_frames, FRAME_STRIDE):
+                ids.append(doc_id)
+                idxs.append(i)
+                offs.append(i * FRAME_BYTES)
+        yield pd.DataFrame(
+            {"doc_id": ids, "frame_idx": idxs, "frame_offset": offs}
+        )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text)) // {FRAME_BYTES} AS n_frames
+  FROM documents
+)
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+  CAST(i * {FRAME_BYTES} AS INT) AS frame_offset
+FROM m, LATERAL (
+  SELECT unnest(generate_series(0, n_frames - 1, {FRAME_STRIDE})) AS i
+)
+WHERE n_frames > 0
+""",
+    doc="Multimodal frame sampling (E13): every 4th fixed-size frame per "
+    "payload via one-to-many mapInPandas. Codec stubbed; plumbing real.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir).select("doc_id", "payload")
+    return media.mapInPandas(_frame_sample_batches, schema=FRAME_SCHEMA)

@@ -63,6 +63,13 @@ FROM pairs WHERE jac >= {JACCARD_THRESHOLD}
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingles: array<string>) — distinct word 3-grams."""
     docs = load_table(spark, sf_dir, "documents")
+    # Shingling is the CPU-heavy stage; a small single-file corpus arrives
+    # as one input partition and would run it single-threaded. Widen only
+    # when the scan is narrower than the cluster — at real scale the scan
+    # already yields maxPartitionBytes-sized splits and this is a no-op.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     toks = F.split(F.col("text"), " ")
     shingles = F.array_distinct(
         F.transform(

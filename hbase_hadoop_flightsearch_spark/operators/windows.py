@@ -163,3 +163,27 @@ def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).cast("int").alias("price_dense_rank"),
         F.ntile(4).over(w).cast("int").alias("price_quartile"),
     )
+
+
+@register(
+    "sort_orders_global",
+    oracle="""
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_totalprice > 100000
+ORDER BY o_totalprice DESC, o_orderkey
+""",
+    doc="Global total-order sort (O1/E7): Exchange rangepartitioning "
+    "(sampled range bounds) + per-partition sort — the distributed upgrade "
+    "of the MR framework's per-reducer key sort.",
+)
+def sort_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unlike the reference (sorted only WITHIN each of 10 reducer files,
+    Secondary/Main.java:198), orderBy is a true total order: range
+    partitioner samples bounds, so output partition i < partition i+1."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_totalprice") > 100000)
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
