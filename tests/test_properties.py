@@ -1,0 +1,112 @@
+"""Property tests (SURVEY.md §5.4): engine invariants that must hold for
+any input, checked over hypothesis-generated micro-tables and the fixture
+data.
+
+These guard the properties a distributed engine can silently break:
+aggregation must be partitioning-invariant (partial+final merge is
+associative/commutative), filters must be containments, pivots must be
+bijections on group keys.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from hbase_hadoop_flightsearch_spark.plans.delay_report import (
+    delay_report_from,
+)
+from hbase_hadoop_flightsearch_spark.sources.flights import flights
+
+SF = "/root/testdata/sf0.001"
+
+row_strategy = st.tuples(
+    st.integers(min_value=2007, max_value=2008),  # year
+    st.integers(min_value=1, max_value=12),  # month
+    st.sampled_from(["AA", "BB", "CC"]),  # carrier
+    st.integers(min_value=0, max_value=240),  # delay (int-valued)
+    st.sampled_from([0.0, 1.0]),  # cancelled
+    st.sampled_from([0.0, 1.0]),  # diverted
+)
+
+COLS = ["year", "month", "carrier", "arr_delay_minutes", "cancelled", "diverted"]
+
+
+def _df(spark, rows):
+    pdf = pd.DataFrame(rows, columns=COLS)
+    pdf["arr_delay_minutes"] = pdf["arr_delay_minutes"].astype(float)
+    return spark.createDataFrame(pdf)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(row_strategy, min_size=1, max_size=40))
+def test_flagship_partitioning_invariance(spark, rows):
+    """The flagship pivot must be identical at 1 partition and 7 partitions:
+    partial aggregation merge is associative+commutative, so physical
+    parallelism can never change the answer."""
+    fl = _df(spark, rows)
+    one = sorted(map(tuple, delay_report_from(fl.coalesce(1)).collect()))
+    many = sorted(map(tuple, delay_report_from(fl.repartition(7)).collect()))
+    assert one == many
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(row_strategy, min_size=1, max_size=40))
+def test_flagship_pivot_shape(spark, rows):
+    """Pivot output: one row per carrier that survives the filters; always
+    exactly 13 columns (carrier + 12 months); every cell non-null."""
+    fl = _df(spark, rows)
+    out = delay_report_from(fl)
+    surviving = (
+        fl.filter(
+            (F.col("year") == 2008)
+            & (F.col("cancelled").cast("int") != 1)
+            & (F.col("diverted").cast("int") != 1)
+        )
+        .select("carrier")
+        .distinct()
+        .count()
+    )
+    got = out.collect()
+    assert len(got) == surviving
+    assert len(out.columns) == 13
+    assert all(v is not None for r in got for v in r)
+
+
+def test_filter_is_containment(spark):
+    """Filtered rowset ⊆ input rowset, and filter+count is exact."""
+    fl = flights(spark, SF)
+    total = fl.count()
+    kept = fl.filter(F.col("year") == 2008).count()
+    dropped = fl.filter(F.col("year") != 2008).count()
+    assert kept + dropped == total
+    assert kept <= total
+
+
+def test_groupby_sum_invariant_under_repartition(spark):
+    """Same aggregate through 1, 3, 32 shuffle widths on real fixture data."""
+    fl = flights(spark, SF)
+    results = []
+    for n in (1, 3, 32):
+        agg = (
+            fl.repartition(n)
+            .groupBy("carrier")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("arr_delay_minutes"), 6).alias("s"),
+            )
+        )
+        results.append(sorted(map(tuple, agg.collect())))
+    assert results[0] == results[1] == results[2]
