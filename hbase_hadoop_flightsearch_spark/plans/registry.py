@@ -40,6 +40,8 @@ QUERIES: dict[str, Query] = {}
 # Modules that register queries on import.
 _QUERY_MODULES = [
     "hbase_hadoop_flightsearch_spark.plans.delay_report",
+    "hbase_hadoop_flightsearch_spark.plans.sql_surface",
+    "hbase_hadoop_flightsearch_spark.operators.skew",
     "hbase_hadoop_flightsearch_spark.operators.joins",
     "hbase_hadoop_flightsearch_spark.operators.aggregates",
     "hbase_hadoop_flightsearch_spark.operators.windows",

@@ -1,0 +1,61 @@
+"""Pure-SQL query surface: the same engine through `spark.sql`.
+
+Everything else in the registry is DataFrame-API; these entries prove the
+SQL front door (catalog views + ANSI SQL -> same Catalyst plans). The SQL
+text is dialect-portable enough to BE its own oracle — what Spark executes
+is byte-identical to what DuckDB executes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.catalog import register_views
+from .registry import register
+
+# TPC-H Q10 shape (returned-item reporting), portable SQL.
+_Q10_SQL = """
+SELECT c.c_custkey,
+       c.c_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       n.n_name
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+HAVING SUM(l.l_extendedprice * (1 - l.l_discount)) > 1000
+"""
+
+# Correlated scalar subquery: customers above their nation's average balance.
+_SUBQ_SQL = """
+SELECT c.c_custkey, c.c_nationkey, ROUND(c.c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE c.c_acctbal > (
+  SELECT AVG(c2.c_acctbal) FROM customer c2
+  WHERE c2.c_nationkey = c.c_nationkey
+)
+"""
+
+
+@register(
+    "sql_q10_returned_items",
+    oracle=_Q10_SQL,
+    doc="SQL front door (E1/E4): TPC-H q10 shape via spark.sql over catalog "
+    "views; the SQL string is its own oracle.",
+)
+def sql_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q10_SQL)
+
+
+@register(
+    "sql_correlated_subquery",
+    oracle=_SUBQ_SQL,
+    doc="Correlated scalar subquery via spark.sql — Catalyst decorrelates "
+    "it into an aggregate + join (the rewrite MR users hand-wrote).",
+)
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_SUBQ_SQL)
