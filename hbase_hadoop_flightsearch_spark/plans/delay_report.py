@@ -142,7 +142,7 @@ def flight_delay_report_formatted(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle=FLIGHTS_CTE
     + f"""
 SELECT carrier, month,
-  ROUND(AVG(arr_delay_minutes), 2) AS avg_delay,
+  ROUND(SUM(arr_delay_minutes) * 100 / COUNT(*)) / 100 AS avg_delay,
   COUNT(*) AS n_flights
 FROM flights
 WHERE {_ORACLE_FILTER}
@@ -151,12 +151,22 @@ GROUP BY carrier, month
     doc="Clean-mode long-format report (no quirks): avg delay per carrier-month.",
 )
 def flight_delay_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Idiomatic (non-compat) version: long format, true average."""
+    """Idiomatic (non-compat) version: long format, true average.
+
+    2-decimal rounding is spelled round(sum*100/count)/100, not
+    round(avg, 2): delays are integers, so sum*100 is exact and a true
+    half-way quotient is exactly representable — Spark (HALF_UP on the
+    shortest decimal repr) and DuckDB (std::round on the binary value)
+    agree at integer halves but NOT at fractional-scale halves like
+    round(65.725, 2), where the binary value sits below the printed half."""
     return (
         _completed_2008(flights(spark, sf_dir))
         .groupBy("carrier", "month")
         .agg(
-            F.round(F.avg("arr_delay_minutes"), 2).alias("avg_delay"),
+            (
+                F.round(F.sum("arr_delay_minutes") * 100 / F.count(F.lit(1)))
+                / 100
+            ).alias("avg_delay"),
             F.count(F.lit(1)).alias("n_flights"),
         )
     )

@@ -13,11 +13,18 @@ from pyspark.sql import DataFrame, SparkSession
 from ..sources.catalog import register_views
 from .registry import register
 
-# TPC-H Q10 shape (returned-item reporting), portable SQL.
-_Q10_SQL = """
+# TPC-H Q10 shape (returned-item reporting), portable SQL. Money math runs
+# in DECIMAL: prices/discounts are cents-valued, so decimal sums are EXACT
+# and engine-identical — double sums differ across engines in the last bits
+# (summation order) and can flip a ROUND(x, 2) at a half-cent boundary.
+_REV = (
+    "SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) "
+    "* (1 - CAST(l.l_discount AS DECIMAL(18,2))))"
+)
+_Q10_SQL = f"""
 SELECT c.c_custkey,
        c.c_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(ROUND({_REV}, 2) AS DOUBLE) AS revenue,
        n.n_name
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -25,7 +32,7 @@ JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 JOIN nation n   ON c.c_nationkey = n.n_nationkey
 WHERE l.l_returnflag = 'R'
 GROUP BY c.c_custkey, c.c_name, n.n_name
-HAVING SUM(l.l_extendedprice * (1 - l.l_discount)) > 1000
+HAVING {_REV} > 1000
 """
 
 # Correlated scalar subquery: customers above their nation's average balance.
