@@ -166,3 +166,61 @@ def test_watermark_drops_late_data(spark, tmp_path):
         for o in p.get("stateOperators", [])
     )
     assert dropped == 1
+
+
+def test_checkpoint_exactly_once_recovery(spark, tmp_path):
+    """File-sink exactly-once across restarts: run a stream to parquet with
+    a checkpoint, stop it, add a second input file, restart with the SAME
+    checkpoint — the second run must process only the new file and the sink
+    must hold each event exactly once."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    h = 3_600_000_000
+    _write_events_file(
+        os.path.join(src, "a.parquet"),
+        [(1, 10 * h, 1, "view", 1.0), (2, 11 * h, 2, "click", 2.0)],
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .select(
+                "event_id",
+                F.expr("timestamp_micros(ts DIV 1000)").alias("ts"),
+                "user_id",
+                "event_type",
+            )
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(sink).count() == 2
+
+    f2 = os.path.join(src, "b.parquet")
+    _write_events_file(f2, [(3, 12 * h, 1, "view", 3.0)])
+    os.utime(f2, (2_000_000_000, 2_000_000_000))
+    run_once()
+
+    final = spark.read.parquet(sink)
+    assert final.count() == 3  # no reprocessing of file a
+    ids = sorted(r.event_id for r in final.select("event_id").collect())
+    assert ids == [1, 2, 3]
