@@ -75,6 +75,44 @@ def udf_row_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "udf_grouped_map_zscore",
+    oracle="""
+SELECT doc_id, lang,
+  ROUND((n_chars - AVG(n_chars) OVER (PARTITION BY lang))
+        / STDDEV_SAMP(n_chars) OVER (PARTITION BY lang), 6) AS len_zscore
+FROM documents
+""",
+    doc="Grouped-map applyInPandas surface (E15): per-language z-score of "
+    "document length — whole-group pandas transform, one Arrow exchange "
+    "per group, checked against the SQL window twin.",
+)
+def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped-map shape: the pandas function sees one COMPLETE group
+    at a time (unlike scalar pandas UDFs, which see arbitrary batches) —
+    the right tool when the transform needs whole-group statistics. State
+    per task is one group's rows; at 100 TB the group key must be chosen
+    so no single group exceeds executor memory (lang: ~5 groups here, fine;
+    for unbounded groups use window functions instead — as the oracle
+    itself demonstrates)."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["n_chars"].mean()
+        sd = pdf["n_chars"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "len_zscore": ((pdf["n_chars"] - mu) / sd).round(6),
+            }
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", "n_chars").groupBy("lang").applyInPandas(
+        zscore, schema="doc_id bigint, lang string, len_zscore double"
+    )
+
+
 @udtf(returnType="pos int, token string")
 class TokenizeUdtf:
     """Table function: one input row -> one row per token with its
