@@ -32,7 +32,11 @@ JACCARD_THRESHOLD = 0.5
 MINHASH_BANDS = 16
 MINHASH_ROWS = 4  # 64 hashes total
 SIMHASH_BITS = 64
-SIMHASH_HAMMING_MAX = 8
+# <= 3 flipped bits with 4 x 16-bit band blocking is an EXACT guarantee
+# (pigeonhole: 3 flips cannot touch all 4 bands), and on a small-vocabulary
+# corpus a looser threshold floods: at <=8 this synthetic corpus marks ~31%
+# of ALL pairs as near-dups — signature concentration, not true duplication.
+SIMHASH_HAMMING_MAX = 3
 
 # Shared shingle definition: distinct word 3-grams. (Word *sets* are useless
 # on this corpus — ~30-word vocabulary makes random docs 0.9-similar as
@@ -266,33 +270,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_simhash",
     oracle=None,  # simhash bit pattern depends on xxhash64 — not SQL-oracle-able
-    doc="SimHash near-dup pairs (E10): 64-bit signature from token hashes, "
-    "4x16-bit band blocking, Hamming-distance verification <= 8.",
+    doc="SimHash near-dup pairs (E10): 64-bit signature from word-3-gram "
+    "hashes, 4x16-bit band blocking, Hamming-distance verification <= 3 "
+    "(exact recall by pigeonhole).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash: sig bit i = sign of sum over tokens of (+1 if token-hash
-    bit i else -1). Near-dups differ in few bits; blocking on 4 16-bit
-    quarters guarantees recall for Hamming distance <= 3 and catches most
-    <= 8 (docstring math: a miss needs >=1 flipped bit in all 4 bands)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.split(F.col("text"), " "))
-    # bit-count vector: for each bit, (#tokens with bit set) - (#without)
+    """SimHash: sig bit i = sign of sum over features of (+1 if feature-hash
+    bit i else -1). Features are the family's shared word 3-grams — on this
+    corpus unigram token SETS collide pathologically (~30-word vocabulary;
+    see module docstring), which concentrates set-based signatures and
+    floods the band join. Near-dups differ in few bits; blocking on 4
+    16-bit quarters is EXACT for Hamming <= 3: three flipped bits cannot
+    touch all four bands, so every qualifying pair shares one band."""
+    sh = doc_shingles(spark, sf_dir)
+    feats = F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+    # bit-count vector: for each bit, (#features with bit set) - (#without)
     counts = F.aggregate(
-        toks,
+        feats,
         F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.transform(
                 F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
                 lambda i: F.when(
-                    F.bit_get(F.xxhash64(t), i) == 1, F.lit(1).cast("long")
+                    F.bit_get(h, i) == 1, F.lit(1).cast("long")
                 ).otherwise(F.lit(-1).cast("long")),
             ),
             lambda x, y: x + y,
         ),
     )
     sig_bits = F.transform(counts, lambda c: (c > 0).cast("int"))
-    sigs = docs.select("doc_id", sig_bits.alias("bits"))
+    sigs = sh.select("doc_id", sig_bits.alias("bits"))
 
     # blocking: 4 bands of 16 bits each, banded exactly like MinHash-LSH
     bands = sigs.select(
@@ -334,8 +342,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (F.col("band_a") == F.col("band_b")) & (F.col("d1") < F.col("d2"))
         )
-        .select("d1", "d2", "bits1", "bits2")
-        .distinct()
+        # Verify hamming FIRST, then dedup multi-band hits on the narrow
+        # (d1, d2, hamming) key — never shuffle the 64-element bit arrays
+        # through a distinct (hamming is a pure function of the pair).
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .select("d1", "d2", "hamming")
