@@ -29,6 +29,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     read per call)."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; one of {TABLE_NAMES}")
+    # Timestamp semantics contract: every timestamp-bearing query (windows,
+    # date parts, epoch conversions) and every DuckDB oracle assumes UTC.
+    # Our session factory sets this, but the external driver's session may
+    # not — pin it at the data boundary (dynamic conf, safe to set here).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
         # reader rejects; read nanos as long and truncate to micros
