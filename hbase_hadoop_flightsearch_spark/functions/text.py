@@ -193,6 +193,87 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Character-trigram profiles per language — the classic n-gram language-ID
+# shape (score = occurrence count of each language's signature trigrams).
+# Occurrence counting is pure length arithmetic, identical in any engine.
+_LANG_TRIGRAMS = [
+    ("en", [" th", "he ", "nd "]),
+    ("es", [" el", " de", "la "]),
+    ("de", ["er ", "der", "und"]),
+    ("fr", [" le", "et ", " la"]),
+]
+
+
+def _tg_count_spark(text: Column, tg: str) -> Column:
+    return (
+        F.length(text) - F.length(F.replace(text, F.lit(tg)))
+    ) / len(tg)
+
+
+def _tg_count_duck(tg: str) -> str:
+    esc = tg.replace("'", "''")
+    return f"(length(padded) - length(replace(padded, '{esc}', ''))) / 3"
+
+
+@register(
+    "text_lang_id_ngram",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang, ' ' || text || ' ' AS padded
+  FROM documents
+), s AS (
+  SELECT doc_id, labeled_lang,
+"""
+    + ",\n".join(
+        f"    ({' + '.join(_tg_count_duck(tg) for tg in tgs)}) AS s_{lang}"
+        for lang, tgs in _LANG_TRIGRAMS
+    )
+    + """
+  FROM scored
+)
+SELECT CASE
+  WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+  WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+  WHEN s_de >= s_fr THEN 'de'
+  ELSE 'fr' END AS predicted_lang,
+  labeled_lang, COUNT(*) AS n_docs
+FROM s
+GROUP BY 1, 2
+""",
+    doc="Character-n-gram language ID (E12): per-language trigram profile "
+    "scores, argmax with fixed priority tiebreak, confusion rollup vs the "
+    "dataset labels.",
+)
+def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram occurrence counts are length/replace arithmetic fused into
+    the scan — the whole classifier is one projection + one aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    scores = {
+        lang: sum(_tg_count_spark(padded, tg) for tg in tgs)
+        for lang, tgs in _LANG_TRIGRAMS
+    }
+    s = {k: F.col(f"s_{k}") for k in scores}
+    predicted = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]),
+            F.lit("en"),
+        )
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), F.lit("es"))
+        .when(s["de"] >= s["fr"], F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return (
+        docs.select(
+            F.col("lang").alias("labeled_lang"),
+            *[scores[lang].alias(f"s_{lang}") for lang, _ in _LANG_TRIGRAMS],
+        )
+        .select("labeled_lang", predicted.alias("predicted_lang"))
+        .groupBy("predicted_lang", "labeled_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 @register(
     "text_fingerprint_clusters",
     oracle="""
