@@ -235,6 +235,51 @@ def join_anti_customers_without_pending(
 
 
 @register(
+    "join_q18_large_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice,
+  SUM(l.l_quantity) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+""",
+    doc="TPC-H q18 shape (E1/E2/E7): semi-join against a HAVING-filtered "
+    "aggregate, re-aggregate, global top-100.",
+)
+def join_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The big-orders set is produced by one aggregate and used as a
+    LEFT SEMI join (Catalyst turns the IN-subquery into exactly that) —
+    quantities are integer-valued so total_qty needs no rounding guard.
+    Deterministic top-100: o_orderkey breaks o_totalprice ties."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
     "join_range_acctbal_dominance",
     oracle="""
 SELECT n_nationkey AS nationkey,
