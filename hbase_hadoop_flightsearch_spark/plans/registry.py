@@ -54,6 +54,7 @@ _QUERY_MODULES = [
     "hbase_hadoop_flightsearch_spark.functions.udfs",
     "hbase_hadoop_flightsearch_spark.streaming.windows",
     "hbase_hadoop_flightsearch_spark.streaming.stateful",
+    "hbase_hadoop_flightsearch_spark.streaming.rollup",
 ]
 
 

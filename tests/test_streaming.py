@@ -224,3 +224,54 @@ def test_checkpoint_exactly_once_recovery(spark, tmp_path):
     assert final.count() == 3  # no reprocessing of file a
     ids = sorted(r.event_id for r in final.select("event_id").collect())
     assert ids == [1, 2, 3]
+
+
+def test_incremental_rollup_converges(spark, sf_smoke, tmp_path):
+    """foreachBatch MERGE rollup over multiple microbatches must equal the
+    batch-twin rollup over the full input."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hbase_hadoop_flightsearch_spark.sources.catalog import (
+        load_table as _lt,
+    )
+    from hbase_hadoop_flightsearch_spark.streaming.rollup import (
+        run_incremental_rollup,
+    )
+
+    # Split sf0.001 events into 3 source files -> 3 microbatches.
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ev = _lt(spark, sf_smoke, "events")
+    n = ev.count()
+    rows = spark.read.parquet(f"{sf_smoke}/events.parquet")  # raw nanos
+    parts = rows.randomSplit([1.0, 1.0, 1.0], seed=7)
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(f"{src}/part{i}")
+        # move the single parquet file up so each is one stream file
+        d = f"{src}/part{i}"
+        f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
+        shutil.move(os.path.join(d, f), os.path.join(src, f"b{i}.parquet"))
+        shutil.rmtree(d)
+        os.utime(
+            os.path.join(src, f"b{i}.parquet"),
+            (1_900_000_000 + i * 1000,) * 2,
+        )
+
+    rollup_path = str(tmp_path / "rollup")
+    run_incremental_rollup(spark, src, rollup_path, str(tmp_path / "ckpt"))
+
+    got = (
+        spark.read.parquet(rollup_path)
+        .withColumn("sum_value", F.round("sum_value", 2))
+    )
+    from hbase_hadoop_flightsearch_spark.streaming.rollup import (
+        rollup_hourly_events,
+    )
+
+    want = rollup_hourly_events(spark, sf_smoke)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.agg(F.sum("n_events")).collect()[0][0] == n
