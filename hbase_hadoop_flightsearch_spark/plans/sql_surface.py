@@ -57,6 +57,33 @@ def sql_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q10_SQL)
 
 
+# TPC-H q4 shape: EXISTS + NOT EXISTS correlated subqueries.
+_EXISTS_SQL = """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05
+)
+AND NOT EXISTS (
+  SELECT 1 FROM lineitem l2
+  WHERE l2.l_orderkey = o.o_orderkey AND l2.l_quantity > 45
+)
+GROUP BY o.o_orderpriority
+"""
+
+
+@register(
+    "sql_exists_priority_counts",
+    oracle=_EXISTS_SQL,
+    doc="EXISTS / NOT EXISTS correlated subqueries (TPC-H q4 shape): "
+    "Catalyst plans them as left-semi + left-anti joins.",
+)
+def sql_exists_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)
+
+
 @register(
     "sql_correlated_subquery",
     oracle=_SUBQ_SQL,
