@@ -1,0 +1,127 @@
+"""As-of join — the canonical "operator Spark lacks" (SURVEY.md §2b,
+custom-operator guidance): for each event, the most recent order of the
+same user at or before the event time.
+
+Two implementations, mutually verified:
+
+1. `asof_join_events_orders` (registered, oracled against DuckDB's native
+   ASOF JOIN): the UNION + WINDOW formulation — tag both sides, union,
+   and carry the latest order key forward with last(ignorenulls) over an
+   event-time-ordered window per user. Pure JVM expressions, one shuffle
+   on (user), state bounded by the window sort. This is how the operator
+   survives 100 TB: it is exactly a sort-merge pass, the same shape the
+   dedicated as-of implementations (kdb aj, QuestDB/DuckDB ASOF) use,
+   with Spark's Exchange+Sort supplying the distribution.
+
+2. `asof_merge_pandas` (tests): cogrouped applyInPandas running
+   pandas.merge_asof per user group — the E15 cogroup surface, and an
+   independent implementation the window version is checked against.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+
+def _sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        # o_orderdate is TIMESTAMP_NTZ; under the catalog's pinned UTC
+        # session the cast is wall-clock identity (matches DuckDB epoch_us).
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ts_us"),
+        "o_orderkey",
+    )
+    return events, orders
+
+
+@register(
+    "asof_join_events_orders",
+    oracle="""
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+  o.o_orderkey AS last_orderkey
+FROM events e
+ASOF LEFT JOIN (
+  SELECT o_custkey, o_orderkey,
+    -- dedup equal timestamps per user: keep the max orderkey, matching
+    -- the window formulation's "latest row wins at equal ts" semantics
+    ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                       ORDER BY o_orderkey DESC) AS rn,
+    o_orderdate
+  FROM orders
+) o ON e.user_id = o.o_custkey AND o.rn = 1 AND e.ts >= o.o_orderdate
+""",
+    doc="As-of join (custom operator): latest order at-or-before each "
+    "event, via union + last(ignorenulls) window — oracled against "
+    "DuckDB's native ASOF JOIN.",
+)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events, orders = _sides(spark, sf_dir)
+    tagged = events.select(
+        "user_id", "ts_us", F.lit(1).alias("is_event"), "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+    ).unionByName(
+        orders.select(
+            "user_id", "ts_us", F.lit(0).alias("is_event"),
+            F.lit(None).cast("long").alias("event_id"), "o_orderkey",
+        )
+    )
+    # Orders sort before events at equal ts (asof is >=); among orders with
+    # identical (user, ts), the largest orderkey wins (matches oracle rn=1).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "is_event", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn(
+            "last_orderkey", F.last("o_orderkey", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_event") == 1)
+        .select("event_id", "user_id", "ts_us", "last_orderkey")
+    )
+
+
+def asof_merge_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independent implementation: cogrouped applyInPandas + merge_asof.
+    Each cogroup sees ONE user's events and orders; memory is bounded by
+    the largest single user — the usual cogroup caveat."""
+    events, orders = _sides(spark, sf_dir)
+
+    def merge(key, ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
+        ev = ev.sort_values("ts_us")
+        od = (
+            od.sort_values(["ts_us", "o_orderkey"])
+            .drop_duplicates("ts_us", keep="last")
+        )
+        if od.empty:
+            out = ev.copy()
+            out["last_orderkey"] = pd.array(
+                [None] * len(ev), dtype="Int64"
+            )
+        else:
+            out = pd.merge_asof(
+                ev,
+                od[["ts_us", "o_orderkey"]].rename(
+                    columns={"o_orderkey": "last_orderkey"}
+                ),
+                on="ts_us",
+                direction="backward",
+            )
+        return out[["event_id", "user_id", "ts_us", "last_orderkey"]]
+
+    return events.groupBy("user_id").cogroup(
+        orders.groupBy("user_id")
+    ).applyInPandas(
+        merge,
+        schema="event_id bigint, user_id bigint, ts_us bigint, "
+        "last_orderkey bigint",
+    )

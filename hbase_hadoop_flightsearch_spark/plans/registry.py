@@ -42,6 +42,7 @@ _QUERY_MODULES = [
     "hbase_hadoop_flightsearch_spark.plans.delay_report",
     "hbase_hadoop_flightsearch_spark.plans.sql_surface",
     "hbase_hadoop_flightsearch_spark.operators.skew",
+    "hbase_hadoop_flightsearch_spark.operators.asof",
     "hbase_hadoop_flightsearch_spark.operators.joins",
     "hbase_hadoop_flightsearch_spark.operators.aggregates",
     "hbase_hadoop_flightsearch_spark.operators.windows",
