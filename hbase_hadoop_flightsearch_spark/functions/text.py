@@ -215,6 +215,48 @@ def _tg_count_duck(tg: str) -> str:
     return f"(length(padded) - length(replace(padded, '{esc}', ''))) / 3"
 
 
+def ngram_lang_pred(text: Column) -> Column:
+    """Reusable trigram-profile classifier: argmax language with the fixed
+    en > es > de > fr priority tiebreak (mirrors `ngram_lang_pred_duck`)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    s = {
+        lang: sum(_tg_count_spark(padded, tg) for tg in tgs)
+        for lang, tgs in _LANG_TRIGRAMS
+    }
+    return (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]),
+            F.lit("en"),
+        )
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), F.lit("es"))
+        .when(s["de"] >= s["fr"], F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def ngram_lang_pred_duck(text_expr: str) -> str:
+    """DuckDB twin of ngram_lang_pred as a scalar SQL expression over
+    `text_expr` (kept textually parallel to the Spark version)."""
+    scores = {
+        lang: "("
+        + " + ".join(
+            f"(length({'padded'}) - length(replace({'padded'}, "
+            f"'{tg.replace(chr(39), chr(39) * 2)}', ''))) / 3"
+            for tg in tgs
+        )
+        + ")"
+        for lang, tgs in _LANG_TRIGRAMS
+    }
+    body = f"""CASE
+  WHEN {scores['en']} >= {scores['es']} AND {scores['en']} >= {scores['de']}
+       AND {scores['en']} >= {scores['fr']} THEN 'en'
+  WHEN {scores['es']} >= {scores['de']} AND {scores['es']} >= {scores['fr']}
+       THEN 'es'
+  WHEN {scores['de']} >= {scores['fr']} THEN 'de'
+  ELSE 'fr' END"""
+    return body.replace("padded", f"(' ' || {text_expr} || ' ')")
+
+
 @register(
     "text_lang_id_ngram",
     oracle="""
@@ -248,27 +290,11 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram occurrence counts are length/replace arithmetic fused into
     the scan — the whole classifier is one projection + one aggregate."""
     docs = load_table(spark, sf_dir, "documents")
-    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
-    scores = {
-        lang: sum(_tg_count_spark(padded, tg) for tg in tgs)
-        for lang, tgs in _LANG_TRIGRAMS
-    }
-    s = {k: F.col(f"s_{k}") for k in scores}
-    predicted = (
-        F.when(
-            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]),
-            F.lit("en"),
-        )
-        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), F.lit("es"))
-        .when(s["de"] >= s["fr"], F.lit("de"))
-        .otherwise(F.lit("fr"))
-    )
     return (
         docs.select(
             F.col("lang").alias("labeled_lang"),
-            *[scores[lang].alias(f"s_{lang}") for lang, _ in _LANG_TRIGRAMS],
+            ngram_lang_pred(F.col("text")).alias("predicted_lang"),
         )
-        .select("labeled_lang", predicted.alias("predicted_lang"))
         .groupBy("predicted_lang", "labeled_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )

@@ -41,6 +41,7 @@ QUERIES: dict[str, Query] = {}
 _QUERY_MODULES = [
     "hbase_hadoop_flightsearch_spark.plans.delay_report",
     "hbase_hadoop_flightsearch_spark.plans.sql_surface",
+    "hbase_hadoop_flightsearch_spark.plans.pipelines",
     "hbase_hadoop_flightsearch_spark.operators.skew",
     "hbase_hadoop_flightsearch_spark.operators.asof",
     "hbase_hadoop_flightsearch_spark.operators.joins",
