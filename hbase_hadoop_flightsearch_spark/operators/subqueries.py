@@ -1,0 +1,237 @@
+"""Subquery-heavy TPC-H shapes (SURVEY.md §2b E1/E2 extensions).
+
+The reference has no joins or subqueries at all (every MapReduce job has
+exactly one input — SURVEY.md §2a "verifiably ABSENT" list). These three
+queries cover the classic decorrelation patterns an engine must handle:
+
+  * q2 shape  — correlated *scalar* subquery (per-group MIN) deciding row
+    survival. Spark-first form: a window MIN over the group key — ONE
+    shuffle on l_partkey, no self-join, no decorrelation needed because we
+    never correlate in the first place.
+  * q20 shape — *nested IN* subqueries with an aggregate threshold. The
+    threshold is expressed as a fraction of the total (scale-free), so the
+    query is meaningful at every SF. Spark-first form: left-semi joins.
+  * q21 shape — doubly-correlated EXISTS / NOT EXISTS with an inequality
+    correlate (`other.suppkey <> this.suppkey`). Spark-first form:
+    left_semi + left_anti joins whose conditions carry the equi component
+    (orderkey) for the hash/sort-merge path plus the non-equi residual.
+
+The testdata has no partsupp table and no commit/receipt dates
+(FIXTURES.md), so each query keeps the *shape* of its TPC-H counterpart on
+the columns that exist: "supply cost" is min unit price observed in
+lineitem, and q21's "late" flag is l_returnflag = 'R'.
+
+Scale notes (100 TB): every variant shuffles the fact table at most once
+per distinct key (partkey / suppkey / orderkey); the dimension sides
+(part, supplier, nation) broadcast. The q21 self-joins key on l_orderkey —
+lines-per-order is bounded (7 in TPC-H), so posting skew is structurally
+impossible. No Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "join_q2_min_cost_supplier",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, cost AS min_cost
+FROM ps
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_type = 'ECONOMY' AND p_size < 15
+  AND cost = (SELECT MIN(ps2.cost) FROM ps ps2
+              WHERE ps2.l_partkey = ps.l_partkey)
+ORDER BY s_acctbal DESC, p_partkey, s_suppkey
+LIMIT 100
+""",
+    headline=True,
+    doc="TPC-H q2 shape: cheapest supplier per part via correlated scalar "
+    "MIN subquery; Spark form is a window MIN (no self-join).",
+)
+def join_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each ECONOMY part under size 15, the supplier(s) achieving the
+    minimum observed unit price. The oracle spells the classic correlated
+    scalar subquery; the Spark plan replaces it with MIN() OVER
+    (PARTITION BY l_partkey) — the per-(part,supplier) aggregate and the
+    per-part minimum ride the SAME single exchange on l_partkey.
+
+    Cross-engine exactness: cost is one IEEE division of parquet doubles
+    and MIN picks an existing value, so `cost = min_cost` compares
+    bit-identical values in both engines — no rounding needed."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") < 15)
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    best = ps.withColumn(
+        "min_cost", F.min("cost").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("cost") == F.col("min_cost"))
+    return (
+        best.join(
+            F.broadcast(part.select("p_partkey", "p_name")),
+            best.l_partkey == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_name", "s_acctbal")),
+            best.l_suppkey == F.col("s_suppkey"),
+        )
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal",
+            "min_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+@register(
+    "join_q20_volume_suppliers",
+    oracle="""
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+  HAVING SUM(l_quantity) > (
+    SELECT 0.01 * SUM(l_quantity) FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part
+                        WHERE p_name LIKE 'red%')
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01')
+)
+ORDER BY s_suppkey
+""",
+    doc="TPC-H q20 shape: nested IN subqueries — suppliers carrying >1% of "
+    "1997 'red' part volume. Scale-free threshold (fraction of total).",
+)
+def join_q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-IN membership becomes two left-semi joins; the scalar total
+    is a 1-row cross-joined aggregate (Spark broadcasts it). l_quantity is
+    integer-valued, so the double SUM is exact in any summation order and
+    the `> 0.01 * total` comparison is engine-identical."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    red_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    red_li = li.join(
+        F.broadcast(red_parts), li.l_partkey == F.col("p_partkey"), "left_semi"
+    )
+    per_supp = red_li.groupBy("l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    total = red_li.agg((F.sum("l_quantity") * 0.01).alias("threshold"))
+    qualified = (
+        per_supp.crossJoin(F.broadcast(total))
+        .filter(F.col("qty") > F.col("threshold"))
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        supp.join(
+            F.broadcast(qualified),
+            supp.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "join_q21_sole_flagged_supplier",
+    oracle="""
+SELECT s_suppkey, s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 20
+""",
+    doc="TPC-H q21 shape: doubly-correlated EXISTS/NOT EXISTS with an "
+    "inequality correlate — the sole 'R'-flagged supplier on multi-supplier "
+    "finished orders.",
+)
+def join_q21_sole_flagged_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXISTS -> left_semi, NOT EXISTS -> left_anti; both join conditions
+    are (orderkey equal) AND (suppkey unequal), so the hash join keys on
+    orderkey and evaluates the inequality as a residual filter. Self-join
+    fan-out is bounded by lines-per-order, never by order count."""
+    li = _t(spark, sf_dir, "lineitem")
+    finished = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(finished, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    other_flagged = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    sole = (
+        l1.join(
+            other,
+            (l1.l_orderkey == F.col("ok2"))
+            & (l1.l_suppkey != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            other_flagged,
+            (l1.l_orderkey == F.col("ok3"))
+            & (l1.l_suppkey != F.col("sk3")),
+            "left_anti",
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(20)
+    )

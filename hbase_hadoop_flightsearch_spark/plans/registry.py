@@ -45,6 +45,7 @@ _QUERY_MODULES = [
     "hbase_hadoop_flightsearch_spark.operators.skew",
     "hbase_hadoop_flightsearch_spark.operators.asof",
     "hbase_hadoop_flightsearch_spark.operators.joins",
+    "hbase_hadoop_flightsearch_spark.operators.subqueries",
     "hbase_hadoop_flightsearch_spark.operators.aggregates",
     "hbase_hadoop_flightsearch_spark.operators.windows",
     "hbase_hadoop_flightsearch_spark.operators.setops",
