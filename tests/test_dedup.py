@@ -28,3 +28,23 @@ def test_simhash_pairs_are_true_near_dups(spark, sf_correctness):
     assert len(sim) >= len(jac) * 0.3, (
         f"simhash recall vs jaccard too low: {len(sim)}/{len(jac)}"
     )
+
+
+def test_connected_components_closes_chains(spark):
+    """A 5-node path graph (0-1-2-3-4) plus an isolated vertex: label
+    propagation must close the full chain (diameter 4 > 1 round) and leave
+    the singleton alone — proof of real transitivity, since the corpus'
+    near-dup clusters are near-cliques that converge in one round."""
+    from hbase_hadoop_flightsearch_spark.operators.graph import (
+        connected_components,
+    )
+
+    vertices = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], ["d1", "d2"]
+    )
+    got = {
+        (r.doc_id, r.component_id)
+        for r in connected_components(vertices, chain).collect()
+    }
+    assert got == {(i, 0) for i in range(5)} | {(5, 5)}
