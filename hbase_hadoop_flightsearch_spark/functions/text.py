@@ -12,7 +12,7 @@ into the scan by codegen — zero shuffles except the final aggregates. At
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
@@ -391,3 +391,62 @@ def text_rolling_hash_fingerprint(
         % 1000000007
     )
     return docs.select("doc_id", rolling.cast("long").alias("rolling_hash"))
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+    tf.tf * ((SELECT COUNT(*) * 1.0 FROM documents) / df.df) AS score
+  FROM tf JOIN df ON tf.token = df.token
+)
+SELECT doc_id, token, tf, df, score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, token
+  ) AS rn FROM scored
+) WHERE rn <= 5
+""",
+    doc="TF-IDF (E12): top-5 characteristic terms per document. Linear idf "
+    "(tf * N/df) — same IEEE op order in both engines, so value-exact "
+    "cross-engine (log-idf would differ in the last ulp between libm and "
+    "the JVM and is a monotone transform of this ranking anyway).",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf = term count in doc; df = docs containing term; score =
+    tf * (N/df). Two partial-aggregated shuffles (doc,token) and (token);
+    the df table is vocabulary-sized and broadcast — at a 100 TB vocab
+    (typo-heavy web text) swap the hint for a shuffle join, the rest of
+    the plan is unchanged. Top-5 per doc via WindowGroupLimit."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg((F.count(F.lit(1)) * 1.0).alias("n_docs"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df.withColumnRenamed("token", "t2")),
+                tf.token == F.col("t2"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "token", "tf", "df",
+            (F.col("tf") * (F.col("n_docs") / F.col("df"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )

@@ -1,0 +1,122 @@
+"""Deterministic sampling & dataset-split operators (training-pipeline
+extensions; SURVEY.md §2b family).
+
+Random sampling (`df.sample`) is non-reproducible across runs, engines,
+and partitionings — useless for a 100 TB corpus where the train/test
+split must be stable under re-ingest, backfill, and engine migration. The
+production pattern is CONTENT-ADDRESSED sampling: order or bucket rows by
+a cryptographic hash of a stable key. md5 is engine-portable (Spark and
+DuckDB produce identical lowercase hex), so every query here is
+value-exact oracle-able — sampling with a correctness proof.
+
+Scale notes (100 TB):
+  * hash split: a pure per-row projection — zero shuffles, embarrassingly
+    parallel, deterministic under any partitioning.
+  * stratified top-n: one shuffle on the stratum key; Spark 3.5+'s
+    WindowGroupLimit prunes each partition to n rows per stratum BEFORE
+    the exchange, so shuffle volume is O(strata * n * partitions), not
+    O(rows).
+  * uniform top-n: TakeOrderedAndProject — per-partition heaps merged at
+    the driver, no global sort, O(n) driver memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+
+def _md5_of(col: str):
+    return F.md5(F.col(col).cast("string").cast("binary"))
+
+
+@register(
+    "sample_hash_split",
+    oracle="""
+SELECT doc_id, lang, bucket,
+  CASE WHEN bucket < 8 THEN 'train' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 10
+      AS bucket
+  FROM documents
+)
+""",
+    doc="Deterministic 80/20 train-test split by md5 bucket of doc_id — "
+    "reproducible across runs, engines, and repartitioning; zero shuffles.",
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bucket = int(md5(doc_id)[:4], 16) % 10; < 8 -> train. Adding docs
+    later never reassigns existing ones (unlike modulo over row_number),
+    so the split is append-stable — the property leakage audits require."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(_md5_of("doc_id"), 1, 4), 16, 10).cast("int") % 10
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < 8, "train").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "sample_stratified_orders",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, rn
+FROM (
+  SELECT o_orderkey, o_orderpriority,
+    ROW_NUMBER() OVER (
+      PARTITION BY o_orderpriority
+      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+    ) AS rn
+  FROM orders
+)
+WHERE rn <= 50
+""",
+    doc="Stratified sample: 50 orders per priority class, chosen by md5 "
+    "order (deterministic pseudo-random) — WindowGroupLimit prunes "
+    "partitions before the single stratum shuffle.",
+)
+def sample_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-size per-stratum sample. Hash order makes it unbiased w.r.t.
+    any storage order; the orderkey tiebreak makes it total (md5
+    collisions on distinct keys are not a practical concern, but the
+    determinism contract shouldn't rest on that)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(_md5_of("o_orderkey"), F.col("o_orderkey"))
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 50)
+    )
+
+
+@register(
+    "sample_uniform_topn",
+    oracle="""
+SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS h
+FROM orders
+ORDER BY h, o_orderkey
+LIMIT 200
+""",
+    doc="Global deterministic uniform sample: 200 orders by md5 order — "
+    "plans as TakeOrderedAndProject (per-partition heaps, no full sort).",
+)
+def sample_uniform_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", _md5_of("o_orderkey").alias("h"))
+        .orderBy("h", "o_orderkey")
+        .limit(200)
+    )

@@ -51,6 +51,7 @@ _QUERY_MODULES = [
     "hbase_hadoop_flightsearch_spark.operators.setops",
     "hbase_hadoop_flightsearch_spark.operators.dedup",
     "hbase_hadoop_flightsearch_spark.operators.graph",
+    "hbase_hadoop_flightsearch_spark.operators.sampling",
     "hbase_hadoop_flightsearch_spark.operators.similarity",
     "hbase_hadoop_flightsearch_spark.functions.scalar",
     "hbase_hadoop_flightsearch_spark.functions.text",

@@ -48,3 +48,44 @@ def test_connected_components_closes_chains(spark):
         for r in connected_components(vertices, chain).collect()
     }
     assert got == {(i, 0) for i in range(5)} | {(5, 5)}
+
+
+def test_mllib_minhash_lsh_agrees(spark, sf_correctness):
+    """Independent-implementation check: Spark MLlib's MinHashLSH
+    (CountVectorizer -> approxSimilarityJoin on jaccard distance) over the
+    SAME shingle sets must find a subset of our exact-jaccard pairs
+    (approxSimilarityJoin verifies exact distance on candidates, so no
+    false positives are possible) with near-total recall (16 OR-ed hash
+    tables: P(miss) = (1-j)^16 <= 1.5e-5 at j >= 0.5)."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    from hbase_hadoop_flightsearch_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        dedup_ngram_jaccard,
+        doc_shingles,
+    )
+
+    sh = doc_shingles(spark, sf_correctness)
+    cv = CountVectorizer(inputCol="shingles", outputCol="features",
+                         binary=True)
+    feat = cv.fit(sh).transform(sh).select("doc_id", "features")
+    mh = MinHashLSH(inputCol="features", outputCol="hashes",
+                    numHashTables=16, seed=42)
+    joined = (
+        mh.fit(feat)
+        .approxSimilarityJoin(feat, feat, 1.0 - JACCARD_THRESHOLD, "dist")
+        .selectExpr("datasetA.doc_id AS a", "datasetB.doc_id AS b")
+        .filter("a < b")
+    )
+    mllib_pairs = {(r.a, r.b) for r in joined.collect()}
+    exact_pairs = {
+        (r.d1, r.d2)
+        for r in dedup_ngram_jaccard(spark, sf_correctness).collect()
+    }
+    assert mllib_pairs <= exact_pairs, (
+        f"mllib found pairs we call non-dups: "
+        f"{sorted(mllib_pairs - exact_pairs)[:5]}"
+    )
+    assert len(mllib_pairs) >= 0.95 * len(exact_pairs), (
+        f"recall vs our exact operator: {len(mllib_pairs)}/{len(exact_pairs)}"
+    )
