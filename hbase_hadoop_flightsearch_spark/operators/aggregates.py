@@ -210,3 +210,39 @@ def agg_percentiles_order_value(
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
+
+
+@register(
+    "agg_argmax_order_per_cust",
+    oracle="""
+SELECT o_custkey, o_orderkey AS top_orderkey, o_totalprice AS top_price
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (
+      PARTITION BY o_custkey
+      ORDER BY o_totalprice DESC, o_orderkey DESC
+    ) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+    doc="Single-pass argmax (E4/E7): each customer's most expensive order "
+    "via max(struct(price, orderkey)) — partial aggregation keeps ONE "
+    "struct per group per task, so the shuffle is O(customers); the "
+    "window-function formulation (the oracle) would shuffle every order.",
+)
+def agg_argmax_order_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicographic struct max == argmax with a total tiebreak (highest
+    orderkey on equal price), which is what makes it decidable cross-
+    engine. The top-1-per-group special case where an aggregate strictly
+    beats row_number()."""
+    orders = load_table(spark, sf_dir, "orders")
+    top = F.max(F.struct("o_totalprice", "o_orderkey")).alias("t")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(top)
+        .select(
+            "o_custkey",
+            F.col("t.o_orderkey").alias("top_orderkey"),
+            F.col("t.o_totalprice").alias("top_price"),
+        )
+    )

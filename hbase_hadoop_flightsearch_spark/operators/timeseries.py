@@ -1,0 +1,153 @@
+"""Time-series operators over `events`: batch sessionization and calendar
+gap-fill (SURVEY.md §2b E6/E14 extensions).
+
+`streaming/windows.py` sessionizes with Spark's merging `session_window`;
+this module adds the *analytic* formulation — gaps-and-islands via
+lag + running sum — which yields explicit per-user session ordinals
+(session_window gives only start/end bounds) and is the shape every SQL
+warehouse user knows. Gap-fill materializes a dense calendar spine so
+downstream moving averages / charts see explicit zero days instead of
+silently missing rows.
+
+Scale notes (100 TB):
+  * sessionize: ONE shuffle (partition by user_id); both window functions
+    (lag, running sum) share the same (user_id, ts) sort order, so
+    Catalyst evaluates them in a single Window node — no second exchange.
+    State per task is one row of look-back — streaming-friendly memory.
+  * gap-fill: the spine is sequence(min,max) exploded from a 1-row
+    aggregate — O(days) rows broadcast against the O(days) daily rollup.
+    Both sides of the final join are post-aggregation tiny regardless of
+    raw event volume; the heavy input is reduced by a partial-agg groupBy
+    before anything joins.
+
+All timestamp arithmetic is integer microseconds (unix_micros /
+epoch_us) — exact in both engines; the session gap threshold compares
+bigints, never floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+@register(
+    "events_sessionize_lag",
+    oracle=f"""
+WITH marked AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN epoch_us(ts) - epoch_us(
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         ) > {SESSION_GAP_US}
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            IS NULL
+    THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT event_id, user_id,
+  SUM(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS session_seq
+FROM marked
+""",
+    doc="Batch sessionization (gaps-and-islands): per-user session ordinal "
+    "via lag + running sum, 30-minute inactivity gap. One shuffle; both "
+    "window functions share a single sort.",
+)
+def events_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize_lag(load_table(spark, sf_dir, "events"))
+
+
+def sessionize_lag(events: DataFrame) -> DataFrame:
+    """The `session_window` twin with explicit session ids. The (ts,
+    event_id) sort key makes the ordering total — equal timestamps would
+    otherwise make lag() nondeterministic across engines. Boundary: a gap
+    of EXACTLY the threshold stays in-session (strict > splits)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us).over(w)
+    new_session = F.when(
+        prev_us.isNull() | ((us - prev_us) > SESSION_GAP_US), 1
+    ).otherwise(0)
+    return (
+        events.select("event_id", "user_id", "ts",
+                      new_session.alias("new_session"))
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("new_session")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("session_seq"),
+        )
+    )
+
+
+@register(
+    "events_gapfill_daily",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+           AS total_value
+  FROM events GROUP BY 1
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(
+    (SELECT MIN(day) FROM daily),
+    (SELECT MAX(day) FROM daily),
+    INTERVAL 1 DAY)) AS DATE) AS day
+)
+SELECT spine.day, COALESCE(n_events, 0) AS n_events,
+       COALESCE(total_value, 0.0) AS total_value
+FROM spine LEFT JOIN daily ON spine.day = daily.day
+""",
+    doc="Calendar gap-fill: dense daily spine (sequence between min/max "
+    "day) left-joined to the daily rollup, missing days as explicit "
+    "zeros. value sums ride a round-then-cast cents-integer path: the raw "
+    "doubles are 2-decimal but not binary-exact, and a bare CAST would "
+    "truncate in Spark yet round in DuckDB.",
+)
+def events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gapfill_daily(load_table(spark, sf_dir, "events"))
+
+
+def gapfill_daily(events: DataFrame) -> DataFrame:
+    """Spine = explode(sequence(min_day, max_day)) off a 1-row aggregate;
+    daily rollup partial-aggregates before the (tiny) join. (The driver
+    corpus has events every day; the zero-fill branch is exercised by the
+    sparse-fixture test in tests/test_timeseries.py.)"""
+    daily = (
+        events.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+                .cast("double")
+                / 100
+            ).alias("total_value"),
+        )
+    )
+    spine = (
+        daily.agg(
+            F.min("day").alias("lo"), F.max("day").alias("hi")
+        )
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 day"))
+            ).alias("day")
+        )
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+    )

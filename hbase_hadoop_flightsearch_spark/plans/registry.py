@@ -52,6 +52,7 @@ _QUERY_MODULES = [
     "hbase_hadoop_flightsearch_spark.operators.dedup",
     "hbase_hadoop_flightsearch_spark.operators.graph",
     "hbase_hadoop_flightsearch_spark.operators.sampling",
+    "hbase_hadoop_flightsearch_spark.operators.timeseries",
     "hbase_hadoop_flightsearch_spark.operators.similarity",
     "hbase_hadoop_flightsearch_spark.functions.scalar",
     "hbase_hadoop_flightsearch_spark.functions.text",
@@ -60,6 +61,7 @@ _QUERY_MODULES = [
     "hbase_hadoop_flightsearch_spark.streaming.windows",
     "hbase_hadoop_flightsearch_spark.streaming.stateful",
     "hbase_hadoop_flightsearch_spark.streaming.rollup",
+    "hbase_hadoop_flightsearch_spark.streaming.joins",
 ]
 
 

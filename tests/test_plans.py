@@ -60,3 +60,50 @@ def test_scan_prunes_columns(spark):
 def test_no_cartesian_products(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan
+
+
+def test_q2_partial_agg_then_broadcast_dims(spark):
+    """Raw lineitem must partial-aggregate BEFORE its shuffle (exchange #1
+    carries O(part,supplier pairs), not O(rows)); the window-MIN exchange
+    then moves only aggregated pairs. Dims broadcast; top-100 is a heap,
+    not a global sort. (Forcing a single l_partkey exchange would be
+    WORSE: it pushes raw rows through the shuffle unaggregated.)"""
+    plan = _plan(spark, "join_q2_min_cost_supplier")
+    assert "partial_min" in plan
+    assert plan.count("hashpartitioning(") == 2, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_stratified_sample_prunes_before_exchange(spark):
+    plan = _plan(spark, "sample_stratified_orders")
+    assert "WindowGroupLimit" in plan  # rank filter pushed below shuffle
+
+
+def test_uniform_sample_avoids_global_sort(spark):
+    plan = _plan(spark, "sample_uniform_topn")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan  # no full-sort exchange
+
+
+def test_sessionize_single_window_sort(spark):
+    """lag + running sum share one (user_id, ts) sort — exactly one
+    exchange, no second sort-and-shuffle for the second window fn."""
+    plan = _plan(spark, "events_sessionize_lag")
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_q21_semi_anti_join_shapes(spark):
+    """EXISTS/NOT EXISTS must plan as semi/anti joins keyed on the equi
+    component (orderkey), never as a cartesian with a filter."""
+    plan = _plan(spark, "join_q21_sole_flagged_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_partial_agg_and_broadcast_df(spark):
+    plan = _plan(spark, "text_tfidf_top_terms")
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan

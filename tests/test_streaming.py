@@ -8,6 +8,7 @@ import os
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+from pyspark.sql import functions as F
 
 from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
 from hbase_hadoop_flightsearch_spark.streaming.stateful import (
@@ -275,3 +276,36 @@ def test_incremental_rollup_converges(spark, sf_smoke, tmp_path):
         map(tuple, want.collect())
     )
     assert got.agg(F.sum("n_events")).collect()[0][0] == n
+
+
+def test_stream_stream_join_equals_batch(spark, sf_smoke, tmp_path):
+    """True stream-stream inner join: both sides readStream with
+    watermarks, time-bounded on event time. availableNow + append sink
+    must reproduce the batch attribution exactly."""
+    from hbase_hadoop_flightsearch_spark.streaming.joins import (
+        attribute_purchases,
+        stream_join_view_purchase,
+    )
+
+    src = copy_events_to_dir(sf_smoke, str(tmp_path / "ssj_src"))
+    views = stream_from_dir(spark, src).filter(F.col("event_type") == "view")
+    purchases = stream_from_dir(spark, src).filter(
+        F.col("event_type") == "purchase"
+    )
+    q = (
+        attribute_purchases(views, purchases)
+        .writeStream.format("memory")
+        .queryName("ssj_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM ssj_sink").collect()
+    }
+    want = {
+        tuple(r) for r in stream_join_view_purchase(spark, sf_smoke).collect()
+    }
+    assert got == want
+    assert want, "no attributed purchases in fixture"

@@ -1,0 +1,55 @@
+"""Time-series operators: the branches the (dense) driver corpus cannot
+exercise — gap-fill zero rows and session splits at exact gap boundaries."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hbase_hadoop_flightsearch_spark.operators.timeseries import (
+    SESSION_GAP_US,
+    gapfill_daily,
+)
+
+
+def _ts(day: int, hour: int = 0, minute: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, hour, minute)
+
+
+def test_gapfill_inserts_zero_days(spark):
+    """Events on Jan 1 and Jan 4 only: the spine must surface Jan 2/3 as
+    explicit (0, 0.0) rows — the whole point of gap-fill."""
+    events = spark.createDataFrame(
+        [(1, _ts(1), 10.0), (2, _ts(1, 5), 2.5), (3, _ts(4), 1.25)],
+        "event_id bigint, ts timestamp, value double",
+    )
+    rows = {r.day.isoformat(): (r.n_events, r.total_value)
+            for r in gapfill_daily(events).collect()}
+    assert rows == {
+        "2024-01-01": (2, 12.5),
+        "2024-01-02": (0, 0.0),
+        "2024-01-03": (0, 0.0),
+        "2024-01-04": (1, 1.25),
+    }
+
+
+def test_session_gap_boundary_is_exclusive(spark):
+    """A follow-up event at EXACTLY the 30-minute gap stays in the same
+    session (> threshold splits, == does not) — pin the boundary semantics
+    so engine and oracle can't drift."""
+    from hbase_hadoop_flightsearch_spark.operators.timeseries import (
+        sessionize_lag,
+    )
+
+    assert SESSION_GAP_US == 30 * 60 * 1_000_000
+    events = spark.createDataFrame(
+        [
+            (1, 7, _ts(1, 9, 0)),
+            (2, 7, _ts(1, 9, 30)),   # == gap -> same session
+            (3, 7, _ts(1, 10, 1)),   # 31 min -> new session
+        ],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    got = {
+        r.event_id: r.session_seq for r in sessionize_lag(events).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2}
