@@ -450,3 +450,54 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+@register(
+    "text_pii_scrub",
+    oracle=r"""
+WITH augmented AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id || '@ex' || (doc_id % 7) ||
+    '.com phone ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+    '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(t, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed,
+  len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}'))
+    AS n_emails,
+  len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS n_phones
+FROM augmented
+""",
+    doc="PII scrub (E12, corpus-prep): regex redaction of emails/phones "
+    "with per-doc redaction counts. The corpus has no PII, so each doc is "
+    "augmented with synthesized deterministic contact strings first — the "
+    "scrub provably fires on every row. Regexes stay in the RE2∩java.util"
+    ".regex common syntax (no lookarounds/backrefs).",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-local regexp_replace/regexp_count fused into the scan — the
+    embarrassingly-parallel shape; I/O-bound at 100 TB. Note DuckDB
+    regexp_replace needs the 'g' flag to match Spark's replace-all."""
+    email = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}"
+    phone = r"\b\d{3}-\d{4}\b"
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id"),
+        F.lit("@ex"), F.col("doc_id") % 7,
+        F.lit(".com phone "),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(t, email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("scrubbed"),
+        F.regexp_count(t, F.lit(email)).alias("n_emails"),
+        F.regexp_count(t, F.lit(phone)).alias("n_phones"),
+    )

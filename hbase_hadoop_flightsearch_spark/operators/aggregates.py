@@ -246,3 +246,73 @@ def agg_argmax_order_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t.o_totalprice").alias("top_price"),
         )
     )
+
+
+_PRIORITIES = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+
+
+@register(
+    "agg_pivot_unpivot_roundtrip",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INT) AS yr,
+  o_orderpriority AS priority,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1, 2
+""",
+    doc="Pivot -> unpivot (melt) roundtrip: order counts spread to one "
+    "column per priority, then melted back to long form — must equal the "
+    "plain GROUP BY. Exercises the wide<->long reshaping surface beyond "
+    "the flagship's one-way pivot.",
+)
+def agg_pivot_unpivot_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """pivot with an EXPLICIT value list (no extra distinct-values job,
+    and the plan stays static — the 100 TB requirement); unpivot emits
+    null for empty cells, dropped to mirror GROUP BY's absent groups."""
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+    )
+    return (
+        pivoted.unpivot("yr", _PRIORITIES, "priority", "n_orders")
+        .filter(F.col("n_orders").isNotNull())
+    )
+
+
+@register(
+    "agg_hll_sketch_union",
+    oracle=None,  # sketch estimates are implementation-defined per engine
+    doc="Mergeable HLL sketches (E4, Apache DataSketches via Spark 3.5+ "
+    "hll_sketch_agg): per-nation customer sketches, re-aggregated to a "
+    "global estimate by sketch UNION — the two-level pattern that lets "
+    "1000 executors estimate distincts with O(sketch) shuffle bytes. "
+    "Accuracy vs exact asserted in tests (rows-only here).",
+)
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level 1: sketch per nation (partial agg JVM-side). Level 2: union
+    the 25 nation sketches into one and estimate — no re-scan of the base
+    table, the property that makes sketches the scale path over exact
+    countDistinct (whose final agg must see every distinct key)."""
+    cust = load_table(spark, sf_dir, "customer")
+    per_nation = cust.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.countDistinct("c_custkey").alias("exact_customers"),
+    )
+    nation_level = per_nation.select(
+        "c_nationkey",
+        F.hll_sketch_estimate("sk").alias("est_customers"),
+        "exact_customers",
+    )
+    global_level = per_nation.agg(
+        F.lit(-1).cast("int").alias("c_nationkey"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_customers"),
+        F.sum("exact_customers").alias("exact_customers"),  # custkeys are
+        # globally unique, so per-nation exacts sum to the global exact
+    )
+    return nation_level.unionByName(global_level)

@@ -27,6 +27,11 @@ bounded regardless of input size.
 
 from __future__ import annotations
 
+import math
+import os
+import shutil
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -127,3 +132,35 @@ def write_report_text(report: DataFrame, path: str) -> None:
             )
         ).write.mode("overwrite").text(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Table maintenance: rewrite a parquet directory into
+    ceil(total_bytes / target_file_bytes) files and return the new file
+    count.
+
+    Why this is a first-class 100 TB operator: streaming ingest and
+    per-microbatch writes leave thousands of KB-sized files; every
+    downstream scan then pays one file-open + footer-read per file and
+    the scheduler pays one split per file. Compaction restores
+    maxPartitionBytes-sized splits. The rewrite itself is shuffle-free
+    (coalesce, not repartition) and writes to a temp dir first so a
+    failed rewrite never corrupts the live table (rename-swap commit,
+    the same pattern table formats use).
+    """
+    total = sum(
+        f.stat().st_size for f in Path(path).rglob("*.parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + ".compacting"
+    df = spark.read.parquet(path)
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    live = path.rstrip("/") + ".old"
+    os.rename(path, live)
+    os.rename(tmp, path)
+    shutil.rmtree(live)
+    return n_files

@@ -164,3 +164,25 @@ def test_hbase_edge_is_gated(spark):
         read_flight_table(spark)
     cat = flight_blob_catalog("FlightRecords")
     assert '"info"' in cat and '"data"' in cat  # reference cell layout
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """32 tiny files -> 1 compacted file, same rows, atomic swap (no
+    .compacting/.old residue)."""
+    import os
+
+    from hbase_hadoop_flightsearch_spark.sources.ingest import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "frag")
+    spark.range(10000).repartition(32).write.parquet(path)
+    before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert before == 32
+    n = compact_parquet(spark, path)
+    assert n == 1
+    after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert after == 1
+    assert spark.read.parquet(path).count() == 10000
+    assert not os.path.exists(path + ".compacting")
+    assert not os.path.exists(path + ".old")

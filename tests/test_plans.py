@@ -107,3 +107,15 @@ def test_tfidf_partial_agg_and_broadcast_df(spark):
     plan = _plan(spark, "text_tfidf_top_terms")
     assert "partial_count" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_hll_estimates_close_to_exact(spark):
+    """The sketch path must stay within HLL's documented error envelope
+    (lgK=12 -> ~1.6% RSE; allow 5%) of exact distinct counts, per nation
+    AND for the sketch-union global row."""
+    rows = load_all()["agg_hll_sketch_union"].fn(spark, SF).collect()
+    assert any(r.c_nationkey == -1 for r in rows)
+    for r in rows:
+        assert abs(r.est_customers - r.exact_customers) <= max(
+            2, 0.05 * r.exact_customers
+        ), (r.c_nationkey, r.est_customers, r.exact_customers)
