@@ -135,3 +135,29 @@ def scalar_array_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "size_floor25"
         ),
     )
+
+
+@register(
+    "scalar_variant_json",
+    oracle="""
+SELECT event_id,
+  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+  CAST(json(props) AS VARCHAR) AS normalized_json
+FROM events
+""",
+    doc="Semi-structured VARIANT surface (E9, Spark 4): parse_json -> "
+    "variant_get typed extraction + to_json normalization roundtrip. "
+    "Variant stores a parsed binary form, so repeated path access skips "
+    "re-parsing the string — the semi-structured scale path.",
+)
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """variant_get(v, path, type) does typed extraction off the binary
+    variant encoding; to_json(v) canonicalizes (minified, like DuckDB's
+    json()) — which is what makes the roundtrip oracle-able."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k"),
+        F.to_json(v).alias("normalized_json"),
+    )

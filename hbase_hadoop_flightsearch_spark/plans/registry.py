@@ -62,6 +62,7 @@ _QUERY_MODULES = [
     "hbase_hadoop_flightsearch_spark.streaming.stateful",
     "hbase_hadoop_flightsearch_spark.streaming.rollup",
     "hbase_hadoop_flightsearch_spark.streaming.joins",
+    "hbase_hadoop_flightsearch_spark.streaming.dedup",
 ]
 
 

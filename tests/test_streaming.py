@@ -309,3 +309,29 @@ def test_stream_stream_join_equals_batch(spark, sf_smoke, tmp_path):
     }
     assert got == want
     assert want, "no attributed purchases in fixture"
+
+
+def test_stream_dedup_within_watermark(spark, sf_smoke, tmp_path):
+    """The events file staged TWICE into the stream source: every record
+    arrives exactly twice; dropDuplicatesWithinWatermark must restore the
+    original per-type counts (matching the batch form)."""
+    import shutil
+
+    from hbase_hadoop_flightsearch_spark.streaming.dedup import (
+        dedup_counts,
+        stream_dedup_event_counts,
+    )
+
+    src = copy_events_to_dir(sf_smoke, str(tmp_path / "dd_src"))
+    shutil.copy(
+        os.path.join(src, "events.parquet"),
+        os.path.join(src, "events_dup.parquet"),
+    )
+    stream = stream_from_dir(spark, src).select("event_id", "event_type", "ts")
+    got = _sorted_rows(
+        run_stream_to_memory(
+            dedup_counts(stream, streaming=True), "dd_sink", spark
+        )
+    )
+    want = _sorted_rows(stream_dedup_event_counts(spark, sf_smoke))
+    assert got == want
