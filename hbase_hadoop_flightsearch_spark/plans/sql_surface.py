@@ -93,3 +93,68 @@ def sql_exists_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_SUBQ_SQL)
+
+
+# Recursive CTE (Spark 4 WITH RECURSIVE): dense month spine between the
+# first and last order month, zero months explicit. The recursion IS the
+# point — the sequence()-based gapfill (operators/timeseries.py) is the
+# closed-form twin; this proves the iterative SQL construct end to end.
+# At scale the spine is O(months) rows on the driver-side plan — the heavy
+# input only feeds the pre-aggregated monthly rollup it joins to.
+_RECURSIVE_SQL = """
+WITH RECURSIVE spine(mo) AS (
+  SELECT CAST(date_trunc('month', (SELECT MIN(o_orderdate) FROM orders))
+              AS TIMESTAMP)
+  UNION ALL
+  SELECT mo + INTERVAL '1' MONTH FROM spine
+  WHERE mo < (SELECT CAST(date_trunc('month', MAX(o_orderdate))
+                          AS TIMESTAMP) FROM orders)
+),
+monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mo,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT CAST(spine.mo AS DATE) AS month_start,
+       COALESCE(monthly.n_orders, 0) AS n_orders
+FROM spine LEFT JOIN monthly ON spine.mo = monthly.mo
+"""
+
+
+@register(
+    "sql_recursive_month_spine",
+    oracle=_RECURSIVE_SQL,
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE): month spine between "
+    "min/max order months with explicit zero months — identical SQL text "
+    "runs on both engines.",
+)
+def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
+
+
+# LATERAL correlated subquery with ORDER BY + LIMIT — per-nation top-3
+# customers by balance. Catalyst decorrelates this into the same
+# WindowGroupLimit-style plan as a row_number() filter; the LATERAL
+# spelling is the one SQL users write.
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, c_acctbal
+  FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 3
+) t
+"""
+
+
+@register(
+    "sql_lateral_top_customers",
+    oracle=_LATERAL_SQL,
+    doc="LATERAL correlated subquery (ORDER BY + LIMIT per outer row): "
+    "top-3 customers by balance per nation; same SQL on both engines.",
+)
+def sql_lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

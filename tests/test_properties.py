@@ -110,3 +110,54 @@ def test_groupby_sum_invariant_under_repartition(spark):
         )
         results.append(sorted(map(tuple, agg.collect())))
     assert results[0] == results[1] == results[2]
+
+
+edge_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=11),
+        st.integers(min_value=0, max_value=11),
+    ).filter(lambda e: e[0] != e[1]),
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(edges=edge_strategy)
+def test_connected_components_matches_union_find(spark, edges):
+    """The distributed min-label propagation must agree with a sequential
+    union-find on arbitrary graphs over 12 vertices — including chains,
+    cycles, and the empty graph."""
+    from hbase_hadoop_flightsearch_spark.operators.graph import (
+        connected_components,
+    )
+
+    n = 12
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in range(n)}
+
+    vertices = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = (
+        spark.createDataFrame(edges, ["d1", "d2"])
+        if edges
+        else spark.createDataFrame([], "d1 bigint, d2 bigint")
+    )
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components(vertices, pairs, max_iters=20).collect()
+    }
+    assert got == want
