@@ -186,3 +186,24 @@ def test_compact_parquet_small_files(spark, tmp_path):
     assert spark.read.parquet(path).count() == 10000
     assert not os.path.exists(path + ".compacting")
     assert not os.path.exists(path + ".old")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned layout must turn a day filter into partition
+    pruning: the scan's PartitionFilters carries the predicate and only
+    the matching directory is read — at 100 TB this is the difference
+    between scanning one day and scanning everything."""
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    path = str(tmp_path / "events_by_day")
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    (
+        events.withColumn("day", F.to_date("ts"))
+        .write.partitionBy("day")
+        .parquet(path)
+    )
+    df = spark.read.parquet(path).filter(F.col("day") == "2024-01-05")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan, plan
+    want = events.filter(F.to_date("ts") == "2024-01-05").count()
+    assert df.count() == want and want > 0

@@ -119,3 +119,11 @@ def test_hll_estimates_close_to_exact(spark):
         assert abs(r.est_customers - r.exact_customers) <= max(
             2, 0.05 * r.exact_customers
         ), (r.c_nationkey, r.est_customers, r.exact_customers)
+
+
+def test_lateral_decorrelates_to_window_group_limit(spark):
+    """The LATERAL ORDER BY+LIMIT subquery must NOT execute per outer row;
+    Catalyst must rewrite it to partial top-k below the exchange."""
+    plan = _plan(spark, "sql_lateral_top_customers")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
