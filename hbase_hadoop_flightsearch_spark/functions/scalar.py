@@ -161,3 +161,38 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "int").alias("k"),
         F.to_json(v).alias("normalized_json"),
     )
+
+
+@register(
+    "scalar_try_arithmetic",
+    oracle="""
+SELECT o_orderkey,
+  o_totalprice / NULLIF(CAST(o_custkey % 3 AS DOUBLE), 0) AS safe_div,
+  TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_num,
+  TRY_CAST(o_orderstatus AS INT) AS bad_cast,
+  ([10, 20, 30])[CAST(1 + o_orderkey % 5 AS INT)] AS maybe_elem
+FROM orders
+""",
+    doc="Error-safe scalar surface (E9, Spark 4 ANSI mode): try_divide / "
+    "try_cast / try_element_at return NULL where strict ANSI would kill "
+    "the job — the difference between one bad cell and a dead 100 TB "
+    "pipeline. Oracled via NULLIF/TRY_CAST/1-based-OOB equivalents.",
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Under ANSI mode (Spark 4 default) plain /0, bad casts, and OOB
+    element_at all throw; the try_ family is the production spelling."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_totalprice"), (F.col("o_custkey") % 3).cast("double")
+        ).alias("safe_div"),
+        F.substring("o_orderpriority", 1, 1)
+        .try_cast("int")
+        .alias("prio_num"),
+        F.col("o_orderstatus").try_cast("int").alias("bad_cast"),
+        F.try_element_at(
+            F.array(F.lit(10), F.lit(20), F.lit(30)),
+            (1 + F.col("o_orderkey") % 5).cast("int"),
+        ).alias("maybe_elem"),
+    )

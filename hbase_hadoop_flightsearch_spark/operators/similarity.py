@@ -256,3 +256,68 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn"
         )
     )
+
+
+@register(
+    "similarity_knn_quantized_int8",
+    oracle=None,  # quantization error is implementation-defined; recall vs
+    # the exact operator is asserted in tests/test_similarity.py
+    doc="int8-quantized top-k (E11): per-vector symmetric quantization "
+    "(scale = max|x|/127), integer dot products, cosine reconstructed "
+    "from quantized norms. 4x memory/bandwidth vs float32 — the standard "
+    "first compression step for billion-vector corpora; recall vs exact "
+    "asserted in tests.",
+)
+def similarity_knn_quantized_int8(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Same broadcast-queries/stream-corpus shape as the exact operator,
+    but all arithmetic runs on the int8 codes: dot(q8, c8) * sq * sc
+    approximates dot(q, c). Everything stays JVM array expressions; at
+    scale the int8 codes (plus one float scale per vector) are what you
+    materialize, cutting scan bytes 4x."""
+    emb = _embeddings(spark, sf_dir)
+    scale = F.aggregate(
+        F.transform("v", lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda s, x: F.greatest(s, x),
+    ) / F.lit(127.0)
+    q8 = F.transform(
+        "v", lambda x: F.round(x / F.col("scale")).cast("int")
+    )
+    coded = (
+        emb.withColumn("scale", scale)
+        .filter(F.col("scale") > 0)
+        .withColumn("code", q8)
+    )
+    queries = coded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("code").alias("qcode"),
+        F.col("scale").alias("qscale"),
+    )
+    corpus = coded.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "code", "scale"
+    )
+    idot = F.aggregate(
+        F.zip_with("qcode", "code", lambda x, y: x * y),
+        F.lit(0),
+        lambda s, x: s + x,
+    ).cast("double")
+    inorm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+    )
+    cos = idot / (inorm("qcode") * inorm("code"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        queries.crossJoin(corpus)
+        .withColumn("cosine", F.round(cos, 6))
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= KNN_K)
+        .select("query_id", "neighbor_id", "rn", "cosine")
+    )

@@ -63,3 +63,28 @@ def test_ann_results_are_true_cosines(spark, sf_correctness):
         key = (r.query_id, r.neighbor_id)
         if key in exact:
             assert abs(exact[key] - r.cosine) < 1e-9
+
+
+def test_int8_quantized_recall_vs_bruteforce(spark, sf_correctness):
+    """int8 symmetric quantization on 64-dim unit-ish vectors perturbs
+    cosines by ~1/127 per axis — top-5 sets should survive nearly intact
+    (floor 0.7), and every quantized cosine must sit within 0.05 of the
+    exact one."""
+    from hbase_hadoop_flightsearch_spark.operators.similarity import (
+        similarity_knn_bruteforce,
+        similarity_knn_quantized_int8,
+    )
+
+    exact_rows = similarity_knn_bruteforce(spark, sf_correctness).collect()
+    exact = {(r.query_id, r.neighbor_id) for r in exact_rows}
+    exact_cos = {
+        (r.query_id, r.neighbor_id): r.cosine for r in exact_rows
+    }
+    q = similarity_knn_quantized_int8(spark, sf_correctness).collect()
+    got = {(r.query_id, r.neighbor_id) for r in q}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.7, f"int8 recall {recall:.2f}"
+    for r in q:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_cos:
+            assert abs(r.cosine - exact_cos[key]) < 0.05
