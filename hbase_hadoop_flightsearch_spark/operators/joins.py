@@ -316,3 +316,80 @@ def join_range_acctbal_dominance(
             ),
         )
     )
+
+
+@register(
+    "join_q7_nation_volume",
+    oracle="""
+SELECT supp_nation, cust_nation, l_year,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+    AS revenue,
+  COUNT(*) AS n_lineitems
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         l_extendedprice, l_discount
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    doc="TPC-H q7 shape: bidirectional nation-pair trade volume by year — "
+    "two roles of the same dimension (nation) with a disjunctive pair "
+    "filter. Money math in DECIMAL (cents-exact, engine-identical).",
+)
+def join_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-nation filter is pushed INTO both dimension sides before
+    they ever meet the fact table: suppliers and customers are pre-joined
+    to the (2-row) filtered nation dim, so the broadcast hash tables carry
+    only the ~2/25 of each dim that can survive, and lineitem rows from
+    other supplier nations drop at the first (broadcast) join. The final
+    disjunctive pair filter then only rejects the two same-direction
+    combinations. orders⋈lineitem is the only real shuffle (orderkey)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = ["NATION_1", "NATION_2"]
+    nations = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
+    supp2 = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust2 = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nations),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(F.broadcast(supp2), li.l_suppkey == supp2.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust2), orders.o_custkey == cust2.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))), 2
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

@@ -187,3 +187,43 @@ def sort_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .select("o_orderkey", "o_totalprice", "o_orderpriority")
     )
+
+
+@register(
+    "window_time_range_frame",
+    oracle="""
+SELECT event_id, user_id,
+  CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100
+    AS trailing_1h_value,
+  CAST(COUNT(*) OVER w AS BIGINT) AS trailing_1h_events
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+)
+""",
+    doc="Time-based RANGE frame (E6): per-event trailing-1-hour sum/count "
+    "per user — the frame is bounded by event-time distance (integer "
+    "microseconds), not row count; peers at equal timestamps are all "
+    "included, so the result is order-independent and engine-exact.",
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frames need a numeric ordering key in the DataFrame API —
+    unix_micros(ts) keeps the bound arithmetic in exact integers (the
+    cents-cast keeps the double sum exact; see timeseries.py). Same
+    single-exchange shape as any user-partitioned window."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    return events.select(
+        "event_id",
+        "user_id",
+        (F.sum(cents).over(w).cast("double") / 100).alias(
+            "trailing_1h_value"
+        ),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
+    )

@@ -127,3 +127,18 @@ def test_lateral_decorrelates_to_window_group_limit(spark):
     plan = _plan(spark, "sql_lateral_top_customers")
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_observe_metrics_on_flagship(spark):
+    """df.observe() attaches accumulator-style metrics to the plan — the
+    zero-cost way to audit row volumes at 100 TB (no second pass, no
+    count() job): metrics ride the action that already runs."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("flagship_audit")
+    df = load_all()["flight_delay_report"].fn(spark, SF)
+    df.observe(obs, F.count(F.lit(1)).alias("rows"),
+               F.min("carrier").alias("first_carrier")).collect()
+    assert obs.get["rows"] == 18  # 18 carriers at sf0.01
+    assert obs.get["first_carrier"] == "AA"
