@@ -235,3 +235,135 @@ def join_q21_sole_flagged_supplier(
         .orderBy(F.desc("numwait"), "s_suppkey")
         .limit(20)
     )
+
+
+@register(
+    "join_q8_market_share",
+    oracle="""
+SELECT l_year,
+  CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                     ELSE CAST(0.00 AS DECIMAL(20,4)) END) AS DOUBLE)
+       / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share,
+  COUNT(*) AS n_lineitems
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS l_year,
+         n_name AS supp_nation,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+)
+GROUP BY l_year
+ORDER BY l_year
+""",
+    doc="TPC-H q8 shape: one nation's market share of total trade volume "
+    "per year — conditional aggregation as a fraction of the group total. "
+    "Both sums run in exact DECIMAL; only the final ratio is a double "
+    "division of identical operands, so the shares are engine-exact.",
+)
+def join_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numerator and denominator ride the SAME aggregation (a CASE inside
+    sum) — one scan, one shuffle, no self-join of aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    volume = dec("l_extendedprice") * (1 - dec("l_discount"))
+    df = (
+        li.join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("l_year"),
+            F.col("n_name").alias("supp_nation"),
+            volume.alias("volume"),
+        )
+    )
+    zero = F.lit("0.00").cast("decimal(20,4)")
+    return (
+        df.groupBy("l_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                    .otherwise(zero)
+                ).cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("l_year")
+    )
+
+
+@register(
+    "join_q22_dormant_rich_customers",
+    oracle="""
+WITH stats AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total,
+         COUNT(*) AS cnt
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT cntrycode, COUNT(*) AS numcust,
+  CAST(SUM(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM (
+  SELECT substring(c_name, 17, 2) AS cntrycode, c_acctbal AS acctbal
+  FROM customer, stats
+  WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt > total
+    AND NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+)
+GROUP BY cntrycode
+ORDER BY cntrycode
+""",
+    doc="TPC-H q22 shape: above-average-balance customers with no URGENT "
+    "orders (every customer here has SOME order, so the classic no-orders "
+    "predicate would be vacuous), "
+    "rolled up by a derived code. The average comparison is spelled "
+    "balance*count > total in exact DECIMAL — an engine-exact rewrite of "
+    "the classic AVG scalar subquery (a double AVG could flip the "
+    "comparison for a customer within one ulp of the mean).",
+)
+def join_q22_dormant_rich_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scalar-aggregate subquery (1-row broadcast cross join) + left_anti
+    against orders + rollup. The anti join keys on custkey, so the probe
+    side short-circuits on first match."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    stats = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("total"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("c_acctbal").cast("decimal(18,2)") * F.col("cnt")
+            > F.col("total")
+        )
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    dormant = rich.join(
+        orders, rich.c_custkey == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        dormant.groupBy(
+            F.substring("c_name", 17, 2).alias("cntrycode")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
