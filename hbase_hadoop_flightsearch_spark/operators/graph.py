@@ -16,11 +16,12 @@ iterated plan grows exponentially in Catalyst.
 Scale notes (100 TB): near-dup components are tiny dense clusters (near
 cliques), so diameter — and the round count — stays 2-4 regardless of
 corpus size; each round is a self-bounded shuffle of O(edges). For
-adversarial long-chain graphs the published fix is alternating
-large-star/small-star contraction (O(log n) rounds); the loop below keeps
-that drop-in (only the neighbor-min step changes). On a cluster, replace
-localCheckpoint with a reliable checkpoint dir so a lost executor doesn't
-recompute the whole chain.
+adversarial long-chain graphs `connected_components_star` implements the
+published fix — alternating large-star/small-star contraction (Kiveris et
+al.), O(log n) rounds; both implementations are property-tested against a
+sequential union-find. On a cluster, replace localCheckpoint with a
+reliable checkpoint dir so a lost executor doesn't recompute the whole
+chain.
 """
 
 from __future__ import annotations
@@ -127,4 +128,94 @@ def dedup_cc_clusters(
         .over(Window.partitionBy("component_id"))
         .alias("n_members"),
         (F.col("doc_id") == F.col("component_id")).alias("is_keeper"),
+    )
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return edges.unionByName(rev)
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star or small-star contraction (Kiveris et al.,
+    'Connected Components in MapReduce and Beyond'): per node u, attach
+    its larger (large-star) or not-larger (small-star) neighbors to
+    m(u) = min(N(u) + {u}). Both are a groupBy-min + join — no
+    collect_list, so a hub node never materializes its neighborhood in
+    one task."""
+    sym = _symmetric(edges)
+    m = (
+        sym.groupBy(F.col("src").alias("mu"))
+        .agg(F.min("dst").alias("min_dst"))
+        .select("mu", F.least("min_dst", F.col("mu")).alias("m"))
+    )
+    cond = F.col("dst") > F.col("src") if large else (
+        F.col("dst") <= F.col("src")
+    )
+    out = (
+        sym.filter(cond)
+        .join(m, sym.src == m.mu)
+        .select(
+            F.greatest("dst", "m").alias("src"),
+            F.least("dst", "m").alias("dst"),
+        )
+    )
+    if not large:
+        # small-star also re-links u itself to m.
+        out = out.unionByName(
+            m.select(
+                F.greatest("mu", "m").alias("src"),
+                F.least("mu", "m").alias("dst"),
+            )
+        )
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components_star(
+    vertices: DataFrame, pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """(doc_id, component_id) via alternating large-star/small-star — the
+    published O(log n)-round MapReduce CC algorithm. Same contract as
+    connected_components(); use this variant when components can be long
+    chains (label propagation needs diameter rounds, star contraction
+    needs ~log n). Edges stay normalized (src > dst); fixpoint = the
+    normalized edge set stops changing (checked by count + checksum, two
+    cheap aggregates)."""
+    edges = (
+        pairs.select(
+            F.greatest("d1", "d2").alias("src"),
+            F.least("d1", "d2").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = None
+    for _ in range(max_iters):
+        edges = _star_round(edges, large=True)
+        edges = _star_round(edges, large=False).localCheckpoint()
+        sig = tuple(
+            edges.agg(
+                F.count(F.lit(1)), F.sum(F.col("src") * 31 + F.col("dst"))
+            ).collect()[0]
+        )
+        if sig == prev:
+            break
+        prev = sig
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iters} rounds"
+        )
+    # After convergence every edge points directly at its component root.
+    roots = edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.min("dst").alias("component_id")
+    )
+    return (
+        vertices.join(roots, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", F.col("doc_id")).alias("component_id"),
+        )
     )

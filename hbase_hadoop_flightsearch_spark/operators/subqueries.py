@@ -367,3 +367,46 @@ def join_q22_dormant_rich_customers(
         )
         .orderBy("cntrycode")
     )
+
+
+@register(
+    "join_q16_supplier_counts",
+    oracle="""
+SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size < 30
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
+LIMIT 30
+""",
+    doc="TPC-H q16 shape: distinct-supplier counts per part attribute "
+    "with a NOT IN exclusion list (the 'complaints' pattern). With a "
+    "non-nullable key NOT IN == anti join; a nullable key would flip to "
+    "null-aware anti join semantics (one NULL empties the result) — the "
+    "Spark side spells left_anti explicitly to pin the intended meaning.",
+)
+def join_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exclusion list broadcasts (tiny); count(DISTINCT) runs as the
+    standard two-level expand/aggregate; TakeOrdered caps the output."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != "Brand#1") & (F.col("p_size") < 30))
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad_supp),
+                li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+        .limit(30)
+    )

@@ -128,11 +128,13 @@ edge_strategy = st.lists(
 )
 @given(edges=edge_strategy)
 def test_connected_components_matches_union_find(spark, edges):
-    """The distributed min-label propagation must agree with a sequential
-    union-find on arbitrary graphs over 12 vertices — including chains,
+    """Both distributed CC implementations — min-label propagation AND
+    large-star/small-star contraction — must agree with a sequential
+    union-find on arbitrary graphs over 12 vertices, including chains,
     cycles, and the empty graph."""
     from hbase_hadoop_flightsearch_spark.operators.graph import (
         connected_components,
+        connected_components_star,
     )
 
     n = 12
@@ -161,3 +163,10 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(vertices, pairs, max_iters=20).collect()
     }
     assert got == want
+    got_star = {
+        r.doc_id: r.component_id
+        for r in connected_components_star(
+            vertices, pairs, max_iters=20
+        ).collect()
+    }
+    assert got_star == want
