@@ -120,3 +120,44 @@ def sample_uniform_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h", "o_orderkey")
         .limit(200)
     )
+
+
+WEIGHTED_SAMPLE_N = 100
+
+
+@register(
+    "sample_weighted_aes",
+    oracle=None,  # key = u^(1/w) involves pow/log — engines differ in the
+    # last ulp, which can flip ranks at the cut; inclusion-probability
+    # behavior is asserted statistically in tests/test_plans.py instead
+    doc="Weighted sampling without replacement (Efraimidis-Spirakis A-ES): "
+    "top-n documents by md5-derived u^(1/weight), weight = n_chars. "
+    "Deterministic for a fixed salt, reproducible across runs and "
+    "repartitionings; inclusion probability ∝ weight (statistically "
+    "tested over many salts).",
+)
+def sample_weighted_aes(
+    spark: SparkSession, sf_dir: str, salt: str = "r1"
+) -> DataFrame:
+    """The A-ES key u^(1/w) makes 'take the n largest keys' exactly a
+    weighted sample without replacement. u comes from the first 8 md5 hex
+    digits of (salt || doc_id) — content-addressed like every sampler
+    here, so backfills don't reshuffle the sample. Plans as
+    TakeOrderedAndProject: per-partition heaps, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(
+        F.concat(F.lit(salt), F.col("doc_id").cast("string")).cast("binary")
+    )
+    u = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + 0.5
+    ) / F.lit(4294967296.0)
+    key = F.pow(u, 1.0 / F.col("n_chars").cast("double"))
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            key.alias("aes_key"),
+        )
+        .orderBy(F.desc("aes_key"), "doc_id")
+        .limit(WEIGHTED_SAMPLE_N)
+    )

@@ -142,3 +142,39 @@ def test_observe_metrics_on_flagship(spark):
                F.min("carrier").alias("first_carrier")).collect()
     assert obs.get["rows"] == 18  # 18 carriers at sf0.01
     assert obs.get["first_carrier"] == "AA"
+
+
+def test_weighted_sample_inclusion_tracks_weight(spark):
+    """Over 15 salts, documents in the top weight quartile must be sampled
+    substantially more often than the bottom quartile (A-ES inclusion
+    probability is monotone in weight), and each draw must be
+    deterministic for its salt."""
+    from hbase_hadoop_flightsearch_spark.operators.sampling import (
+        sample_weighted_aes,
+    )
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    weights = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    cut_hi = sorted(weights.values())[int(0.75 * len(weights))]
+    cut_lo = sorted(weights.values())[int(0.25 * len(weights))]
+    hits_hi = hits_lo = 0
+    for salt in [f"s{i}" for i in range(15)]:
+        ids = [
+            r.doc_id for r in sample_weighted_aes(spark, SF, salt).collect()
+        ]
+        assert len(set(ids)) == len(ids) == 100
+        hits_hi += sum(1 for d in ids if weights[d] >= cut_hi)
+        hits_lo += sum(1 for d in ids if weights[d] <= cut_lo)
+    assert hits_hi > 1.5 * hits_lo, (hits_hi, hits_lo)
+    again = [
+        r.doc_id for r in sample_weighted_aes(spark, SF, "s0").collect()
+    ]
+    first = [
+        r.doc_id for r in sample_weighted_aes(spark, SF, "s0").collect()
+    ]
+    assert again == first
