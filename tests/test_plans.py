@@ -178,3 +178,21 @@ def test_weighted_sample_inclusion_tracks_weight(spark):
         r.doc_id for r in sample_weighted_aes(spark, SF, "s0").collect()
     ]
     assert again == first
+
+
+def test_driver_side_sketches_close_to_exact(spark):
+    """df.stat's approximate profiling toolkit (Greenwald-Khanna quantiles,
+    frequent-items) — the 100 TB data-profiling path — must land within
+    its documented error of exact answers."""
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    orders = load_table(spark, SF, "orders")
+    n = orders.count()
+    # approxQuantile: relativeError=0.01 -> rank within 1% of n.
+    [p50] = orders.stat.approxQuantile("o_totalprice", [0.5], 0.01)
+    below = orders.filter(orders.o_totalprice <= p50).count()
+    assert abs(below - 0.5 * n) <= 0.011 * n + 1, (p50, below, n)
+    # freqItems with support 0.1: every priority occurs at ~20% >= support,
+    # so all five must be surfaced.
+    [row] = orders.stat.freqItems(["o_orderpriority"], 0.1).collect()
+    assert len(set(row[0])) == 5, row
