@@ -393,3 +393,53 @@ def join_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+@register(
+    "join_q19_disjunctive_predicates",
+    oracle="""
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+    AS revenue,
+  COUNT(*) AS n_lineitems
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 20 AND l_quantity <= 30)
+""",
+    doc="TPC-H q19 shape: disjunction of conjunctive multi-table "
+    "predicates (OR-of-ANDs across join sides). Catalyst extracts the "
+    "common single-side conjuncts and pushes them below the join — the "
+    "rewrite that keeps an OR filter from forcing a full scan-join.",
+)
+def join_q19_disjunctive_predicates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The OR spans both tables, but each branch constrains p_brand/p_size
+    (part side) and l_quantity (lineitem side); Catalyst derives the
+    per-side disjunctions (brand IN ..., quantity <= 30) and pushes them
+    into both scans before the join evaluates the full predicate."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    branch = (
+        ((b == "Brand#12") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#34") & s.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(branch)
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))), 2
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

@@ -196,3 +196,19 @@ def test_driver_side_sketches_close_to_exact(spark):
     # so all five must be surfaced.
     [row] = orders.stat.freqItems(["o_orderpriority"], 0.1).collect()
     assert len(set(row[0])) == 5, row
+
+
+def test_multimodal_metadata_query_never_reads_payload(spark):
+    """Metadata-only queries on the media table must not deserialize the
+    binary payload: column pruning has to drop the payload expression and
+    its source column from the scan entirely — at 100 TB this is the
+    difference between reading KBs of metadata and PBs of media bytes."""
+    from hbase_hadoop_flightsearch_spark.functions.multimodal import (
+        media_table,
+    )
+
+    df = media_table(spark, SF).select("doc_id", "meta.lang")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "text" not in read_schema, read_schema
+    assert df.count() > 0
