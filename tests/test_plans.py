@@ -212,3 +212,26 @@ def test_multimodal_metadata_query_never_reads_payload(spark):
     read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
     assert "text" not in read_schema, read_schema
     assert df.count() > 0
+
+
+def test_hash_split_is_append_stable(spark):
+    """The md5 train/test split must assign each doc_id identically
+    whether computed over the full corpus or any subset — the property
+    that makes backfills safe (a row-number-based split would reshuffle
+    everything on every append)."""
+    from hbase_hadoop_flightsearch_spark.operators.sampling import (
+        sample_hash_split,
+    )
+
+    full = {
+        r.doc_id: r.split for r in sample_hash_split(spark, SF).collect()
+    }
+    half = {
+        r.doc_id: r.split
+        for r in sample_hash_split(spark, SF)
+        .filter("doc_id % 2 = 0")
+        .collect()
+    }
+    assert half == {d: s for d, s in full.items() if d % 2 == 0}
+    frac = sum(1 for s in full.values() if s == "train") / len(full)
+    assert 0.7 < frac < 0.9, frac
