@@ -196,14 +196,16 @@ def connected_components_star(
     for _ in range(max_iters):
         edges = _star_round(edges, large=True)
         edges = _star_round(edges, large=False).localCheckpoint()
-        sig = tuple(
-            edges.agg(
-                F.count(F.lit(1)), F.sum(F.col("src") * 31 + F.col("dst"))
-            ).collect()[0]
-        )
-        if sig == prev:
+        # Exact set equality — a count/checksum signature is NOT sound
+        # (distinct edge sets can collide and stop the loop early). Both
+        # sides are already distinct, so two anti-joins decide equality;
+        # limit(1) short-circuits on the first difference.
+        if prev is not None and (
+            edges.exceptAll(prev).limit(1).count() == 0
+            and prev.exceptAll(edges).limit(1).count() == 0
+        ):
             break
-        prev = sig
+        prev = edges
     else:
         raise RuntimeError(
             f"star contraction did not converge in {max_iters} rounds"

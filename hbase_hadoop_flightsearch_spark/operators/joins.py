@@ -30,6 +30,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _dec(c: str) -> F.Column:
+    """Money column in exact DECIMAL — prices/discounts are cents-valued,
+    so decimal sums are engine-identical (see sql_surface.py)."""
+    return F.col(c).cast("decimal(18,2)")
+
+
 @register(
     "join_q3_shipping_priority",
     oracle="""
@@ -373,7 +379,7 @@ def join_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
     )
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    dec = _dec
     return (
         li.join(F.broadcast(supp2), li.l_suppkey == supp2.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -424,7 +430,7 @@ def join_q19_disjunctive_predicates(
     into both scans before the join evaluates the full predicate."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    dec = _dec
     q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
     branch = (
         ((b == "Brand#12") & s.between(1, 5) & q.between(1, 11))

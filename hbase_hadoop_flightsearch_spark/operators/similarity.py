@@ -271,11 +271,13 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_knn_quantized_int8(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Same broadcast-queries/stream-corpus shape as the exact operator,
-    but all arithmetic runs on the int8 codes: dot(q8, c8) * sq * sc
-    approximates dot(q, c). Everything stays JVM array expressions; at
-    scale the int8 codes (plus one float scale per vector) are what you
-    materialize, cutting scan bytes 4x."""
+    """Same broadcast-queries/stream-corpus shape AND the same neighbor
+    pool as the exact operator (any vector except self), so the recall
+    test measures quantization error alone. Cosine needs no scales —
+    it is invariant to the per-vector scale factor, which is why only
+    the int8 codes are carried through the join (at scale the codes are
+    what you materialize, cutting scan bytes 4x; the scale column only
+    matters when reconstructing dot products or norms)."""
     emb = _embeddings(spark, sf_dir)
     scale = F.aggregate(
         F.transform("v", lambda x: F.abs(x)),
@@ -288,16 +290,13 @@ def similarity_knn_quantized_int8(
     coded = (
         emb.withColumn("scale", scale)
         .filter(F.col("scale") > 0)
-        .withColumn("code", q8)
+        .select("vec_id", q8.alias("code"))
     )
     queries = coded.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("code").alias("qcode"),
-        F.col("scale").alias("qscale"),
     )
-    corpus = coded.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), "code", "scale"
-    )
+    corpus = coded.select(F.col("vec_id").alias("neighbor_id"), "code")
     idot = F.aggregate(
         F.zip_with("qcode", "code", lambda x, y: x * y),
         F.lit(0),
@@ -315,7 +314,9 @@ def similarity_knn_quantized_int8(
         F.desc("cosine"), F.asc("neighbor_id")
     )
     return (
-        queries.crossJoin(corpus)
+        corpus.join(
+            F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
+        )
         .withColumn("cosine", F.round(cos, 6))
         .withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= KNN_K)

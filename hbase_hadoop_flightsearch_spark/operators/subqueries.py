@@ -34,11 +34,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from ..sources.catalog import load_table
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+from .joins import _dec as dec
+from .joins import _t
 
 
 @register(
@@ -270,7 +267,6 @@ def join_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = _t(spark, sf_dir, "nation")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     volume = dec("l_extendedprice") * (1 - dec("l_discount"))
     df = (
         li.join(orders, li.l_orderkey == F.col("o_orderkey"))

@@ -147,19 +147,47 @@ def compact_parquet(
     per-microbatch writes leave thousands of KB-sized files; every
     downstream scan then pays one file-open + footer-read per file and
     the scheduler pays one split per file. Compaction restores
-    maxPartitionBytes-sized splits. The rewrite itself is shuffle-free
-    (coalesce, not repartition) and writes to a temp dir first so a
-    failed rewrite never corrupts the live table (rename-swap commit,
-    the same pattern table formats use).
+    maxPartitionBytes-sized splits. The rewrite is shuffle-free
+    (coalesce, not repartition) and Hive-partitioned layouts are
+    preserved — partition directories are re-written with partitionBy,
+    so downstream PartitionFilters pruning keeps working.
+
+    Crash behavior: the rewrite goes to a `.compacting` temp dir, so a
+    failed REWRITE never touches the live table. The final two-rename
+    swap is not atomic (local/HDFS rename has a window where `path` is
+    absent); a crash there leaves the data intact in `.old`, and the
+    next call recovers it automatically before compacting. True atomic
+    swap needs a metadata-commit table format (Delta/Iceberg) — this is
+    the directory-layout equivalent, with explicit crash recovery.
     """
+    tmp = path.rstrip("/") + ".compacting"
+    live = path.rstrip("/") + ".old"
+    # Recover from a previous crash: a stale .old with no live dir means
+    # the swap died between renames — restore it. Stale temp output is
+    # always safe to discard.
+    shutil.rmtree(tmp, ignore_errors=True)
+    if os.path.exists(live):
+        if os.path.exists(path):
+            shutil.rmtree(live)  # swap completed; only cleanup was lost
+        else:
+            os.rename(live, path)
     total = sum(
         f.stat().st_size for f in Path(path).rglob("*.parquet")
     )
     n_files = max(1, math.ceil(total / target_file_bytes))
-    tmp = path.rstrip("/") + ".compacting"
+    # key=value subdirectories are Hive partition columns; preserve them.
+    part_cols = sorted(
+        {
+            d.name.split("=", 1)[0]
+            for d in Path(path).iterdir()
+            if d.is_dir() and "=" in d.name
+        }
+    )
     df = spark.read.parquet(path)
-    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
-    live = path.rstrip("/") + ".old"
+    writer = df.coalesce(n_files).write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(tmp)
     os.rename(path, live)
     os.rename(tmp, path)
     shutil.rmtree(live)

@@ -207,3 +207,51 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(day" in plan, plan
     want = events.filter(F.to_date("ts") == "2024-01-05").count()
     assert df.count() == want and want > 0
+
+
+def test_compact_preserves_partitioned_layout(spark, tmp_path):
+    """Compacting a Hive-partitioned table must keep the key=value
+    directory layout (and therefore PartitionFilters pruning), not
+    flatten the partition column into data files."""
+    import os
+
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+    from hbase_hadoop_flightsearch_spark.sources.ingest import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "events_part")
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    (
+        events.withColumn("day", F.to_date("ts"))
+        .repartition(8)
+        .write.partitionBy("day")
+        .parquet(path)
+    )
+    want = spark.read.parquet(path).count()
+    compact_parquet(spark, path)
+    assert any(d.startswith("day=") for d in os.listdir(path))
+    df = spark.read.parquet(path).filter(F.col("day") == "2024-01-05")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan, plan
+    assert spark.read.parquet(path).count() == want
+
+
+def test_compact_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves the table at `.old`
+    and nothing live; the next compact_parquet call must restore and
+    proceed rather than wedge."""
+    import os
+
+    from hbase_hadoop_flightsearch_spark.sources.ingest import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.range(1000).repartition(4).write.parquet(path)
+    # Simulate the crash window: live dir renamed away, swap incomplete.
+    os.rename(path, path + ".old")
+    n = compact_parquet(spark, path)
+    assert n == 1
+    assert spark.read.parquet(path).count() == 1000
+    assert not os.path.exists(path + ".old")

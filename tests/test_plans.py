@@ -214,23 +214,32 @@ def test_multimodal_metadata_query_never_reads_payload(spark):
     assert df.count() > 0
 
 
-def test_hash_split_is_append_stable(spark):
-    """The md5 train/test split must assign each doc_id identically
-    whether computed over the full corpus or any subset — the property
-    that makes backfills safe (a row-number-based split would reshuffle
-    everything on every append)."""
+def test_hash_split_is_append_stable(spark, tmp_path):
+    """The md5 train/test split must assign each doc_id identically when
+    recomputed over a physically SMALLER corpus — the property that makes
+    backfills safe. (Filtering one computation's output would be
+    tautological; a row_number-based split only misbehaves when the input
+    set itself changes, so the subset must be a separate table.)"""
+    import os
+
     from hbase_hadoop_flightsearch_spark.operators.sampling import (
         sample_hash_split,
     )
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
 
     full = {
         r.doc_id: r.split for r in sample_hash_split(spark, SF).collect()
     }
+    subset_dir = str(tmp_path / "subset_sf")
+    os.makedirs(subset_dir)
+    (
+        load_table(spark, SF, "documents")
+        .filter("doc_id % 2 = 0")
+        .write.parquet(os.path.join(subset_dir, "documents.parquet"))
+    )
     half = {
         r.doc_id: r.split
-        for r in sample_hash_split(spark, SF)
-        .filter("doc_id % 2 = 0")
-        .collect()
+        for r in sample_hash_split(spark, subset_dir).collect()
     }
     assert half == {d: s for d, s in full.items() if d % 2 == 0}
     frac = sum(1 for s in full.values() if s == "train") / len(full)
