@@ -196,3 +196,83 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             (1 + F.col("o_orderkey") % 5).cast("int"),
         ).alias("maybe_elem"),
     )
+
+
+@register(
+    "scalar_null_semantics",
+    oracle="""
+SELECT st,
+  COUNT(*) AS n_rows,
+  COUNT(st) AS n_nonnull,
+  CAST(SUM(CASE WHEN st IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_null_safe_hits,
+  CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM (SELECT NULLIF(o_orderstatus, 'P') AS st, o_totalprice FROM orders)
+GROUP BY st
+""",
+    doc="NULL semantics surface (E9): NULLIF-manufactured nulls through "
+    "grouping (nulls form ONE group), COUNT(col) vs COUNT(*), and "
+    "null-safe equality (<=> / IS NOT DISTINCT FROM) — the three places "
+    "engines classically disagree about NULL.",
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The testdata has no physical NULLs, so the query manufactures them
+    deterministically (status 'P' -> NULL) and pins the semantics: SQL
+    grouping treats all NULLs as equal, COUNT(col) skips them,
+    and <=> is the equality that does NOT return NULL on NULL input."""
+    orders = load_table(spark, sf_dir, "orders")
+    st = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return (
+        orders.select(st.alias("st"), "o_totalprice")
+        .groupBy("st")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("st").alias("n_nonnull"),
+            F.sum(
+                F.col("st").eqNullSafe(F.lit(None).cast("string")).cast("int")
+            )
+            .cast("long")
+            .alias("n_null_safe_hits"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+        )
+    )
+
+
+@register(
+    "scalar_date_surface",
+    oracle="""
+SELECT o_orderkey,
+  CAST(o_orderdate AS DATE) AS order_date,
+  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+  date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01')
+    AS days_to_1999,
+  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3_months,
+  CAST(year(o_orderdate) AS INT) AS yr,
+  CAST(quarter(o_orderdate) AS INT) AS qtr,
+  CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INT) AS dow
+FROM orders
+WHERE o_orderkey < 200
+""",
+    doc="Date/interval function surface (E9): last_day, datediff, "
+    "add_months, year/quarter/dayofweek — calendar arithmetic is pure "
+    "integer math, engine-exact. (DuckDB dayofweek is 0=Sunday vs "
+    "Spark's 1=Sunday dayofweek; the oracle uses DuckDB's dayofweek "
+    "which matches Spark's dayofweek-1.)",
+)
+def scalar_date_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 200
+    )
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(F.lit("1999-01-01").cast("date"), d).alias(
+            "days_to_1999"
+        ),
+        F.add_months(d, 3).alias("plus_3_months"),
+        F.year(d).cast("int").alias("yr"),
+        F.quarter(d).cast("int").alias("qtr"),
+        (F.dayofweek(d) - 1).cast("int").alias("dow"),
+    )

@@ -335,3 +335,39 @@ def test_stream_dedup_within_watermark(spark, sf_smoke, tmp_path):
     )
     want = _sorted_rows(stream_dedup_event_counts(spark, sf_smoke))
     assert got == want
+
+
+def test_stream_static_join_equals_batch(spark, sf_smoke, tmp_path):
+    """Stream-static join (the enrichment pattern): the streaming side
+    joins a static dimension with NO state store involvement — each
+    microbatch joins against the broadcast/static table directly. The
+    result must equal the same join in batch."""
+    src = copy_events_to_dir(sf_smoke, str(tmp_path / "ss_src"))
+    static_dim = (
+        load_table(spark, sf_smoke, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    stream = stream_from_dir(spark, src).select("user_id")
+    q = (
+        stream.join(static_dim, "user_id")
+        .groupBy("segment")
+        .count()
+        .writeStream.format("memory")
+        .queryName("ss_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _sorted_rows(spark.sql("SELECT * FROM ss_sink"))
+    want = _sorted_rows(
+        load_table(spark, sf_smoke, "events")
+        .select("user_id")
+        .join(static_dim, "user_id")
+        .groupBy("segment")
+        .count()
+    )
+    assert got == want and got
