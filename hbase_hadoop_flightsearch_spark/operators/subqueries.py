@@ -406,3 +406,95 @@ def join_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
         .limit(30)
     )
+
+
+@register(
+    "join_q13_order_count_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    doc="TPC-H q13 shape: customer order-count distribution via LEFT "
+    "OUTER JOIN (customers with zero orders survive as c_count = 0 — "
+    "COUNT of a null column skips them) + a second aggregation over the "
+    "first's output.",
+)
+def join_q13_order_count_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The outer-join + COUNT(col) interplay is the point: an inner join
+    would silently drop zero-order customers and shift the histogram.
+    Two shuffles (custkey, then c_count) — both post-aggregation."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "join_q17_small_quantity_revenue",
+    oracle="""
+WITH avg_qty AS (
+  SELECT l_partkey AS ak, 0.2 * AVG(l_quantity) AS threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7
+    AS avg_yearly,
+  COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN avg_qty ON ak = l_partkey
+WHERE p_brand = 'Brand#1' AND l_quantity < threshold
+""",
+    doc="TPC-H q17 shape: lineitems below 20% of their part's average "
+    "quantity — correlated AVG threshold per part. l_quantity is "
+    "integer-valued so the AVG (exact sum / count, one division) and the "
+    "< comparison are engine-identical; revenue sums ride DECIMAL.",
+)
+def join_q17_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The correlated average becomes a window AVG over l_partkey —
+    threshold and probe rows ride the same single exchange (same
+    no-self-join trick as q2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    w = Window.partitionBy("l_partkey")
+    flagged = li.withColumn(
+        "threshold", 0.2 * F.avg("l_quantity").over(w)
+    ).filter(F.col("l_quantity") < F.col("threshold"))
+    return (
+        flagged.join(
+            F.broadcast(part), flagged.l_partkey == part.p_partkey, "left_semi"
+        )
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                / 7
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
