@@ -381,3 +381,117 @@ def agg_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@register(
+    "agg_multi_distinct_expand",
+    oracle="""
+SELECT o_orderstatus,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  COUNT(DISTINCT o_orderpriority) AS n_priorities,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="Multiple COUNT(DISTINCT ...) over different columns in one "
+    "aggregate — the Expand-operator plan shape.",
+)
+def agg_multi_distinct_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two COUNT(DISTINCT) on different columns plus plain aggregates in a
+    single groupBy. Catalyst compiles this with an Expand node: each input
+    row is replicated once per distinct-aggregate group (gid tagging), then
+    a two-level aggregate dedups and counts.
+
+    Scale note: Expand multiplies shuffle volume by the number of distinct
+    groups (3x here), which is the real cost of multi-distinct at 100 TB.
+    When exactness isn't required, `approx_count_distinct` (HLL, see
+    agg_approx_distinct_customers) keeps the shuffle at O(groups); when it
+    is, splitting into per-column aggregations joined on the group key can
+    beat one Expand for wide fact rows — Expand replicates the whole row.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_corr_moments_exact",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+  CAST(n AS BIGINT) AS n_rows,
+  (sxx - sx * sx / n) / (n - 1) AS var_qty,
+  (sxy - sx * sy / n)
+    / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price
+FROM s
+ORDER BY l_returnflag
+""",
+    doc="Sample variance + Pearson correlation from exact-DECIMAL power "
+    "sums — engine-identical, unlike builtin stddev/corr on doubles.",
+)
+def agg_corr_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment statistics (variance, correlation) computed from power sums
+    (n, Sx, Sy, Sxx, Syy, Sxy) accumulated in exact DECIMAL, with the
+    closed-form double arithmetic applied only to the final per-group
+    scalars.
+
+    Why not F.stddev/F.corr: Spark's builtin moment aggregates merge
+    partition-local central moments, so the result depends on partition
+    boundaries in the last ulps, and DuckDB's streaming accumulation
+    differs again — a value-exact cross-engine (or even cross-partitioning)
+    comparison is impossible. Power sums in DECIMAL are associative and
+    exact (quantities/prices are cents-valued), so every engine and every
+    partitioning produces bit-identical doubles after the final cast.
+
+    Scale shape: one partial-aggregated shuffle of six sums per group —
+    the same single-pass profile as any hash aggregate; no second pass
+    over the data (the naive two-pass 'subtract the mean' formulation
+    would rescan the fact table).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p * p).cast("double").alias("syy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        ((sxx - sx * sx / n) / (n - 1)).alias("var_qty"),
+        (
+            (sxy - sx * sy / n)
+            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+        ).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")

@@ -449,3 +449,122 @@ def join_q19_disjunctive_predicates(
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+@register(
+    "join_q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+  CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+    doc="TPC-H Q15-style: top-revenue supplier(s) via a scalar-MAX "
+    "subquery over a derived revenue view, tie-preserving.",
+)
+def join_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (the reference has no joins at all — SURVEY.md §2a
+    'verifiably ABSENT'). Revenue per supplier over a 3-month shipdate
+    window, then keep the supplier(s) achieving the global maximum.
+
+    Scale shape: the revenue aggregation shuffles lineitem once on
+    l_suppkey (partial agg first, so the exchange carries one row per
+    supplier per input partition at most). The MAX is a 1-row aggregate
+    broadcast back against the revenue view — never a global sort. The
+    ==-on-MAX comparison runs in exact DECIMAL so revenue ties survive
+    identically in both engines (double equality would be fragile).
+    The supplier dim joins broadcast: post-MAX the probe side is ~1 row.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    top = (
+        rev.join(
+            F.broadcast(mx),
+            rev.total_revenue == F.col("max_revenue"),
+        )
+        .select("supplier_no", "total_revenue")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        sup.join(F.broadcast(top), sup.s_suppkey == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "join_full_outer_nation_presence",
+    oracle="""
+WITH cu AS (
+  SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+  FROM customer GROUP BY c_nationkey
+),
+su AS (
+  SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT COALESCE(cu.nationkey, su.nationkey) AS nationkey,
+  COALESCE(n_customers, 0) AS n_customers,
+  COALESCE(n_suppliers, 0) AS n_suppliers
+FROM cu FULL OUTER JOIN su ON cu.nationkey = su.nationkey
+ORDER BY nationkey
+""",
+    doc="FULL OUTER join of two pre-aggregated sides with COALESCE "
+    "null-fill — nations having customers, suppliers, or either.",
+)
+def join_full_outer_nation_presence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full-outer reconciliation: per-nation customer count vs supplier
+    count, keeping nations present on either side only (supplier is
+    sparse at small SF, so both unmatched directions are exercised).
+
+    Scale shape: BOTH sides aggregate BEFORE the join, so the full-outer
+    exchange carries one row per (side, nation) — aggregate-then-join,
+    never join-then-aggregate. Full outer cannot broadcast (either side
+    may need to emit unmatched rows), so it shuffles on the join key;
+    with pre-aggregated inputs that shuffle is O(distinct keys), which
+    AQE will coalesce to a handful of partitions at any scale.
+    """
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        cust.join(sup, cust.nationkey == sup.nationkey, "full_outer")
+        .select(
+            F.coalesce(cust.nationkey, sup.nationkey).alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )

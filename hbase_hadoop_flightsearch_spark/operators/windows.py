@@ -227,3 +227,78 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
     )
+
+
+@register(
+    "window_value_functions",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+  FIRST_VALUE(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+  ) AS first_price,
+  LAST_VALUE(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+  ) AS last_price,
+  NTH_VALUE(o_totalprice, 2) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+  ) AS second_price,
+  PERCENT_RANK() OVER (
+    PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+  ) AS price_pct_rank,
+  CUME_DIST() OVER (
+    PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+  ) AS price_cume_dist
+FROM orders
+ORDER BY o_orderkey
+""",
+    doc="Window value functions (first/last/nth_value with explicit "
+    "frames) plus percent_rank/cume_dist distribution functions.",
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order history annotated with the first, last, and
+    second order price, plus each order's relative price position.
+
+    Frame semantics this query pins down: with an ORDER BY, the DEFAULT
+    frame is RANGE UNBOUNDED PRECEDING..CURRENT ROW — fine for
+    FIRST_VALUE, but LAST_VALUE/NTH_VALUE under the default frame
+    degenerate to 'current row so far', so both get an explicit
+    unbounded-both-ends ROWS frame (the classic window-function trap;
+    identical rule in Spark and DuckDB, asserted by the oracle).
+    NTH_VALUE(_, 2) is NULL for single-order customers — null-propagation
+    is part of the check. percent_rank=(rank-1)/(n-1) and cume_dist are
+    exact k/n doubles, engine-identical. Every ORDER BY carries the
+    unique o_orderkey tiebreaker (o_orderdate and o_totalprice tie).
+
+    Scale shape: all five functions share the o_custkey partitioning, so
+    the plan is ONE Exchange(o_custkey) + two in-partition sorts (two
+    distinct sort orders) — adding functions over the same partition key
+    is free of extra shuffles.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    by_date = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    by_date_full = by_date.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    by_price = Window.partitionBy("o_custkey").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.first_value("o_totalprice").over(by_date).alias("first_price"),
+            F.last_value("o_totalprice")
+            .over(by_date_full)
+            .alias("last_price"),
+            F.nth_value("o_totalprice", 2)
+            .over(by_date_full)
+            .alias("second_price"),
+            F.percent_rank().over(by_price).alias("price_pct_rank"),
+            F.cume_dist().over(by_price).alias("price_cume_dist"),
+        )
+        .orderBy("o_orderkey")
+    )
