@@ -244,3 +244,34 @@ def test_hash_split_is_append_stable(spark, tmp_path):
     assert half == {d: s for d, s in full.items() if d % 2 == 0}
     frac = sum(1 for s in full.values() if s == "train") / len(full)
     assert 0.7 < frac < 0.9, frac
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Joining a Hive-partitioned fact on its partition column against a
+    FILTERED dim must inject a DPP subquery: the fact scan's partition
+    filter becomes dynamicpruningexpression(...), so only partitions whose
+    keys survive the dim filter are read. At 100 TB this is partition
+    pruning when the pruning predicate is only known at runtime (the dim
+    filter), not in the query text — the other half of static
+    PartitionFilters (test_ingest.py::test_partitioned_write_prunes...).
+    """
+    from pyspark.sql import functions as F
+
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    path = str(tmp_path / "events_by_type")
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    events.write.partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+
+    dim = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(["view", "click", "purchase"])],
+        "etype string, rank int",
+    ).filter(F.col("rank") < 1)  # runtime-only pruning predicate
+
+    joined = fact.join(dim, fact.event_type == dim.etype)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+
+    want = events.filter(F.col("event_type") == "view").count()
+    assert joined.count() == want and want > 0

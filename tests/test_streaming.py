@@ -371,3 +371,37 @@ def test_stream_static_join_equals_batch(spark, sf_smoke, tmp_path):
         .count()
     )
     assert got == want and got
+
+
+def test_rocksdb_state_store_tumbling_equals_batch(spark, sf_smoke, tmp_path):
+    """Same tumbling-window aggregation, but with streaming state held in
+    the RocksDB state store provider instead of the default in-JVM-heap
+    HDFSBackedStateStore.
+
+    Why it matters at scale: windowed/stateful aggregations over 100 TB
+    accumulate state proportional to open windows x keys; the heap-backed
+    store OOMs executors long before RocksDB (off-heap, spills to local
+    SSD, incremental checkpointing). This proves the engine's streaming
+    queries run unmodified under the scale-grade provider (rocksdbjni
+    ships with Spark) and produce identical results.
+    """
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, provider)
+    try:
+        src = copy_events_to_dir(sf_smoke, str(tmp_path / "stream_src_rdb"))
+        stream = stream_from_dir(spark, src)
+        got = run_stream_to_memory(
+            tumbling_counts(stream), "tumbling_rocksdb_sink", spark
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    want = tumbling_counts(load_table(spark, sf_smoke, "events"))
+    assert _sorted_rows(got) == _sorted_rows(want)
