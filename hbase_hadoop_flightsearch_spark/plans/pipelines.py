@@ -198,3 +198,121 @@ def pipeline_corpus_prep_neardup(
         F.sum(F.col("n_members") - 1).cast("long").alias("n_docs_removed"),
         F.sum("bpe_tokens").cast("long").alias("total_bpe_tokens"),
     )
+
+
+SHARD_TOKEN_BUDGET = 4000
+
+
+@register(
+    "pipeline_pack_shards",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+      AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+    SUM(n_tokens) OVER (ORDER BY doc_id) AS cum_tokens
+  FROM toks
+)
+SELECT
+  CAST(FLOOR((cum_tokens - n_tokens) / {SHARD_TOKEN_BUDGET}.0) AS INT)
+    AS shard_id,
+  COUNT(*) AS n_docs,
+  SUM(n_tokens) AS shard_tokens
+FROM cum
+GROUP BY 1
+ORDER BY shard_id
+""",
+    doc="Training-shard packing: greedy sequential fill of ~4k-token "
+    "shards via a DISTRIBUTED prefix sum (no single-partition window).",
+)
+def pipeline_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents (in doc_id order) into training shards of ~4000
+    tokens: shard_id = floor(exclusive-prefix-token-count / budget) — the
+    greedy writer every corpus-to-tfrecord/arrow job runs.
+
+    The scale story is the prefix sum. The naive form —
+    ``SUM(tokens) OVER (ORDER BY doc_id)`` with no PARTITION BY — collapses
+    ALL rows into one task (Spark even warns), dead at 100 TB. This plan
+    computes the same exact result distributed, with ONE full-data shuffle:
+      1. block = doc_id DIV B — a deterministic, data-independent key
+         that preserves global order across blocks (unlike
+         spark_partition_id after repartitionByRange, which costs a range
+         shuffle AND a second hash shuffle because Catalyst can't see the
+         pid aligns with the partitioning);
+      2. within-block running sum: window PARTITION BY block — parallel,
+         one hash exchange on block;
+      3. per-block totals (O(n_docs/B) rows) get an exclusive running
+         offset — the only single-partition window, over block COUNT not
+         row count — and broadcast-join back:
+         global_cum = block_offset + local_cum.
+    B=256 gives ~20 blocks at sf0.1; at real scale pick B ~ id_range /
+    (10 x executors) from table stats. Result is identical for ANY B and
+    any partitioning (verified by the corpus-wide local[3] sweep). The
+    DuckDB oracle states the semantics with the naive window — same values.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tokens = (
+        F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit("")))
+        + 1
+    ).cast("bigint")
+    toks = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        # integer DIV, not `/` — double division loses exactness past 2^53
+        F.expr("doc_id DIV 256").alias("block"),
+    ).filter(F.col("block").isNotNull())
+    # ^ always true, but it mirrors the isnotnull the broadcast join infers
+    # on the probe branch, so both branches canonicalize to the SAME
+    # scan->filter->project->Exchange(block) subplan and ReusedExchange
+    # collapses them: one table read, one full-data shuffle total.
+
+    w_local = (
+        Window.partitionBy("block")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = toks.withColumn("local_cum", F.sum("n_tokens").over(w_local))
+
+    w_block = Window.orderBy("block").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # Block totals come from the window output (max running sum == block
+    # total: n_tokens >= 1 so local_cum is strictly increasing), NOT from
+    # re-aggregating toks: this branch then shares the scan->Exchange(block)
+    # prefix with the main branch, and ReusedExchange makes the whole query
+    # a single table read + single full-data shuffle.
+    offsets = (
+        local.groupBy("block")
+        .agg(F.max("local_cum").alias("block_total"))
+        .withColumn(
+            "offset",
+            F.coalesce(F.sum("block_total").over(w_block), F.lit(0)),
+        )
+        .select("block", "offset")
+    )
+
+    cum = local.join(F.broadcast(offsets), "block").withColumn(
+        "cum_tokens", F.col("offset") + F.col("local_cum")
+    )
+    return (
+        cum.groupBy(
+            F.floor(
+                (F.col("cum_tokens") - F.col("n_tokens"))
+                / F.lit(float(SHARD_TOKEN_BUDGET))
+            )
+            .cast("int")
+            .alias("shard_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+        )
+        .orderBy("shard_id")
+    )

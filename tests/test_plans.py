@@ -275,3 +275,25 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
 
     want = events.filter(F.col("event_type") == "view").count()
     assert joined.count() == want and want > 0
+
+
+def test_pack_shards_prefix_sum_is_distributed(spark):
+    """The shard-packing prefix sum must never collapse the full corpus
+    into one task, and must read/shuffle the table exactly once:
+      - the full-data window is PARTITION BY block (parallel), with the
+        single-partition window only over per-block totals;
+      - the offsets branch reuses the main branch's Exchange(block)
+        (ReusedExchange) instead of re-scanning the table.
+    """
+    df = load_all()["pipeline_pack_shards"].fn(spark, SF)
+    df.collect()  # materialize so AQE settles the final plan
+    final = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("FileScan") == 1, final
+    assert "Reused" in final, final
+    # the per-row window is block-partitioned: its spec lists [block, doc_id]
+    assert "windowspecdefinition(block" in final, final
