@@ -1,0 +1,103 @@
+"""Frequency sketches (SURVEY.md §2b E4 extension): count-min heavy
+hitters, built entirely from DataFrame ops.
+
+Why a sketch at 100 TB: exact per-token counts shuffle O(distinct tokens)
+rows; the count-min table is a FIXED d x w grid of counters that partial
+aggregation reduces map-side, so the shuffle is O(d*w) per mapper
+regardless of corpus size. Estimates only over-count (collisions add),
+never under-count — est >= exact is a hard invariant the tests assert.
+
+The sketch here is materialized as a (row, bucket, count) DataFrame and
+re-joined (broadcast — it's d*w rows) to score candidate tokens; on a real
+cluster the same grid could be collected to the driver in O(d*w) bytes and
+shipped inside a closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+CMS_DEPTH = 4  # independent hash rows; P(all collide) decays exponentially
+CMS_WIDTH = 16  # buckets per row — deliberately tight (~30-word vocab) so
+# collisions actually occur and min-over-rows does real work; production
+# widths are ceil(e/eps)
+
+TOPK = 10
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+
+
+def _bucket(r: int, token_col: str = "token"):
+    return F.pmod(F.xxhash64(F.lit(r), F.col(token_col)), F.lit(CMS_WIDTH))
+
+
+def countmin_sketch(tokens: DataFrame) -> DataFrame:
+    """(r, bucket, cnt) grid — one pass, partial-aggregated map-side."""
+    cells = tokens.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), _bucket(r).alias("bucket")
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell")
+    )
+    return cells.groupBy("cell.r", "cell.bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def countmin_estimates(tokens: DataFrame) -> DataFrame:
+    """Point-estimate every distinct token against the sketch.
+
+    est = min over rows of the hashed bucket's counter. The candidate set
+    is the distinct tokens themselves (self-scoring); an external query
+    set would join identically.
+    """
+    sketch = countmin_sketch(tokens)
+    candidates = tokens.distinct()
+    probes = candidates.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), _bucket(r).alias("bucket")
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    ).select("token", "cell.r", "cell.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+
+
+@register(
+    "sketch_countmin_topk",
+    oracle=None,  # bucket layout is xxhash64-defined; accuracy (est >=
+    # exact, bounded overshoot, correct top-1) asserted in test_sketches
+    doc="Count-min heavy hitters (E4): d x w counter grid in one pass "
+    "(O(d*w) shuffle regardless of corpus size), min-over-rows point "
+    "estimates, top-10 tokens. Overestimates only — never undercounts.",
+)
+def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K tokens by count-min estimate (ties broken by token, so the
+    output is deterministic given the hash constants)."""
+    est = countmin_estimates(_tokens(spark, sf_dir))
+    return est.orderBy(F.desc("est_count"), "token").limit(TOPK)

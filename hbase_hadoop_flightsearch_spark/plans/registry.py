@@ -54,6 +54,7 @@ _QUERY_MODULES = [
     "hbase_hadoop_flightsearch_spark.operators.sampling",
     "hbase_hadoop_flightsearch_spark.operators.timeseries",
     "hbase_hadoop_flightsearch_spark.operators.similarity",
+    "hbase_hadoop_flightsearch_spark.operators.sketches",
     "hbase_hadoop_flightsearch_spark.sources.pyds",
     "hbase_hadoop_flightsearch_spark.functions.scalar",
     "hbase_hadoop_flightsearch_spark.functions.text",

@@ -7,6 +7,7 @@ broadcast join into a shuffle join or un-pushes a filter fails CI, not a
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from hbase_hadoop_flightsearch_spark.plans.registry import load_all
 
@@ -297,3 +298,62 @@ def test_pack_shards_prefix_sum_is_distributed(spark):
     assert "Reused" in final, final
     # the per-row window is block-partitioned: its spec lists [block, doc_id]
     assert "windowspecdefinition(block" in final, final
+
+
+def test_runtime_bloom_filter_prefilters_fact_scan(spark):
+    """Runtime row-level filtering (the 100 TB semi-join pushdown): with
+    broadcast off (forcing a shuffle join, as a TB-scale dim would), the
+    optimizer must inject a bloom filter built from the selective orders
+    side into the lineitem scan — `might_contain(xxhash64(l_orderkey))`
+    drops non-matching fact rows BEFORE the join shuffle."""
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF, "lineitem")
+        orders = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        em = (
+            j._sc._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("extended")
+        )
+        plan = j._jdf.queryExecution().explainString(em)
+        assert "might_contain" in plan, plan
+        assert "xxhash64(l_orderkey" in plan, plan
+        # and the result is unaffected by the filter (bloom = no false
+        # negatives): compare against the plain broadcast-join answer
+        got = j.collect()[0]["n"]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    want = (
+        load_table(spark, SF, "lineitem")
+        .join(
+            load_table(spark, SF, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert got == want and want > 0
