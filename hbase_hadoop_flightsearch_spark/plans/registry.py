@@ -55,6 +55,7 @@ _QUERY_MODULES = [
     "hbase_hadoop_flightsearch_spark.operators.timeseries",
     "hbase_hadoop_flightsearch_spark.operators.similarity",
     "hbase_hadoop_flightsearch_spark.operators.sketches",
+    "hbase_hadoop_flightsearch_spark.operators.clustering",
     "hbase_hadoop_flightsearch_spark.sources.pyds",
     "hbase_hadoop_flightsearch_spark.functions.scalar",
     "hbase_hadoop_flightsearch_spark.functions.text",
