@@ -57,6 +57,7 @@ _QUERY_MODULES = [
     "hbase_hadoop_flightsearch_spark.operators.sketches",
     "hbase_hadoop_flightsearch_spark.operators.clustering",
     "hbase_hadoop_flightsearch_spark.sources.pyds",
+    "hbase_hadoop_flightsearch_spark.sources.layout",
     "hbase_hadoop_flightsearch_spark.functions.scalar",
     "hbase_hadoop_flightsearch_spark.functions.text",
     "hbase_hadoop_flightsearch_spark.functions.decontam",

@@ -1,0 +1,96 @@
+"""Z-order (Morton) clustering for multi-dimensional data skipping
+(SURVEY.md §2 table-maintenance extension; the layout trick behind
+Delta/Iceberg OPTIMIZE ZORDER).
+
+Why it matters at 100 TB: parquet footers carry per-file/row-group
+min-max stats, and the reader prunes files whose stats can't match the
+predicate. A layout sorted on ONE column prunes only that column's
+predicates; interleaving the bits of several columns into one sort key
+gives every participating column locality, so a 2-D box predicate skips
+most files. The z-value is pure JVM bit arithmetic (codegen'd — no UDF),
+and the clustered write is `repartitionByRange(z) + sortWithinPartitions`,
+i.e. one range-partitioner sampling pass + a local sort: the same cost
+shape as any global sort Spark already does.
+
+File-skipping effectiveness (z-order vs 1-D sort) is measured and
+asserted in tests/test_layout.py via per-file min-max stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from .catalog import load_table
+
+ZBITS = 16  # bits interleaved per dimension (32-bit z-key for 2 dims)
+
+
+def zvalue(a: Column, b: Column, bits: int = ZBITS) -> Column:
+    """Interleave the low `bits` of two non-negative integer columns:
+    bit i of `a` lands at position 2i, bit i of `b` at 2i+1. Pure
+    shift/and/or expressions — whole-stage codegen, no UDF."""
+    z: Column = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def _zvalue_duck(a: str, b: str, bits: int = ZBITS) -> str:
+    """The identical interleave as DuckDB SQL (bit-for-bit)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+) -> None:
+    """Cluster `df` into `n_files` parquet files by the z-order of
+    (col_a, col_b). Range-partitioning on z gives globally disjoint
+    z-ranges per file; the local sort tightens row-group stats too."""
+    with_z = df.withColumn("__z", zvalue(F.col(col_a), F.col(col_b)))
+    (
+        with_z.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+@register(
+    "layout_zorder_key",
+    oracle=f"""
+SELECT o_orderkey,
+  {_zvalue_duck("o_custkey", "CAST(FLOOR(o_totalprice / 8) AS BIGINT)")}
+    AS zval
+FROM orders
+WHERE o_orderkey < 500
+""",
+    doc="Z-order key computation (table maintenance): Morton-interleave "
+    "of (o_custkey, price bucket) as pure bit arithmetic — the sort key "
+    "behind multi-dimensional file clustering. Bit-for-bit oracled.",
+)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clustering key itself, exposed as a query so the bit math is
+    cross-engine verified (the write path in `write_zordered` uses the
+    same expression)."""
+    orders = load_table(spark, sf_dir, "orders")
+    price_bucket = F.floor(F.col("o_totalprice") / 8).cast("long")
+    return orders.filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey",
+        zvalue(F.col("o_custkey"), price_bucket).alias("zval"),
+    )

@@ -1,0 +1,83 @@
+"""Z-order layout: the clustered files must actually enable
+multi-dimensional skipping — measured from real per-file min-max stats,
+the same stats a parquet reader prunes with."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+from hbase_hadoop_flightsearch_spark.sources.layout import write_zordered
+
+SF = "/root/testdata/sf0.01"
+N_FILES = 16
+
+
+def _file_stats(spark, path):
+    """Per-file [min,max] of the two predicate columns."""
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("o_custkey").alias("ck_lo"),
+            F.max("o_custkey").alias("ck_hi"),
+            F.min("o_totalprice").alias("tp_lo"),
+            F.max("o_totalprice").alias("tp_hi"),
+        )
+        .collect()
+    )
+
+
+def _overlapping(stats, ck=None, tp=None):
+    n = 0
+    for r in stats:
+        ok = True
+        if ck is not None:
+            ok &= r["ck_lo"] <= ck[1] and r["ck_hi"] >= ck[0]
+        if tp is not None:
+            ok &= r["tp_lo"] <= tp[1] and r["tp_hi"] >= tp[0]
+        n += ok
+    return n
+
+
+def test_zorder_skips_files_on_both_dimensions(spark, tmp_path):
+    orders = load_table(spark, SF, "orders")
+    zpath = str(tmp_path / "orders_z")
+    lpath = str(tmp_path / "orders_linear")
+
+    # z-order on (custkey, price bucket) — same key the registry query uses
+    with_b = orders.withColumn(
+        "price_bucket", F.floor(F.col("o_totalprice") / 8).cast("long")
+    )
+    write_zordered(with_b, zpath, "o_custkey", "price_bucket", N_FILES)
+    # baseline: classic 1-D sort by custkey
+    (
+        orders.repartitionByRange(N_FILES, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    z_stats = _file_stats(spark, zpath)
+    l_stats = _file_stats(spark, lpath)
+    assert len(z_stats) == N_FILES and len(l_stats) == N_FILES
+
+    # Price-only predicate (a ~6% slab): the custkey-sorted layout can
+    # prune nothing; z-order confines the slab to a minority of files.
+    tp = (100000.0, 130000.0)
+    z_hit = _overlapping(z_stats, tp=tp)
+    l_hit = _overlapping(l_stats, tp=tp)
+    assert l_hit == N_FILES  # 1-D layout: price spans every file
+    assert z_hit <= N_FILES // 2, (z_hit, l_hit)
+
+    # 2-D box: z-order must prune at least as hard as the 1-D layout.
+    ck = (300, 450)
+    z_box = _overlapping(z_stats, ck=ck, tp=tp)
+    l_box = _overlapping(l_stats, ck=ck, tp=tp)
+    assert z_box <= l_box
+
+    # And the layout is lossless: same rows back.
+    assert (
+        spark.read.parquet(zpath).drop("price_bucket").count()
+        == orders.count()
+    )
