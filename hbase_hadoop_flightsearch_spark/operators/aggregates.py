@@ -14,7 +14,7 @@ sketches map-side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
@@ -495,3 +495,67 @@ def agg_corr_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
         ).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "agg_histogram_equiwidth",
+    oracle="""
+SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bin,
+  COUNT(*) AS n,
+  MIN(o_totalprice) AS lo,
+  MAX(o_totalprice) AS hi
+FROM orders
+GROUP BY 1
+""",
+    doc="Equi-width histogram (E4): fixed-width binning is a plain "
+    "groupBy — partial agg reduces every partition to O(bins) before the "
+    "exchange, so profiling 100 TB shuffles only bins * mappers rows.",
+)
+def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25k-wide price bins with per-bin count and observed min/max
+    (min/max are exact doubles — no arithmetic, so engine-identical)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.floor(F.col("o_totalprice") / 25000).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+@register(
+    "agg_histogram_equidepth",
+    oracle="""
+WITH t AS (
+  SELECT o_totalprice,
+    NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS q
+  FROM orders
+)
+SELECT q, COUNT(*) AS n,
+  MIN(o_totalprice) AS lo,
+  MAX(o_totalprice) AS hi
+FROM t GROUP BY q
+""",
+    doc="Equi-depth histogram (E4): NTILE(8) over a deterministic total "
+    "order (price, orderkey tie-break) -> per-bucket bounds. The global "
+    "sort is the honest cost of exact equi-depth; the approximate path "
+    "at scale is agg_percentiles_order_value's approx_percentile.",
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact octile boundaries. NTILE assigns floor/ceil bucket sizes
+    identically in Spark and DuckDB given the same total order, so the
+    bucket populations and bounds are engine-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_totalprice", F.ntile(8).over(w).alias("q")
+        )
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

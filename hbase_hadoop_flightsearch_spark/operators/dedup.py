@@ -411,3 +411,60 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInPandas(
         gemm_pairs, schema="v1 bigint, v2 bigint, cosine double"
     )
+
+
+LEV_PREFIX = 120  # compare first 120 chars — bounds each distance to O(P^2)
+LEV_MAX = 15
+LEV_BLOCK = 32  # docs within the same floor(n_chars/32) length bucket
+
+
+@register(
+    "dedup_levenshtein_blocked",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, {LEV_PREFIX}) AS p,
+    length(text) // {LEV_BLOCK} AS blk
+  FROM documents
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+  levenshtein(a.p, b.p) AS edit_dist
+FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.p, b.p) <= {LEV_MAX}
+""",
+    doc="Edit-distance fuzzy dedup (E10): length-bucket blocking + "
+    f"levenshtein <= {LEV_MAX} on {LEV_PREFIX}-char prefixes. Blocking "
+    "turns the O(n^2) all-pairs into per-bucket pair enumeration — the "
+    "bucket join shuffles on blk, so pair work is parallel per bucket "
+    "and bounded by the largest bucket, not the corpus.",
+)
+def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs. Complements the token-level
+    families (jaccard/minhash/simhash): edit distance catches
+    small in-word edits that word-shingles amplify.
+
+    Semantics note: pairs straddling a length-bucket boundary are by
+    definition out of scope (that's what 'blocked' means); the oracle
+    applies the identical blocking. Spark's levenshtein(threshold) form
+    early-exits above the cutoff — O(P * threshold) per pair, not P^2.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, LEV_PREFIX).alias("p"),
+        (F.length("text") / LEV_BLOCK).cast("long").alias("blk"),
+    )
+    a = docs.select(
+        F.col("doc_id").alias("d1"), F.col("p").alias("p1"), "blk"
+    )
+    b = docs.select(
+        F.col("doc_id").alias("d2"), F.col("p").alias("p2"), "blk"
+    )
+    dist = F.levenshtein("p1", "p2", LEV_MAX)
+    return (
+        a.join(b, ["blk"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", dist.alias("edit_dist"))
+        # threshold form returns -1 ABOVE the cutoff — excluded explicitly
+        .filter(
+            (F.col("edit_dist") >= 0) & (F.col("edit_dist") <= LEV_MAX)
+        )
+    )

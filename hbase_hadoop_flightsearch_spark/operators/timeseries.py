@@ -151,3 +151,85 @@ def gapfill_daily(events: DataFrame) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
     )
+
+
+@register(
+    "scd2_priority_history",
+    oracle="""
+WITH runs AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+    CASE WHEN LAG(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority
+      THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WHERE o_custkey < 100
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+islands AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate,
+    SUM(chg) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS island
+  FROM runs
+),
+spans AS (
+  SELECT o_custkey, island,
+    MIN(o_orderpriority) AS priority,
+    MIN(o_orderdate) AS valid_from,
+    COUNT(*) AS n_orders
+  FROM islands GROUP BY o_custkey, island
+)
+SELECT o_custkey, priority, valid_from,
+  LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY island)
+    AS valid_to,
+  CASE WHEN LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY island)
+    IS NULL THEN 1 ELSE 0 END AS is_current,
+  n_orders
+FROM spans
+""",
+    doc="SCD2 dimension build (time series): collapse each customer's "
+    "order-priority timeline into change intervals (valid_from/valid_to, "
+    "is_current) — gaps-and-islands change detection + one window pass, "
+    "the standard warehouse slowly-changing-dimension derivation.",
+)
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history: one row per (customer, priority run), half-open
+    validity [valid_from, valid_to). All three passes share the same
+    PARTITION BY o_custkey shuffle — Spark plans them in one exchange."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < 100
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = orders.select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_orderdate",
+        "o_orderkey",
+        F.when(
+            ~F.lag("o_orderpriority").over(w).eqNullSafe(
+                F.col("o_orderpriority")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    islands = flagged.select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_orderdate",
+        F.sum("chg").over(w).alias("island"),
+    )
+    spans = islands.groupBy("o_custkey", "island").agg(
+        F.min("o_orderpriority").alias("priority"),
+        F.min("o_orderdate").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("island")
+    valid_to = F.lead("valid_from").over(w2)
+    return spans.select(
+        "o_custkey",
+        "priority",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
+        "n_orders",
+    )

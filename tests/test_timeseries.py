@@ -53,3 +53,26 @@ def test_session_gap_boundary_is_exclusive(spark):
         r.event_id: r.session_seq for r in sessionize_lag(events).collect()
     }
     assert got == {1: 1, 2: 1, 3: 2}
+
+
+def test_scd2_intervals_are_contiguous_and_collapsed(spark):
+    from hbase_hadoop_flightsearch_spark.plans.registry import load_all
+
+    rows = (
+        load_all()["scd2_priority_history"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    assert by_cust
+    for cust, spans in by_cust.items():
+        spans.sort(key=lambda r: r["valid_from"])
+        # exactly one open (current) interval, and it's the last one
+        currents = [r for r in spans if r["is_current"] == 1]
+        assert len(currents) == 1 and currents[0] is spans[-1], cust
+        for a, b in zip(spans, spans[1:]):
+            assert a["valid_to"] == b["valid_from"], cust  # half-open chain
+            assert a["priority"] != b["priority"], cust  # truly collapsed
+        assert spans[-1]["valid_to"] is None
