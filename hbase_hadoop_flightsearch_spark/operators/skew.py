@@ -15,7 +15,7 @@ median — exactly the 100 TB failure shape).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
@@ -54,4 +54,62 @@ def skew_salted_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("token").agg(
         F.sum("freq_p").alias("freq"),
         F.sum("chars_p").alias("total_chars"),
+    )
+
+
+@register(
+    "diag_key_skew",
+    oracle="""
+WITH per_key AS (
+  SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+),
+stats AS (
+  SELECT COUNT(*) AS n_keys, SUM(cnt) AS n_rows, MAX(cnt) AS max_cnt
+  FROM per_key
+),
+top AS (
+  SELECT key, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rk
+  FROM per_key
+)
+SELECT t.rk, t.key, t.cnt,
+  s.n_keys, s.n_rows,
+  ROUND(CAST(s.max_cnt AS DOUBLE) * s.n_keys / s.n_rows, 4)
+    AS skew_factor
+FROM top t, stats s
+WHERE t.rk <= 10
+""",
+    doc="Key-skew diagnosis (ops): per-key count profile of the join/agg "
+    "key — top-10 hottest keys plus max/avg skew factor. The thing you "
+    "run BEFORE choosing salting vs AQE skew-join on a 100 TB shuffle; "
+    "cost is one partial-agg groupBy + an O(keys) top-k.",
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hottest o_custkey values with global skew stats attached
+    (skew_factor = max_cnt / mean_cnt; 1.0 = perfectly uniform)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    top = (
+        per_key.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "rk",
+        "key",
+        "cnt",
+        "n_keys",
+        "n_rows",
+        F.round(
+            F.col("max_cnt").cast("double")
+            * F.col("n_keys")
+            / F.col("n_rows"),
+            4,
+        ).alias("skew_factor"),
     )

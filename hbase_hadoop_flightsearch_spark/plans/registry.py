@@ -61,6 +61,7 @@ _QUERY_MODULES = [
     "hbase_hadoop_flightsearch_spark.functions.scalar",
     "hbase_hadoop_flightsearch_spark.functions.text",
     "hbase_hadoop_flightsearch_spark.functions.decontam",
+    "hbase_hadoop_flightsearch_spark.functions.chunking",
     "hbase_hadoop_flightsearch_spark.functions.multimodal",
     "hbase_hadoop_flightsearch_spark.functions.udfs",
     "hbase_hadoop_flightsearch_spark.streaming.windows",
