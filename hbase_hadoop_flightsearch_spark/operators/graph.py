@@ -221,3 +221,107 @@ def connected_components_star(
             F.coalesce("component_id", F.col("doc_id")).alias("component_id"),
         )
     )
+
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 5
+# supplier node ids are offset into their own range so the bipartite
+# graph lives in one integer id space
+_SUPP_OFFSET = 10_000_000
+
+
+def _customer_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected (symmetrized) customer-supplier edges: who bought from
+    whom, via orders x lineitem. Distinct pairs — multiplicity is not
+    weight here."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("supp"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("supp").alias("src"), F.col("cust").alias("dst")
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = PAGERANK_ITERS,
+    damping: float = PAGERANK_DAMPING,
+) -> DataFrame:
+    """Power iteration on a directed edge list: per round, each node
+    spreads rank/out_degree along its out-edges; rank' = (1-d)/N + d*in.
+
+    Scale shape: one Exchange(dst) groupBy per round over O(edges) rows;
+    degrees and the node set are computed once and reused. Lineage is
+    truncated per round (localCheckpoint) exactly as in the CC operators.
+    The symmetrized graph has no dangling nodes by construction.
+    """
+    edges = edges.persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    base = (1.0 - damping) / n_nodes
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(out_deg, "src")
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        incoming = contribs.groupBy("dst").agg(F.sum("c").alias("in_sum"))
+        ranks = (
+            nodes.join(incoming, nodes.node == incoming.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + damping * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    edges.unpersist()
+    return ranks
+
+
+@register(
+    "graph_pagerank_suppliers",
+    oracle=None,  # iterative float algorithm — NumPy power-iteration
+    # reference agreement + rank-mass conservation asserted in tests
+    doc="PageRank (graph family, beyond CC): power iteration on the "
+    "symmetrized customer-supplier purchase graph; per-round cost is one "
+    "Exchange(dst) over O(edges), degrees/nodes computed once. Output: "
+    "top-20 suppliers by rank.",
+)
+def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-central suppliers in the purchase graph (deterministic
+    ordering: rank desc rounded, then node id)."""
+    ranks = pagerank(_customer_supplier_edges(spark, sf_dir))
+    return (
+        ranks.filter(F.col("node") >= _SUPP_OFFSET)
+        .select(
+            (F.col("node") - _SUPP_OFFSET).alias("suppkey"),
+            F.round("rank", 8).alias("rank"),
+        )
+        .orderBy(F.desc("rank"), "suppkey")
+        .limit(20)
+    )

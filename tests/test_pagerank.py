@@ -1,0 +1,63 @@
+"""PageRank contracts: agreement with a NumPy power-iteration reference
+on the same graph, rank-mass conservation, and determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hbase_hadoop_flightsearch_spark.operators.graph import (
+    PAGERANK_DAMPING,
+    PAGERANK_ITERS,
+    _customer_supplier_edges,
+    pagerank,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _reference(edge_list, iters, d):
+    nodes = sorted({a for a, _ in edge_list} | {b for _, b in edge_list})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for a, _ in edge_list:
+        out_deg[idx[a]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1.0 - d) / n)
+        incoming = np.zeros(n)
+        for a, b in edge_list:
+            incoming[idx[b]] += r[idx[a]] / out_deg[idx[a]]
+        nxt += d * incoming
+        r = nxt
+    return {n_: r[i] for n_, i in idx.items()}
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    edges = _customer_supplier_edges(spark, SF)
+    edge_list = [(r["src"], r["dst"]) for r in edges.collect()]
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges).collect()
+    }
+    want = _reference(edge_list, PAGERANK_ITERS, PAGERANK_DAMPING)
+    assert set(got) == set(want)
+    for node in want:
+        assert abs(got[node] - want[node]) < 1e-9, node
+    # No dangling nodes in the symmetrized graph -> total rank mass is 1.
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    # A rank floor exists for every node: (1-d)/N.
+    floor = (1.0 - PAGERANK_DAMPING) / len(want)
+    assert min(got.values()) >= floor - 1e-12
+
+
+def test_pagerank_registry_output(spark):
+    from hbase_hadoop_flightsearch_spark.plans.registry import load_all
+
+    q = load_all()["graph_pagerank_suppliers"]
+    a = [tuple(r) for r in q.fn(spark, SF).collect()]
+    b = [tuple(r) for r in q.fn(spark, SF).collect()]
+    assert a == b  # deterministic
+    assert 0 < len(a) <= 20
+    ranks = [r[1] for r in a]
+    assert ranks == sorted(ranks, reverse=True)
