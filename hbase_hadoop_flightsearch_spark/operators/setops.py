@@ -90,3 +90,53 @@ def setops_union_high_value_entities(
         )
     )
     return cust.unionByName(supp)
+
+
+@register(
+    "setops_intersect_all_priorities",
+    oracle="""
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+""",
+    doc="INTERSECT ALL (E8): bag semantics — each priority appears "
+    "min(count_F, count_O) times. Compiles to a counted semi-join "
+    "(one shuffle per side on the row value), not a distinct.",
+)
+def setops_intersect_all_priorities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multiset intersection of the priority columns of F- vs O-status
+    orders — duplicates preserved up to the smaller multiplicity."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderpriority"
+    )
+    o = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderpriority"
+    )
+    return f.intersectAll(o)
+
+
+@register(
+    "setops_except_all_priorities",
+    oracle="""
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+EXCEPT ALL
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+""",
+    doc="EXCEPT ALL (E8): bag difference — each priority survives "
+    "max(0, count_F - count_O) times.",
+)
+def setops_except_all_priorities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multiset difference of priority columns (F minus O)."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderpriority"
+    )
+    o = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderpriority"
+    )
+    return f.exceptAll(o)

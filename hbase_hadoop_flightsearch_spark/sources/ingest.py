@@ -192,3 +192,21 @@ def compact_parquet(
     os.rename(tmp, path)
     shutil.rmtree(live)
     return n_files
+
+
+def overwrite_partitions_dynamic(df: DataFrame, path: str, part_col: str) -> None:
+    """Incremental batch maintenance: rewrite ONLY the partitions present
+    in `df`, leaving all other partitions' files untouched (the batch
+    equivalent of a MERGE-by-partition — at 100 TB you restate the late
+    day, not the table).
+
+    Uses `partitionOverwriteMode=dynamic` scoped to this write via the
+    DataFrameWriter option, so the session default ("static", which would
+    truncate the whole table) is not disturbed.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(part_col)
+        .parquet(path)
+    )
