@@ -170,3 +170,28 @@ def test_connected_components_matches_union_find(spark, edges):
         ).collect()
     }
     assert got_star == want
+
+
+@given(
+    a=st.integers(min_value=0, max_value=(1 << 16) - 1),
+    b=st.integers(min_value=0, max_value=(1 << 16) - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_zorder_interleave_roundtrip(spark, a, b):
+    """The Morton key must be a bijection on 16-bit pairs: deinterleaving
+    the even/odd bits recovers exactly (a, b), and the key preserves
+    per-dimension bit count (no dropped or aliased bits)."""
+    from hbase_hadoop_flightsearch_spark.sources.layout import ZBITS, zvalue
+
+    from pyspark.sql import functions as F
+
+    z = (
+        spark.range(1)
+        .select(zvalue(F.lit(a), F.lit(b), ZBITS).alias("z"))
+        .first()["z"]
+    )
+    ra = rb = 0
+    for i in range(ZBITS):
+        ra |= ((z >> (2 * i)) & 1) << i
+        rb |= ((z >> (2 * i + 1)) & 1) << i
+    assert (ra, rb) == (a, b)
