@@ -1,0 +1,133 @@
+"""CDC merge / upsert — MERGE INTO semantics on plain parquet.
+
+A change-data-capture feed carries (key, op ∈ {I, U, D}, payload, seq);
+applying it to a snapshot is the core of every incremental lake pipeline.
+Table formats (Delta/Iceberg) expose this as MERGE INTO; what their engines
+compile it to — and what plain-parquet Spark must write by hand — is
+exactly this two-step plan:
+
+  1. collapse the feed to the LATEST change per key (struct-argmax /
+     row_number over seq — one shuffle on key),
+  2. FULL OUTER join the snapshot with the collapsed feed on key, then
+     per-row resolve: D → drop, U → feed payload, I → feed row,
+     no-change → snapshot row.
+
+The reference's HBase put path (HPopulate/Main.java:97-116) gets upsert
+behavior for free from LSM versioned cells but can never DELETE-by-feed or
+collapse multi-change keys; this operator restores full CDC semantics on
+immutable columnar storage.
+
+Scale notes (100 TB): both steps shuffle on the merge key only — the feed
+is typically ≪ snapshot, so AQE plans the outer join with the feed as the
+(possibly broadcast) build side; with the snapshot bucketed on the key the
+snapshot-side exchange disappears entirely (see test_bucketing.py). In a
+real lake the final write is partition-scoped (dynamic partition overwrite,
+sources/ingest.py::overwrite_partitions_dynamic) so only partitions
+containing changed keys are rewritten.
+
+The change feed here is derived deterministically FROM the orders table
+(keys ≡ 0 mod 10 get two competing updates — seq must win; ≡ 1 mod 10
+deleted; ≡ 2 mod 10 re-inserted under a shifted key) so DuckDB can oracle
+the merged result value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+_INSERT_KEY_SHIFT = 100_000_000  # > max o_orderkey at any test SF
+
+
+def synthetic_change_feed(orders: DataFrame) -> DataFrame:
+    """(o_orderkey, op, new_price, new_status, seq) derived from orders."""
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    mod = F.col("o_orderkey") % 10
+
+    def feed(cond, key, op, price, status, seq):
+        return base.filter(cond).select(
+            key.alias("o_orderkey"),
+            F.lit(op).alias("op"),
+            price.alias("new_price"),
+            status.alias("new_status"),
+            F.lit(seq).alias("seq"),
+        )
+
+    key = F.col("o_orderkey")
+    price, status = F.col("o_totalprice"), F.col("o_orderstatus")
+    return (
+        feed(mod == 0, key, "U", price + 100, status, 1)
+        .unionAll(feed(mod == 0, key, "U", price + 200, status, 2))
+        .unionAll(
+            feed(mod == 1, key, "D", F.lit(None).cast("double"),
+                 F.lit(None).cast("string"), 1)
+        )
+        .unionAll(feed(mod == 2, key + _INSERT_KEY_SHIFT, "I", price, status, 1))
+    )
+
+
+def merge_cdc(snapshot: DataFrame, feed: DataFrame) -> DataFrame:
+    """Apply a CDC feed to a snapshot; both keyed on ``o_orderkey``."""
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("seq"))
+    latest = (
+        feed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    merged = snapshot.select("o_orderkey", "o_totalprice", "o_orderstatus").join(
+        latest, "o_orderkey", "full_outer"
+    )
+    return merged.filter(
+        F.col("op").isNull() | (F.col("op") != "D")
+    ).select(
+        "o_orderkey",
+        F.round(F.coalesce("new_price", "o_totalprice"), 2).alias("o_totalprice"),
+        F.coalesce("new_status", "o_orderstatus").alias("o_orderstatus"),
+    )
+
+
+_CDC_ORACLE = f"""
+WITH changes AS (
+  SELECT o_orderkey, 'U' AS op, o_totalprice + 100 AS new_price,
+         o_orderstatus AS new_status, 1 AS seq
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, 'U', o_totalprice + 200, o_orderstatus, 2
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, 'D', NULL, NULL, 1
+  FROM orders WHERE o_orderkey % 10 = 1
+  UNION ALL
+  SELECT o_orderkey + {_INSERT_KEY_SHIFT}, 'I', o_totalprice, o_orderstatus, 1
+  FROM orders WHERE o_orderkey % 10 = 2
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+    FROM changes
+  ) WHERE rn = 1
+),
+merged AS (
+  SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+         ROUND(COALESCE(c.new_price, b.o_totalprice), 2) AS o_totalprice,
+         COALESCE(c.new_status, b.o_orderstatus) AS o_orderstatus,
+         c.op
+  FROM orders b FULL OUTER JOIN latest c ON b.o_orderkey = c.o_orderkey
+)
+SELECT o_orderkey, o_totalprice, o_orderstatus
+FROM merged WHERE op IS NULL OR op <> 'D'
+"""
+
+
+@register(
+    "cdc_merge_orders",
+    oracle=_CDC_ORACLE,
+    doc="MERGE INTO semantics on parquet: latest-change-per-key collapse "
+    "(seq argmax) + full-outer resolve of I/U/D against the snapshot.",
+)
+def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return merge_cdc(orders, synthetic_change_feed(orders))

@@ -1,0 +1,149 @@
+"""Frequent-pattern mining over the order/lineitem basket data.
+
+Market-basket co-occurrence (top co-purchased part pairs) and triangle
+counting on the induced co-purchase graph — the pattern-mining layer a
+recommendation / feature pipeline runs on transaction logs. Nothing like it
+exists in the reference (its single job is the delay pivot,
+HCompute/Main.java:50-126); these extend the engine per SURVEY §2b.
+
+Spark-first design, co-purchase pairs: the naive formulation is a self-join
+of (order, part) on the order key — at 100 TB that shuffles the fact table
+TWICE and explodes hot orders quadratically IN THE JOIN. Instead we build
+per-order baskets with one groupBy (``collect_set``), cap the basket size
+(quadratic work per basket is then bounded by CAP²/2 ≈ 2k pairs), and
+expand pairs JOINLESSLY with a codegen'd higher-order ``transform`` over
+the sorted array — the same posting-list trick as ngram-jaccard dedup.
+One shuffle to build baskets, one map-side pair expansion, one partial-agg
+shuffle on (part_a, part_b), then a global TakeOrderedAndProject top-k.
+
+Triangle counting: triangles live on the GLOBAL distinct edge set (a
+triangle's three edges can come from three different orders), so it cannot
+be basket-local. Canonical a<b<c orientation counts each triangle exactly
+once: wedges = edges ⋈ edges on the middle vertex, closed by a semi join
+back to edges. Scale knob (documented, not needed at these SFs): orient
+edges low-degree → high-degree instead of a<b, which bounds per-vertex
+wedge fan-out by sqrt(edges) (standard power-law hardening); the a<b
+orientation is kept here because DuckDB can run the identical SQL as an
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+BASKET_CAP = 64  # max distinct parts per order entering pair expansion
+
+# All unordered pairs (a, b) with a < b from a sorted deduped array —
+# element i pairs with every later element (slice is 1-based).
+_PAIRS_EXPR = """
+flatten(transform(parts, (x, i) ->
+  transform(slice(parts, i + 2, size(parts) - i - 1),
+            y -> struct(x AS a, y AS b))))
+"""
+
+
+def order_baskets(lineitem: DataFrame, cap: int = BASKET_CAP) -> DataFrame:
+    """Per-order sorted distinct part arrays, capped at ``cap`` parts."""
+    return (
+        lineitem.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts").between(2, cap))
+    )
+
+
+def copurchase_pairs(lineitem: DataFrame, cap: int = BASKET_CAP) -> DataFrame:
+    """(part_a, part_b, pair_count) for every co-purchased part pair."""
+    return (
+        order_baskets(lineitem, cap)
+        .select(F.explode(F.expr(_PAIRS_EXPR)).alias("pr"))
+        .select(F.col("pr.a").alias("part_a"), F.col("pr.b").alias("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+
+
+# The oracle uses the textbook self-join formulation — deliberately a
+# DIFFERENT algorithm from the joinless array expansion it checks.
+_ITEMS_DUCK = f"""
+items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sized AS (
+  SELECT l_orderkey FROM items
+  GROUP BY l_orderkey HAVING COUNT(*) BETWEEN 2 AND {BASKET_CAP}
+),
+it AS (SELECT i.* FROM items i JOIN sized USING (l_orderkey))
+"""
+
+_PAIRS_ORACLE = f"""
+WITH {_ITEMS_DUCK}
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS pair_count
+FROM it a JOIN it b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY pair_count DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+@register(
+    "mining_copurchase_pairs",
+    oracle=_PAIRS_ORACLE,
+    doc="Top-20 co-purchased part pairs via joinless capped-basket array "
+    "expansion (oracle uses the self-join formulation).",
+)
+def mining_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        copurchase_pairs(load_table(spark, sf_dir, "lineitem"))
+        .orderBy(F.desc("pair_count"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+def copurchase_edges(lineitem: DataFrame, cap: int = BASKET_CAP) -> DataFrame:
+    """Distinct undirected co-purchase edges, canonically oriented a < b."""
+    return (
+        copurchase_pairs(lineitem, cap)
+        .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count on canonically-oriented (a < b) edges."""
+    e1 = edges
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    # Each triangle a<b<c corresponds to exactly one wedge row (edges are
+    # distinct, so wedge rows are distinct per (a,b,c)); LEFT SEMI keeps
+    # every closed wedge row without multiplying by closing-edge matches.
+    wedges = e1.join(e2, "b").select("a", "c")
+    closing = edges.select(F.col("a"), F.col("b").alias("c"))
+    return wedges.join(closing, ["a", "c"], "left_semi").agg(
+        F.count(F.lit(1)).alias("triangle_count")
+    )
+
+
+_TRIANGLE_ORACLE = f"""
+WITH {_ITEMS_DUCK},
+edges AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM it a JOIN it b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT COUNT(*) AS triangle_count
+FROM edges e1
+JOIN edges e2 ON e2.a = e1.b
+JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle=_TRIANGLE_ORACLE,
+    doc="Exact triangle count on the co-purchase part graph (a<b<c "
+    "canonical wedges closed by semi join).",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_count(copurchase_edges(load_table(spark, sf_dir, "lineitem")))

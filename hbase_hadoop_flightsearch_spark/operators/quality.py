@@ -1,0 +1,125 @@
+"""Data-quality validation suite (training-pipeline extension).
+
+Deequ-style constraint metrics computed in ONE pass over the fact table:
+completeness (null fractions), key uniqueness, range / set-membership
+compliance, and referential integrity against a dimension — the checks a
+100 TB ingest pipeline runs before publishing a snapshot. The reference has
+no data-quality layer at all (its ingest is fire-and-forget puts,
+HPopulate/Main.java:97-116), so every malformed row silently skews the
+report; this operator is the missing gate.
+
+Spark-first design: every metric is a conditional aggregate over the same
+scan — Catalyst fuses them into a single partial/final hash aggregate, so
+adding a metric costs one column in the agg buffer, not another pass.
+Referential integrity rides the same scan via a broadcast LEFT JOIN on the
+dimension's key column (dim keys are small even at 100 TB fact scale:
+customer keys at SF100k are ~10^9 rows — at that point swap the broadcast
+for a shuffle join or a bloom pre-filter; the metric expression is
+unchanged). The single wide agg row is then unpivoted driver-free with
+``stack`` into (metric, value) rows.
+
+Scale notes (100 TB): exactly-one full scan + O(1) output; the only
+all-to-all movement is the count-distinct for key uniqueness (Expand +
+re-aggregation on the key). If that shuffle dominates, downgrade the
+uniqueness rule to ``approx_count_distinct`` (HLL, no Expand) — kept exact
+here so DuckDB can oracle it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+# (metric name, Spark boolean-violation expr factory) — the fraction metrics
+# are avg(violation); shared by the query and the injected-violation test.
+_DATE_LO, _DATE_HI = "1992-01-01", "2005-12-31"
+_VALID_STATUS = ("F", "O", "P")
+
+
+def _frac(cond) -> F.Column:
+    return F.avg(cond.cast("int"))
+
+
+def dq_metrics_orders_df(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """(metric, value) rows for the orders table validated against the
+    customer dimension. ``customer`` only needs ``c_custkey``."""
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey")),
+        orders["o_custkey"] == F.col("c_custkey"),
+        "left",
+    )
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("double").alias("row_count"),
+        _frac(F.col("o_orderkey").isNull()).alias("orderkey_null_frac"),
+        _frac(F.col("o_custkey").isNull()).alias("custkey_null_frac"),
+        (F.count_distinct(F.col("o_orderkey")) / F.count(F.lit(1))).alias(
+            "orderkey_unique_ratio"
+        ),
+        _frac(F.col("o_totalprice") <= 0).alias("totalprice_nonpositive_frac"),
+        _frac(~F.col("o_orderdate").between(_DATE_LO, _DATE_HI)).alias(
+            "orderdate_out_of_range_frac"
+        ),
+        _frac(~F.col("o_orderstatus").isin(*_VALID_STATUS)).alias(
+            "status_invalid_frac"
+        ),
+        _frac(F.col("c_custkey").isNull()).alias("custkey_orphan_frac"),
+    )
+    metrics = [
+        "row_count",
+        "orderkey_null_frac",
+        "custkey_null_frac",
+        "orderkey_unique_ratio",
+        "totalprice_nonpositive_frac",
+        "orderdate_out_of_range_frac",
+        "status_invalid_frac",
+        "custkey_orphan_frac",
+    ]
+    stack_args = ", ".join(f"'{m}', round({m}, 6)" for m in metrics)
+    return agg.selectExpr(
+        f"stack({len(metrics)}, {stack_args}) AS (metric, value)"
+    )
+
+
+_DQ_ORACLE = f"""
+WITH j AS (
+  SELECT o.*, c.c_custkey AS ck
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+),
+agg AS (
+  SELECT
+    COUNT(*)::DOUBLE AS row_count,
+    AVG(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::DOUBLE AS orderkey_null_frac,
+    AVG(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::DOUBLE AS custkey_null_frac,
+    (COUNT(DISTINCT o_orderkey)::DOUBLE / COUNT(*)) AS orderkey_unique_ratio,
+    AVG(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::DOUBLE AS totalprice_nonpositive_frac,
+    AVG(CASE WHEN o_orderdate NOT BETWEEN DATE '{_DATE_LO}' AND DATE '{_DATE_HI}'
+        THEN 1 ELSE 0 END)::DOUBLE AS orderdate_out_of_range_frac,
+    AVG(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END)::DOUBLE
+        AS status_invalid_frac,
+    AVG(CASE WHEN ck IS NULL THEN 1 ELSE 0 END)::DOUBLE AS custkey_orphan_frac
+  FROM j
+)
+SELECT 'row_count' AS metric, ROUND(row_count, 6) AS value FROM agg
+UNION ALL SELECT 'orderkey_null_frac', ROUND(orderkey_null_frac, 6) FROM agg
+UNION ALL SELECT 'custkey_null_frac', ROUND(custkey_null_frac, 6) FROM agg
+UNION ALL SELECT 'orderkey_unique_ratio', ROUND(orderkey_unique_ratio, 6) FROM agg
+UNION ALL SELECT 'totalprice_nonpositive_frac', ROUND(totalprice_nonpositive_frac, 6) FROM agg
+UNION ALL SELECT 'orderdate_out_of_range_frac', ROUND(orderdate_out_of_range_frac, 6) FROM agg
+UNION ALL SELECT 'status_invalid_frac', ROUND(status_invalid_frac, 6) FROM agg
+UNION ALL SELECT 'custkey_orphan_frac', ROUND(custkey_orphan_frac, 6) FROM agg
+"""
+
+
+@register(
+    "dq_metrics_orders",
+    oracle=_DQ_ORACLE,
+    doc="Single-pass Deequ-style quality metrics: completeness, key "
+    "uniqueness, range/set compliance, referential integrity (broadcast).",
+)
+def dq_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dq_metrics_orders_df(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )

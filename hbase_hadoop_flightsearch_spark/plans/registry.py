@@ -56,6 +56,9 @@ _QUERY_MODULES = [
     "hbase_hadoop_flightsearch_spark.operators.similarity",
     "hbase_hadoop_flightsearch_spark.operators.sketches",
     "hbase_hadoop_flightsearch_spark.operators.clustering",
+    "hbase_hadoop_flightsearch_spark.operators.quality",
+    "hbase_hadoop_flightsearch_spark.operators.mining",
+    "hbase_hadoop_flightsearch_spark.operators.cdc",
     "hbase_hadoop_flightsearch_spark.sources.pyds",
     "hbase_hadoop_flightsearch_spark.sources.layout",
     "hbase_hadoop_flightsearch_spark.functions.scalar",

@@ -1,0 +1,57 @@
+"""CDC merge invariants beyond the DuckDB oracle: keyset algebra
+(result keys = snapshot \\ deletes ∪ inserts), last-writer-wins on
+competing updates, and payload correctness per op."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hbase_hadoop_flightsearch_spark.operators.cdc import (
+    _INSERT_KEY_SHIFT,
+    merge_cdc,
+    synthetic_change_feed,
+)
+from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+
+def test_merge_keyset_algebra(spark, sf_smoke):
+    orders = load_table(spark, sf_smoke, "orders")
+    merged = merge_cdc(orders, synthetic_change_feed(orders))
+    base = {r["o_orderkey"] for r in orders.select("o_orderkey").collect()}
+    got = {r["o_orderkey"] for r in merged.select("o_orderkey").collect()}
+    deleted = {k for k in base if k % 10 == 1}
+    inserted = {k + _INSERT_KEY_SHIFT for k in base if k % 10 == 2}
+    assert got == (base - deleted) | inserted
+
+
+def test_last_writer_wins_and_payloads(spark):
+    snapshot = spark.createDataFrame(
+        [(10, 500.0, "O"), (11, 60.0, "F"), (13, 70.0, "P")],
+        "o_orderkey long, o_totalprice double, o_orderstatus string",
+    )
+    feed = spark.createDataFrame(
+        [
+            (10, "U", 111.0, "O", 1),
+            (10, "U", 222.0, "O", 2),  # later seq must win
+            (11, "D", None, None, 1),
+            (99, "I", 9.5, "F", 1),
+        ],
+        "o_orderkey long, op string, new_price double, new_status string, seq int",
+    )
+    got = {
+        r["o_orderkey"]: (r["o_totalprice"], r["o_orderstatus"])
+        for r in merge_cdc(snapshot, feed).collect()
+    }
+    assert got == {
+        10: (222.0, "O"),  # update, seq 2
+        13: (70.0, "P"),  # untouched
+        99: (9.5, "F"),  # insert
+    }
+
+
+def test_merge_is_idempotent_on_empty_feed(spark, sf_smoke):
+    orders = load_table(spark, sf_smoke, "orders")
+    empty = synthetic_change_feed(orders).filter(F.lit(False))
+    merged = merge_cdc(orders, empty)
+    assert merged.count() == orders.count()
+    assert merged.filter(F.col("o_orderstatus").isNull()).count() == 0

@@ -1,0 +1,80 @@
+"""Mining-operator tests beyond the DuckDB oracle: algorithm cross-checks
+(joinless expansion vs self-join; Spark triangles vs brute force) and the
+basket-size cap contract."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_hadoop_flightsearch_spark.operators.mining import (
+    copurchase_edges,
+    copurchase_pairs,
+    order_baskets,
+    triangle_count,
+)
+from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+
+def test_pairs_match_selfjoin_formulation(spark, sf_smoke):
+    """The joinless array expansion must equal the textbook self-join,
+    computed here in Spark (the DuckDB oracle re-proves this at sf0.01)."""
+    li = load_table(spark, sf_smoke, "lineitem")
+    got = {
+        (r["part_a"], r["part_b"]): r["pair_count"]
+        for r in copurchase_pairs(li).collect()
+    }
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    want_df = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .count()
+    )
+    want = {(r["part_a"], r["part_b"]): r["count"] for r in want_df.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_basket_cap_excludes_oversized_orders(spark):
+    li = spark.createDataFrame(
+        [(1, p) for p in range(10)] + [(2, 1), (2, 2), (3, 7)],
+        "l_orderkey long, l_partkey long",
+    )
+    baskets = {r["l_orderkey"]: r["parts"] for r in order_baskets(li, cap=5).collect()}
+    assert set(baskets) == {2}  # order 1 over cap, order 3 a singleton
+    assert baskets[2] == [1, 2]
+
+
+def test_triangles_match_bruteforce(spark, sf_smoke):
+    edges = copurchase_edges(load_table(spark, sf_smoke, "lineitem"))
+    es = {(r["a"], r["b"]) for r in edges.collect()}
+    adj: dict[int, set[int]] = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = sum(
+        1
+        for v, nbrs in adj.items()
+        for x, y in combinations(sorted(nbrs), 2)
+        if v < x < y and (x, y) in es
+    )
+    got = triangle_count(edges).first()["triangle_count"]
+    assert got == want
+
+
+def test_triangle_count_on_known_graph(spark):
+    # K4 has 4 triangles; an attached pendant edge adds none.
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in combinations(range(4), 2)] + [(3, 9)],
+        "a long, b long",
+    )
+    assert triangle_count(edges).first()["triangle_count"] == 4
