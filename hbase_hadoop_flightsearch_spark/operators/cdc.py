@@ -122,6 +122,84 @@ FROM merged WHERE op IS NULL OR op <> 'D'
 """
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """CDC *capture*: classify each key across two snapshots as I/U/D.
+
+    The exact inverse of :func:`merge_cdc` — ``merge_cdc(old,
+    snapshot_diff(old, new))`` reproduces ``new`` (property-tested in
+    test_cdc.py). One full-outer shuffle join on the key; payload change
+    detection is a null-safe struct comparison so NULL payloads diff
+    correctly. At 100 TB both snapshots bucketed on the key make this
+    exchange-free; this is how you bootstrap a CDC feed when the source
+    can't emit one.
+    """
+    o = old.select(
+        "o_orderkey",
+        F.struct("o_totalprice", "o_orderstatus").alias("old_p"),
+    )
+    n = new.select(
+        "o_orderkey",
+        F.struct("o_totalprice", "o_orderstatus").alias("new_p"),
+    )
+    j = o.join(n, "o_orderkey", "full_outer")
+    return (
+        j.withColumn(
+            "op",
+            F.when(F.col("old_p").isNull(), "I")
+            .when(F.col("new_p").isNull(), "D")
+            .when(~F.col("old_p").eqNullSafe(F.col("new_p")), "U"),
+        )
+        .filter(F.col("op").isNotNull())
+        .select(
+            "o_orderkey",
+            "op",
+            F.round(F.col("new_p.o_totalprice"), 2).alias("new_price"),
+            F.col("new_p.o_orderstatus").alias("new_status"),
+        )
+    )
+
+
+_DIFF_ORACLE = f"""
+WITH new_snap AS ({_CDC_ORACLE}),
+old_snap AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+j AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_orderkey IS NOT NULL AS in_old,
+         n.o_orderkey IS NOT NULL AS in_new,
+         o.o_totalprice AS op_price, o.o_orderstatus AS op_status,
+         n.o_totalprice AS np_price, n.o_orderstatus AS np_status
+  FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN NOT in_old THEN 'I' WHEN NOT in_new THEN 'D' ELSE 'U' END AS op,
+       ROUND(np_price, 2) AS new_price,
+       np_status AS new_status
+FROM j
+WHERE NOT in_old OR NOT in_new
+   OR op_price IS DISTINCT FROM np_price
+   OR op_status IS DISTINCT FROM np_status
+"""
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle=_DIFF_ORACLE,
+    doc="CDC capture: I/U/D classification of two snapshots via one "
+    "full-outer join with null-safe payload comparison (inverse of merge).",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    new_snap = merge_cdc(orders, synthetic_change_feed(orders))
+    return snapshot_diff(
+        orders.select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "o_orderstatus",
+        ),
+        new_snap,
+    )
+
+
 @register(
     "cdc_merge_orders",
     oracle=_CDC_ORACLE,

@@ -101,3 +101,92 @@ def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is deterministic given the hash constants)."""
     est = countmin_estimates(_tokens(spark, sf_dir))
     return est.orderBy(F.desc("est_count"), "token").limit(TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile digest (t-digest-style equal-weight centroids).
+#
+# Exact percentiles at 100 TB need a global sort or a per-key NTILE pass
+# (agg_histogram_equidepth pays that honest cost); the digest instead keeps
+# <= K (mean, count) centroids per Arrow batch — compression happens
+# MAP-SIDE inside mapInPandas, so the shuffle is O(batches * K) centroid
+# rows regardless of data volume, and centroid sets merge by concatenation
+# (associative + commutative -> partition-count invariant up to the rank
+# error bound, which tests assert). Rank error is ~N/K: each batch places
+# a value at most one chunk (n_b/K rows) away from its true rank.
+
+DIGEST_K = 256  # centroids per batch; rank error ~ rows/K
+DIGEST_QS = [0.01, 0.25, 0.5, 0.75, 0.99]
+
+
+def _compress_np(vals, k: int):
+    import numpy as np
+
+    vals = np.sort(vals)
+    return [
+        (float(c.mean()), int(len(c)))
+        for c in np.array_split(vals, min(k, len(vals)))
+        if len(c)
+    ]
+
+
+def quantile_digest_centroids(
+    df: DataFrame, col: str, k: int = DIGEST_K
+) -> DataFrame:
+    """Per-Arrow-batch equal-weight centroids (mean, cnt) of ``col``."""
+    import numpy as np
+    import pandas as pd
+
+    def partial(batches):
+        for pdf in batches:
+            v = pdf[col].to_numpy(dtype="float64")
+            v = v[~np.isnan(v)]
+            if len(v):
+                yield pd.DataFrame(_compress_np(v, k), columns=["mean", "cnt"])
+
+    return df.select(F.col(col).cast("double").alias(col)).mapInPandas(
+        partial, "mean double, cnt long"
+    )
+
+
+def quantile_digest_estimates(centroids: DataFrame, qs=DIGEST_QS) -> DataFrame:
+    """Merge all centroids (one tiny task) and interpolate quantiles at
+    midpoint ranks — the standard weighted-percentile finish."""
+    import numpy as np
+    import pandas as pd
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("mean")
+        cnt = pdf["cnt"].to_numpy(dtype="float64")
+        mean = pdf["mean"].to_numpy(dtype="float64")
+        n = cnt.sum()
+        # a centroid of cnt rows ending at cumulative rank cum covers ranks
+        # [cum-cnt, cum-1]; its mean sits at their average, which makes
+        # singleton centroids reproduce exact empirical quantiles
+        mid = np.cumsum(cnt) - (cnt + 1.0) / 2.0
+        est = np.interp([q * (n - 1) for q in qs], mid, mean)
+        return pd.DataFrame({"q": qs, "est": np.round(est, 4)})
+
+    return (
+        centroids.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            lambda _key, pdf: finish(pdf), "q double, est double"
+        )
+    )
+
+
+@register(
+    "sketch_quantile_digest",
+    oracle=None,  # approximate by construction; rank-error bound vs exact
+    # percentiles + partition-count invariance asserted in test_sketches
+    doc="Mergeable quantile digest (E4): map-side equal-weight centroid "
+    "compression in mapInPandas (O(batches*K) shuffle), weighted-"
+    "interpolation finish. Rank error ~N/K; exact twin is "
+    "agg_percentiles_order_value.",
+)
+def sketch_quantile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return quantile_digest_estimates(
+        quantile_digest_centroids(orders, "o_totalprice")
+    )

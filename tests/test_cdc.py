@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from hbase_hadoop_flightsearch_spark.operators.cdc import (
     _INSERT_KEY_SHIFT,
     merge_cdc,
+    snapshot_diff,
     synthetic_change_feed,
 )
 from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
@@ -47,6 +48,37 @@ def test_last_writer_wins_and_payloads(spark):
         13: (70.0, "P"),  # untouched
         99: (9.5, "F"),  # insert
     }
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_diff_then_merge_roundtrip(spark, sf_smoke):
+    """merge(old, diff(old, new)) must reproduce new exactly — capture and
+    apply are inverses."""
+    orders = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    new_snap = merge_cdc(orders, synthetic_change_feed(orders))
+    feed = snapshot_diff(orders, new_snap).withColumn("seq", F.lit(1))
+    replayed = merge_cdc(orders, feed)
+    assert _rows(replayed) == _rows(new_snap)
+
+
+def test_diff_emits_no_noop_updates(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0, "O"), (2, 20.0, "F")],
+        "o_orderkey long, o_totalprice double, o_orderstatus string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "O"), (2, 21.0, "F")],
+        "o_orderkey long, o_totalprice double, o_orderstatus string",
+    )
+    got = {(r["o_orderkey"], r["op"]) for r in snapshot_diff(old, new).collect()}
+    assert got == {(2, "U")}  # unchanged key 1 is silent
 
 
 def test_merge_is_idempotent_on_empty_feed(spark, sf_smoke):

@@ -67,3 +67,66 @@ def test_countmin_registry_output_shape(spark):
     # Descending by estimate, ties by token — deterministic output.
     ests = [r["est_count"] for r in rows]
     assert ests == sorted(ests, reverse=True)
+
+
+def _digest_rank_errors(spark, df, col, n_parts: int):
+    """Max |rank(est) - target rank| over DIGEST_QS, plus N."""
+    import numpy as np
+
+    from hbase_hadoop_flightsearch_spark.operators.sketches import (
+        DIGEST_QS,
+        quantile_digest_centroids,
+        quantile_digest_estimates,
+    )
+
+    exact = np.sort(
+        np.array([r[col] for r in df.select(col).collect()], dtype="float64")
+    )
+    n = len(exact)
+    ests = {
+        r["q"]: r["est"]
+        for r in quantile_digest_estimates(
+            quantile_digest_centroids(df.repartition(n_parts), col)
+        ).collect()
+    }
+    errs = {}
+    for q in DIGEST_QS:
+        rank = np.searchsorted(exact, ests[q])
+        errs[q] = abs(rank - q * (n - 1))
+    return errs, n
+
+
+def test_quantile_digest_rank_error_bound(spark, sf_correctness):
+    from hbase_hadoop_flightsearch_spark.operators.sketches import DIGEST_K
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf_correctness, "orders")
+    for parts in (1, 8):
+        errs, n = _digest_rank_errors(spark, orders, "o_totalprice", parts)
+        # ~2 batches/partition at sf0.01 -> bound 2*N/K plus interp slack;
+        # partition-count invariance = the bound holds at BOTH layouts.
+        bound = 2 * n / DIGEST_K + 8
+        for q, e in errs.items():
+            assert e <= bound, (parts, q, e, bound)
+
+
+def test_quantile_digest_exact_when_uncompressed(spark):
+    """With fewer rows than K the digest holds every value — estimates
+    must interpolate the exact empirical quantiles."""
+    import numpy as np
+
+    from hbase_hadoop_flightsearch_spark.operators.sketches import (
+        quantile_digest_centroids,
+        quantile_digest_estimates,
+    )
+
+    vals = [float(v) for v in range(101)]  # 0..100
+    df = spark.createDataFrame([(v,) for v in vals], "x double").coalesce(1)
+    got = {
+        r["q"]: r["est"]
+        for r in quantile_digest_estimates(
+            quantile_digest_centroids(df, "x")
+        ).collect()
+    }
+    for q, est in got.items():
+        assert abs(est - np.quantile(np.array(vals), q)) < 1e-6, (q, est)
