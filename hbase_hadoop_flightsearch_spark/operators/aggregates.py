@@ -559,3 +559,49 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@register(
+    "agg_robust_stats",
+    oracle="""
+WITH med AS (
+  SELECT o_orderpriority AS priority, median(o_totalprice) AS med
+  FROM orders GROUP BY 1
+)
+SELECT m.priority,
+  ROUND(m.med, 2) AS p50,
+  ROUND(median(abs(o.o_totalprice - m.med)), 2) AS mad,
+  ROUND(quantile_cont(o.o_totalprice, 0.75)
+        - quantile_cont(o.o_totalprice, 0.25), 2) AS iqr
+FROM orders o JOIN med m ON o.o_orderpriority = m.priority
+GROUP BY m.priority, m.med
+""",
+    doc="Robust dispersion stats (E4): per-group median, MAD, IQR. MAD is "
+    "inherently two-pass (median of deviations from the median) — pass 1 "
+    "aggregates per-group medians, pass 2 re-joins them broadcast so the "
+    "fact table is scanned twice but shuffled on the group key only once "
+    "more; moment stats (exact skew/kurtosis) are the one-pass twin.",
+)
+def agg_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    med = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    return (
+        orders.join(
+            F.broadcast(med),
+            orders["o_orderpriority"] == med["priority"],
+        )
+        .groupBy("priority", "med")
+        .agg(
+            F.expr("percentile(abs(o_totalprice - med), 0.5)").alias("mad_raw"),
+            F.expr("percentile(o_totalprice, 0.75)").alias("q75"),
+            F.expr("percentile(o_totalprice, 0.25)").alias("q25"),
+        )
+        .select(
+            "priority",
+            F.round("med", 2).alias("p50"),
+            F.round("mad_raw", 2).alias("mad"),
+            F.round(F.col("q75") - F.col("q25"), 2).alias("iqr"),
+        )
+    )

@@ -325,3 +325,84 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "suppkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Single-source shortest paths (BFS) — the third iterative graph operator
+# (with min-label components and PageRank). Frontier expansion: each round
+# joins the CURRENT frontier (vertices settled last round) against the edge
+# list and keeps neighbors not yet settled — per-round work is
+# O(frontier-adjacent edges), not O(V); localCheckpoint truncates lineage.
+# Round count = eccentricity of the source, bounded by MAX_DEPTH to match
+# the depth-bounded recursive-CTE oracle on cyclic graphs.
+
+BFS_MAX_DEPTH = 10
+
+
+def bfs_distances(
+    edges: DataFrame, source: int, max_depth: int = BFS_MAX_DEPTH
+) -> DataFrame:
+    """(v, dist) for every vertex within ``max_depth`` hops of ``source``
+    over undirected edges (cols a, b)."""
+    sym = _symmetric(
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    ).localCheckpoint()
+    spark = edges.sparkSession
+    settled = spark.createDataFrame([(source, 0)], "v long, dist int")
+    frontier = settled
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            sym.join(frontier.select(F.col("v").alias("src")), "src")
+            .select(F.col("dst").alias("v"))
+            .distinct()
+            .join(settled.select("v"), "v", "left_anti")
+            .withColumn("dist", F.lit(depth))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        settled = settled.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    return settled
+
+
+from .mining import _ITEMS_DUCK  # noqa: E402  (shared basket CTE text)
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE {_ITEMS_DUCK},
+epairs AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM it x JOIN it y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+sym AS (
+  SELECT a AS src, b AS dst FROM epairs
+  UNION ALL SELECT b, a FROM epairs
+),
+srcv AS (SELECT MIN(a) AS s FROM epairs),
+walk(v, d) AS (
+  SELECT s, 0 FROM srcv
+  UNION
+  SELECT sym.dst, walk.d + 1
+  FROM walk JOIN sym ON sym.src = walk.v
+  WHERE walk.d < {BFS_MAX_DEPTH}
+)
+SELECT v, MIN(d) AS dist FROM walk GROUP BY v
+"""
+
+
+@register(
+    "graph_bfs_distances",
+    oracle=_BFS_ORACLE,
+    doc="Single-source BFS shortest paths on the co-purchase part graph "
+    "(frontier expansion, per-round cost O(frontier edges)); oracle is a "
+    "depth-bounded recursive CTE.",
+)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .mining import copurchase_edges
+
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    source = edges.agg(F.min("a")).collect()[0][0]
+    return bfs_distances(edges, source).select(
+        "v", F.col("dist").cast("long").alias("dist")
+    )

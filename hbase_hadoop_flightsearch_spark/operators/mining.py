@@ -147,3 +147,118 @@ JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(copurchase_edges(load_table(spark, sf_dir, "lineitem")))
+
+
+MIN_PAIR_SUPPORT = 2  # absolute basket count for a pair to form rules
+
+
+def association_rules(lineitem: DataFrame, cap: int = BASKET_CAP) -> DataFrame:
+    """a→b rules with confidence and lift from capped baskets.
+
+    confidence(a→b) = n(ab)/n(a); lift = confidence / (n(b)/N). Everything
+    derives from two aggregates over the SAME basket build — item counts
+    (explode, one shuffle on part) and pair counts (the joinless expansion)
+    — then two broadcast joins of the tiny item-count side and a scalar
+    basket total. No pass over the fact table beyond the basket groupBy.
+    """
+    baskets = order_baskets(lineitem, cap).cache()
+    n_baskets = baskets.select(
+        F.count(F.lit(1)).cast("double").alias("n_total")
+    )
+    item_counts = (
+        baskets.select(F.explode("parts").alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    pairs = copurchase_pairs_from_baskets(baskets).filter(
+        F.col("pair_count") >= MIN_PAIR_SUPPORT
+    )
+    # both rule directions from each unordered pair
+    directed = pairs.select(
+        F.col("part_a").alias("ante"), F.col("part_b").alias("cons"), "pair_count"
+    ).unionAll(
+        pairs.select(
+            F.col("part_b").alias("ante"), F.col("part_a").alias("cons"), "pair_count"
+        )
+    )
+    return (
+        directed.join(
+            F.broadcast(item_counts.withColumnRenamed("n_item", "n_ante")),
+            directed["ante"] == item_counts["part"],
+        )
+        .drop("part")
+        .join(
+            F.broadcast(item_counts.withColumnRenamed("n_item", "n_cons")),
+            F.col("cons") == item_counts["part"],
+        )
+        .drop("part")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "ante",
+            "cons",
+            "pair_count",
+            F.round(
+                F.col("pair_count").cast("double") / F.col("n_ante").cast("double"),
+                6,
+            ).alias("confidence"),
+            F.round(
+                (F.col("pair_count").cast("double") / F.col("n_ante").cast("double"))
+                / (F.col("n_cons").cast("double") / F.col("n_total")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def copurchase_pairs_from_baskets(baskets: DataFrame) -> DataFrame:
+    return (
+        baskets.select(F.explode(F.expr(_PAIRS_EXPR)).alias("pr"))
+        .select(F.col("pr.a").alias("part_a"), F.col("pr.b").alias("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+
+
+_RULES_ORACLE = f"""
+WITH {_ITEMS_DUCK},
+n AS (SELECT COUNT(DISTINCT l_orderkey)::DOUBLE AS n_total FROM it),
+item_counts AS (
+  SELECT l_partkey AS part, COUNT(*) AS n_item FROM it GROUP BY 1
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS pair_count
+  FROM it a JOIN it b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {MIN_PAIR_SUPPORT}
+),
+directed AS (
+  SELECT part_a AS ante, part_b AS cons, pair_count FROM pairs
+  UNION ALL
+  SELECT part_b, part_a, pair_count FROM pairs
+)
+SELECT d.ante, d.cons, d.pair_count,
+  ROUND(d.pair_count::DOUBLE / ia.n_item::DOUBLE, 6) AS confidence,
+  ROUND((d.pair_count::DOUBLE / ia.n_item::DOUBLE)
+        / (ic.n_item::DOUBLE / n.n_total), 6) AS lift
+FROM directed d
+JOIN item_counts ia ON d.ante = ia.part
+JOIN item_counts ic ON d.cons = ic.part
+CROSS JOIN n
+ORDER BY lift DESC, ante, cons
+LIMIT 20
+"""
+
+
+@register(
+    "mining_assoc_rules",
+    oracle=_RULES_ORACLE,
+    doc="Association rules (confidence + lift) from capped baskets: item "
+    "counts + joinless pair counts + two broadcast joins; top-20 by lift.",
+)
+def mining_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        association_rules(load_table(spark, sf_dir, "lineitem"))
+        .orderBy(F.desc("lift"), "ante", "cons")
+        .limit(20)
+    )

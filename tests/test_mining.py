@@ -78,3 +78,42 @@ def test_triangle_count_on_known_graph(spark):
         "a long, b long",
     )
     assert triangle_count(edges).first()["triangle_count"] == 4
+
+
+def test_bfs_distances_on_known_graph(spark):
+    from hbase_hadoop_flightsearch_spark.operators.graph import bfs_distances
+
+    # path 0-1-2-3 plus triangle shortcut 0-2; vertex 9 unreachable island
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 2), (8, 9)], "a long, b long"
+    )
+    got = {r["v"]: r["dist"] for r in bfs_distances(edges, source=0).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_bfs_depth_bound_truncates(spark):
+    from hbase_hadoop_flightsearch_spark.operators.graph import bfs_distances
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "a long, b long"
+    )
+    got = {r["v"]: r["dist"] for r in bfs_distances(chain, 0, max_depth=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # vertices past depth 3 absent
+
+
+def test_assoc_rules_hand_computed(spark):
+    from hbase_hadoop_flightsearch_spark.operators.mining import association_rules
+
+    # baskets: {1,2} x3, {1,3}, {2,3} -> N=5
+    rows = []
+    for o, parts in enumerate([(1, 2), (1, 2), (1, 2), (1, 3), (2, 3)]):
+        rows += [(o, p) for p in parts]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {
+        (r["ante"], r["cons"]): (r["pair_count"], r["confidence"], r["lift"])
+        for r in association_rules(li).collect()
+    }
+    # n(1)=4, n(2)=4, n(3)=2, n(12)=3 -> conf(1->2)=0.75, lift=0.75/(4/5)
+    assert got[(1, 2)] == (3, 0.75, round(0.75 / 0.8, 6))
+    assert got[(2, 1)] == (3, 0.75, round(0.75 / 0.8, 6))
+    assert (1, 3) not in got  # pair_count 1 < MIN_PAIR_SUPPORT
