@@ -501,3 +501,47 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(t, F.lit(email)).alias("n_emails"),
         F.regexp_count(t, F.lit(phone)).alias("n_phones"),
     )
+
+
+@register(
+    "text_inverted_index",
+    oracle="""
+WITH posting AS (
+  SELECT token, doc_id FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> ''
+  GROUP BY token, doc_id
+)
+SELECT token,
+  COUNT(*) AS df,
+  list_sort(list(doc_id)) AS postings
+FROM posting
+GROUP BY token
+ORDER BY df DESC, token
+LIMIT 30
+""",
+    doc="Inverted-index build (E12): token -> sorted doc-id posting list + "
+    "document frequency; top-30 terms by df. One explode + one shuffle on "
+    "the term key; postings arrive sorted because collect_list runs over "
+    "the deduped (token, doc) pairs and is array_sort-normalized — at "
+    "100 TB this is the classic index-build job: shuffle O(distinct "
+    "(token, doc) pairs), posting lists written per term partition.",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    posting = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    return (
+        posting.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_sort(F.collect_list("doc_id")).alias("postings"),
+        )
+        .orderBy(F.desc("df"), "token")
+        .limit(30)
+    )

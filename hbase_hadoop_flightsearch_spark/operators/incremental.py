@@ -1,0 +1,103 @@
+"""Incremental aggregate maintenance (delta processing).
+
+A 100 TB nightly pipeline cannot re-aggregate history to refresh a report;
+it keeps a MERGEABLE per-group state (count, decimal sum, min, max) and
+folds in each new partition's partial state — the batch twin of the
+streaming foreachBatch rollup (streaming/rollup.py), and the same
+partial/final split Spark's own hash aggregate performs inside one job,
+lifted across job boundaries.
+
+The registered query proves exactness, not just plumbing: it builds the
+state from the historical slice, merges the delta slice's state, finalizes
+(avg = decimal-sum/count finalized in double), and the DuckDB oracle is the
+ONE-SHOT aggregate over the whole table — incremental and full recompute
+must agree value-for-value. Mergeability rules: count/sum/min/max compose
+by (+, +, least, greatest); avg is derived at finalize only (never stored);
+sums are DECIMAL(18,2) because the money columns are cents-exact, making
+the merged sum independent of both merge order and engine.
+
+Scale notes: each refresh aggregates ONLY the delta (one shuffle of
+O(delta) on the group key) then joins O(groups) states — the full-outer
+state merge is dimension-sized, never fact-sized. The stored state is what
+you'd persist per partition in the lake (c.f. overwrite_partitions_dynamic)
+to restate any window by re-merging surviving partitions' states.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+SPLIT_DATE = "1999-01-01"  # history < split <= delta
+
+
+def group_state(orders: DataFrame) -> DataFrame:
+    """Mergeable per-priority aggregate state."""
+    return orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_c"),
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+    )
+
+
+def merge_states(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two states; groups may be present in either side only."""
+    a2 = a.select(
+        "priority",
+        F.col("n").alias("n_a"),
+        F.col("sum_c").alias("s_a"),
+        F.col("mn").alias("mn_a"),
+        F.col("mx").alias("mx_a"),
+    )
+    b2 = b.select(
+        "priority",
+        F.col("n").alias("n_b"),
+        F.col("sum_c").alias("s_b"),
+        F.col("mn").alias("mn_b"),
+        F.col("mx").alias("mx_b"),
+    )
+    z = F.lit(0).cast("decimal(18,2)")
+    return a2.join(b2, "priority", "full_outer").select(
+        "priority",
+        (F.coalesce("n_a", F.lit(0)) + F.coalesce("n_b", F.lit(0))).alias("n"),
+        (F.coalesce("s_a", z) + F.coalesce("s_b", z)).alias("sum_c"),
+        F.least("mn_a", "mn_b").alias("mn"),  # least/greatest skip NULLs
+        F.greatest("mx_a", "mx_b").alias("mx"),
+    )
+
+
+def finalize_state(state: DataFrame) -> DataFrame:
+    revenue = F.col("sum_c").cast("double")
+    return state.select(
+        "priority",
+        "n",
+        revenue.alias("revenue"),
+        (revenue / F.col("n")).alias("avg_price"),
+        F.col("mn").alias("min_price"),
+        F.col("mx").alias("max_price"),
+    )
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+SELECT o_orderpriority AS priority, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  MIN(o_totalprice) AS min_price,
+  MAX(o_totalprice) AS max_price
+FROM orders GROUP BY 1
+""",
+    doc="Incremental aggregate maintenance: history state + delta state "
+    "merged (count/sum/min/max compose; avg finalized from decimal sum) "
+    "must equal the oracle's one-shot aggregate over everything.",
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    history = group_state(orders.filter(F.col("o_orderdate") < SPLIT_DATE))
+    delta = group_state(orders.filter(F.col("o_orderdate") >= SPLIT_DATE))
+    return finalize_state(merge_states(history, delta))

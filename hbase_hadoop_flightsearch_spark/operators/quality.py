@@ -123,3 +123,57 @@ def dq_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_metrics_orders_df(
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-invariant table fingerprint — migration / replication validation.
+# Each row canonicalizes to a '|'-joined string (ints as decimal text,
+# money as cents, timestamps as ISO dates — formats both engines produce
+# identically), hashes through md5 (the cross-engine hash primitive; 15 hex
+# chars = 60 bits fits BIGINT in both), and folds with BIT_XOR — order-
+# invariant and width-stable, so no overflow at any row count (a plain SUM
+# fingerprint overflows int64 past ~2^31 rows). XOR cancels duplicate ROW
+# PAIRS, so the fingerprint travels with the row count and the cents-exact
+# decimal revenue sum; all three must match for tables to be declared
+# equal. One scan, O(1) output, partial-aggregable map-side.
+
+
+def table_fingerprint_orders(orders: DataFrame) -> DataFrame:
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return orders.select(h.alias("h"), F.col("o_totalprice").alias("p")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(h)").alias("fp_xor"),
+        F.sum(F.col("p").cast("decimal(18,2)")).cast("double").alias("cents_sum"),
+    )
+
+
+_FP_ORACLE = """
+SELECT COUNT(*) AS n,
+  BIT_XOR(('0x' || substr(md5(concat_ws('|',
+      o_orderkey, o_custkey,
+      CAST(ROUND(o_totalprice * 100) AS BIGINT),
+      strftime(o_orderdate, '%Y-%m-%d'),
+      o_orderstatus, o_orderpriority)), 1, 15))::BIGINT) AS fp_xor,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS cents_sum
+FROM orders
+"""
+
+
+@register(
+    "dq_table_fingerprint",
+    oracle=_FP_ORACLE,
+    doc="Order-invariant cross-engine table checksum: canonical row string "
+    "-> md5[0:15] -> BIT_XOR fold, plus row count and decimal money sum. "
+    "Validates replication/migration without moving data.",
+)
+def dq_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table_fingerprint_orders(load_table(spark, sf_dir, "orders"))

@@ -59,6 +59,7 @@ _QUERY_MODULES = [
     "hbase_hadoop_flightsearch_spark.operators.quality",
     "hbase_hadoop_flightsearch_spark.operators.mining",
     "hbase_hadoop_flightsearch_spark.operators.cdc",
+    "hbase_hadoop_flightsearch_spark.operators.incremental",
     "hbase_hadoop_flightsearch_spark.sources.pyds",
     "hbase_hadoop_flightsearch_spark.sources.layout",
     "hbase_hadoop_flightsearch_spark.functions.scalar",

@@ -1,0 +1,57 @@
+"""Incremental-maintenance invariants beyond the oracle (which proves
+incremental == full recompute): merge associativity over many slices and
+state-shape stability."""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import functions as F
+
+from hbase_hadoop_flightsearch_spark.operators.incremental import (
+    finalize_state,
+    group_state,
+    merge_states,
+)
+from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_merge_is_associative_over_monthly_slices(spark, sf_smoke):
+    """Folding 12+ monthly states one at a time must equal the one-shot
+    state — the property that lets a pipeline refresh any cadence."""
+    orders = load_table(spark, sf_smoke, "orders")
+    months = [
+        r["m"]
+        for r in orders.select(F.date_trunc("month", "o_orderdate").alias("m"))
+        .distinct()
+        .collect()
+    ]
+    slices = [
+        group_state(
+            orders.filter(F.date_trunc("month", "o_orderdate") == m)
+        )
+        for m in sorted(months)
+    ]
+    folded = reduce(merge_states, slices)
+    assert _rows(finalize_state(folded)) == _rows(
+        finalize_state(group_state(orders))
+    )
+
+
+def test_merge_handles_one_sided_groups(spark):
+    a = spark.createDataFrame(
+        [("X", 10.0), ("X", 20.0)],
+        "o_orderpriority string, o_totalprice double",
+    )
+    b = spark.createDataFrame(
+        [("Y", 5.0)], "o_orderpriority string, o_totalprice double"
+    )
+    got = _rows(finalize_state(merge_states(group_state(a), group_state(b))))
+    assert got == [
+        ("X", 2, 30.0, 15.0, 10.0, 20.0),
+        ("Y", 1, 5.0, 5.0, 5.0, 5.0),
+    ]

@@ -86,3 +86,30 @@ def test_single_pass_plan(spark, sf_smoke):
     # each relation is scanned exactly once
     assert plan.count("orders.parquet") == 1
     assert plan.count("customer.parquet") == 1
+
+
+def test_fingerprint_is_partitioning_invariant_and_sensitive(spark, sf_smoke):
+    from hbase_hadoop_flightsearch_spark.operators.quality import (
+        table_fingerprint_orders,
+    )
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf_smoke, "orders")
+    base = table_fingerprint_orders(orders).first()
+    shuffled = table_fingerprint_orders(
+        orders.repartition(7, "o_custkey")
+    ).first()
+    assert tuple(base) == tuple(shuffled)  # row order/layout must not matter
+
+    # a one-cent change in one row must flip the fingerprint
+    tweaked = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey")
+            == orders.select(F.min("o_orderkey")).first()[0],
+            F.col("o_totalprice") + 0.01,
+        ).otherwise(F.col("o_totalprice")),
+    )
+    changed = table_fingerprint_orders(tweaked).first()
+    assert changed["n"] == base["n"]
+    assert changed["fp_xor"] != base["fp_xor"]
