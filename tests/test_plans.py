@@ -357,3 +357,40 @@ def test_runtime_bloom_filter_prefilters_fact_scan(spark):
         .count()
     )
     assert got == want and want > 0
+
+
+def test_copurchase_pairs_plan_is_joinless(spark, sf_smoke):
+    """The pair expansion must never degenerate into the self-join the
+    oracle uses: zero Join nodes, exactly two exchanges (basket build +
+    pair partial-agg)."""
+    from hbase_hadoop_flightsearch_spark.operators.mining import copurchase_pairs
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    plan = (
+        copurchase_pairs(load_table(spark, sf_smoke, "lineitem"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Join") == 0
+    assert plan.count("Exchange") == 2
+
+
+def test_fingerprint_plan_is_single_scan_partial_agg(spark, sf_smoke):
+    """Fingerprinting must stay one scan with map-side partial aggregation
+    — the shuffle carries ONE pre-aggregated row per task, so the plan
+    holds at any table size."""
+    from hbase_hadoop_flightsearch_spark.operators.quality import (
+        table_fingerprint_orders,
+    )
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    plan = (
+        table_fingerprint_orders(load_table(spark, sf_smoke, "orders"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("orders.parquet") == 1
+    assert "partial_bit_xor" in plan and "partial_sum" in plan
+    assert plan.count("Exchange SinglePartition") == 1
