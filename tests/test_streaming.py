@@ -405,3 +405,55 @@ def test_rocksdb_state_store_tumbling_equals_batch(spark, sf_smoke, tmp_path):
             spark.conf.set(key, old)
     want = tumbling_counts(load_table(spark, sf_smoke, "events"))
     assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_streaming_upsert_converges_to_batch_merge(spark, sf_smoke, tmp_path):
+    """Applying the change feed as sequential microbatches must converge to
+    the one-shot batch merge (absolute payloads compose across batches;
+    later batches win)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hbase_hadoop_flightsearch_spark.operators.cdc import (
+        merge_cdc,
+        synthetic_change_feed,
+    )
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+    from hbase_hadoop_flightsearch_spark.streaming.cdc import (
+        run_streaming_upsert,
+    )
+
+    orders = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    snapshot_path = str(tmp_path / "snapshot")
+    orders.write.parquet(snapshot_path)
+
+    feed = synthetic_change_feed(orders)
+    # batch 0: first-round updates; batch 1: superseding updates + D + I —
+    # exercises cross-batch last-writer-wins
+    batches = [
+        feed.filter((F.col("op") == "U") & (F.col("seq") == 1)),
+        feed.filter((F.col("op") != "U") | (F.col("seq") == 2)),
+    ]
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir)
+    for i, b in enumerate(batches):
+        d = f"{feed_dir}/part{i}"
+        b.coalesce(1).write.mode("overwrite").parquet(d)
+        f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
+        shutil.move(os.path.join(d, f), os.path.join(feed_dir, f"b{i}.parquet"))
+        shutil.rmtree(d)
+        os.utime(
+            os.path.join(feed_dir, f"b{i}.parquet"),
+            (1_900_000_000 + i * 1000,) * 2,
+        )
+
+    run_streaming_upsert(spark, feed_dir, snapshot_path, str(tmp_path / "ck"))
+
+    got = sorted(map(tuple, spark.read.parquet(snapshot_path).collect()))
+    want = sorted(map(tuple, merge_cdc(orders, feed).collect()))
+    assert got == want
