@@ -177,3 +177,80 @@ FROM orders
 )
 def dq_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_fingerprint_orders(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "profile_categorical_stats",
+    oracle="""
+WITH long AS (
+  SELECT 'o_orderstatus' AS col, o_orderstatus AS val FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', o_orderpriority FROM orders
+),
+counts AS (SELECT col, val, COUNT(*)::DOUBLE AS cnt FROM long GROUP BY 1, 2)
+SELECT col,
+  COUNT(*) AS n_distinct,
+  ROUND(log2(SUM(cnt)) - SUM(cnt * log2(cnt)) / SUM(cnt), 6) AS entropy,
+  ROUND(1 - SUM(cnt * cnt) / (SUM(cnt) * SUM(cnt)), 6) AS gini
+FROM counts GROUP BY col
+""",
+    doc="Categorical column profiling (DQ): distinct count, Shannon "
+    "entropy, Gini impurity per column — one stack-unpivot, one value-"
+    "count shuffle, one O(columns) final agg. Entropy via the single-pass "
+    "identity H = log2(n) - sum(c*log2(c))/n, so no second pass for n.",
+)
+def profile_categorical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    long = orders.selectExpr(
+        "stack(2, 'o_orderstatus', o_orderstatus, "
+        "'o_orderpriority', o_orderpriority) AS (col, val)"
+    )
+    counts = long.groupBy("col", "val").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    s = F.sum("cnt")
+    return counts.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(
+            F.log2(s) - F.sum(F.col("cnt") * F.log2("cnt")) / s, 6
+        ).alias("entropy"),
+        F.round(F.lit(1) - F.sum(F.col("cnt") * F.col("cnt")) / (s * s), 6).alias(
+            "gini"
+        ),
+    )
+
+
+@register(
+    "profile_numeric_corr",
+    oracle="""
+SELECT 'quantity~extendedprice' AS pair,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS r
+FROM lineitem
+UNION ALL
+SELECT 'quantity~discount', ROUND(corr(l_quantity, l_discount), 6) FROM lineitem
+UNION ALL
+SELECT 'extendedprice~tax', ROUND(corr(l_extendedprice, l_tax), 6) FROM lineitem
+""",
+    doc="Pearson correlation profiling (DQ): all pairs computed in ONE "
+    "aggregate pass over the scan (co-moments fuse into a single partial/"
+    "final hash agg, O(pairs) state).",
+)
+def profile_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "quantity_extendedprice"
+        ),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias(
+            "quantity_discount"
+        ),
+        F.round(F.corr("l_extendedprice", "l_tax"), 6).alias(
+            "extendedprice_tax"
+        ),
+    )
+    return wide.selectExpr(
+        "stack(3, "
+        "'quantity~extendedprice', quantity_extendedprice, "
+        "'quantity~discount', quantity_discount, "
+        "'extendedprice~tax', extendedprice_tax) AS (pair, r)"
+    )
