@@ -233,3 +233,99 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
         "n_orders",
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts
+  FROM events GROUP BY 1
+),
+v AS (
+  SELECT e.user_id, MIN(e.ts) AS v_ts
+  FROM events e JOIN per_user p USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > p.s_ts GROUP BY 1
+),
+pu AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > v.v_ts GROUP BY 1
+)
+SELECT
+  (SELECT COUNT(*) FROM per_user WHERE s_ts IS NOT NULL) AS n_signup,
+  (SELECT COUNT(*) FROM v) AS n_signup_view,
+  (SELECT COUNT(*) FROM pu) AS n_full_funnel
+""",
+    doc="Ordered funnel (signup -> view -> purchase, strictly later steps): "
+    "three chained min-over-user windows sharing ONE Exchange(user_id) — "
+    "vs the oracle's three join-aggregate rounds; at 100 TB the single "
+    "shuffle on user_id is the whole cost, steps add zero exchanges.",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    t, ts = F.col("event_type"), F.col("ts")
+    df = ev.withColumn(
+        "s_ts", F.min(F.when(t == "signup", ts)).over(w)
+    )
+    df = df.withColumn(
+        "v_ts",
+        F.min(F.when((t == "view") & (ts > F.col("s_ts")), ts)).over(w),
+    )
+    df = df.withColumn(
+        "p_ts",
+        F.min(F.when((t == "purchase") & (ts > F.col("v_ts")), ts)).over(w),
+    )
+    per_user = df.groupBy("user_id").agg(
+        F.max("s_ts").alias("s_ts"),
+        F.max("v_ts").alias("v_ts"),
+        F.max("p_ts").alias("p_ts"),
+    )
+    return per_user.agg(
+        F.count("s_ts").alias("n_signup"),
+        F.count("v_ts").alias("n_signup_view"),
+        F.count("p_ts").alias("n_full_funnel"),
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+)
+SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+  date_diff('day', f.cohort_week, a.act_week) / 7 AS week_offset,
+  COUNT(*) AS n_users
+FROM activity a JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+""",
+    doc="Retention cohort matrix: users bucketed by first-seen week x "
+    "active-week offset. Two aggregates on user_id (shared shuffle key) + "
+    "one broadcast join of the O(users) cohort side; the (cohort, offset) "
+    "final agg is O(weeks^2) rows.",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("act_week")
+    ).distinct()
+    return (
+        activity.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("act_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

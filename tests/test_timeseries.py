@@ -76,3 +76,53 @@ def test_scd2_intervals_are_contiguous_and_collapsed(spark):
             assert a["valid_to"] == b["valid_from"], cust  # half-open chain
             assert a["priority"] != b["priority"], cust  # truly collapsed
         assert spans[-1]["valid_to"] is None
+
+
+def test_funnel_requires_step_order(spark):
+    from hbase_hadoop_flightsearch_spark.plans.registry import load_all  # noqa: F401
+    from pyspark.sql import functions as F, Window
+
+    # user 1: full ordered funnel; user 2: view BEFORE signup (step 2 must
+    # not count); user 3: signup only
+    rows = [
+        (1, "signup", 100), (1, "view", 200), (1, "purchase", 300),
+        (2, "view", 100), (2, "signup", 200), (2, "purchase", 300),
+        (3, "signup", 100),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, t long")
+    ev = ev.select("user_id", "event_type", F.timestamp_seconds("t").alias("ts"))
+
+    w = Window.partitionBy("user_id")
+    t, ts = F.col("event_type"), F.col("ts")
+    df = ev.withColumn("s_ts", F.min(F.when(t == "signup", ts)).over(w))
+    df = df.withColumn(
+        "v_ts", F.min(F.when((t == "view") & (ts > F.col("s_ts")), ts)).over(w)
+    )
+    df = df.withColumn(
+        "p_ts",
+        F.min(F.when((t == "purchase") & (ts > F.col("v_ts")), ts)).over(w),
+    )
+    got = (
+        df.groupBy("user_id")
+        .agg(F.max("s_ts").alias("s"), F.max("v_ts").alias("v"), F.max("p_ts").alias("p"))
+        .agg(F.count("s").alias("a"), F.count("v").alias("b"), F.count("p").alias("c"))
+        .first()
+    )
+    assert (got["a"], got["b"], got["c"]) == (3, 1, 1)
+
+
+def test_funnel_plan_shares_one_user_exchange(spark, sf_smoke):
+    """All three funnel steps must ride ONE Exchange(user_id); the only
+    other exchange is the O(1)-row final SinglePartition agg."""
+    from hbase_hadoop_flightsearch_spark.plans.registry import load_all
+
+    plan = (
+        load_all()["events_funnel_conversion"]
+        .fn(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Window") == 3
+    assert plan.count("Exchange") == 2
+    assert plan.count("Exchange SinglePartition") == 1
