@@ -332,3 +332,18 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[1]["score"] is None  # back-filled for pre-evolution files
     assert rows[2]["score"] == 0.5
+
+
+def test_json_source_roundtrip(spark, tmp_path):
+    """JSONL source/sink contract: schema-preserving lossless roundtrip of
+    a typed table (timestamps included) through the JSON format."""
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    orders = load_table(spark, SF, "orders")
+    path = str(tmp_path / "orders_json")
+    orders.write.json(path)
+    back = spark.read.schema(orders.schema).json(path)
+    assert back.schema == orders.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, orders.collect())
+    )
