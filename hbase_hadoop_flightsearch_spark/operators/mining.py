@@ -262,3 +262,61 @@ def mining_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "ante", "cons")
         .limit(20)
     )
+
+
+# Triple expansion generalizes _PAIRS_EXPR: pick x at i, y at absolute
+# 0-based position i+1+j, then everything after y (1-based slice start
+# i+j+3). Work per basket is C(cap,3), still map-side and bounded.
+_TRIPLES_EXPR = """
+flatten(transform(parts, (x, i) ->
+  flatten(transform(slice(parts, i + 2, size(parts) - i - 1), (y, j) ->
+    transform(slice(parts, i + j + 3, size(parts) - i - j - 2),
+              z -> struct(x AS a, y AS b, z AS c))))))
+"""
+
+MIN_TRIPLE_SUPPORT = 2
+
+
+def frequent_triples(lineitem: DataFrame, cap: int = BASKET_CAP) -> DataFrame:
+    """(part_a, part_b, part_c, triple_count) with support >= 2."""
+    return (
+        order_baskets(lineitem, cap)
+        .filter(F.size("parts") >= 3)
+        .select(F.explode(F.expr(_TRIPLES_EXPR)).alias("tr"))
+        .select(
+            F.col("tr.a").alias("part_a"),
+            F.col("tr.b").alias("part_b"),
+            F.col("tr.c").alias("part_c"),
+        )
+        .groupBy("part_a", "part_b", "part_c")
+        .agg(F.count(F.lit(1)).alias("triple_count"))
+        .filter(F.col("triple_count") >= MIN_TRIPLE_SUPPORT)
+    )
+
+
+_TRIPLES_ORACLE = f"""
+WITH {_ITEMS_DUCK}
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, c.l_partkey AS part_c,
+       COUNT(*) AS triple_count
+FROM it a
+JOIN it b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+JOIN it c ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+GROUP BY 1, 2, 3
+HAVING COUNT(*) >= {MIN_TRIPLE_SUPPORT}
+ORDER BY triple_count DESC, part_a, part_b, part_c
+LIMIT 20
+"""
+
+
+@register(
+    "mining_frequent_triples",
+    oracle=_TRIPLES_ORACLE,
+    doc="Frequent 3-itemsets via joinless capped-basket triple expansion "
+    "(C(cap,3) map-side work per basket); oracle is the 3-way self-join.",
+)
+def mining_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        frequent_triples(load_table(spark, sf_dir, "lineitem"))
+        .orderBy(F.desc("triple_count"), "part_a", "part_b", "part_c")
+        .limit(20)
+    )

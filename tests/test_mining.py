@@ -117,3 +117,25 @@ def test_assoc_rules_hand_computed(spark):
     assert got[(1, 2)] == (3, 0.75, round(0.75 / 0.8, 6))
     assert got[(2, 1)] == (3, 0.75, round(0.75 / 0.8, 6))
     assert (1, 3) not in got  # pair_count 1 < MIN_PAIR_SUPPORT
+
+
+def test_triple_expansion_matches_itertools(spark, sf_smoke):
+    """The nested-slice triple expression must enumerate exactly the
+    C(n,3) sorted combinations of every basket."""
+    from hbase_hadoop_flightsearch_spark.operators.mining import (
+        frequent_triples,
+        order_baskets,
+    )
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    baskets = [r["parts"] for r in order_baskets(li).collect()]
+    want: dict[tuple, int] = {}
+    for parts in baskets:
+        for t in combinations(parts, 3):  # parts already sorted distinct
+            want[t] = want.get(t, 0) + 1
+    want = {t: c for t, c in want.items() if c >= 2}
+    got = {
+        (r["part_a"], r["part_b"], r["part_c"]): r["triple_count"]
+        for r in frequent_triples(li).collect()
+    }
+    assert got == want
