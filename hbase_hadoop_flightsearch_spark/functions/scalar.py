@@ -115,20 +115,21 @@ def scalar_string_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_array_map_ops",
     oracle="""
 SELECT p_partkey,
-  string_split(p_name, '_') AS name_parts,
+  array_to_string(string_split(p_name, '_'), '|') AS name_parts,
   CAST(length(string_split(p_name, '_')) AS INT) AS n_parts,
   CAST(p_size * 2 AS INT) AS size_doubled,
   CAST(greatest(p_size, 25) AS INT) AS size_floor25
 FROM part
 """,
-    doc="Array construction + element ops (E9): split, size, greatest.",
+    doc="Array construction + element ops (E9): split, size, greatest. "
+    "The array is joined back to a string for the cross-engine hash.",
 )
 def scalar_array_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     parts = F.split("p_name", "_")
     return part.select(
         "p_partkey",
-        parts.alias("name_parts"),
+        F.array_join(parts, "|").alias("name_parts"),
         F.size(parts).alias("n_parts"),
         (F.col("p_size") * 2).cast("int").alias("size_doubled"),
         F.greatest(F.col("p_size"), F.lit(25)).cast("int").alias(

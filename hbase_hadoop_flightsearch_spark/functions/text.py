@@ -514,7 +514,7 @@ WITH posting AS (
 )
 SELECT token,
   COUNT(*) AS df,
-  list_sort(list(doc_id)) AS postings
+  array_to_string(list_sort(list(doc_id)), ',') AS postings
 FROM posting
 GROUP BY token
 ORDER BY df DESC, token
@@ -525,7 +525,9 @@ LIMIT 30
     "the term key; postings arrive sorted because collect_list runs over "
     "the deduped (token, doc) pairs and is array_sort-normalized — at "
     "100 TB this is the classic index-build job: shuffle O(distinct "
-    "(token, doc) pairs), posting lists written per term partition.",
+    "(token, doc) pairs), posting lists written per term partition. "
+    "Postings are serialized to a comma-joined string for the cross-engine "
+    "value hash (array columns don't canonicalize).",
 )
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -540,7 +542,13 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         posting.groupBy("token")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.array_sort(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
         )
         .orderBy(F.desc("df"), "token")
         .limit(30)

@@ -322,7 +322,7 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_sorted_order_arrays",
     oracle="""
 SELECT o_custkey,
-  list_sort(list(o_orderkey)) AS orderkeys,
+  array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
   COUNT(*) AS n_orders
 FROM orders
 WHERE o_custkey < 50
@@ -330,19 +330,27 @@ GROUP BY o_custkey
 """,
     doc="Array aggregation (E4): per-customer sorted orderkey arrays — "
     "collect_list is partition-order-nondeterministic, so array_sort is "
-    "what makes the result well-defined (and cross-engine comparable).",
+    "what makes the result well-defined (and cross-engine comparable). "
+    "Serialized to a comma-joined string for the value hash (array "
+    "columns don't canonicalize in the differential harness).",
 )
 def agg_sorted_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nested output values (array<bigint>) through the same value-hash
-    oracle as scalars. The WHERE keeps result arrays small; at scale,
-    unbounded collect_list per group is the anti-pattern — cap it or use
-    slice(sort_array(...), 1, k)."""
+    """Nested aggregation (array<bigint> built by collect_list) through the
+    same value-hash oracle as scalars. The WHERE keeps result arrays small;
+    at scale, unbounded collect_list per group is the anti-pattern — cap it
+    or use slice(sort_array(...), 1, k)."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.filter(F.col("o_custkey") < 50)
         .groupBy("o_custkey")
         .agg(
-            F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("orderkeys"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )

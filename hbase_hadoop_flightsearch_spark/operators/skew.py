@@ -64,7 +64,8 @@ WITH per_key AS (
   SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
 ),
 stats AS (
-  SELECT COUNT(*) AS n_keys, SUM(cnt) AS n_rows, MAX(cnt) AS max_cnt
+  SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+    MAX(cnt) AS max_cnt
   FROM per_key
 ),
 top AS (

@@ -50,10 +50,10 @@ WITH marked AS (
   FROM events
 )
 SELECT event_id, user_id,
-  SUM(new_session) OVER (
+  CAST(SUM(new_session) OVER (
     PARTITION BY user_id ORDER BY ts, event_id
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-  ) AS session_seq
+  ) AS BIGINT) AS session_seq
 FROM marked
 """,
     doc="Batch sessionization (gaps-and-islands): per-user session ordinal "

@@ -221,7 +221,7 @@ SELECT
   CAST(FLOOR((cum_tokens - n_tokens) / {SHARD_TOKEN_BUDGET}.0) AS INT)
     AS shard_id,
   COUNT(*) AS n_docs,
-  SUM(n_tokens) AS shard_tokens
+  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
 FROM cum
 GROUP BY 1
 ORDER BY shard_id

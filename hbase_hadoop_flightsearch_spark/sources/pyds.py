@@ -233,7 +233,7 @@ _N = 6000
 WITH {range_sql(_N)}
 SELECT carrier, month,
   COUNT(*) AS n_flights,
-  SUM(CAST(arr_delay_minutes AS BIGINT)) AS sum_delay
+  CAST(SUM(CAST(arr_delay_minutes AS BIGINT)) AS BIGINT) AS sum_delay
 FROM flights_synth
 WHERE year = 2008 AND cancelled <> 1.0 AND diverted <> 1.0
 GROUP BY carrier, month

@@ -64,6 +64,18 @@ def compare_query_to_oracle(spark, query, sf_dir: str) -> None:
     spark_rows = [tuple(r) for r in sdf.collect()]
 
     con = duckdb_con(sf_dir)
+    # Guard against DuckDB's integer-widening types: SUM(BIGINT) returns
+    # HUGEINT, which the external driver's pandas path renders as float64
+    # ("15000.0") while Spark emits int64 ("15000") — a value-hash mismatch
+    # invisible to this fetchall()-based compare (fetchall gives Python
+    # ints either way). Oracles must CAST such sums to BIGINT.
+    desc = con.execute(f"DESCRIBE {query.oracle}").fetchall()
+    huge = [(c[0], c[1]) for c in desc if "HUGEINT" in str(c[1]).upper()]
+    assert not huge, (
+        f"{query.name}: oracle emits HUGEINT column(s) {huge} — the driver "
+        "coerces these to float64 and the value hash diverges from Spark's "
+        "int64; wrap the expression in CAST(... AS BIGINT)"
+    )
     res = con.execute(query.oracle)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
