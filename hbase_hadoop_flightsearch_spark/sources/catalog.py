@@ -35,16 +35,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # not — pin it at the data boundary (dynamic conf, safe to set here).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects; read nanos as long and truncate to micros
-        # (integer DIV — a double division would lose precision past 2^53,
-        # and DuckDB truncates identically, keeping oracles aligned).
+        # events.parquet has shipped with two physical ts encodings:
+        # TIMESTAMP(NANOS) (Spark's reader rejects it — read nanos as long,
+        # truncate to micros with integer DIV exactly like DuckDB), and
+        # TIMESTAMP(MICROS) without UTC adjustment (read as TIMESTAMP_NTZ).
+        # Normalize both to session-UTC TIMESTAMP so every downstream
+        # window/epoch expression and DuckDB oracle sees identical values.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        return spark.read.parquet(table_path(sf_dir, name)).withColumn(
-            "ts", F.expr("timestamp_micros(ts DIV 1000)")
-        )
+        df = spark.read.parquet(table_path(sf_dir, name))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        else:
+            # NTZ -> LTZ under the UTC session zone preserves the wall value.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 
