@@ -364,52 +364,78 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.4
 """,
     doc="Embedding near-dup pairs (E10/E11): cosine >= 0.4 over all pairs "
-    "via blocked GEMM (Arrow batches x broadcast corpus matrix). Exact "
-    "baseline; the LSH/IVF variants in similarity.py are the scale path.",
+    "via distributed block-nested-loop GEMM (hash-blocked applyInPandas). "
+    "Exact baseline; the LSH/IVF variants in similarity.py are the scale "
+    "path.",
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs exact cosine as a vectorized Pandas computation: the corpus
-    matrix (n x 64 doubles — 2.5 MB at sf0.1) rides to every task as a
-    broadcast variable; each Arrow batch of rows does ONE numpy GEMM against
-    it instead of 25M interpreted zip_with evaluations (~40x faster at
-    sf0.1). This operator is definitionally quadratic — it exists as the
-    small-scale exact baseline for the sub-linear LSH/IVF paths, so the
-    broadcast-the-corpus compromise is the point, not a scale bug."""
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, m_blocks: int = 4
+) -> DataFrame:
+    """All-pairs exact cosine, fully distributed — NO driver-side collect.
+
+    Block-nested-loop formulation: hash each vector into one of M blocks,
+    replicate it to every block-PAIR it participates in (M pairs per
+    vector, M(M+1)/2 pairs total), then `applyInPandas` per pair computes
+    one numpy GEMM between the two sides and emits thresholded (v1 < v2)
+    pairs. Each unordered vector pair lands in exactly one block pair, so
+    the union over groups is the exact all-pairs result with no dedup pass.
+
+    Scale math: shuffle volume is O(n * M) vector copies; per-task memory
+    is O((n/M)^2) similarity floats + O(n/M * d) matrix — choose
+    M ~ n / sqrt(task_mem / 8) to bound tasks, independent of driver
+    memory, which stays O(1). Total FLOPs remain the definitional O(n^2 d)
+    — this operator is the exact small-scale baseline for the sub-linear
+    LSH/IVF paths (`similarity.py`), but unlike the previous
+    corpus-collect formulation it no longer OOMs the DRIVER at 100 TB;
+    it just costs quadratic cluster time, as exact all-pairs must.
+    """
     import numpy as np
-    import pandas as pd  # noqa: F401  (Arrow batch interface)
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    rows = emb.collect()  # the corpus matrix IS the broadcast model artifact
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.v for r in rows], dtype=np.float64)
-    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    sc = spark.sparkContext
-    b_ids, b_unit = sc.broadcast(ids), sc.broadcast(unit)
+    emb = emb.withColumn(
+        "blk", F.pmod(F.xxhash64("vec_id"), F.lit(m_blocks)).cast("int")
+    )
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(m_blocks) for j in range(i, m_blocks)],
+        "bi int, bj int",
+    )
+    # Replicate: broadcast the tiny pair list against the corpus; a vector
+    # in block b joins every pair where b is a member (M rows out per row).
+    replicated = emb.join(
+        F.broadcast(block_pairs),
+        (F.col("blk") == F.col("bi")) | (F.col("blk") == F.col("bj")),
+    )
 
-    def gemm_pairs(batches):
+    def gemm_block_pair(key, pdf):
         import pandas as pd
 
-        all_ids, all_unit = b_ids.value, b_unit.value
-        for pdf in batches:
-            q = np.array(list(pdf["v"]), dtype=np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ all_unit.T  # (batch, corpus) in one GEMM
-            qids = pdf["vec_id"].to_numpy()
-            bi, ci = np.nonzero(
-                (sims >= 0.4) & (qids[:, None] < all_ids[None, :])
+        bi, bj = key
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.array(list(pdf["v"]), dtype=np.float64)
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        if bi == bj:
+            sims = unit @ unit.T
+            li, ri = np.nonzero(
+                (sims >= 0.4) & (ids[:, None] < ids[None, :])
             )
-            yield pd.DataFrame(
-                {
-                    "v1": qids[bi],
-                    "v2": all_ids[ci],
-                    "cosine": np.round(sims[bi, ci], 6),
-                }
+            v1, v2, cos = ids[li], ids[ri], sims[li, ri]
+        else:
+            lmask = (pdf["blk"] == bi).to_numpy()
+            sims = unit[lmask] @ unit[~lmask].T
+            lids, rids = ids[lmask], ids[~lmask]
+            li, ri = np.nonzero(
+                (sims >= 0.4) & (lids[:, None] != rids[None, :])
             )
+            a, b = lids[li], rids[ri]
+            v1, v2, cos = np.minimum(a, b), np.maximum(a, b), sims[li, ri]
+        return pd.DataFrame(
+            {"v1": v1, "v2": v2, "cosine": np.round(cos, 6)}
+        )
 
-    return emb.mapInPandas(
-        gemm_pairs, schema="v1 bigint, v2 bigint, cosine double"
+    return replicated.groupBy("bi", "bj").applyInPandas(
+        gemm_block_pair, schema="v1 bigint, v2 bigint, cosine double"
     )
 
 

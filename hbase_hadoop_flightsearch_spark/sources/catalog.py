@@ -11,8 +11,10 @@ Parquet + Catalyst instead give free column pruning and predicate pushdown
 from __future__ import annotations
 
 import os
+from typing import Callable, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 from ..schemas import TABLE_NAMES
 
@@ -21,6 +23,47 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def events_ts_codec(
+    spark: SparkSession, path: str
+) -> Tuple[StructType, Callable[[DataFrame], DataFrame]]:
+    """Inspect the events parquet footer and return (raw_schema, normalize).
+
+    events.parquet has shipped with two physical ts encodings:
+    TIMESTAMP(NANOS) (Spark's reader rejects it — read nanos as long,
+    truncate to micros with integer DIV exactly like DuckDB), and
+    TIMESTAMP(MICROS) without UTC adjustment (read as TIMESTAMP_NTZ).
+    Both the batch reader (`load_table`) and the streaming file-source
+    readers (streaming/windows.py, streaming/rollup.py) MUST use this one
+    helper so the two paths can never diverge on encoding again.
+
+    Correctness of the NTZ branch (and of the inferTimestampNTZ=false
+    fallback, where the column arrives as TimestampType and the cast is a
+    no-op) depends on the session timezone being pinned to UTC here: an
+    NTZ->LTZ cast preserves the wall-clock value only under UTC, which is
+    what every downstream window/epoch expression and DuckDB oracle assume.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    raw_schema = spark.read.parquet(path).schema
+    if isinstance(raw_schema["ts"].dataType, LongType):
+
+        def normalize(df: DataFrame) -> DataFrame:
+            return df.withColumn(
+                "ts", F.expr("timestamp_micros(ts DIV 1000)")
+            )
+
+    else:
+
+        def normalize(df: DataFrame) -> DataFrame:
+            # NTZ -> LTZ under the UTC session zone preserves wall value.
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    return raw_schema, normalize
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -35,24 +78,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # not — pin it at the data boundary (dynamic conf, safe to set here).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet has shipped with two physical ts encodings:
-        # TIMESTAMP(NANOS) (Spark's reader rejects it — read nanos as long,
-        # truncate to micros with integer DIV exactly like DuckDB), and
-        # TIMESTAMP(MICROS) without UTC adjustment (read as TIMESTAMP_NTZ).
-        # Normalize both to session-UTC TIMESTAMP so every downstream
-        # window/epoch expression and DuckDB oracle sees identical values.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-
-        df = spark.read.parquet(table_path(sf_dir, name))
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, LongType):
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-        else:
-            # NTZ -> LTZ under the UTC session zone preserves the wall value.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        path = table_path(sf_dir, name)
+        _, normalize = events_ts_codec(spark, path)
+        return normalize(spark.read.parquet(path))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import events_ts_codec, load_table
 
 
 def hourly_rollup(events: DataFrame) -> DataFrame:
@@ -76,17 +76,14 @@ def _merge_batch(rollup_path: str):
 def run_incremental_rollup(
     spark: SparkSession, src_dir: str, rollup_path: str, ckpt: str
 ) -> None:
-    """Drive the stream (availableNow) through foreachBatch merges."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, "
-        "event_type string, value double, props string"
-    )
-    stream = (
+    """Drive the stream (availableNow) through foreachBatch merges. The ts
+    encoding is footer-detected via the shared `events_ts_codec` helper so
+    this reader tracks the batch path exactly."""
+    raw_schema, normalize = events_ts_codec(spark, src_dir)
+    stream = normalize(
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     )
     q = (
         stream.writeStream.foreachBatch(_merge_batch(rollup_path))

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import events_ts_codec, load_table
 
 WATERMARK = "10 minutes"
 
@@ -79,19 +79,14 @@ def session_counts(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
 # ------------------------------------------------------- streaming harness
 def stream_from_dir(spark: SparkSession, src_dir: str) -> DataFrame:
     """File-source stream over parquet event files (the standard pattern
-    for replayable ingestion); applies the engine's nanos->micros rule and
-    a watermark so windowed state is bounded."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, "
-        "event_type string, value double, props string"
-    )
-    return (
-        spark.readStream.schema(raw_schema)
-        .parquet(src_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-        .withWatermark("ts", WATERMARK)
-    )
+    for replayable ingestion). The ts encoding (nanos-as-long vs NTZ
+    micros) is detected from the staged file's footer by the SAME helper
+    the batch reader uses — `events_ts_codec` — so the batch and stream
+    paths can never diverge; a watermark bounds windowed state."""
+    raw_schema, normalize = events_ts_codec(spark, src_dir)
+    return normalize(
+        spark.readStream.schema(raw_schema).parquet(src_dir)
+    ).withWatermark("ts", WATERMARK)
 
 
 def copy_events_to_dir(sf_dir: str, dest_dir: str) -> str:

@@ -48,6 +48,65 @@ def test_stream_session_equals_batch(spark, sf_smoke, tmp_path):
     assert _sorted_rows(got) == _sorted_rows(want)
 
 
+def _write_ts_encoded_events(path, ts_unit):
+    """Write a minimal events parquet with ts physically encoded as
+    TIMESTAMP(NANOS) or TIMESTAMP(MICROS) (tz-naive -> isAdjustedToUTC=0),
+    mimicking the two encodings the driver's events.parquet has shipped."""
+    us = [1_700_000_000_000_000 + i * 60_000_000 for i in range(5)]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(5), pa.int64()),
+                "ts": pa.array(
+                    [u * 1000 if ts_unit == "ns" else u for u in us],
+                    pa.timestamp(ts_unit),
+                ),
+                "user_id": pa.array([1, 1, 2, 2, 3], pa.int64()),
+                "event_type": pa.array(["view"] * 5, pa.string()),
+                "value": pa.array([1.0] * 5, pa.float64()),
+                "props": pa.array(["{}"] * 5, pa.string()),
+            }
+        ),
+        path,
+        version="2.6",
+    )
+
+
+def test_batch_and_stream_ts_decoding_agree(spark, tmp_path):
+    """Regression guard for encoding drift (round-2 bug): the SAME staged
+    events file read through the batch path (load_table) and the streaming
+    path (stream_from_dir) must yield identical min/max ts, for BOTH
+    physical ts encodings the driver has shipped. If a future driver-side
+    encoding change breaks decoding, this one test fails instead of six
+    downstream batch-equivalence tests."""
+    for unit in ("ns", "us"):
+        d = str(tmp_path / f"enc_{unit}")
+        os.makedirs(d)
+        _write_ts_encoded_events(os.path.join(d, "events.parquet"), unit)
+
+        batch = load_table(spark, d, "events")
+        b_min, b_max = batch.agg(
+            F.unix_micros(F.min("ts")), F.unix_micros(F.max("ts"))
+        ).first()
+
+        agg = (
+            stream_from_dir(spark, d)
+            .groupBy()
+            .agg(
+                F.unix_micros(F.min("ts")).alias("mn"),
+                F.unix_micros(F.max("ts")).alias("mx"),
+            )
+        )
+        s_min, s_max = run_stream_to_memory(
+            agg, f"enc_sink_{unit}", spark
+        ).first()
+
+        assert (b_min, b_max) == (s_min, s_max), unit
+        # And the decoded values are the actual 2023-era micros we wrote,
+        # not 1970-era (the DIV-1000-on-micros failure mode).
+        assert b_min == 1_700_000_000_000_000, unit
+
+
 def test_stream_is_actually_streaming(spark, sf_smoke, tmp_path):
     src = copy_events_to_dir(sf_smoke, str(tmp_path / "stream_src3"))
     stream = stream_from_dir(spark, src)
