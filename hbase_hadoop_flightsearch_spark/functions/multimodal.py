@@ -46,16 +46,95 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def parse_media_header(payload: bytes):
+    """REAL pure-stdlib container-header parser: sniffs the magic bytes and
+    struct-decodes dimensions / audio params for PNG, BMP, GIF, WAV, and
+    JPEG. Returns a dict {format, width, height, channels, sample_rate}
+    (None fields where the container doesn't carry them) or None when the
+    payload matches no known container.
+
+    This is the genuinely-decoding slice of E13: full pixel/sample decode
+    (PIL/librosa/av) is not installable here, but the header layer — the
+    part a 100 TB media-curation pipeline runs on EVERY object to route,
+    validate, and bucket media before any expensive decode — is complete
+    and byte-exact."""
+    import struct
+
+    p = payload
+    if len(p) >= 24 and p[:8] == b"\x89PNG\r\n\x1a\n":
+        # First chunk must be IHDR: length(4) type(4) then width/height BE.
+        w, h = struct.unpack(">II", p[16:24])
+        return {"format": "png", "width": w, "height": h,
+                "channels": None, "sample_rate": None}
+    if len(p) >= 26 and p[:2] == b"BM":
+        # BITMAPINFOHEADER: int32 LE width at 18, height at 22 (negative =
+        # top-down row order; magnitude is the pixel height).
+        w, h = struct.unpack("<ii", p[18:26])
+        return {"format": "bmp", "width": w, "height": abs(h),
+                "channels": None, "sample_rate": None}
+    if len(p) >= 10 and p[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", p[6:10])
+        return {"format": "gif", "width": w, "height": h,
+                "channels": None, "sample_rate": None}
+    if len(p) >= 12 and p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        # Walk RIFF chunks to the fmt chunk (not always first — LIST/INFO
+        # chunks may precede it in real files).
+        off = 12
+        while off + 8 <= len(p):
+            cid, sz = p[off : off + 4], struct.unpack("<I", p[off + 4 : off + 8])[0]
+            if cid == b"fmt " and off + 16 <= len(p):
+                ch, sr = struct.unpack("<HI", p[off + 10 : off + 16])
+                return {"format": "wav", "width": None, "height": None,
+                        "channels": ch, "sample_rate": sr}
+            off += 8 + sz + (sz & 1)  # chunks are word-aligned
+        return None
+    if len(p) >= 4 and p[:2] == b"\xff\xd8":
+        # JPEG: walk markers to the first frame header (SOF0..SOF15 minus
+        # DHT/JPG/DAC); height then width, big-endian, at +5 within segment.
+        off = 2
+        while off + 4 <= len(p):
+            if p[off] != 0xFF:
+                return None
+            marker = p[off + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                off += 2
+                continue
+            seg_len = struct.unpack(">H", p[off + 2 : off + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if off + 9 <= len(p):
+                    h, w = struct.unpack(">HH", p[off + 5 : off + 9])
+                    return {"format": "jpeg", "width": w, "height": h,
+                            "channels": None, "sample_rate": None}
+                return None
+            off += 2 + seg_len
+        return None
+    return None
+
+
 def decode_media(payload: bytes, media_type: str, fake: bool = False):
-    """Codec entry point. Real decoders (PIL/librosa/av) are not available
-    in this environment — the deterministic fake derives dimensions from
-    the byte length so the distributed plumbing is testable end-to-end."""
+    """Codec entry point. Known binary containers (PNG/BMP/GIF/WAV/JPEG)
+    are REALLY decoded via `parse_media_header` — no image libs needed for
+    the header layer. For payloads outside those formats (e.g. the text
+    corpus rendered as media), full decoders (PIL/librosa/av) are not
+    available in this environment, so the deterministic fake derives
+    dimensions from the byte length to keep the distributed plumbing
+    testable end-to-end."""
+    n = len(payload)
+    # Only sniff binary media: a text payload that happens to start with
+    # "BM" must not be misread as a bitmap (the declared type wins).
+    hdr = None if media_type.startswith("text/") else parse_media_header(payload)
+    if hdr is not None:
+        return {
+            "byte_len": n,
+            "width": hdr["width"] if hdr["width"] is not None else 0,
+            "height": hdr["height"] if hdr["height"] is not None else 0,
+        }
     if not fake:
         raise NotImplementedError(
-            "media codecs (PIL/librosa/av) are not installed in this "
-            "environment; pass fake=True for the deterministic stub"
+            "payload is not a recognized container (png/bmp/gif/wav/jpeg) "
+            "and full media codecs (PIL/librosa/av) are not installed in "
+            "this environment; pass fake=True for the deterministic stub"
         )
-    n = len(payload)
     return {"byte_len": n, "width": n % 640 + 1, "height": (n * 7) % 480 + 1}
 
 
@@ -114,6 +193,97 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_media"),
         F.sum(F.octet_length("payload")).alias("total_bytes"),
         F.max(F.octet_length("payload")).cast("int").alias("max_bytes"),
+    )
+
+
+def _synth_container(doc_id: int, n_chars: int) -> tuple:
+    """Build a REAL minimal media container deterministically from doc
+    fields: format cycles png/bmp/wav by doc_id, dimensions follow the
+    same arithmetic law the fake codec uses (so DuckDB can oracle them)."""
+    import struct
+
+    w, h = n_chars % 640 + 1, (n_chars * 7) % 480 + 1
+    fmt = doc_id % 3
+    if fmt == 0:
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">II", w, h)
+            + b"\x08\x06\x00\x00\x00"
+        )
+        return payload, "image/png"
+    if fmt == 1:
+        # BITMAPINFOHEADER with negative (top-down) height — the parser
+        # must report the magnitude.
+        payload = (
+            b"BM"
+            + struct.pack("<IHHI", 54, 0, 0, 54)
+            + struct.pack("<Iii", 40, w, -h)
+        )
+        return payload, "image/bmp"
+    ch, sr = n_chars % 2 + 1, 8000 + (n_chars % 8) * 1000
+    payload = (
+        b"RIFF"
+        + struct.pack("<I", 36)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, ch, sr, sr * ch * 2, ch * 2, 16)
+    )
+    return payload, "audio/wav"
+
+
+def _decode_real_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Synthesize real containers then parse them back with the REAL
+    header codec (no fake law on the decode side)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            payload, _ = _synth_container(int(doc_id), int(n_chars))
+            hdr = parse_media_header(payload)
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "format": hdr["format"],
+                    "width": hdr["width"],
+                    "height": hdr["height"],
+                    "channels": hdr["channels"],
+                    "sample_rate": hdr["sample_rate"],
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "multimodal_decode_real",
+    oracle="""
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END
+    AS format,
+  CASE WHEN doc_id % 3 < 2 THEN CAST(n_chars % 640 + 1 AS INT) END
+    AS width,
+  CASE WHEN doc_id % 3 < 2 THEN CAST((n_chars * 7) % 480 + 1 AS INT) END
+    AS height,
+  CASE WHEN doc_id % 3 = 2 THEN CAST(n_chars % 2 + 1 AS INT) END
+    AS channels,
+  CASE WHEN doc_id % 3 = 2 THEN CAST(8000 + (n_chars % 8) * 1000 AS INT) END
+    AS sample_rate
+FROM documents
+""",
+    doc="REAL media codec round-trip (E13): synthesize byte-exact "
+    "PNG/BMP/WAV containers per document, then struct-parse dimensions / "
+    "audio params back out of the actual container headers (no fake "
+    "law on the decode side) via Arrow-batched mapInPandas.",
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return docs.mapInPandas(
+        _decode_real_batches,
+        schema="doc_id bigint, format string, width int, height int, "
+        "channels int, sample_rate int",
     )
 
 
