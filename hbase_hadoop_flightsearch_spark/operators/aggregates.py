@@ -171,17 +171,41 @@ def agg_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct_customers",
-    oracle=None,  # sketch output is engine-specific; accuracy self-checked in tests
-    doc="HLL approx count-distinct (E4): the 100 TB path — fixed-size sketch, "
-    "no dedup shuffle. rsd=0.01.",
+    oracle="""
+SELECT o_orderpriority AS priority,
+  COUNT(DISTINCT o_custkey) AS exact_customers,
+  TRUE AS within_rsd
+FROM orders
+GROUP BY 1
+""",
+    doc="HLL approx count-distinct (E4): the 100 TB path — fixed-size "
+    "sketch, no dedup shuffle (rsd=0.01). Value-checked oracle via the "
+    "bound-flag pattern: the HLL estimate itself is engine-specific, so "
+    "the query emits the EXACT count plus a boolean asserting the "
+    "estimate landed within 5% of it; the oracle expects TRUE — a hash "
+    "mismatch means the approximation guarantee was violated.",
 )
 def agg_approx_distinct_customers(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    """The exact countDistinct here exists only to encode the HLL error
+    bound into a hash-checkable output; the sketch column is the operator
+    under test (and the only one you'd run at 100 TB)."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.approx_count_distinct("o_custkey", rsd=0.01).alias(
-            "approx_customers"
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
+        )
+        .select(
+            "priority",
+            "exact_customers",
+            (
+                F.abs(F.col("approx") - F.col("exact_customers"))
+                / F.col("exact_customers")
+                <= 0.05
+            ).alias("within_rsd"),
         )
     )
 
@@ -287,12 +311,22 @@ def agg_pivot_unpivot_roundtrip(
 
 @register(
     "agg_hll_sketch_union",
-    oracle=None,  # sketch estimates are implementation-defined per engine
+    oracle="""
+SELECT c_nationkey, COUNT(DISTINCT c_custkey) AS exact_customers,
+  TRUE AS hll_within_5pct
+FROM customer GROUP BY c_nationkey
+UNION ALL
+SELECT CAST(-1 AS INT) AS c_nationkey,
+  COUNT(DISTINCT c_custkey) AS exact_customers, TRUE AS hll_within_5pct
+FROM customer
+""",
     doc="Mergeable HLL sketches (E4, Apache DataSketches via Spark 3.5+ "
     "hll_sketch_agg): per-nation customer sketches, re-aggregated to a "
     "global estimate by sketch UNION — the two-level pattern that lets "
     "1000 executors estimate distincts with O(sketch) shuffle bytes. "
-    "Accuracy vs exact asserted in tests (rows-only here).",
+    "Bound-flag oracle: sketch estimates are implementation-defined, so "
+    "the output carries the exact count plus a boolean asserting every "
+    "estimate (25 nations + the unioned global) is within 5% of exact.",
 )
 def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Level 1: sketch per nation (partial agg JVM-side). Level 2: union
@@ -315,7 +349,15 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("exact_customers").alias("exact_customers"),  # custkeys are
         # globally unique, so per-nation exacts sum to the global exact
     )
-    return nation_level.unionByName(global_level)
+    return nation_level.unionByName(global_level).select(
+        "c_nationkey",
+        "exact_customers",
+        (
+            F.abs(F.col("est_customers") - F.col("exact_customers"))
+            / F.col("exact_customers")
+            <= 0.05
+        ).alias("hll_within_5pct"),
+    )
 
 
 @register(

