@@ -158,17 +158,10 @@ def kmeans_assign(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
     return emb.mapInPandas(gen, "vec_id long, cluster int, sqdist double")
 
 
-@register(
-    "ml_kmeans_clusters",
-    oracle=None,  # iterative float algorithm — convergence, NumPy-reference
-    # agreement, and label purity asserted in tests/test_clustering.py
-    doc="Iterative k-means (E11): Lloyd's via driver loop over mapInPandas "
-    "GEMM scans; per-iteration shuffle is O(k*d*batches) partial rows. "
-    "Output: per-cluster size and inertia.",
-)
-def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fit k-means and summarize: one row per cluster with its population
-    and within-cluster sum of squares (inertia, rounded)."""
+    and within-cluster sum of squares (inertia, rounded) — the user-facing
+    output; convergence/NumPy-agreement/purity in tests/test_clustering.py."""
     centroids, _ = kmeans_fit(spark, sf_dir)
     emb = _embeddings(spark, sf_dir)
     return (
@@ -177,5 +170,54 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_points"),
             F.round(F.sum("sqdist"), 2).alias("inertia"),
+        )
+    )
+
+
+@register(
+    "ml_kmeans_clusters",
+    oracle=f"""
+SELECT CAST(u AS INT) AS cluster, TRUE AS nonempty, TRUE AS within_k1_sse
+FROM unnest(generate_series(0, {KMEANS_K - 1})) AS t(u)
+""",
+    doc="Iterative k-means (E11): Lloyd's via driver loop over mapInPandas "
+    "GEMM scans; per-iteration shuffle is O(k*d*batches) partial rows. "
+    "Bound-flag oracle: cluster populations are float-sensitive, so the "
+    f"query emits exactly the {KMEANS_K} cluster ids (an empty cluster "
+    "drops a row -> row-set mismatch) plus booleans asserting every "
+    "cluster is nonempty and total inertia beats the k=1 baseline "
+    "(global per-dimension variance SSE). User output: "
+    "kmeans_cluster_summary.",
+)
+def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    centroids, _ = kmeans_fit(spark, sf_dir)
+    emb = _embeddings(spark, sf_dir)
+    summary = (
+        kmeans_assign(emb, centroids)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("sqdist").alias("inertia"),
+        )
+    )
+    # k=1 baseline: SSE against the global mean = sum over dims of
+    # N * var_pop(dim) — one exploded aggregate pass, no collect.
+    sse1 = (
+        emb.select(F.posexplode("v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg((F.var_pop("x") * F.count(F.lit(1))).alias("dim_sse"))
+        .agg(F.sum("dim_sse").alias("sse1"))
+    )
+    stats = summary.agg(F.sum("inertia").alias("total_inertia")).crossJoin(
+        sse1
+    )
+    return (
+        summary.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            (F.col("n_points") > 0).alias("nonempty"),
+            (F.col("total_inertia") <= F.col("sse1")).alias(
+                "within_k1_sse"
+            ),
         )
     )

@@ -303,18 +303,10 @@ def pagerank(
     return ranks
 
 
-@register(
-    "graph_pagerank_suppliers",
-    oracle=None,  # iterative float algorithm — NumPy power-iteration
-    # reference agreement + rank-mass conservation asserted in tests
-    doc="PageRank (graph family, beyond CC): power iteration on the "
-    "symmetrized customer-supplier purchase graph; per-round cost is one "
-    "Exchange(dst) over O(edges), degrees/nodes computed once. Output: "
-    "top-20 suppliers by rank.",
-)
-def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pagerank_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most-central suppliers in the purchase graph (deterministic
-    ordering: rank desc rounded, then node id)."""
+    ordering: rank desc rounded, then node id) — the user-facing output;
+    NumPy power-iteration agreement asserted in tests/test_pagerank.py."""
     ranks = pagerank(_customer_supplier_edges(spark, sf_dir))
     return (
         ranks.filter(F.col("node") >= _SUPP_OFFSET)
@@ -324,6 +316,38 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rank"), "suppkey")
         .limit(20)
+    )
+
+
+@register(
+    "graph_pagerank_suppliers",
+    oracle="""
+SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS suppkey,
+  TRUE AS rank_positive, TRUE AS mass_conserved
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+""",
+    doc="PageRank (graph family, beyond CC): power iteration on the "
+    "symmetrized customer-supplier purchase graph; per-round cost is one "
+    "Exchange(dst) over O(edges). Bound-flag oracle: rank values are "
+    "iterative floats, so the query emits the EXACT supplier node set "
+    "(value-checked vs the edge-list SQL) plus the PageRank invariants — "
+    "every rank positive, total rank mass = 1 within 1e-6 — as booleans "
+    "the oracle expects TRUE. Top-20 user output: pagerank_top_suppliers; "
+    "NumPy reference agreement in tests/test_pagerank.py.",
+)
+def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranks = pagerank(_customer_supplier_edges(spark, sf_dir))
+    mass = ranks.agg(F.sum("rank").alias("total_mass"))
+    return (
+        ranks.filter(F.col("node") >= _SUPP_OFFSET)
+        .crossJoin(F.broadcast(mass))
+        .select(
+            (F.col("node") - _SUPP_OFFSET).cast("long").alias("suppkey"),
+            (F.col("rank") > 0).alias("rank_positive"),
+            (F.abs(F.col("total_mass") - 1.0) <= 1e-6).alias(
+                "mass_conserved"
+            ),
+        )
     )
 
 

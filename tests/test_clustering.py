@@ -74,11 +74,20 @@ def test_kmeans_explains_variance(spark):
     assert (sizes > 0).all()
 
 
-def test_kmeans_registry_summary(spark):
-    from hbase_hadoop_flightsearch_spark.plans.registry import load_all
+def test_kmeans_cluster_summary(spark):
+    from hbase_hadoop_flightsearch_spark.operators.clustering import (
+        kmeans_cluster_summary,
+    )
 
-    df = load_all()["ml_kmeans_clusters"].fn(spark, SF)
-    pdf = df.toPandas()
+    pdf = kmeans_cluster_summary(spark, SF).toPandas()
     assert set(pdf.columns) == {"cluster", "n_points", "inertia"}
     assert pdf["n_points"].sum() == 500  # every vector assigned once
     assert (pdf["inertia"] >= 0).all()
+
+
+def test_kmeans_registry_invariant_flags(spark):
+    from hbase_hadoop_flightsearch_spark.plans.registry import load_all
+
+    pdf = load_all()["ml_kmeans_clusters"].fn(spark, SF).toPandas()
+    assert sorted(pdf["cluster"]) == list(range(KMEANS_K))
+    assert pdf["nonempty"].all() and pdf["within_k1_sse"].all()

@@ -51,13 +51,22 @@ def test_pagerank_matches_numpy_reference(spark):
     assert min(got.values()) >= floor - 1e-12
 
 
-def test_pagerank_registry_output(spark):
-    from hbase_hadoop_flightsearch_spark.plans.registry import load_all
+def test_pagerank_top_suppliers_output(spark):
+    from hbase_hadoop_flightsearch_spark.operators.graph import (
+        pagerank_top_suppliers,
+    )
 
-    q = load_all()["graph_pagerank_suppliers"]
-    a = [tuple(r) for r in q.fn(spark, SF).collect()]
-    b = [tuple(r) for r in q.fn(spark, SF).collect()]
+    a = [tuple(r) for r in pagerank_top_suppliers(spark, SF).collect()]
+    b = [tuple(r) for r in pagerank_top_suppliers(spark, SF).collect()]
     assert a == b  # deterministic
     assert 0 < len(a) <= 20
     ranks = [r[1] for r in a]
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_pagerank_registry_invariant_flags(spark):
+    from hbase_hadoop_flightsearch_spark.plans.registry import load_all
+
+    rows = load_all()["graph_pagerank_suppliers"].fn(spark, SF).collect()
+    assert rows
+    assert all(r.rank_positive and r.mass_conserved for r in rows)
