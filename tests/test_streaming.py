@@ -140,6 +140,58 @@ def test_stateful_operator_converges_to_batch(spark, sf_smoke, tmp_path):
     assert got == want
 
 
+def test_transform_with_state_converges_to_batch(spark, sf_smoke, tmp_path):
+    """The Spark 4 transformWithStateInPandas processor (RocksDB-backed
+    ValueState) must converge to its batch twin, including first/last-seen
+    span tracking. The runtime's Python<->JVM state channel needs
+    google.protobuf, which this container lacks — skip there (the legacy
+    applyInPandasWithState path above covers stateful convergence)."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state server requires protobuf",
+    )
+    from hbase_hadoop_flightsearch_spark.streaming.stateful import (
+        stream_tws_user_activity_span,
+        user_activity_tws,
+    )
+
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, provider)
+    try:
+        src = copy_events_to_dir(sf_smoke, str(tmp_path / "tws_src"))
+        stream = stream_from_dir(spark, src)
+        q = (
+            user_activity_tws(stream)
+            .writeStream.format("memory")
+            .queryName("tws_sink")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    got = {
+        r.user_id: (r.n_events, r.total_value, r.first_ts_us, r.last_ts_us)
+        for r in spark.sql("SELECT * FROM tws_sink").collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.total_value, r.first_ts_us, r.last_ts_us)
+        for r in stream_tws_user_activity_span(spark, sf_smoke).collect()
+    }
+    assert got == want and got
+
+
 def _write_events_file(path, rows):
     """rows: list of (event_id, ts_us, user_id, event_type, value). The
     stream source schema stores ts as int64 nanoseconds (like the driver's
