@@ -161,3 +161,44 @@ def sample_weighted_aes(
         .orderBy(F.desc("aes_key"), "doc_id")
         .limit(WEIGHTED_SAMPLE_N)
     )
+
+
+SOURCE_QUOTA = 40  # max documents kept per source
+
+
+@register(
+    "sample_per_source_quota",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ) AS rn
+  FROM documents
+)
+SELECT doc_id, source, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= {SOURCE_QUOTA}
+""",
+    doc="Corpus balancing by per-source quota (LLM-pipeline op): keep at "
+    f"most {SOURCE_QUOTA} documents per source, chosen by md5 rank — the "
+    "domain-cap step of web-corpus prep (prevents one crawl domain from "
+    "dominating the training mix). Content-addressed (md5 of doc_id), so "
+    "the kept set is stable across runs, partitionings, and backfills; "
+    "md5 is bit-identical across engines, so the oracle is exact.",
+)
+def sample_per_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plans as a single Exchange(source) + WindowGroupLimit: Spark pushes
+    the rn <= quota filter below the shuffle (partial top-k per mapper),
+    so the exchange carries at most quota rows per (mapper, source) — at
+    100 TB the shuffle is O(sources * quota * mappers), not O(corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        _md5_of("doc_id"), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id", "source", F.row_number().over(w).cast("int").alias("rn")
+        )
+        .filter(F.col("rn") <= SOURCE_QUOTA)
+    )

@@ -404,3 +404,13 @@ def test_embedding_cosine_is_distributed_no_collect(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # Exactly one corpus-side exchange: the groupBy(bi, bj) repartition.
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_per_source_quota_pushes_group_limit_below_exchange(spark):
+    """The per-source quota cap must plan as partial WindowGroupLimit on
+    the map side (before the Exchange) so the shuffle carries at most
+    quota rows per (mapper, source), never the corpus."""
+    plan = _plan(spark, "sample_per_source_quota")
+    assert "WindowGroupLimit" in plan
+    pre, _, post = plan.partition("Exchange")
+    assert "WindowGroupLimit" in pre and "WindowGroupLimit" in post
