@@ -14,7 +14,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import udtf
-from pyspark.sql.types import IntegerType, StringType
+from pyspark.sql.types import DoubleType, IntegerType, StringType
 
 from ..plans.registry import register
 from ..sources.catalog import load_table
@@ -143,4 +143,45 @@ def udtf_tokenize_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT d.doc_id, t.pos, t.token "
         "FROM _udtf_docs d, LATERAL tokenize_udtf(d.text) t"
+    )
+
+
+@F.pandas_udf(DoubleType())
+def pandas_weighted_mean(v: pd.Series, w: pd.Series) -> float:
+    """Grouped-agg pandas UDF (UDAF): Arrow ships each group's columns as
+    Series, Python returns one scalar. The UDAF completes the E15 matrix
+    (scalar pandas UDF / row UDF / grouped-map / grouped-agg / UDTF)."""
+    return float((v * w).sum() / w.sum())
+
+
+@register(
+    "udf_grouped_agg_weighted_mean",
+    oracle="""
+SELECT o_orderpriority AS priority,
+  ROUND(SUM(o_totalprice * (o_orderkey % 7 + 1)) /
+        SUM(o_orderkey % 7 + 1), 2) AS wmean_price
+FROM orders
+GROUP BY 1
+""",
+    doc="Grouped-agg pandas UDF / UDAF surface (E15): per-priority "
+    "weighted mean price via an Arrow-batched aggregate UDF, "
+    "value-parity-checked against the pure-SQL weighted mean. Note the "
+    "scale caveat encoded in the plan: a grouped-agg UDF cannot partial-"
+    "aggregate map-side (each whole group must reach one task), so "
+    "built-in sum/count compositions remain the 100 TB default — this "
+    "query exists to prove the surface.",
+)
+def udf_grouped_agg_weighted_mean(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        # deterministic synthetic weight in [1, 7]
+        (F.col("o_orderkey") % 7 + 1).cast("double").alias("wt"),
+    )
+    return orders.groupBy("priority").agg(
+        F.round(
+            pandas_weighted_mean(F.col("price"), F.col("wt")), 2
+        ).alias("wmean_price")
     )
