@@ -24,3 +24,18 @@ def test_contract_shape(spark):
     assert set(oracles) <= set(qs)
     for name, sql in oracles.items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_query_order_covers_every_family_early():
+    """The driver samples a prefix of queries(); the family-interleaved
+    ordering must keep at least one query from EVERY source module inside
+    the first 50 so a 50-query sample exercises every SURVEY §2 family.
+    Guards future registrations from re-front-loading one family."""
+    from hbase_hadoop_flightsearch_spark.plans.registry import load_all
+
+    reg = load_all()
+    prefix = list(entrymod.queries())[:50]
+    all_modules = {q.fn.__module__ for q in reg.values()}
+    prefix_modules = {reg[name].fn.__module__ for name in prefix}
+    missing = all_modules - prefix_modules
+    assert not missing, f"families missing from driver prefix: {missing}"
