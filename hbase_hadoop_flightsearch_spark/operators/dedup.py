@@ -267,14 +267,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_jaccard(cand, sh)
 
 
-@register(
-    "dedup_simhash",
-    oracle=None,  # simhash bit pattern depends on xxhash64 — not SQL-oracle-able
-    doc="SimHash near-dup pairs (E10): 64-bit signature from word-3-gram "
-    "hashes, 4x16-bit band blocking, Hamming-distance verification <= 3 "
-    "(exact recall by pigeonhole).",
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash: sig bit i = sign of sum over features of (+1 if feature-hash
     bit i else -1). Features are the family's shared word 3-grams — on this
     corpus unigram token SETS collide pathologically (~30-word vocabulary;
@@ -349,6 +342,113 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .select("d1", "d2", "hamming")
         .distinct()
+    )
+
+
+def _simhash_sig_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig bigint) — the 64 signature bits packed into one long
+    (bit i = sign of the feature vote for bit i), so pair Hamming distance
+    is a single `bit_count(xor)` instead of a 64-element array fold."""
+    sh = doc_shingles(spark, sf_dir)
+    feats = F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+    counts = F.aggregate(
+        feats,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+                lambda i: F.when(
+                    F.bit_get(h, i) == 1, F.lit(1).cast("long")
+                ).otherwise(F.lit(-1).cast("long")),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    with_counts = sh.select("doc_id", counts.alias("counts"))
+    # Python F.shiftleft needs a literal shift; the SQL form takes a column.
+    sig = F.expr(
+        f"""aggregate(
+          zip_with(counts, sequence(0, {SIMHASH_BITS - 1}),
+                   (c, i) -> struct(c AS c, i AS i)),
+          0L, (acc, x) -> acc + IF(x.c > 0, shiftleft(1L, x.i), 0L))"""
+    )
+    return with_counts.select("doc_id", sig.alias("sig"))
+
+
+@register(
+    "dedup_simhash",
+    oracle="SELECT TRUE AS banding_complete, TRUE AS banding_sound",
+    doc="SimHash near-dup detection (E10): 64-bit signature from word-"
+    "3-gram hashes, 4x16-bit band blocking, Hamming <= 3 verification. "
+    "Bound-flag oracle: the signature bit pattern is xxhash64-defined, so "
+    "the query verifies the banding THEOREM instead — the banded pair set "
+    "must equal brute-force all-pairs Hamming <= 3 exactly (pigeonhole: "
+    "3 flipped bits cannot touch all 4 bands -> complete; the explicit "
+    "Hamming filter -> sound). The oracle expects both booleans TRUE. "
+    "User-facing pairs: `simhash_pairs`.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verification twin: packed-long signatures make both sides cheap —
+    banded candidates via 16-bit slices of the packed sig, brute force via
+    crossJoin + bit_count(xor). The crossJoin is the POINT here (exact
+    ground truth for the theorem check); the production path is the
+    banded `simhash_pairs`, whose cost is bucket-bounded."""
+    sigs = _simhash_sig_long(spark, sf_dir)
+    band_val = lambda q: F.shiftrightunsigned("sig", q * 16).bitwiseAND(  # noqa: E731
+        0xFFFF
+    )
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(q).alias("band"), band_val(q).alias("bv"))
+                    for q in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", "bk.band", "bk.bv")
+    hamm = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    banded = (
+        bands.alias("a")
+        .join(
+            bands.select(
+                F.col("doc_id").alias("d2"),
+                F.col("sig").alias("s2"),
+                "band",
+                "bv",
+            ),
+            ["band", "bv"],
+        )
+        .select(
+            F.col("doc_id").alias("d1"),
+            F.col("sig").alias("s1"),
+            "d2",
+            "s2",
+        )
+        .filter(F.col("d1") < F.col("d2"))
+        .filter(hamm <= SIMHASH_HAMMING_MAX)
+        .select("d1", "d2")
+        .distinct()
+    )
+    brute = (
+        sigs.select(F.col("doc_id").alias("d1"), F.col("sig").alias("s1"))
+        .crossJoin(
+            sigs.select(F.col("doc_id").alias("d2"), F.col("sig").alias("s2"))
+        )
+        .filter(F.col("d1") < F.col("d2"))
+        .filter(hamm <= SIMHASH_HAMMING_MAX)
+        .select("d1", "d2")
+    )
+    missing = brute.exceptAll(banded).agg(
+        F.count(F.lit(1)).alias("n_missing")
+    )
+    extra = banded.exceptAll(brute).agg(F.count(F.lit(1)).alias("n_extra"))
+    return missing.crossJoin(extra).select(
+        (F.col("n_missing") == 0).alias("banding_complete"),
+        (F.col("n_extra") == 0).alias("banding_sound"),
     )
 
 

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from hbase_hadoop_flightsearch_spark.operators.dedup import (
     dedup_ngram_jaccard,
-    dedup_simhash,
+    simhash_pairs,
 )
 
 
@@ -21,7 +21,7 @@ def test_simhash_pairs_are_true_near_dups(spark, sf_correctness):
         for r in dedup_ngram_jaccard(spark, sf_correctness).collect()
     }
     sim = {
-        (r.d1, r.d2) for r in dedup_simhash(spark, sf_correctness).collect()
+        (r.d1, r.d2) for r in simhash_pairs(spark, sf_correctness).collect()
     }
     assert sim, "simhash found nothing"
     assert sim <= jac, f"false positives: {sorted(sim - jac)[:5]}"
@@ -89,3 +89,34 @@ def test_mllib_minhash_lsh_agrees(spark, sf_correctness):
     assert len(mllib_pairs) >= 0.95 * len(exact_pairs), (
         f"recall vs our exact operator: {len(mllib_pairs)}/{len(exact_pairs)}"
     )
+
+
+def test_simhash_flag_query_and_packed_sig_consistency(spark, sf_correctness):
+    """The registered theorem-check query must emit TRUE flags, and the
+    packed-bigint signature path it uses must produce the same pair set as
+    the array-bits production path (simhash_pairs)."""
+    from hbase_hadoop_flightsearch_spark.operators.dedup import (
+        _simhash_sig_long,
+        dedup_simhash,
+    )
+    from pyspark.sql import functions as F
+
+    row = dedup_simhash(spark, sf_correctness).collect()[0]
+    assert row.banding_complete and row.banding_sound
+
+    sigs = _simhash_sig_long(spark, sf_correctness)
+    bf = (
+        sigs.select(F.col("doc_id").alias("d1"), F.col("sig").alias("s1"))
+        .crossJoin(
+            sigs.select(F.col("doc_id").alias("d2"), F.col("sig").alias("s2"))
+        )
+        .filter(F.col("d1") < F.col("d2"))
+        .withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
+        .filter(F.col("hamming") <= 3)
+    )
+    packed = {(r.d1, r.d2, r.hamming) for r in bf.collect()}
+    arr = {
+        (r.d1, r.d2, r.hamming)
+        for r in simhash_pairs(spark, sf_correctness).collect()
+    }
+    assert packed == arr and packed
