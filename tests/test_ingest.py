@@ -347,3 +347,38 @@ def test_json_source_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, orders.collect())
     )
+
+
+def test_cli_jobs_match_reference_shapes(spark, bts_csv, tmp_path):
+    """python -m hbase_hadoop_flightsearch_spark: the three reference jobs
+    (ingest/report/direct) driven through the CLI dispatcher. ingest+report
+    and direct must produce byte-identical report files, shaped like the
+    reference's TextOutputFormat (AIR-<carrier>\\t, (m,v) x12)."""
+    import os
+    import re
+
+    from hbase_hadoop_flightsearch_spark.__main__ import main
+
+    bronze = str(tmp_path / "bronze")
+    out_a = str(tmp_path / "report_via_bronze")
+    out_b = str(tmp_path / "report_direct")
+    # main() reuses the live test session via getOrCreate and must NOT
+    # stop it (it only stops sessions it created itself).
+    assert main(["ingest", str(bts_csv), bronze]) == 0
+    assert main(["report", bronze, out_a]) == 0
+    assert main(["direct", str(bts_csv), out_b]) == 0
+    assert spark.range(1).count() == 1  # session survived all three jobs
+
+    def read_report(d):
+        lines = []
+        for f in os.listdir(d):
+            if f.startswith("part-"):
+                with open(os.path.join(d, f)) as fh:
+                    lines += [l.rstrip("\n") for l in fh if l.strip()]
+        return sorted(lines)
+
+    a, b = read_report(out_a), read_report(out_b)
+    assert a == b and a
+    pat = re.compile(r"^AIR-[A-Z0-9]+\t(, \(\d+,\d+\)){12}$")
+    for line in a:
+        assert pat.match(line), line
