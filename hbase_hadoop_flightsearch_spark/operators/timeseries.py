@@ -329,3 +329,78 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "scd2_point_in_time_lookup",
+    oracle="""
+WITH runs AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+    CASE WHEN LAG(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority
+      THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WHERE o_custkey < 100
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+islands AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate,
+    SUM(chg) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS island
+  FROM runs
+),
+spans AS (
+  SELECT o_custkey, island,
+    MIN(o_orderpriority) AS priority,
+    MIN(o_orderdate) AS valid_from
+  FROM islands GROUP BY o_custkey, island
+),
+hist AS (
+  SELECT o_custkey, priority, valid_from,
+    LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY island)
+      AS valid_to
+  FROM spans
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+  h.priority AS priority_at_date
+FROM orders o
+JOIN hist h
+  ON o.o_custkey = h.o_custkey
+ AND h.valid_from <= o.o_orderdate
+ AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+WHERE o.o_custkey < 100
+""",
+    doc="Point-in-time SCD2 lookup (time series): join each order to the "
+    "dimension version valid AT its order date — half-open "
+    "[valid_from, valid_to) semantics, the feature-store / "
+    "as-of-dimension correctness pattern (no future leakage). "
+    "Self-consistency falls out: every order must land in exactly one "
+    "validity span of the history derived from those same orders.",
+)
+def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join on the customer key with the validity range as a
+    residual predicate: Spark plans a hash/sort-merge join on o_custkey
+    and evaluates the BETWEEN residual per matched pair, so fan-out is
+    bounded by versions-per-customer (small by construction) — never a
+    range cross product. At 100 TB both sides partition by the same key."""
+    hist = scd2_priority_history(spark, sf_dir).select(
+        F.col("o_custkey").alias("h_custkey"),
+        "priority",
+        "valid_from",
+        "valid_to",
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    cond = (
+        (orders.o_custkey == hist.h_custkey)
+        & (hist.valid_from <= orders.o_orderdate)
+        & (hist.valid_to.isNull() | (orders.o_orderdate < hist.valid_to))
+    )
+    return orders.join(hist, cond).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("priority").alias("priority_at_date"),
+    )
