@@ -91,3 +91,66 @@ def stream_join_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(F.col("event_type") == "view"),
         events.filter(F.col("event_type") == "purchase"),
     )
+
+
+def attribute_views_outer(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """LEFT OUTER stream-stream join: every view, attributed if a purchase
+    followed within the window, NULL-extended otherwise. In streaming,
+    the null-extended rows can only be emitted once the watermark proves
+    no matching purchase can still arrive — the semantics that make outer
+    stream joins fundamentally watermark-dependent (an inner join never
+    has to prove a negative)."""
+    v = views.select(
+        F.col("event_id").alias("view_event_id"),
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"interval {ATTRIBUTION_WINDOW}")
+        ),
+        "left_outer",
+    )
+    return joined.select(
+        "view_event_id",
+        "user_id",
+        "purchase_event_id",
+        F.col("purchase_event_id").isNotNull().alias("converted"),
+    )
+
+
+@register(
+    "stream_join_view_purchase_outer",
+    oracle="""
+SELECT a.event_id AS view_event_id,
+  a.user_id,
+  b.event_id AS purchase_event_id,
+  b.event_id IS NOT NULL AS converted
+FROM events a
+LEFT JOIN events b ON a.user_id = b.user_id
+  AND b.event_type = 'purchase'
+  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+WHERE a.event_type = 'view'
+""",
+    doc="LEFT OUTER stream-stream join (E14), batch-equivalence form: "
+    "every view with its conversion status. The true readStream twin "
+    "(watermarks both sides; null-extended rows emitted on watermark "
+    "expiry) is proven equal to this in tests/test_streaming.py.",
+)
+def stream_join_view_purchase_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return attribute_views_outer(
+        events.filter(F.col("event_type") == "view"),
+        events.filter(F.col("event_type") == "purchase"),
+    )

@@ -20,6 +20,16 @@ def test_matches_duckdb_oracle(spark, sf_correctness, query):
     compare_query_to_oracle(spark, query, sf_correctness)
 
 
+def test_no_rows_only_queries_remain():
+    """Every registry query carries a DuckDB oracle (the rows-only tier
+    emptied out in round 3: approximate/hash-defined operators moved to
+    bound-flag oracles). If a future query registers without an oracle,
+    this fails loudly instead of silently weakening the gate — add an
+    oracle (bound-flag if the output is approximate) or consciously
+    re-introduce a rows-only check here."""
+    assert not ROWS_ONLY_QUERIES, [q.name for q in ROWS_ONLY_QUERIES]
+
+
 @pytest.mark.parametrize("query", ROWS_ONLY_QUERIES, ids=lambda q: q.name)
 def test_rows_only_runs(spark, sf_correctness, query):
     df = query.fn(spark, sf_correctness)

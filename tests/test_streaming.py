@@ -422,6 +422,72 @@ def test_stream_stream_join_equals_batch(spark, sf_smoke, tmp_path):
     assert want, "no attributed purchases in fixture"
 
 
+def test_stream_stream_outer_join_equals_batch(spark, sf_smoke, tmp_path):
+    """True LEFT OUTER stream-stream join: null-extended rows may only be
+    emitted after the watermark proves no match can arrive; with
+    availableNow processing the final sink must equal the batch form —
+    including the unconverted (NULL purchase) rows."""
+    from hbase_hadoop_flightsearch_spark.streaming.joins import (
+        attribute_views_outer,
+        stream_join_view_purchase_outer,
+    )
+
+    src = copy_events_to_dir(sf_smoke, str(tmp_path / "ssjo_src"))
+    # Outer joins emit null-extended rows only when the watermark PROVES
+    # no match can arrive; at end-of-stream the watermark stalls,
+    # stranding the final window's unmatched views in state. Stage
+    # far-future sentinel events to flush the watermark past every real
+    # view's expiry — the standard close-out for bounded replays. The
+    # sentinels must carry the FILTERED event types (one view, one
+    # purchase, distinct users so they can't join): Catalyst pushes the
+    # event_type filter below the watermark node, so a sentinel of any
+    # other type would be dropped before the event-time stats see it.
+    flush_us = int(
+        load_table(spark, sf_smoke, "events")
+        .agg(F.unix_micros(F.max("ts")))
+        .first()[0]
+    ) + 3 * 3600 * 1_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([-1, -2], pa.int64()),
+                "ts": pa.array([flush_us, flush_us], pa.timestamp("us")),
+                "user_id": pa.array([-1, -2], pa.int64()),
+                "event_type": pa.array(["view", "purchase"], pa.string()),
+                "value": pa.array([0.0, 0.0], pa.float64()),
+                "props": pa.array(["{}", "{}"], pa.string()),
+            }
+        ),
+        os.path.join(src, "zz_flush.parquet"),
+        version="2.6",
+    )
+    views = stream_from_dir(spark, src).filter(F.col("event_type") == "view")
+    purchases = stream_from_dir(spark, src).filter(
+        F.col("event_type") == "purchase"
+    )
+    q = (
+        attribute_views_outer(views, purchases)
+        .writeStream.format("memory")
+        .queryName("ssjo_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT * FROM ssjo_sink WHERE view_event_id >= 0"
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in stream_join_view_purchase_outer(spark, sf_smoke).collect()
+    }
+    assert got == want
+    assert any(not r[3] for r in want), "fixture has no unconverted views"
+
+
 def test_stream_dedup_within_watermark(spark, sf_smoke, tmp_path):
     """The events file staged TWICE into the stream source: every record
     arrives exactly twice; dropDuplicatesWithinWatermark must restore the
