@@ -215,3 +215,64 @@ def sample_per_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= SOURCE_QUOTA)
     )
+
+
+@register(
+    "sample_group_split",
+    oracle="""
+WITH assigned AS (
+  SELECT user_id,
+    CASE
+      WHEN CAST(concat('0x', substr(md5('split1' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8 THEN 'train'
+      WHEN CAST(concat('0x', substr(md5('split1' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 9 THEN 'val'
+      ELSE 'test'
+    END AS split
+  FROM (SELECT DISTINCT user_id FROM events)
+)
+SELECT a.split, COUNT(*) AS n_events,
+  COUNT(DISTINCT e.user_id) AS n_users
+FROM events e JOIN assigned a USING (user_id)
+GROUP BY a.split
+""",
+    doc="Group-aware train/val/test split (LLM-pipeline op): the split is "
+    "assigned per USER (md5 of user_id, 80/10/10), and every event "
+    "inherits its user's split — so no user's data straddles train and "
+    "eval, the leakage-prevention property row-level splits (e.g. "
+    "sample_hash_split) cannot give. Content-addressed: stable across "
+    "runs, partitionings, and backfills; md5 is cross-engine exact.",
+)
+def sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the split column is a pure expression on the grouping
+    key — computed inline during the scan (no assignment table, no join
+    at 100 TB; the oracle's join formulation is only for SQL clarity).
+    The summary output (events/users per split) keeps the driver check
+    O(3) while the underlying per-row assignment is what a pipeline
+    would write out."""
+    events = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("split1"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
+    )
+    return (
+        events.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
