@@ -62,9 +62,20 @@ def main(argv: list[str] | None = None) -> int:
             ingest_flights(spark, args.csv, args.bronze)
         elif args.job == "report":
             # HCompute-faithful: re-parse the stored raw line (the
-            # reference computes from the info:data blob, not typed cols).
+            # reference computes from the info:data blob, not typed
+            # cols). The year partition filter goes BELOW the re-parse:
+            # bronze is partitioned by year, and the report's own
+            # year==2008 predicate (on parsed columns) can't reach the
+            # scan through the parse expression — this pre-filter is the
+            # same superset predicate on the partition column, turning
+            # the full-table scan the reference is forced into (random
+            # rowkeys) into partition pruning.
+            from pyspark.sql import functions as F
+
             fl = flights_from_lines(
-                read_bronze(spark, args.bronze).select("raw_line")
+                read_bronze(spark, args.bronze)
+                .filter(F.col("year") == 2008)
+                .select("raw_line")
             )
             write_report_text(
                 format_report(delay_report_from(fl)), args.out
