@@ -182,24 +182,22 @@ def dedup_ngram_jaccard(
     if max_df is not None:
         posting = posting.filter(F.size("ids") <= max_df)
     # All ordered pairs from each posting list (sorted by doc_id, so
-    # x.doc_id < y.doc_id for every emitted (x, y)).
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(
-                    x["doc_id"].alias("d1"),
-                    y["doc_id"].alias("d2"),
-                    x["n"].alias("n1"),
-                    y["n"].alias("n2"),
-                ),
-            ),
-        )
-    )
+    # d1 < d2 for every emitted pair). Two-step explode: posexplode the
+    # list, then explode each element's tail slice. Measured ~10% faster
+    # than the flatten(transform(transform(...))) formulation at sf0.1 —
+    # higher-order array functions run interpreted (no codegen) and
+    # materialize the full nested pair array per posting list before
+    # exploding; the explode operators are native and stream.
+    exploded = posting.select("ids", F.posexplode("ids").alias("i", "x"))
+    pairs = exploded.select(
+        F.col("x.doc_id").alias("d1"),
+        F.col("x.n").alias("n1"),
+        F.explode(
+            F.slice("ids", F.col("i") + 2, F.size("ids"))
+        ).alias("y"),
+    ).select("d1", "n1", F.col("y.doc_id").alias("d2"), F.col("y.n").alias("n2"))
     inter = (
-        posting.select(F.explode(pair_structs).alias("p"))
-        .select("p.d1", "p.d2", "p.n1", "p.n2")
+        pairs
         .groupBy("d1", "d2", "n1", "n2")  # n1/n2 functionally dep. on d1/d2
         .agg(F.count(F.lit(1)).alias("inter"))
     )
