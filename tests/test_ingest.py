@@ -382,3 +382,40 @@ def test_cli_jobs_match_reference_shapes(spark, bts_csv, tmp_path):
     pat = re.compile(r"^AIR-[A-Z0-9]+\t(, \(\d+,\d+\)){12}$")
     for line in a:
         assert pat.match(line), line
+
+
+def test_malformed_lines_never_crash_ingest(spark, tmp_path):
+    """Robustness the reference lacks (a malformed line crashes its
+    mapper on ArrayIndexOutOfBounds / NumberFormatException): short rows,
+    non-numeric fields, stray quotes, and empty lines must flow through
+    the try_cast parse as NULL-typed rows, not exceptions, and stay
+    filterable downstream."""
+    from hbase_hadoop_flightsearch_spark.sources.ingest import read_bts_csv
+
+    bad = tmp_path / "bad.csv"
+    good = _bts_line(2008, 1, 1, "AA", 12.0, 0.0, 0.0)
+    bad.write_text(
+        "\n".join(
+            [
+                good,
+                "too,short,row",
+                good.replace("2008", "notayear", 1),
+                ',,,"unterminated,quote',
+                "",
+                good,
+            ]
+        )
+    )
+    df = read_bts_csv(spark, str(bad))
+    rows = df.collect()  # must not raise
+    assert len(rows) >= 5  # empty line may drop; nothing else may
+    ok = [r for r in rows if r.year == 2008 and r.carrier == "AA"]
+    assert len(ok) == 2  # the two good lines parse fully
+    # Malformed rows surface as NULLs, so the flagship's filter-and-agg
+    # path simply excludes them.
+    from hbase_hadoop_flightsearch_spark.plans.delay_report import (
+        delay_report_from,
+    )
+
+    report = delay_report_from(df).collect()
+    assert len(report) == 1 and report[0]["carrier"] == "AA"
