@@ -101,3 +101,76 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     history = group_state(orders.filter(F.col("o_orderdate") < SPLIT_DATE))
     delta = group_state(orders.filter(F.col("o_orderdate") >= SPLIT_DATE))
     return finalize_state(merge_states(history, delta))
+
+
+CUST_DELTA_MOD = 10  # customers with c_custkey % 10 >= 8 arrive "late"
+
+
+def _nation_state(orders: DataFrame, customers: DataFrame) -> DataFrame:
+    """Mergeable per-nation state of the JOIN view orders x customer."""
+    return (
+        orders.join(
+            customers, orders.o_custkey == customers.c_custkey
+        )
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "sum_c"
+            ),
+        )
+    )
+
+
+@register(
+    "incremental_join_view_merge",
+    oracle="""
+SELECT c_nationkey AS nation, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+""",
+    doc="Incremental JOIN-view maintenance: the materialized per-nation "
+    "revenue view over orders x customer is refreshed by the delta-join "
+    "algebra — with both base tables split into history + delta, "
+    "delta(V) = O_h x dC + dO x C_h + dO x dC, so a refresh never "
+    "re-joins history against history. The merged state must equal the "
+    "oracle's one-shot join+aggregate over everything.",
+)
+def incremental_join_view_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Both sides get deltas: orders split on the date watermark, "late"
+    customers simulated by a key-hash slice. Each delta term has a
+    delta-sized side — at 100 TB you broadcast it — so refresh cost is
+    O(|delta| x join fanout), never O(|history|^2); the old view's state
+    (O_h x C_h here, recomputed only because this is a self-contained
+    correctness query) would be read back from the materialized table."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o_h = orders.filter(F.col("o_orderdate") < SPLIT_DATE)
+    o_d = orders.filter(F.col("o_orderdate") >= SPLIT_DATE)
+    c_h = cust.filter(F.col("c_custkey") % CUST_DELTA_MOD < 8)
+    c_d = cust.filter(F.col("c_custkey") % CUST_DELTA_MOD >= 8)
+
+    old_view = _nation_state(o_h, c_h)  # the persisted materialization
+    deltas = [
+        _nation_state(o_h, F.broadcast(c_d)),
+        _nation_state(o_d, c_h),
+        _nation_state(o_d, F.broadcast(c_d)),
+    ]
+    all_states = old_view
+    for d in deltas:
+        all_states = all_states.unionByName(d)
+    # States are additive, so ONE union + ONE O(nations) aggregate merges
+    # all four terms — no chained per-delta shuffles.
+    merged = all_states.groupBy("nation").agg(
+        F.sum("n").alias("n"), F.sum("sum_c").alias("sum_c")
+    )
+    return merged.select(
+        "nation",
+        F.col("n").alias("n_orders"),
+        F.col("sum_c").cast("double").alias("revenue"),
+    )
