@@ -134,3 +134,56 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(F.col("neg_id") != F.col("doc_id")).join(
         neg_side, "neg_id"
     ).select("doc_id", "j", "neg_id", "neg_lang")
+
+
+@register(
+    "pipeline_chunk_dedup",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+n AS (
+  SELECT doc_id, toks,
+    GREATEST(1, (len(toks) - {CHUNK_TOKENS - CHUNK_STRIDE + 1})
+                  // {CHUNK_STRIDE} + 1) AS n_chunks
+  FROM t
+),
+chunks AS (
+  SELECT doc_id, s AS chunk_id,
+    md5(array_to_string(
+      toks[s * {CHUNK_STRIDE} + 1 : s * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+      ' ')) AS h
+  FROM (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS s FROM n)
+),
+ranked AS (
+  SELECT doc_id, h,
+    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, chunk_id) AS rn
+  FROM chunks
+)
+SELECT doc_id, COUNT(*) AS n_chunks,
+  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM ranked GROUP BY doc_id
+""",
+    doc="Chunk-level exact dedup (LLM-pipeline composition, E10+E12): "
+    "chunk every document, then keep only the FIRST occurrence of each "
+    "distinct chunk corpus-wide (deterministic winner: lowest "
+    "(doc_id, chunk_id)) — the paragraph/boilerplate dedup pass corpus "
+    "pipelines run between document-level dedup and packing. Output is "
+    "per-doc (total chunks, surviving chunks).",
+)
+def pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup key is md5(chunk_text), projected BEFORE the shuffle so
+    the exchange carries 32-byte hashes, never chunk text — at 100 TB
+    that is ~10x less shuffle volume for 32-token chunks. One exchange
+    on the hash (first-occurrence window), one on doc_id (stats)."""
+    from pyspark.sql import Window
+
+    chunks = text_chunk_sliding(spark, sf_dir).select(
+        "doc_id", "chunk_id", F.md5(F.col("chunk_text")).alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "chunk_id")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("rn") == 1).cast("bigint")).alias("n_kept"),
+    )
