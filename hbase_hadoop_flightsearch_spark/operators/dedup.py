@@ -376,22 +376,75 @@ def _simhash_sig_long(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    oracle="SELECT TRUE AS banding_complete, TRUE AS banding_sound",
+    oracle="SELECT TRUE AS pairs_nonempty, TRUE AS hamming_bounded, "
+    "TRUE AS pairs_ordered_distinct, TRUE AS precision_ok, "
+    "TRUE AS recall_floor_ok",
     doc="SimHash near-dup detection (E10): 64-bit signature from word-"
-    "3-gram hashes, 4x16-bit band blocking, Hamming <= 3 verification. "
-    "Bound-flag oracle: the signature bit pattern is xxhash64-defined, so "
-    "the query verifies the banding THEOREM instead — the banded pair set "
-    "must equal brute-force all-pairs Hamming <= 3 exactly (pigeonhole: "
-    "3 flipped bits cannot touch all 4 bands -> complete; the explicit "
-    "Hamming filter -> sound). The oracle expects both booleans TRUE. "
-    "User-facing pairs: `simhash_pairs`.",
+    "3-gram hashes, 4x16-bit band blocking (EXACT for Hamming <= 3 by "
+    "pigeonhole), Hamming verification inside buckets. Bound-flag oracle: "
+    "the signature bit pattern is xxhash64-defined, so the query runs the "
+    "banded production path (`simhash_pairs`) and emits invariants the "
+    "oracle expects TRUE — pairs exist, every pair has 0 <= Hamming <= 3, "
+    "pairs are ordered (d1 < d2) and distinct, every SimHash pair is also "
+    "an exact 3-gram-Jaccard >= 0.5 pair (precision), and the pair count "
+    "reaches >= 30% of the exact operator's (recall floor). The O(n^2) "
+    "crossJoin banding-THEOREM check lives in tests/test_dedup.py at "
+    "sf <= 0.01 (`simhash_banding_theorem_check`), not in the registry.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Verification twin: packed-long signatures make both sides cheap —
-    banded candidates via 16-bit slices of the packed sig, brute force via
-    crossJoin + bit_count(xor). The crossJoin is the POINT here (exact
-    ground truth for the theorem check); the production path is the
-    banded `simhash_pairs`, whose cost is bucket-bounded."""
+    """Driver-facing flag query over the banded production path. Every
+    subplan is bucket-bounded or inverted-index style — nothing here is
+    all-pairs, so the plan survives a 100x corpus, unlike the theorem
+    twin it replaced (demoted to tests)."""
+    pairs = simhash_pairs(spark, sf_dir)
+    jac = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    stats = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(
+            F.bool_and(
+                (F.col("hamming") >= 0)
+                & (F.col("hamming") <= SIMHASH_HAMMING_MAX)
+            ),
+            F.lit(True),
+        ).alias("hb"),
+        F.coalesce(F.bool_and(F.col("d1") < F.col("d2")), F.lit(True)).alias(
+            "ordered"
+        ),
+        F.count_distinct("d1", "d2").alias("n_distinct"),
+    )
+    false_pos = (
+        pairs.select("d1", "d2")
+        .join(jac, ["d1", "d2"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_fp"))
+    )
+    n_jac = jac.agg(F.count(F.lit(1)).alias("n_jac"))
+    return (
+        stats.crossJoin(false_pos)
+        .crossJoin(n_jac)
+        .select(
+            (F.col("n_pairs") > 0).alias("pairs_nonempty"),
+            F.col("hb").alias("hamming_bounded"),
+            (F.col("ordered") & (F.col("n_distinct") == F.col("n_pairs"))).alias(
+                "pairs_ordered_distinct"
+            ),
+            (F.col("n_fp") == 0).alias("precision_ok"),
+            (F.col("n_pairs") >= 0.3 * F.col("n_jac")).alias(
+                "recall_floor_ok"
+            ),
+        )
+    )
+
+
+def simhash_banding_theorem_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verification twin (TEST-ONLY, sf <= 0.01): packed-long signatures
+    make both sides cheap — banded candidates via 16-bit slices of the
+    packed sig, brute force via crossJoin + bit_count(xor). The crossJoin
+    is the POINT here (exact ground truth that the 4x16-bit banding finds
+    ALL Hamming <= 3 pairs and nothing else); it is deliberately NOT a
+    registry entry because an all-pairs plan dies at 100x scale — the
+    production path is the banded `simhash_pairs`."""
     sigs = _simhash_sig_long(spark, sf_dir)
     band_val = lambda q: F.shiftrightunsigned("sig", q * 16).bitwiseAND(  # noqa: E731
         0xFFFF

@@ -91,17 +91,20 @@ def test_mllib_minhash_lsh_agrees(spark, sf_correctness):
     )
 
 
-def test_simhash_flag_query_and_packed_sig_consistency(spark, sf_correctness):
-    """The registered theorem-check query must emit TRUE flags, and the
+def test_simhash_banding_theorem_and_packed_sig_consistency(
+    spark, sf_correctness
+):
+    """The (test-only, sf <= 0.01) banding-theorem check must prove the
+    banded pair set equals brute-force all-pairs Hamming <= 3, and the
     packed-bigint signature path it uses must produce the same pair set as
     the array-bits production path (simhash_pairs)."""
     from hbase_hadoop_flightsearch_spark.operators.dedup import (
         _simhash_sig_long,
-        dedup_simhash,
+        simhash_banding_theorem_check,
     )
     from pyspark.sql import functions as F
 
-    row = dedup_simhash(spark, sf_correctness).collect()[0]
+    row = simhash_banding_theorem_check(spark, sf_correctness).collect()[0]
     assert row.banding_complete and row.banding_sound
 
     sigs = _simhash_sig_long(spark, sf_correctness)
@@ -120,3 +123,18 @@ def test_simhash_flag_query_and_packed_sig_consistency(spark, sf_correctness):
         for r in simhash_pairs(spark, sf_correctness).collect()
     }
     assert packed == arr and packed
+
+
+def test_dedup_simhash_registered_flags_all_true(spark, sf_correctness):
+    """The driver-facing dedup_simhash entry (banded production path) must
+    emit every invariant flag TRUE — matching its bound-flag oracle."""
+    from hbase_hadoop_flightsearch_spark.operators.dedup import dedup_simhash
+
+    rows = dedup_simhash(spark, sf_correctness).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.pairs_nonempty
+    assert r.hamming_bounded
+    assert r.pairs_ordered_distinct
+    assert r.precision_ok
+    assert r.recall_floor_ok
