@@ -32,8 +32,21 @@ LSH_BANDS = 4  # 4 bands x 3 bits: for true-neighbor angle ~60deg the
 # the 3-band/4-bit split measured recall 0.16 at sf0.1 (harder top-5 in the
 # larger corpus); this banding holds recall >= 0.3 at every shipped SF
 # while keeping candidate generation bucket-bounded (8 buckets/band)
+LSH_PROBE_BITS = 1  # multi-probe: queries also visit every bucket within
+# Hamming 1 of each band key (1 + 3 flips = 4 keys/band). A near neighbor
+# now collides if ANY band differs in <= 1 bit: per-band prob rises
+# 0.30 -> 0.74 at 60deg, P(>= 1 band) 0.76 -> 0.995. Cost is query-side
+# only (10 query vectors x 4x keys); the corpus keeps exactly one key per
+# band, so corpus-side work is unchanged — measured recall@5 at sf0.1
+# rose 0.52 -> >= 0.9 (see test_similarity.py floors).
 IVF_CENTROID_STEP = 100  # vec_id % step == 7 -> coarse centroid
-IVF_NPROBE = 3  # query probes its 3 nearest cells
+IVF_NPROBE = 8  # query probes its 8 nearest cells. Measured recall@5 at
+# sf0.1 (50 cells): nprobe=3 -> 0.38, 6 -> 0.64, 8 -> 0.74 — the
+# deterministic-sample quantizer is untrained, so cells align only
+# loosely with the data and probing must compensate. 8 cells holds
+# recall >= 0.7 at every shipped SF while still pruning >= 84% of the
+# corpus at sf0.1 (and more as the corpus grows: centroid count grows
+# with the corpus at fixed step while nprobe stays constant).
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -178,6 +191,12 @@ def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
 
 
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH with query-side multi-probe: the corpus keeps
+    ONE key per band (index size unchanged), while each query also visits
+    every bucket within Hamming `LSH_PROBE_BITS` of its band key. Recall
+    rises like multiple hash tables, at the cost of a few extra (tiny)
+    query-side rows instead of a replicated corpus index — at 100 TB the
+    index is the cost that matters."""
     emb = _embeddings(spark, sf_dir)
     dim = 64
     planes = _hyperplanes(LSH_PLANES, dim)
@@ -193,6 +212,16 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
+    def band_key(b: int, flip: int | None = None) -> Column:
+        """Band b's bucket key as a bit-string; bit `flip` inverted."""
+        bits = []
+        for i in range(bits_per_band):
+            bit = F.element_at("sig", b * bits_per_band + i + 1)
+            if flip == i:
+                bit = F.lit(1) - bit
+            bits.append(bit.cast("string"))
+        return F.concat_ws("", *bits)
+
     sig = emb.withColumn("sig", signature(F.col("v")))
     bands = sig.select(
         "vec_id",
@@ -201,15 +230,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "",
-                            *[
-                                F.element_at("sig", b * bits_per_band + i + 1)
-                                .cast("string")
-                                for i in range(bits_per_band)
-                            ],
-                        ).alias("bkey"),
+                        F.lit(b).alias("band"), band_key(b).alias("bkey")
                     )
                     for b in range(LSH_BANDS)
                 ]
@@ -217,11 +238,27 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bk"),
     ).select("vec_id", "v", "bk.band", "bk.bkey")
 
-    queries = bands.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        "band",
-        "bkey",
+    probe_keys = []
+    for b in range(LSH_BANDS):
+        probe_keys.append(
+            F.struct(F.lit(b).alias("band"), band_key(b).alias("bkey"))
+        )
+        if LSH_PROBE_BITS >= 1:
+            for i in range(bits_per_band):
+                probe_keys.append(
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_key(b, flip=i).alias("bkey"),
+                    )
+                )
+    queries = (
+        sig.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(F.array(*probe_keys)).alias("bk"),
+        )
+        .select("query_id", "qv", "bk.band", "bk.bkey")
     )
     cand = (
         bands.join(queries, ["band", "bkey"])
@@ -339,20 +376,27 @@ def _recall_flag_query(ann: DataFrame, exact: DataFrame, floor: float) -> DataFr
     )
 
 
+LSH_RECALL_FLOOR = 0.8  # measured 1.0 / 0.96 / 0.98 at sf0.001/0.01/0.1
+IVF_RECALL_FLOOR = 0.7  # measured 1.0 / 1.0 / 0.74
+INT8_RECALL_FLOOR = 0.9  # measured 0.98 / 0.98 / 1.0
+
+
 @register(
     "similarity_ann_lsh",
     oracle=_ANN_ORACLE,
-    doc="ANN via random-hyperplane LSH (E11): 12 sign bits -> 3 banded "
-    "bucket keys; candidates meet only inside buckets, then exact cosine "
-    "re-rank — the sub-linear scale path. Bound-flag oracle: neighbor "
-    "lists are hash-defined, so the query emits recall@5 >= 0.3 vs the "
-    "exact baseline as a boolean the oracle expects TRUE.",
+    doc=f"ANN via random-hyperplane LSH (E11): {LSH_PLANES} sign bits -> "
+    f"{LSH_BANDS} banded bucket keys ({LSH_PLANES // LSH_BANDS} bits "
+    f"each) with {LSH_PROBE_BITS}-bit query-side multi-probe; candidates "
+    "meet only inside buckets, then exact cosine re-rank — the sub-linear "
+    "scale path. Bound-flag oracle: neighbor lists are hash-defined, so "
+    f"the query emits recall@5 >= {LSH_RECALL_FLOOR} vs the exact "
+    "baseline as a boolean the oracle expects TRUE.",
 )
 def similarity_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_flag_query(
         similarity_ann_lsh(spark, sf_dir),
         similarity_knn_bruteforce(spark, sf_dir),
-        0.3,
+        LSH_RECALL_FLOOR,
     )
 
 
@@ -362,14 +406,14 @@ def similarity_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ANN via IVF (E11): broadcast coarse quantizer, home-cell corpus "
     f"assignment, {IVF_NPROBE}-cell query probing, exact cosine re-rank "
     "inside probed cells. Bound-flag oracle: cell membership is "
-    "quantizer-defined, so the query emits recall@5 >= 0.3 vs the exact "
-    "baseline as a boolean the oracle expects TRUE.",
+    f"quantizer-defined, so the query emits recall@5 >= {IVF_RECALL_FLOOR} "
+    "vs the exact baseline as a boolean the oracle expects TRUE.",
 )
 def similarity_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_flag_query(
         similarity_ann_ivf(spark, sf_dir),
         similarity_knn_bruteforce(spark, sf_dir),
-        0.3,
+        IVF_RECALL_FLOOR,
     )
 
 
@@ -379,8 +423,8 @@ def similarity_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="int8-quantized top-k (E11): per-vector symmetric quantization "
     "(scale = max|x|/127), integer dot products, 4x scan-byte reduction. "
     "Bound-flag oracle: quantization error is implementation-defined, so "
-    "the query emits recall@5 >= 0.7 vs the exact float baseline as a "
-    "boolean the oracle expects TRUE.",
+    f"the query emits recall@5 >= {INT8_RECALL_FLOOR} vs the exact float "
+    "baseline as a boolean the oracle expects TRUE.",
 )
 def similarity_knn_quantized_int8_recall(
     spark: SparkSession, sf_dir: str
@@ -388,5 +432,5 @@ def similarity_knn_quantized_int8_recall(
     return _recall_flag_query(
         similarity_knn_quantized_int8(spark, sf_dir),
         similarity_knn_bruteforce(spark, sf_dir),
-        0.7,
+        INT8_RECALL_FLOOR,
     )

@@ -21,10 +21,14 @@ def test_ann_recall_vs_bruteforce(spark, sf_correctness):
     }
     assert exact, "brute-force baseline returned nothing"
     recall = len(exact & ann) / len(exact)
-    # 12-bit/3-band hyperplane LSH on 64-dim data: recall is imperfect by
-    # design; assert it's meaningfully above chance (50 random picks from
-    # 500 vectors would land ~1%).
-    assert recall >= 0.3, f"ANN recall {recall:.2f} below floor"
+    # 12-bit/4-band hyperplane LSH with 1-bit query-side multi-probe:
+    # measured recall@5 is 1.0 / 0.96 / 0.98 at sf0.001/0.01/0.1
+    # (hash-deterministic per SF). Floor matches the registered oracle.
+    from hbase_hadoop_flightsearch_spark.operators.similarity import (
+        LSH_RECALL_FLOOR,
+    )
+
+    assert recall >= LSH_RECALL_FLOOR, f"ANN recall {recall:.2f} below floor"
 
 
 def test_ivf_recall_vs_bruteforce(spark, sf_correctness):
@@ -38,8 +42,13 @@ def test_ivf_recall_vs_bruteforce(spark, sf_correctness):
     }
     assert exact, "brute-force baseline returned nothing"
     recall = len(exact & ivf) / len(exact)
-    # nprobe=3 of 5 cells at sf0.01 — well above chance, below 1 by design.
-    assert recall >= 0.3, f"IVF recall {recall:.2f} below floor"
+    # nprobe=8: measured recall@5 is 1.0 / 1.0 / 0.74 at
+    # sf0.001/0.01/0.1. Floor matches the registered oracle.
+    from hbase_hadoop_flightsearch_spark.operators.similarity import (
+        IVF_RECALL_FLOOR,
+    )
+
+    assert recall >= IVF_RECALL_FLOOR, f"IVF recall {recall:.2f} below floor"
 
 
 def test_ivf_results_are_true_cosines(spark, sf_correctness):
@@ -68,7 +77,8 @@ def test_ann_results_are_true_cosines(spark, sf_correctness):
 def test_int8_quantized_recall_vs_bruteforce(spark, sf_correctness):
     """int8 symmetric quantization on 64-dim unit-ish vectors perturbs
     cosines by ~1/127 per axis — top-5 sets should survive nearly intact
-    (floor 0.7), and every quantized cosine must sit within 0.05 of the
+    (floor 0.9, measured >= 0.98 at every shipped SF), and every
+    quantized cosine must sit within 0.05 of the
     exact one."""
     from hbase_hadoop_flightsearch_spark.operators.similarity import (
         similarity_knn_bruteforce,
@@ -82,8 +92,12 @@ def test_int8_quantized_recall_vs_bruteforce(spark, sf_correctness):
     }
     q = similarity_knn_quantized_int8(spark, sf_correctness).collect()
     got = {(r.query_id, r.neighbor_id) for r in q}
+    from hbase_hadoop_flightsearch_spark.operators.similarity import (
+        INT8_RECALL_FLOOR,
+    )
+
     recall = len(exact & got) / len(exact)
-    assert recall >= 0.7, f"int8 recall {recall:.2f}"
+    assert recall >= INT8_RECALL_FLOOR, f"int8 recall {recall:.2f}"
     for r in q:
         key = (r.query_id, r.neighbor_id)
         if key in exact_cos:
