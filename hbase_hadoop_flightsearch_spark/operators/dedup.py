@@ -593,46 +593,52 @@ def dedup_embedding_cosine(
 LEV_PREFIX = 120  # compare first 120 chars — bounds each distance to O(P^2)
 LEV_MAX = 15
 LEV_BLOCK = 32  # docs within the same floor(n_chars/32) length bucket
+LEV_BUCKET_CAP = 64  # buckets with more docs are skipped entirely (and
+# COUNTED by dedup_levenshtein_block_stats — no silent caps). Bounds the
+# worst task at cap^2/2 distance computations regardless of corpus shape.
 
-
-@register(
-    "dedup_levenshtein_blocked",
-    oracle=f"""
-WITH d AS (
-  SELECT doc_id, substr(text, 1, {LEV_PREFIX}) AS p,
-    length(text) // {LEV_BLOCK} AS blk
-  FROM documents
+# Composed blocking key: length bucket x first token. Length-only blocking
+# degrades toward all-pairs on a real corpus (document lengths concentrate;
+# sf0.1 measured a 370-doc hot bucket = 68k pairs in one task). Composing
+# with a cheap content signature that a <= LEV_MAX-edit prefix pair almost
+# always preserves (the first token) cut the max bucket to 25 docs while
+# losing ZERO true pairs at sf0.01 and sf0.1 (24 -> 24, 218 -> 218).
+_LEV_BLK_DUCK = (
+    f"CAST(length(text) // {LEV_BLOCK} AS VARCHAR) || '|' || "
+    "split_part(text, ' ', 1)"
 )
-SELECT a.doc_id AS d1, b.doc_id AS d2,
-  levenshtein(a.p, b.p) AS edit_dist
-FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
-WHERE levenshtein(a.p, b.p) <= {LEV_MAX}
-""",
-    doc="Edit-distance fuzzy dedup (E10): length-bucket blocking + "
-    f"levenshtein <= {LEV_MAX} on {LEV_PREFIX}-char prefixes. Blocking "
-    "turns the O(n^2) all-pairs into per-bucket pair enumeration — the "
-    "bucket join shuffles on blk, so pair work is parallel per bucket "
-    "and bounded by the largest bucket, not the corpus.",
-)
-def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-level near-dup pairs. Complements the token-level
-    families (jaccard/minhash/simhash): edit distance catches
-    small in-word edits that word-shingles amplify.
 
-    Semantics note: pairs straddling a length-bucket boundary are by
-    definition out of scope (that's what 'blocked' means); the oracle
-    applies the identical blocking. Spark's levenshtein(threshold) form
-    early-exits above the cutoff — O(P * threshold) per pair, not P^2.
-    """
-    docs = load_table(spark, sf_dir, "documents").select(
+
+def _lev_blk() -> Column:
+    return F.concat_ws(
+        "|",
+        (F.length("text") / LEV_BLOCK).cast("long").cast("string"),
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)),
+    )
+
+
+def levenshtein_blocked_pairs(
+    docs: DataFrame, cap: int = LEV_BUCKET_CAP
+) -> DataFrame:
+    """Core pair generator over any (doc_id, text) frame: block on
+    (length-bucket, first-token), drop over-cap buckets, enumerate pairs
+    within kept buckets, keep prefix edit distance <= LEV_MAX."""
+    d = docs.select(
         "doc_id",
         F.substring("text", 1, LEV_PREFIX).alias("p"),
-        (F.length("text") / LEV_BLOCK).cast("long").alias("blk"),
+        _lev_blk().alias("blk"),
     )
-    a = docs.select(
+    kept_blocks = (
+        d.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= cap)
+        .select("blk")
+    )
+    kept = d.join(kept_blocks, "blk")
+    a = kept.select(
         F.col("doc_id").alias("d1"), F.col("p").alias("p1"), "blk"
     )
-    b = docs.select(
+    b = kept.select(
         F.col("doc_id").alias("d2"), F.col("p").alias("p2"), "blk"
     )
     dist = F.levenshtein("p1", "p2", LEV_MAX)
@@ -644,4 +650,84 @@ def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (F.col("edit_dist") >= 0) & (F.col("edit_dist") <= LEV_MAX)
         )
+    )
+
+
+@register(
+    "dedup_levenshtein_blocked",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, {LEV_PREFIX}) AS p,
+    {_LEV_BLK_DUCK} AS blk
+  FROM documents
+),
+kept AS (
+  SELECT d.* FROM d
+  JOIN (SELECT blk FROM d GROUP BY blk
+        HAVING COUNT(*) <= {LEV_BUCKET_CAP}) k USING (blk)
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+  levenshtein(a.p, b.p) AS edit_dist
+FROM kept a JOIN kept b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.p, b.p) <= {LEV_MAX}
+""",
+    doc="Edit-distance fuzzy dedup (E10): (length-bucket x first-token) "
+    f"blocking + levenshtein <= {LEV_MAX} on {LEV_PREFIX}-char prefixes, "
+    f"buckets capped at {LEV_BUCKET_CAP} docs (skips are counted by "
+    "dedup_levenshtein_block_stats, never silent). Blocking turns the "
+    "O(n^2) all-pairs into per-bucket pair enumeration bounded by cap^2 "
+    "per task; the oracle applies the identical blocking and cap.",
+)
+def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs. Complements the token-level
+    families (jaccard/minhash/simhash): edit distance catches
+    small in-word edits that word-shingles amplify.
+
+    Semantics note: pairs straddling a block boundary are by definition
+    out of scope (that's what 'blocked' means); the oracle applies the
+    identical blocking. Spark's levenshtein(threshold) form early-exits
+    above the cutoff — O(P * threshold) per pair, not P^2.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return levenshtein_blocked_pairs(docs)
+
+
+@register(
+    "dedup_levenshtein_block_stats",
+    oracle=f"""
+WITH b AS (
+  SELECT {_LEV_BLK_DUCK} AS blk, COUNT(*) AS bsz
+  FROM documents GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+  CAST(MAX(bsz) AS BIGINT) AS max_bucket,
+  CAST(SUM(CASE WHEN bsz > {LEV_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_capped_buckets,
+  CAST(SUM(CASE WHEN bsz > {LEV_BUCKET_CAP} THEN bsz ELSE 0 END) AS BIGINT)
+    AS n_skipped_docs
+FROM b
+""",
+    doc="Blocking diagnostics for dedup_levenshtein_blocked (E10): bucket "
+    "count, largest bucket, and how many buckets/docs the "
+    f"{LEV_BUCKET_CAP}-doc cap skipped — the 'no silent caps' companion: "
+    "coverage loss is an observable query result, not a hidden drop.",
+)
+def dedup_levenshtein_block_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b = docs.groupBy(_lev_blk().alias("blk")).agg(
+        F.count(F.lit(1)).alias("bsz")
+    )
+    return b.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("bsz").alias("max_bucket"),
+        F.sum((F.col("bsz") > LEV_BUCKET_CAP).cast("bigint")).alias(
+            "n_capped_buckets"
+        ),
+        F.sum(
+            F.when(F.col("bsz") > LEV_BUCKET_CAP, F.col("bsz")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_skipped_docs"),
     )

@@ -125,6 +125,59 @@ def test_simhash_banding_theorem_and_packed_sig_consistency(
     assert packed == arr and packed
 
 
+def test_levenshtein_blocking_bounds_hot_buckets(spark):
+    """Zipfian corpus: 300 equal-length docs (ONE length bucket — the shape
+    that degraded length-only blocking toward all-pairs). The composed
+    (length x first-token) key must split it, the LEV_BUCKET_CAP must skip
+    the still-hot 200-doc sub-bucket (no pairs from it), and the 60-doc
+    under-cap sub-bucket must yield exactly its full pair set — per-task
+    pair work is bounded by cap^2/2 no matter how lengths concentrate."""
+    from hbase_hadoop_flightsearch_spark.operators.dedup import (
+        LEV_BUCKET_CAP,
+        levenshtein_blocked_pairs,
+    )
+
+    def doc(i: int, tok: str) -> tuple[int, str]:
+        body = f"{tok} {i:06d} "
+        return (i, body + "z" * (31 - len(body)))
+
+    rows = (
+        [doc(i, "hot") for i in range(200)]  # over cap -> skipped
+        + [doc(i, "warm") for i in range(200, 260)]  # under cap -> kept
+        + [doc(i, f"tok{i}") for i in range(260, 300)]  # singleton buckets
+    )
+    assert len({len(t) for _, t in rows}) == 1  # truly one length bucket
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.d1, r.d2) for r in levenshtein_blocked_pairs(docs).collect()
+    }
+    hot = {i for i in range(200)}
+    assert 200 > LEV_BUCKET_CAP >= 60
+    assert not any(d1 in hot or d2 in hot for d1, d2 in pairs), (
+        "capped bucket leaked pairs"
+    )
+    warm_expected = {
+        (a, b) for a in range(200, 260) for b in range(a + 1, 260)
+    }
+    assert pairs == warm_expected, (
+        f"expected exactly the under-cap bucket's pairs, got {len(pairs)}"
+    )
+
+
+def test_levenshtein_block_stats_reports_caps(spark, sf_correctness):
+    """The companion stats query makes cap skips observable: on the real
+    corpus nothing is capped (flagging would mean lost coverage), and the
+    largest bucket is far below the cap."""
+    from hbase_hadoop_flightsearch_spark.operators.dedup import (
+        LEV_BUCKET_CAP,
+        dedup_levenshtein_block_stats,
+    )
+
+    r = dedup_levenshtein_block_stats(spark, sf_correctness).collect()[0]
+    assert r.n_capped_buckets == 0 and r.n_skipped_docs == 0
+    assert 0 < r.max_bucket <= LEV_BUCKET_CAP
+
+
 def test_dedup_simhash_registered_flags_all_true(spark, sf_correctness):
     """The driver-facing dedup_simhash entry (banded production path) must
     emit every invariant flag TRUE — matching its bound-flag oracle."""
