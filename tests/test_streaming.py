@@ -192,6 +192,100 @@ def test_transform_with_state_converges_to_batch(spark, sf_smoke, tmp_path):
     assert got == want and got
 
 
+def test_tws_processor_logic_converges_at_two_sfs(spark, sf_smoke,
+                                                  sf_correctness):
+    """Gate proven twice-over (VERDICT r3 #4): the true
+    transformWithStateInPandas run needs google.protobuf (absent here,
+    uninstallable), so this drives the SAME StatefulProcessor object's
+    fold logic directly — fake ValueState handle, input split into three
+    microbatches per user — and asserts the final upsert per user equals
+    the oracled batch twin at BOTH sf0.001 and sf0.01. What the skip
+    leaves unexercised is only the protobuf state channel, not the
+    processor semantics."""
+    import pandas as pd
+
+    from hbase_hadoop_flightsearch_spark.streaming.stateful import (
+        _make_activity_processor,
+        stream_tws_user_activity_span,
+    )
+
+    class KeyScopedValueState:
+        """The real runtime implicitly scopes each state handle to the
+        current grouping key; mirror that with a dict + current-key
+        pointer the test advances before each handleInputRows call."""
+
+        def __init__(self):
+            self.store = {}
+            self.key = None
+
+        def exists(self):
+            return self.key in self.store
+
+        def get(self):
+            return self.store[self.key]
+
+        def update(self, v):
+            self.store[self.key] = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, KeyScopedValueState())
+
+    for sf in (sf_smoke, sf_correctness):
+        proc = _make_activity_processor()
+        # Fresh handle per SF: state must not leak across corpora.
+        handle = FakeHandle()
+        proc.init(handle)
+        events = (
+            load_table(spark, sf, "events")
+            .select(
+                "user_id",
+                "value",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            )
+            .toPandas()
+        )
+        final = {}
+        n_batches = 3
+        for b in range(n_batches):  # simulate three microbatches
+            batch = events.iloc[b::n_batches]
+            for uid, pdf in batch.groupby("user_id"):
+                for st in handle.states.values():
+                    st.key = uid
+                out = pd.concat(
+                    list(proc.handleInputRows((uid,), iter([pdf]), None))
+                )
+                assert len(out) == 1
+                r = out.iloc[0]
+                final[int(uid)] = (
+                    int(r.n_events),
+                    float(r.total_value),
+                    int(r.first_ts_us),
+                    int(r.last_ts_us),
+                )
+        proc.close()
+        want = {
+            r.user_id: (
+                r.n_events,
+                r.total_value,
+                r.first_ts_us,
+                r.last_ts_us,
+            )
+            for r in stream_tws_user_activity_span(spark, sf).collect()
+        }
+        # Rounding of the running float sum happens per emission; compare
+        # totals at the same 2-decimal grain with a half-cent tolerance for
+        # summation-order drift between the incremental and batch paths.
+        assert final.keys() == want.keys() and final
+        for uid, (n, total, first_us, last_us) in final.items():
+            wn, wtotal, wfirst, wlast = want[uid]
+            assert (n, first_us, last_us) == (wn, wfirst, wlast), uid
+            assert abs(total - wtotal) <= 0.005, (uid, total, wtotal)
+
+
 def _write_events_file(path, rows):
     """rows: list of (event_id, ts_us, user_id, event_type, value). The
     stream source schema stores ts as int64 nanoseconds (like the driver's
