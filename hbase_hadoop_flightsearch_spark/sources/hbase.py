@@ -75,6 +75,18 @@ def read_flight_table(
     )
 
 
+def writer_options(table: str, create: bool = True) -> dict[str, str]:
+    """The exact option map handed to the hbase-spark DefaultSource writer
+    — separable from .save() so the contract is testable without a jar.
+    `newTable` is the connector's create-if-absent knob (value = initial
+    region count, mirroring HPopulate's Admin DDL, HPopulate/Main.java:
+    54-73); omitted entirely when the table must pre-exist."""
+    opts = {"catalog": flight_blob_catalog(table)}
+    if create:
+        opts["newTable"] = "5"
+    return opts
+
+
 def write_flight_table(
     df: DataFrame, table: str = "FlightTable", create: bool = True
 ) -> None:
@@ -83,11 +95,9 @@ def write_flight_table(
     HPopulate/Main.java:100). `create` maps to the connector's newTable
     option (create-if-absent, like HPopulate's Admin DDL)."""
     _check_connector(df.sparkSession)
-    writer = (
+    (
         df.select("rowkey", "raw_line")
         .write.format(HBASE_FORMAT)
-        .option("catalog", flight_blob_catalog(table))
+        .options(**writer_options(table, create))
+        .save()
     )
-    if create:
-        writer = writer.option("newTable", "5")
-    writer.save()

@@ -62,3 +62,43 @@ def test_reader_fails_actionably_without_connector(spark):
     ClassNotFoundException from inside a job."""
     with pytest.raises(HBaseConnectorUnavailable, match="bronze"):
         read_flight_table(spark)
+
+
+def test_writer_options_contract():
+    """The writer's option map IS its connector contract: the catalog must
+    byte-match the reader's (same layout both directions, unlike the
+    reference's writer/reader table-name split), `newTable` must appear
+    exactly when create-if-absent is requested (value = initial region
+    count as a string — the connector parses it numerically), and nothing
+    else may be passed (stray options silently change connector
+    behavior)."""
+    from hbase_hadoop_flightsearch_spark.sources.hbase import writer_options
+
+    created = writer_options("FlightTable", create=True)
+    assert set(created) == {"catalog", "newTable"}
+    assert created["catalog"] == flight_blob_catalog("FlightTable")
+    assert created["newTable"] == "5" and created["newTable"].isdigit()
+
+    existing = writer_options("FlightTable", create=False)
+    assert set(existing) == {"catalog"}
+    assert existing["catalog"] == flight_blob_catalog("FlightTable")
+
+    # The catalog the writer ships must cover exactly the columns the
+    # writer selects (rowkey, raw_line) — a column the catalog doesn't
+    # map would be dropped silently by the connector.
+    cat = json.loads(created["catalog"])
+    assert set(cat["columns"]) == {"rowkey", "raw_line"}
+
+
+def test_writer_fails_actionably_without_connector(spark):
+    """The writer must gate on the jar BEFORE building the DataFrameWriter,
+    with the same actionable bronze-path message as the reader."""
+    from hbase_hadoop_flightsearch_spark.sources.hbase import (
+        write_flight_table,
+    )
+
+    df = spark.createDataFrame(
+        [("k1", "2008,1,3,WN,...")], ["rowkey", "raw_line"]
+    )
+    with pytest.raises(HBaseConnectorUnavailable, match="bronze"):
+        write_flight_table(df)
