@@ -38,6 +38,13 @@ def main() -> None:
     runs = int(os.environ.get("BENCH_RUNS", "3"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0.1)
 
+    # Box-load indicator (VERDICT r3 #7): r2's suite reading was misread
+    # as a plan regression when it was driver-box load. Recording 1-min
+    # loadavg before/after lets a reader adjudicate load vs regression
+    # from the artifact alone (32 hardware threads here; loadavg >> n_cpus
+    # during the run means the timings are contended).
+    load_before = os.getloadavg()[0]
+
     spark = get_spark(app_name="bench")
     registry = load_all()
     headline = [q for q in registry.values() if q.headline]
@@ -50,6 +57,7 @@ def main() -> None:
         timings[q.name] = round(time_query(spark, q, sf_dir, runs), 4)
 
     total = round(sum(timings.values()), 4)
+    load_after = os.getloadavg()[0]
     print(
         json.dumps(
             {
@@ -58,6 +66,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "loadavg_1m_before": round(load_before, 2),
+                "loadavg_1m_after": round(load_after, 2),
+                "n_cpus": os.cpu_count(),
             }
         )
     )
