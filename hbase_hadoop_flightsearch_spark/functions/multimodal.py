@@ -88,6 +88,41 @@ def parse_media_header(payload: bytes):
                         "channels": ch, "sample_rate": sr}
             off += 8 + sz + (sz & 1)  # chunks are word-aligned
         return None
+    if len(p) >= 8 and p[:4] == b"\x00\x00\x01\x00":
+        # ICO: directory entry 0 at offset 6 — width/height bytes, where
+        # 0 encodes 256 (the format's one-byte quirk).
+        w, h = p[6] or 256, p[7] or 256
+        return {"format": "ico", "width": w, "height": h,
+                "channels": None, "sample_rate": None}
+    if len(p) >= 8 and p[:4] in (b"II*\x00", b"MM\x00*"):
+        # TIFF: walk the first IFD for ImageWidth(256)/ImageLength(257).
+        # Values are left-justified in the 4-byte value field regardless
+        # of byte order (TIFF6 §2), so SHORTs read from the first 2 bytes.
+        bo = "<" if p[:2] == b"II" else ">"
+        (ifd_off,) = struct.unpack(bo + "I", p[4:8])
+        if ifd_off + 2 > len(p):
+            return None
+        (n_entries,) = struct.unpack(bo + "H", p[ifd_off : ifd_off + 2])
+        w = h = None
+        for k in range(n_entries):
+            e = ifd_off + 2 + 12 * k
+            if e + 12 > len(p):
+                break
+            tag, typ = struct.unpack(bo + "HH", p[e : e + 4])
+            if typ == 3:  # SHORT
+                (val,) = struct.unpack(bo + "H", p[e + 8 : e + 10])
+            elif typ == 4:  # LONG
+                (val,) = struct.unpack(bo + "I", p[e + 8 : e + 12])
+            else:
+                continue
+            if tag == 256:
+                w = val
+            elif tag == 257:
+                h = val
+        if w is not None and h is not None:
+            return {"format": "tiff", "width": w, "height": h,
+                    "channels": None, "sample_rate": None}
+        return None
     if len(p) >= 4 and p[:2] == b"\xff\xd8":
         # JPEG: walk markers to the first frame header (SOF0..SOF15 minus
         # DHT/JPG/DAC); height then width, big-endian, at +5 within segment.
@@ -198,12 +233,13 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _synth_container(doc_id: int, n_chars: int) -> tuple:
     """Build a REAL minimal media container deterministically from doc
-    fields: format cycles png/bmp/wav by doc_id, dimensions follow the
-    same arithmetic law the fake codec uses (so DuckDB can oracle them)."""
+    fields: format cycles png/bmp/wav/ico/tiff by doc_id, dimensions
+    follow the same arithmetic law the fake codec uses (so DuckDB can
+    oracle them); ICO clamps to its one-byte dimension range."""
     import struct
 
     w, h = n_chars % 640 + 1, (n_chars * 7) % 480 + 1
-    fmt = doc_id % 3
+    fmt = doc_id % 5
     if fmt == 0:
         payload = (
             b"\x89PNG\r\n\x1a\n"
@@ -222,16 +258,39 @@ def _synth_container(doc_id: int, n_chars: int) -> tuple:
             + struct.pack("<Iii", 40, w, -h)
         )
         return payload, "image/bmp"
-    ch, sr = n_chars % 2 + 1, 8000 + (n_chars % 8) * 1000
+    if fmt == 2:
+        ch, sr = n_chars % 2 + 1, 8000 + (n_chars % 8) * 1000
+        payload = (
+            b"RIFF"
+            + struct.pack("<I", 36)
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, ch, sr, sr * ch * 2, ch * 2, 16)
+        )
+        return payload, "audio/wav"
+    if fmt == 3:
+        # ICO stores dimensions in single bytes (0 encodes 256), so the
+        # law clamps to 1..255 for this format.
+        iw, ih = n_chars % 255 + 1, (n_chars * 7) % 255 + 1
+        payload = (
+            b"\x00\x00\x01\x00"
+            + struct.pack("<H", 1)  # one directory entry
+            + bytes([iw, ih, 0, 0])
+            + struct.pack("<HHII", 1, 32, 40, 22)
+        )
+        return payload, "image/x-icon"
+    # TIFF little-endian: IFD at offset 8 with ImageWidth/ImageLength
+    # SHORT entries (w <= 640 < 2^16 fits).
     payload = (
-        b"RIFF"
-        + struct.pack("<I", 36)
-        + b"WAVE"
-        + b"fmt "
-        + struct.pack("<I", 16)
-        + struct.pack("<HHIIHH", 1, ch, sr, sr * ch * 2, ch * 2, 16)
+        b"II*\x00"
+        + struct.pack("<I", 8)
+        + struct.pack("<H", 2)
+        + struct.pack("<HHIHH", 256, 3, 1, w, 0)
+        + struct.pack("<HHIHH", 257, 3, 1, h, 0)
+        + struct.pack("<I", 0)
     )
-    return payload, "audio/wav"
+    return payload, "image/tiff"
 
 
 def _decode_real_batches(
@@ -261,22 +320,24 @@ def _decode_real_batches(
     "multimodal_decode_real",
     oracle="""
 SELECT doc_id,
-  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END
-    AS format,
-  CASE WHEN doc_id % 3 < 2 THEN CAST(n_chars % 640 + 1 AS INT) END
+  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'wav'
+    WHEN 3 THEN 'ico' ELSE 'tiff' END AS format,
+  CASE WHEN doc_id % 5 IN (0, 1, 4) THEN CAST(n_chars % 640 + 1 AS INT)
+       WHEN doc_id % 5 = 3 THEN CAST(n_chars % 255 + 1 AS INT) END
     AS width,
-  CASE WHEN doc_id % 3 < 2 THEN CAST((n_chars * 7) % 480 + 1 AS INT) END
+  CASE WHEN doc_id % 5 IN (0, 1, 4) THEN CAST((n_chars * 7) % 480 + 1 AS INT)
+       WHEN doc_id % 5 = 3 THEN CAST((n_chars * 7) % 255 + 1 AS INT) END
     AS height,
-  CASE WHEN doc_id % 3 = 2 THEN CAST(n_chars % 2 + 1 AS INT) END
+  CASE WHEN doc_id % 5 = 2 THEN CAST(n_chars % 2 + 1 AS INT) END
     AS channels,
-  CASE WHEN doc_id % 3 = 2 THEN CAST(8000 + (n_chars % 8) * 1000 AS INT) END
+  CASE WHEN doc_id % 5 = 2 THEN CAST(8000 + (n_chars % 8) * 1000 AS INT) END
     AS sample_rate
 FROM documents
 """,
     doc="REAL media codec round-trip (E13): synthesize byte-exact "
-    "PNG/BMP/WAV containers per document, then struct-parse dimensions / "
-    "audio params back out of the actual container headers (no fake "
-    "law on the decode side) via Arrow-batched mapInPandas.",
+    "PNG/BMP/WAV/ICO/TIFF containers per document, then struct-parse "
+    "dimensions / audio params back out of the actual container headers "
+    "(no fake law on the decode side) via Arrow-batched mapInPandas.",
 )
 def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
@@ -372,6 +433,119 @@ def _frame_sample_batches(
         yield pd.DataFrame(
             {"doc_id": ids, "frame_idx": idxs, "frame_offset": offs}
         )
+
+
+PCM_MIN_SAMPLES = 16  # n_samples = n_chars % 64 + 16
+
+
+def wav_pcm_samples(payload: bytes):
+    """REAL audio-content decode (pure stdlib): walk the RIFF chunk list
+    to the `data` chunk and unpack its int16-LE PCM samples. Returns a
+    tuple of ints, or None when the payload is not a WAV or carries no
+    data chunk. This is the content layer below `parse_media_header`'s
+    fmt-chunk metadata — sample statistics, silence detection, and
+    loudness bucketing at 100 TB all start exactly here."""
+    import struct
+
+    p = payload
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    off = 12
+    while off + 8 <= len(p):
+        cid, sz = p[off : off + 4], struct.unpack(
+            "<I", p[off + 4 : off + 8]
+        )[0]
+        if cid == b"data":
+            raw = p[off + 8 : off + 8 + sz]
+            n = len(raw) // 2
+            return struct.unpack("<%dh" % n, raw[: 2 * n])
+        off += 8 + sz + (sz & 1)  # chunks are word-aligned
+    return None
+
+
+def _synth_wav_pcm(doc_id: int, n_chars: int) -> bytes:
+    """Mono 16 kHz PCM16 WAV with a data chunk whose samples follow an
+    integer law DuckDB can replay: sample_i = ((doc_id*31 + i*7) % 65536)
+    - 32768."""
+    import struct
+
+    n = n_chars % 64 + PCM_MIN_SAMPLES
+    samples = [((doc_id * 31 + i * 7) % 65536) - 32768 for i in range(n)]
+    data = struct.pack("<%dh" % n, *samples)
+    fmt = (
+        b"fmt "
+        + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _wav_stats_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            payload = _synth_wav_pcm(int(doc_id), int(n_chars))
+            a = np.asarray(wav_pcm_samples(payload), dtype=np.int64)
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "n_samples": len(a),
+                    "min_amp": int(a.min()),
+                    "max_amp": int(a.max()),
+                    "sum_amp": int(a.sum()),
+                    "sum_sq_amp": int((a * a).sum()),
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "multimodal_wav_sample_stats",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+    ((doc_id * 31 + i * 7) % 65536) - 32768 AS amp
+  FROM documents, LATERAL (
+    SELECT unnest(generate_series(
+      0, n_chars % 64 + {PCM_MIN_SAMPLES} - 1)) AS i
+  )
+)
+SELECT doc_id,
+  COUNT(*) AS n_samples,
+  CAST(MIN(amp) AS INT) AS min_amp,
+  CAST(MAX(amp) AS INT) AS max_amp,
+  CAST(SUM(amp) AS BIGINT) AS sum_amp,
+  CAST(SUM(amp * amp) AS BIGINT) AS sum_sq_amp
+FROM s GROUP BY doc_id
+""",
+    doc="REAL audio-content analysis (E13): synthesize PCM16 WAVs whose "
+    "data-chunk samples follow an integer law, then struct-unpack the "
+    "actual sample bytes back out (RIFF data-chunk walk, no audio libs) "
+    "and aggregate integer-exact amplitude stats (count/min/max/sum/"
+    "sum-of-squares — mean and RMS derive from these without float "
+    "summation-order drift) via Arrow-batched mapInPandas.",
+)
+def multimodal_wav_sample_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return docs.mapInPandas(
+        _wav_stats_batches,
+        schema="doc_id bigint, n_samples bigint, min_amp int, max_amp int, "
+        "sum_amp bigint, sum_sq_amp bigint",
+    )
 
 
 @register(

@@ -104,15 +104,84 @@ def test_decode_media_real_path_no_fake():
 
 
 def test_decode_real_arrow_roundtrip(spark, sf_smoke):
-    """The registered query synthesizes real PNG/BMP/WAV containers and
-    parses them back through mapInPandas WITHOUT the fake law; spot-check
-    the law against a locally built container."""
+    """The registered query synthesizes real PNG/BMP/WAV/ICO/TIFF
+    containers and parses them back through mapInPandas WITHOUT the fake
+    law; spot-check the law against a locally built container."""
+    fmt_cycle = {0: "png", 1: "bmp", 2: "wav", 3: "ico", 4: "tiff"}
     rows = {r.doc_id: r for r in multimodal_decode_real(spark, sf_smoke).collect()}
     assert rows
     for doc_id, r in list(rows.items())[:50]:
-        if doc_id % 3 == 2:
-            assert r.format == "wav" and r.width is None
+        assert r.format == fmt_cycle[doc_id % 5]
+        if r.format == "wav":
+            assert r.width is None
             assert r.sample_rate in range(8000, 16000, 1000)
+        elif r.format == "ico":
+            assert 1 <= r.width <= 255 and 1 <= r.height <= 255
         else:
-            assert r.format == ("png" if doc_id % 3 == 0 else "bmp")
             assert 1 <= r.width <= 640 and 1 <= r.height <= 480
+
+
+def test_ico_header_including_256_quirk():
+    ico = (
+        b"\x00\x00\x01\x00" + struct.pack("<H", 1)
+        + bytes([48, 32, 0, 0]) + struct.pack("<HHII", 1, 32, 40, 22)
+    )
+    hdr = parse_media_header(ico)
+    assert (hdr["format"], hdr["width"], hdr["height"]) == ("ico", 48, 32)
+    # A zero width/height byte encodes 256 — the format's one-byte quirk.
+    ico256 = (
+        b"\x00\x00\x01\x00" + struct.pack("<H", 1)
+        + bytes([0, 0, 0, 0]) + struct.pack("<HHII", 1, 32, 40, 22)
+    )
+    hdr = parse_media_header(ico256)
+    assert (hdr["width"], hdr["height"]) == (256, 256)
+
+
+def _tiff(w, h, big_endian=False):
+    bo = ">" if big_endian else "<"
+    magic = b"MM\x00*" if big_endian else b"II*\x00"
+    return (
+        magic
+        + struct.pack(bo + "I", 8)
+        + struct.pack(bo + "H", 2)
+        + struct.pack(bo + "HHIHH", 256, 3, 1, w, 0)
+        + struct.pack(bo + "HHIHH", 257, 4, 1, h, 0)[:8]
+        + struct.pack(bo + "I", h)  # LONG value uses all 4 value bytes
+        + struct.pack(bo + "I", 0)
+    )
+
+
+def test_tiff_header_both_byte_orders_and_value_types():
+    """SHORT (left-justified in the value field) and LONG entries, in both
+    II and MM byte orders, must all decode."""
+    for be in (False, True):
+        hdr = parse_media_header(_tiff(1024, 768, big_endian=be))
+        assert (hdr["format"], hdr["width"], hdr["height"]) == (
+            "tiff", 1024, 768,
+        ), f"big_endian={be}"
+    # Truncated IFD must not crash.
+    assert parse_media_header(b"II*\x00" + struct.pack("<I", 99)) is None
+
+
+def test_wav_pcm_samples_roundtrip():
+    """The data-chunk walker must recover the exact int16 samples, skip a
+    leading LIST chunk, and return None when no data chunk exists."""
+    from hbase_hadoop_flightsearch_spark.functions.multimodal import (
+        _synth_wav_pcm,
+        wav_pcm_samples,
+    )
+
+    got = wav_pcm_samples(_synth_wav_pcm(7, 100))
+    want = [((7 * 31 + i * 7) % 65536) - 32768 for i in range(100 % 64 + 16)]
+    assert list(got) == want
+    # fmt-only WAV (no data chunk) -> None; non-WAV -> None.
+    assert wav_pcm_samples(_wav(1, 8000)) is None
+    assert wav_pcm_samples(b"not audio") is None
+    # data chunk after a LIST chunk is still found.
+    samples = struct.pack("<4h", 1, -2, 3, -4)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 12 + 8 + len(samples)) + b"WAVE"
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + b"data" + struct.pack("<I", len(samples)) + samples
+    )
+    assert list(wav_pcm_samples(wav)) == [1, -2, 3, -4]
