@@ -55,7 +55,15 @@ def main(argv: list[str] | None = None) -> int:
 
     # Only stop a session this invocation created: under getOrCreate a
     # pre-existing session (e.g. the test harness's) must survive the job.
-    preexisting = SparkSession.getActiveSession() is not None
+    # getActiveSession is thread-local, so ALSO check the process-wide
+    # default — a session created by another thread (or not yet activated
+    # in this one) is still reused by getOrCreate and must not be stopped.
+    # PySpark exposes no public getDefaultSession (that's the Scala API);
+    # _instantiatedSession is its long-stable Python equivalent.
+    preexisting = (
+        SparkSession.getActiveSession() is not None
+        or SparkSession._instantiatedSession is not None
+    )
     spark = get_spark(app_name=f"flightsearch-{args.job}")
     try:
         if args.job == "ingest":

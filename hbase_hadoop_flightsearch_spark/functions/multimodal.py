@@ -147,14 +147,27 @@ def parse_media_header(payload: bytes):
 
 
 def decode_media(payload: bytes, media_type: str, fake: bool = False):
-    """Codec entry point. Known binary containers (PNG/BMP/GIF/WAV/JPEG)
-    are REALLY decoded via `parse_media_header` — no image libs needed for
-    the header layer. For payloads outside those formats (e.g. the text
-    corpus rendered as media), full decoders (PIL/librosa/av) are not
-    available in this environment, so the deterministic fake derives
-    dimensions from the byte length to keep the distributed plumbing
-    testable end-to-end."""
+    """Codec entry point. Known binary containers (PNG/BMP/GIF/WAV/JPEG/
+    ICO/TIFF) are REALLY decoded via `parse_media_header` — no image libs
+    needed for the header layer. For payloads outside those formats (e.g.
+    the text corpus rendered as media), full decoders (PIL/librosa/av)
+    are not available in this environment, so the deterministic fake
+    derives dimensions from the byte length to keep the distributed
+    plumbing testable end-to-end.
+
+    The two laws never mix on one payload (ADVICE r3): with fake=True the
+    byte-length law ALWAYS applies — the same law `resize_media` uses, so
+    decode and resize can never disagree on source dims, and the fake-law
+    oracles hold even for a payload that happens to match magic bytes.
+    Header sniffing runs only on the real path (fake=False), where the
+    declared type still wins for text/*."""
     n = len(payload)
+    if fake:
+        return {
+            "byte_len": n,
+            "width": n % 640 + 1,
+            "height": (n * 7) % 480 + 1,
+        }
     # Only sniff binary media: a text payload that happens to start with
     # "BM" must not be misread as a bitmap (the declared type wins).
     hdr = None if media_type.startswith("text/") else parse_media_header(payload)
@@ -164,13 +177,11 @@ def decode_media(payload: bytes, media_type: str, fake: bool = False):
             "width": hdr["width"] if hdr["width"] is not None else 0,
             "height": hdr["height"] if hdr["height"] is not None else 0,
         }
-    if not fake:
-        raise NotImplementedError(
-            "payload is not a recognized container (png/bmp/gif/wav/jpeg) "
-            "and full media codecs (PIL/librosa/av) are not installed in "
-            "this environment; pass fake=True for the deterministic stub"
-        )
-    return {"byte_len": n, "width": n % 640 + 1, "height": (n * 7) % 480 + 1}
+    raise NotImplementedError(
+        "payload is not a recognized container (png/bmp/gif/wav/jpeg/ico/"
+        "tiff) and full media codecs (PIL/librosa/av) are not installed "
+        "in this environment; pass fake=True for the deterministic stub"
+    )
 
 
 def _extract_batches(

@@ -150,18 +150,34 @@ def udtf_tokenize_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pandas_weighted_mean(v: pd.Series, w: pd.Series) -> float:
     """Grouped-agg pandas UDF (UDAF): Arrow ships each group's columns as
     Series, Python returns one scalar. The UDAF completes the E15 matrix
-    (scalar pandas UDF / row UDF / grouped-map / grouped-agg / UDTF)."""
-    return float((v * w).sum() / w.sum())
+    (scalar pandas UDF / row UDF / grouped-map / grouped-agg / UDTF).
+
+    Exact-integer formulation (ADVICE r3): prices quantize to cents via
+    floor(v*100 + 0.5) — the identical IEEE ops DuckDB runs, with no
+    tie-rule dependence — then sums are exact int64 and the half-up
+    cent quotient is pure integer math, so a quotient landing on a
+    half-cent boundary can never round differently across engines'
+    float summation orders."""
+    import numpy as np
+
+    cents = np.floor(v.to_numpy() * 100.0 + 0.5).astype("int64")
+    wi = w.to_numpy().astype("int64")
+    n, d = int((cents * wi).sum()), int(wi.sum())
+    return ((2 * n + d) // (2 * d)) / 100.0
 
 
 @register(
     "udf_grouped_agg_weighted_mean",
     oracle="""
-SELECT o_orderpriority AS priority,
-  ROUND(SUM(o_totalprice * (o_orderkey % 7 + 1)) /
-        SUM(o_orderkey % 7 + 1), 2) AS wmean_price
-FROM orders
-GROUP BY 1
+WITH t AS (
+  SELECT o_orderpriority AS priority,
+    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+    o_orderkey % 7 + 1 AS w
+  FROM orders
+)
+SELECT priority,
+  ((2 * SUM(cents * w) + SUM(w)) // (2 * SUM(w))) / 100.0 AS wmean_price
+FROM t GROUP BY priority
 """,
     doc="Grouped-agg pandas UDF / UDAF surface (E15): per-priority "
     "weighted mean price via an Arrow-batched aggregate UDF, "
@@ -181,7 +197,7 @@ def udf_grouped_agg_weighted_mean(
         (F.col("o_orderkey") % 7 + 1).cast("double").alias("wt"),
     )
     return orders.groupBy("priority").agg(
-        F.round(
-            pandas_weighted_mean(F.col("price"), F.col("wt")), 2
-        ).alias("wmean_price")
+        pandas_weighted_mean(F.col("price"), F.col("wt")).alias(
+            "wmean_price"
+        )
     )

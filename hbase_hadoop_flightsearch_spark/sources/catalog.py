@@ -43,13 +43,40 @@ def events_ts_codec(
     no-op) depends on the session timezone being pinned to UTC here: an
     NTZ->LTZ cast preserves the wall-clock value only under UTC, which is
     what every downstream window/epoch expression and DuckDB oracle assume.
+
+    Preconditions (footer sniffing reads the source once at construction):
+      * A directory MAY be empty at stream start — the codec then falls
+        back to the explicit long-nanos schema (the driver testdata's
+        shipped encoding) and normalizes accordingly; files that later
+        arrive with the OTHER encoding need a restart after the first
+        file exists.
+      * One encoding per directory: the inferred schema is applied to
+        every file, so a directory mixing nanos-long and NTZ files would
+        mis-decode whichever minority encoding the footer sample missed.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
-    raw_schema = spark.read.parquet(path).schema
+    try:
+        raw_schema = spark.read.parquet(path).schema
+    except Exception:
+        # Empty/not-yet-existing stream source dir: no footer to sniff.
+        # Assume the long-nanos encoding (the historical shipped form and
+        # what the streaming fixtures write; see tests/test_streaming.py).
+        from ..schemas import TESTDATA_SCHEMAS
+        from pyspark.sql.types import StructField
+
+        base = TESTDATA_SCHEMAS["events"]
+        raw_schema = StructType(
+            [
+                StructField("ts", LongType(), f.nullable)
+                if f.name == "ts"
+                else f
+                for f in base.fields
+            ]
+        )
     if isinstance(raw_schema["ts"].dataType, LongType):
 
         def normalize(df: DataFrame) -> DataFrame:

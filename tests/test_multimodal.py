@@ -103,6 +103,21 @@ def test_decode_media_real_path_no_fake():
         decode_media(_bmp(9, 9), "text/plain")
 
 
+def test_fake_law_never_mixes_with_header_sniff():
+    """With fake=True the byte-length law must apply even when the payload
+    IS a real container — decode_media and resize_media must agree on
+    source dims for the same payload (they mixed laws before r4)."""
+    from hbase_hadoop_flightsearch_spark.functions.multimodal import (
+        resize_media,
+    )
+
+    p = _png(12, 34)
+    d = decode_media(p, "image/png", fake=True)
+    r = resize_media(p, fake=True)
+    assert (d["width"], d["height"]) == (r["width"], r["height"])
+    assert d["width"] == len(p) % 640 + 1  # fake law, not the real 12
+
+
 def test_decode_real_arrow_roundtrip(spark, sf_smoke):
     """The registered query synthesizes real PNG/BMP/WAV/ICO/TIFF
     containers and parses them back through mapInPandas WITHOUT the fake

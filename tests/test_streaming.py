@@ -107,6 +107,27 @@ def test_batch_and_stream_ts_decoding_agree(spark, tmp_path):
         assert b_min == 1_700_000_000_000_000, unit
 
 
+def test_events_ts_codec_empty_dir_falls_back(spark, tmp_path):
+    """A genuinely streaming source dir may be empty at stream start — the
+    codec must fall back to the explicit long-nanos schema instead of
+    raising (ADVICE r3), and its normalizer must then decode long-nanos
+    rows to the same micros the footer-sniffed path produces."""
+    from pyspark.sql.types import LongType
+
+    from hbase_hadoop_flightsearch_spark.sources.catalog import (
+        events_ts_codec,
+    )
+
+    empty = str(tmp_path / "not_yet_created")
+    schema, normalize = events_ts_codec(spark, empty)
+    assert isinstance(schema["ts"].dataType, LongType)
+    df = spark.createDataFrame(
+        [(1, 1_700_000_000_000_000_000)], ["event_id", "ts"]
+    )
+    (got,) = normalize(df).select(F.unix_micros("ts")).first()
+    assert got == 1_700_000_000_000_000
+
+
 def test_stream_is_actually_streaming(spark, sf_smoke, tmp_path):
     src = copy_events_to_dir(sf_smoke, str(tmp_path / "stream_src3"))
     stream = stream_from_dir(spark, src)
