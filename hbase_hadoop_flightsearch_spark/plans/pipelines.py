@@ -316,3 +316,72 @@ def pipeline_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+MIX_BUDGET_FRAC = 0.5  # train on half the corpus' tokens
+MIX_MAX_EPOCHS = 2.0  # never repeat a source more than twice
+
+
+@register(
+    "pipeline_mixture_weights",
+    oracle=f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+    SUM(length(text) - length(replace(text, ' ', '')) + 1) AS tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(tokens) AS grand, COUNT(*) AS n_sources FROM per)
+SELECT source, n_docs, CAST(tokens AS BIGINT) AS total_tokens,
+  ROUND(tokens / grand, 6) AS natural_share,
+  ROUND(LEAST({MIX_MAX_EPOCHS},
+    (grand * {MIX_BUDGET_FRAC} / n_sources) / tokens), 6) AS sampling_rate,
+  CAST(FLOOR(tokens * ROUND(LEAST({MIX_MAX_EPOCHS},
+    (grand * {MIX_BUDGET_FRAC} / n_sources) / tokens), 6)) AS BIGINT)
+    AS planned_tokens
+FROM per, tot
+""",
+    doc="Training-data mixture planning (E12/pipeline): per-source token "
+    "counts -> sampling rate hitting a uniform target share of a "
+    f"{MIX_BUDGET_FRAC:.0%}-of-corpus token budget, upsampling capped at "
+    f"{MIX_MAX_EPOCHS} epochs. The rate column is what a sampling stage "
+    "(sample_hash_split / weighted A-ES) consumes downstream. Both "
+    "engines compute the rounded rate from identical IEEE operands in "
+    "identical operation order, so floor(tokens * rate) is value-exact.",
+)
+def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning is a metadata-sized aggregation: one partial-agg'd
+    shuffle of O(sources) rows no matter the corpus size, then a broadcast
+    of the one-row grand total. At 100 TB this runs in seconds and its
+    output (per-source rates) drives the actual sampling pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("tokens"),
+    )
+    tot = per.agg(
+        F.sum("tokens").alias("grand"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    rate = F.round(
+        F.least(
+            F.lit(MIX_MAX_EPOCHS),
+            (F.col("grand") * MIX_BUDGET_FRAC / F.col("n_sources"))
+            / F.col("tokens"),
+        ),
+        6,
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.col("tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.col("tokens") / F.col("grand"), 6).alias("natural_share"),
+        rate.alias("sampling_rate"),
+        F.floor(F.col("tokens") * rate).cast("bigint").alias(
+            "planned_tokens"
+        ),
+    )
