@@ -414,3 +414,21 @@ def test_per_source_quota_pushes_group_limit_below_exchange(spark):
     assert "WindowGroupLimit" in plan
     pre, _, post = plan.partition("Exchange")
     assert "WindowGroupLimit" in pre and "WindowGroupLimit" in post
+
+
+def test_mixture_weights_single_shuffle_broadcast_total(spark):
+    """Mixture planning must stay metadata-sized: ONE exchange for the
+    per-source aggregation (partial agg before it) and the grand total
+    joined by broadcast — never a second full-data shuffle or SMJ."""
+    plan = _plan(spark, "pipeline_mixture_weights")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_levenshtein_cap_filter_is_partial_aggregated(spark):
+    """The over-cap bucket filter must aggregate bucket sizes map-side
+    (partial HashAggregate before its exchange) — the cap must not cost a
+    raw-corpus shuffle."""
+    plan = _plan(spark, "dedup_levenshtein_blocked")
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
