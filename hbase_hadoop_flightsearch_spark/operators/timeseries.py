@@ -404,3 +404,158 @@ def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.col("priority").alias("priority_at_date"),
     )
+
+
+ZSCORE_LOOKBACK = 20  # preceding rows in the rolling baseline
+ZSCORE_MIN_N = 12  # minimum baseline rows before flagging
+ZSCORE_Z = 3  # |z| threshold
+
+
+@register(
+    "ts_anomaly_zscore",
+    oracle=f"""
+WITH cents AS (
+  SELECT event_id, user_id, ts, value, event_type,
+         CAST(round(value * 100) AS BIGINT) AS x
+  FROM events
+),
+framed AS (
+  SELECT event_id, user_id, value, event_type, x,
+    SUM(x) OVER w AS s,
+    SUM(x * x) OVER w AS q,
+    COUNT(*) OVER w AS n
+  FROM cents
+  WINDOW w AS (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING
+  )
+)
+SELECT event_id, user_id, event_type, value,
+       CAST(n AS BIGINT) AS baseline_n
+FROM framed
+WHERE n >= {ZSCORE_MIN_N}
+  AND (n * x - s) * (n * x - s) * (n - 1)
+      > {ZSCORE_Z * ZSCORE_Z} * n * (n * q - s * s)
+""",
+    doc="Rolling z-score anomaly detection in EXACT integer arithmetic: "
+    "per-user trailing-20-row baseline (mean/variance via sum and "
+    "sum-of-squares over cents-integer values), flag events with |z| > 3. "
+    "The z test is the cross-multiplied inequality "
+    "(n*x-S)^2*(n-1) > 9*n*(n*Q-S^2) — pure BIGINT comparisons, so the "
+    "engine's float summation order can never flip a boundary. One "
+    "shuffle; all three window sums share a single (user_id, ts) sort.",
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return anomaly_zscore(load_table(spark, sf_dir, "events"))
+
+
+def anomaly_zscore(
+    events: DataFrame,
+    lookback: int = ZSCORE_LOOKBACK,
+    min_n: int = ZSCORE_MIN_N,
+    z: int = ZSCORE_Z,
+) -> DataFrame:
+    """Trailing-window z-score outlier flagging with no floats anywhere.
+
+    Scale notes (100 TB): a single Exchange(user_id); the three frame
+    aggregates (S, Q, n) share one Window node over one sort, and the
+    per-task state is a 20-row ring buffer — the same memory profile at
+    any corpus size. A constant baseline (variance 0) flags any deviating
+    value, the mathematically right limit of z -> infinity.
+
+    The baseline deliberately EXCLUDES the current row (frame ends at
+    1 PRECEDING): a self-included spike inflates its own variance and
+    suppresses detection — the classic rolling-anomaly bug.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-lookback, -1)
+    )
+    x = F.round(F.col("value") * 100, 0).cast("bigint")
+    framed = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        x.alias("x"),
+        F.sum(x).over(w).alias("s"),
+        F.sum((x * x)).over(w).alias("q"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    n, s, q, xx = F.col("n"), F.col("s"), F.col("q"), F.col("x")
+    dev = n * xx - s
+    return (
+        framed.filter(
+            (n >= min_n)
+            & (dev * dev * (n - 1) > F.lit(z * z) * n * (n * q - s * s))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            n.cast("bigint").alias("baseline_n"),
+        )
+    )
+
+
+@register(
+    "ts_resample_ohlc",
+    oracle="""
+WITH ranked AS (
+  SELECT date_trunc('hour', ts) AS bucket_hour, event_type, value,
+    ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                       ORDER BY ts, event_id) AS rn_first,
+    ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn_last,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT bucket_hour, event_type,
+  MAX(CASE WHEN rn_first = 1 THEN value END) AS open_value,
+  MAX(value) AS high_value,
+  MIN(value) AS low_value,
+  MAX(CASE WHEN rn_last = 1 THEN value END) AS close_value,
+  COUNT(*) AS n_events,
+  CAST(SUM(cents) AS DOUBLE) / 100 AS total_value
+FROM ranked
+GROUP BY bucket_hour, event_type
+""",
+    doc="Hourly OHLC resampling per event_type: open/close via "
+    "min_by/max_by on the (ts, event_id) struct — a total order, so "
+    "equal timestamps cannot make first/last nondeterministic — "
+    "high/low/count exact, sum on the cents-integer path. ONE shuffle "
+    "with full partial aggregation (min_by/max_by combine map-side); "
+    "the oracle's two ROW_NUMBER windows are the SQL-engine spelling of "
+    "the same thing.",
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resample_ohlc(load_table(spark, sf_dir, "events"))
+
+
+def resample_ohlc(events: DataFrame) -> DataFrame:
+    """Candlestick rollup — the standard time-series downsample.
+
+    Scale notes (100 TB): groupBy(bucket, type) partial-aggregates
+    map-side (min_by/max_by/min/max/count/sum are all mergeable), so the
+    exchange carries O(buckets × types) rows regardless of event volume.
+    No window functions on the Spark side — the per-group argmin/argmax
+    ride the same hash aggregate as the other measures.
+    """
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket_hour"),
+            "event_type",
+        )
+        .agg(
+            F.min_by("value", key).alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max_by("value", key).alias("close_value"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents).cast("double") / 100).alias("total_value"),
+        )
+    )

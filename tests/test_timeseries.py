@@ -126,3 +126,65 @@ def test_funnel_plan_shares_one_user_exchange(spark, sf_smoke):
     assert plan.count("Window") == 3
     assert plan.count("Exchange") == 2
     assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_anomaly_zscore_flags_spike_not_baseline(spark):
+    """A flat 10.00 baseline then a 100.00 spike: with variance 0 the
+    exact-integer test ((n*x-S)^2*(n-1) > 9*n*(n*Q-S^2)) reduces to
+    'any deviation flags' — and only the spike may flag, never the
+    baseline rows (each sees a constant trailing window)."""
+    from hbase_hadoop_flightsearch_spark.operators.timeseries import (
+        anomaly_zscore,
+    )
+
+    rows = [(i, _ts(1, 0, i), 7, "click", 10.0) for i in range(1, 16)]
+    rows.append((16, _ts(1, 0, 16), 7, "click", 100.0))
+    events = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double",
+    )
+    out = anomaly_zscore(events).collect()
+    assert [(r.event_id, r.value) for r in out] == [(16, 100.0)]
+    assert out[0].baseline_n == 15
+
+
+def test_anomaly_zscore_needs_min_baseline(spark):
+    """Fewer than ZSCORE_MIN_N trailing rows => never flagged, however
+    extreme the value — cold-start rows are not judged."""
+    from hbase_hadoop_flightsearch_spark.operators.timeseries import (
+        ZSCORE_MIN_N,
+        anomaly_zscore,
+    )
+
+    n = ZSCORE_MIN_N - 1  # one short of the floor
+    rows = [(i, _ts(1, 0, i), 7, "click", 10.0) for i in range(1, n + 1)]
+    rows.append((99, _ts(1, 0, 59), 7, "click", 10_000.0))
+    events = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double",
+    )
+    assert anomaly_zscore(events).count() == 0
+
+
+def test_ohlc_open_close_tie_broken_by_event_id(spark):
+    """Two events at the IDENTICAL timestamp: (ts, event_id) struct
+    ordering must pick the lower id as open and the higher as close —
+    the tie-break that keeps both engines deterministic."""
+    from hbase_hadoop_flightsearch_spark.operators.timeseries import (
+        resample_ohlc,
+    )
+
+    t = _ts(1, 9, 30)
+    events = spark.createDataFrame(
+        [(2, t, 1, "click", 50.0), (1, t, 1, "click", 20.0),
+         (3, _ts(1, 9, 45), 1, "click", 5.0)],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double",
+    )
+    (bar,) = resample_ohlc(events).collect()
+    assert bar.open_value == 20.0  # event_id 1 wins the tie
+    assert bar.close_value == 5.0
+    assert bar.high_value == 50.0 and bar.low_value == 5.0
+    assert bar.n_events == 3 and bar.total_value == 75.0
