@@ -553,3 +553,75 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), "token")
         .limit(30)
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+lm AS (
+  SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+),
+total AS (SELECT COUNT(*) AS t FROM tok)
+SELECT doc_id,
+  CAST(SUM(tf) AS BIGINT) AS n_tokens,
+  ROUND((log2(t) * SUM(tf) - SUM(tf * log2(c))) / SUM(tf), 6)
+    AS avg_neg_log2p
+FROM tf JOIN lm USING (token), total
+GROUP BY doc_id, t
+""",
+    doc="Unigram language-model scoring — the KenLM-perplexity quality "
+    "filter shape: train token log-probs on the corpus itself, score "
+    "each document by mean per-token surprisal -log2 p(token) = "
+    "log2(T) - log2(c_token). log2 is only ever applied to EXACT "
+    "integer counts (the same inputs in both engines, the entropy-query "
+    "precedent), summed and rounded to 6 dp.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Per-document mean surprisal under a corpus-trained unigram LM.
+
+    High avg_neg_log2p = rare-token-heavy (gibberish / OOD candidates),
+    low = repetitive boilerplate — both tails are what a training-data
+    quality filter cuts. In production the LM side is a *held-out*
+    reference corpus; training it on the scored corpus itself (done here
+    so the query is self-contained) is the standard first pass.
+
+    Scale notes (100 TB): two token-keyed partial-agg shuffles — per-doc
+    term frequencies (doc_id, token) and corpus counts (token) — then
+    the unigram table joins back BROADCAST (it is vocabulary-sized, not
+    corpus-sized; at web-scale vocab swap the hint for a shuffle join,
+    the rest of the plan is unchanged, same note as TF-IDF). The total
+    token count rides a 1-row broadcast. Final per-doc aggregate re-uses
+    the (doc_id, token) grouping's doc_id prefix.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    lm = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        tf.join(F.broadcast(lm), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.round(
+                (
+                    F.log2(F.first("t")) * F.sum("tf")
+                    - F.sum(F.col("tf") * F.log2("c"))
+                )
+                / F.sum("tf"),
+                6,
+            ).alias("avg_neg_log2p"),
+        )
+    )
