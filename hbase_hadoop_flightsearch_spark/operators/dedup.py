@@ -731,3 +731,126 @@ def dedup_levenshtein_block_stats(
             )
         ).alias("n_skipped_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership dedup against a reference corpus
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 15  # m: filter size in bits (512 longs = 4 KiB)
+BLOOM_HASHES = 4  # k: probes per item
+
+
+def _bloom_pos_sql(text_sql: str, i: int) -> str:
+    """Bit position i for an item: an independent xxhash64 stream selected
+    by the literal second hash argument, taken pmod m. Build and probe
+    MUST share this formula — it is the filter's only contract."""
+    return f"pmod(xxhash64({text_sql}, {i}), {BLOOM_BITS}L)"
+
+
+def bloom_build(reference: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distributed Bloom-filter build: explode k positions per reference
+    doc, bucket into 64-bit words, OR the bits per word in ONE partial-
+    aggregated shuffle of at most m/64 = 512 groups, then fold the words
+    into a single map<int,long> row. The filter lives entirely in
+    aggregate state — nothing is collected to the driver; the 4 KiB row
+    broadcasts to the probe side."""
+    pos = reference.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(_bloom_pos_sql(text_col, i))
+                    for i in range(BLOOM_HASHES)
+                ]
+            )
+        ).alias("p")
+    )
+    words = (
+        pos.select(
+            F.expr("CAST(p DIV 64 AS INT)").alias("word_idx"),
+            F.expr("CAST(pmod(p, 64) AS INT)").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(shiftleft(1L, bit))").alias("bits"))
+    )
+    return words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "bits"))
+        ).alias("bf")
+    )
+
+
+def bloom_flag(
+    incoming: DataFrame, bf_row: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Append `bloom_hit`: true iff ALL k probed bits are set. The filter
+    map arrives via a broadcast 1-row cross join; each probe is a map
+    element_at + bitwise AND — pure whole-stage-codegen expressions, no
+    Python, no shuffle of the incoming side."""
+    checks = []
+    for i in range(BLOOM_HASHES):
+        p = _bloom_pos_sql(text_col, i)
+        word = f"coalesce(element_at(bf, CAST(({p}) DIV 64 AS INT)), 0L)"
+        mask = f"shiftleft(1L, CAST(pmod({p}, 64) AS INT))"
+        checks.append(f"(({word} & {mask}) != 0)")
+    return incoming.join(F.broadcast(bf_row)).withColumn(
+        "bloom_hit", F.expr(" AND ".join(checks))
+    )
+
+
+@register(
+    "dedup_bloom_reference",
+    oracle="""
+WITH incoming AS (
+  SELECT doc_id + 1000000 AS doc_id,
+    CASE WHEN doc_id % 2 = 1
+         THEN text || ' novel' || CAST(doc_id AS VARCHAR)
+         ELSE text END AS text
+  FROM documents
+)
+SELECT i.doc_id
+FROM incoming i
+WHERE NOT EXISTS (SELECT 1 FROM documents r WHERE r.text = i.text)
+""",
+    doc="Bloom-filter membership dedup against a reference corpus — "
+    "'skip what we already trained on'. The reference builds a 32768-bit "
+    "k=4 Bloom filter via a distributed bit_or aggregation (m/64 = 512 "
+    "groups, never collected); incoming docs probe it with codegen "
+    "bit-expressions; only bloom-POSITIVE rows pay the exact verification "
+    "anti-join. No false negatives by construction, so the result is "
+    "EXACT — the filter only bounds how much of the incoming batch "
+    "shuffles. Incoming batch is synthesized deterministically: even "
+    "doc_ids verbatim (members), odd doc_ids mutated (novel).",
+)
+def dedup_bloom_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output: incoming doc_ids NOT present (by exact text) in the
+    reference corpus.
+
+    Scale notes (100 TB): the reference corpus reduces to a 4 KiB filter
+    in one partial-agg shuffle (positions combine map-side per word);
+    the incoming side scans once, joins a broadcast 1-row map, and only
+    the bloom-hit sliver (true members + ~4% false positives at the
+    shipped m/n) re-shuffles for the exact text anti-join. Bloom-negative
+    rows short-circuit straight to the output with zero exchange. Size m
+    with the reference cardinality (m/n ~ 10 bits/item) in production.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    incoming = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(
+                F.col("text"), F.lit(" novel"), F.col("doc_id").cast("string")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    flagged = bloom_flag(incoming, bloom_build(docs))
+    definite_new = flagged.filter(~F.col("bloom_hit")).select("doc_id")
+    verified_new = (
+        flagged.filter(F.col("bloom_hit"))
+        .join(docs.select("text"), "text", "left_anti")
+        .select("doc_id")
+    )
+    return definite_new.unionByName(verified_new)

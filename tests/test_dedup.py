@@ -191,3 +191,56 @@ def test_dedup_simhash_registered_flags_all_true(spark, sf_correctness):
     assert r.pairs_ordered_distinct
     assert r.precision_ok
     assert r.recall_floor_ok
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    """The Bloom contract: every reference member MUST flag (zero false
+    negatives — this is what makes the composed operator exact), and on a
+    fully-disjoint probe set the false-positive fraction stays near the
+    analytic rate (~4% at the shipped m/n; assert a generous 15% so the
+    test pins the mechanism, not the constant)."""
+    from hbase_hadoop_flightsearch_spark.operators.dedup import (
+        bloom_build,
+        bloom_flag,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, f"member text number {i} alpha beta") for i in range(300)],
+        "doc_id bigint, text string",
+    )
+    bf = bloom_build(ref)
+    member_hits = bloom_flag(ref, bf).filter("bloom_hit").count()
+    assert member_hits == 300  # no false negatives, ever
+
+    novel = spark.createDataFrame(
+        [(i, f"disjoint probe {i} gamma delta") for i in range(400)],
+        "doc_id bigint, text string",
+    )
+    fp = bloom_flag(novel, bf).filter("bloom_hit").count()
+    assert fp / 400 < 0.15, f"false-positive rate {fp}/400"
+
+
+def test_bloom_reference_result_is_exact_anti_join(spark, sf_correctness):
+    """End to end, the bloom-pruned plan must return EXACTLY the plain
+    anti-join answer — false positives are verified away, and nothing
+    else ever reaches the verification join."""
+    from hbase_hadoop_flightsearch_spark.operators.dedup import (
+        dedup_bloom_reference,
+    )
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    got = {r.doc_id for r in dedup_bloom_reference(spark, sf_correctness).collect()}
+    docs = load_table(spark, sf_correctness, "documents").select("doc_id", "text")
+    incoming = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(F.col("text"), F.lit(" novel"), F.col("doc_id").cast("string")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    want = {
+        r.doc_id
+        for r in incoming.join(docs.select("text"), "text", "left_anti").collect()
+    }
+    assert got == want and want  # nonempty and exact
