@@ -559,3 +559,152 @@ def resample_ohlc(events: DataFrame) -> DataFrame:
             (F.sum(cents).cast("double") / 100).alias("total_value"),
         )
     )
+
+
+OVERLAP_BIN_US = 3_600 * 1_000_000  # 1-hour buckets for the interval join
+MIN_SESSION_EVENTS = 2  # single-event sessions are zero-length intervals
+
+
+@register(
+    "join_interval_overlap_sessions",
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id, ts,
+    CASE WHEN epoch_us(ts) - epoch_us(
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         ) > {SESSION_GAP_US}
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            IS NULL
+    THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+),
+iv AS (
+  SELECT user_id, sid, MIN(ts) AS s, MAX(ts) AS e, COUNT(*) AS n
+  FROM sess GROUP BY user_id, sid
+  HAVING COUNT(*) >= {MIN_SESSION_EVENTS}
+)
+SELECT a.user_id AS a_user, CAST(a.sid AS BIGINT) AS a_session,
+       b.user_id AS b_user, CAST(b.sid AS BIGINT) AS b_session,
+       epoch_us(LEAST(a.e, b.e)) - epoch_us(GREATEST(a.s, b.s))
+         AS overlap_us
+FROM iv a JOIN iv b
+  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+""",
+    doc="Interval overlap join (E3): concurrent multi-event sessions "
+    "across users. Spark plans it as a BIN-BUCKETED equi join — each "
+    "interval explodes into the 1-hour buckets it covers, pairs meet on "
+    "the bucket key, and a distinct pass removes multi-bucket repeats — "
+    "the standard rewrite that turns an O(n^2) theta join into a "
+    "shuffle-bounded equi join. The oracle IS the theta join.",
+)
+def join_interval_overlap_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return interval_overlap_sessions(load_table(spark, sf_dir, "events"))
+
+
+def interval_overlap_sessions(events: DataFrame) -> DataFrame:
+    """Which sessions ran at the same time as someone else's?
+
+    Scale notes (100 TB): a naive theta join on (a.s <= b.e AND b.s <=
+    a.e) is a cross product with residual predicates — Spark would plan
+    BroadcastNestedLoopJoin and die at scale. Binning makes it an equi
+    join: two overlapping intervals both contain their overlap start,
+    which lies in a bucket BOTH intervals cover, so no pair is missed;
+    the bucket key bounds shuffle partners to co-hour intervals. Work
+    scales with sum(intervals-per-bucket^2) — the skew knob is the
+    bucket width (narrower buckets for denser timelines; at 1-hour
+    buckets a session covers <= 2-3 buckets here, so the explode factor
+    is ~2). The distinct pass that removes multi-bucket duplicates
+    reuses the pair columns as its grouping key — one extra exchange of
+    O(pairs), not O(explode).
+
+    Overlap duration is exact integer microseconds; zero-length touches
+    (a.e == b.s) count as overlap_us = 0, matching the oracle's closed
+    intervals.
+    """
+    # Inline sessionization keeping ts (sessionize_lag projects it away;
+    # a join-back would re-shuffle on event_id for a column this window
+    # already sorted by). Both window exprs share one (user_id, ts) sort.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us).over(w)
+    new_session = F.when(
+        prev_us.isNull() | ((us - prev_us) > SESSION_GAP_US), 1
+    ).otherwise(0)
+    sess = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        new_session.alias("ns"),
+    ).select(
+        "user_id",
+        "ts",
+        F.sum("ns")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_seq"),
+    )
+    iv = (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("s"),
+            F.max("ts").alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= MIN_SESSION_EVENTS)
+        .select(
+            "user_id",
+            F.col("session_seq").alias("sid"),
+            F.unix_micros("s").alias("s_us"),
+            F.unix_micros("e").alias("e_us"),
+            "s",
+            "e",
+        )
+    )
+    binned = iv.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                (F.col("s_us") / OVERLAP_BIN_US).cast("bigint"),
+                (F.col("e_us") / OVERLAP_BIN_US).cast("bigint"),
+            )
+        ),
+    )
+    a = binned.select(
+        F.col("bin"),
+        F.col("user_id").alias("a_user"),
+        F.col("sid").alias("a_session"),
+        F.col("s_us").alias("a_s"),
+        F.col("e_us").alias("a_e"),
+    )
+    b = binned.select(
+        F.col("bin"),
+        F.col("user_id").alias("b_user"),
+        F.col("sid").alias("b_session"),
+        F.col("s_us").alias("b_s"),
+        F.col("e_us").alias("b_e"),
+    )
+    return (
+        a.join(b, "bin")
+        .filter(
+            (F.col("a_user") < F.col("b_user"))
+            & (F.col("a_s") <= F.col("b_e"))
+            & (F.col("b_s") <= F.col("a_e"))
+        )
+        .select(
+            "a_user",
+            "a_session",
+            "b_user",
+            "b_session",
+            (
+                F.least("a_e", "b_e") - F.greatest("a_s", "b_s")
+            ).alias("overlap_us"),
+        )
+        .distinct()
+    )

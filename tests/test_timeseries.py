@@ -188,3 +188,39 @@ def test_ohlc_open_close_tie_broken_by_event_id(spark):
     assert bar.close_value == 5.0
     assert bar.high_value == 50.0 and bar.low_value == 5.0
     assert bar.n_events == 3 and bar.total_value == 75.0
+
+
+def test_interval_overlap_hand_computed_and_no_nested_loop(spark):
+    """Users 1/2 overlap 10:00-10:40 vs 10:30-11:10 (overlap 10 min);
+    user 3 is disjoint. Zero-length touch: user 4 starts exactly when
+    user 1 ends => overlap_us == 0 still pairs (closed intervals).
+    The physical plan must contain NO nested-loop join — the bin rewrite
+    exists to avoid exactly that."""
+    from hbase_hadoop_flightsearch_spark.operators.timeseries import (
+        interval_overlap_sessions,
+    )
+
+    rows = [
+        # user 1: 10:00 - 10:40 (20-min steps stay under the 30-min gap)
+        (1, _ts(1, 10, 0), 1), (2, _ts(1, 10, 20), 1), (9, _ts(1, 10, 40), 1),
+        # user 2: 10:30 - 11:10  (overlaps user 1 by 10 min)
+        (3, _ts(1, 10, 30), 2), (10, _ts(1, 10, 50), 2), (4, _ts(1, 11, 10), 2),
+        # user 3: 14:00 - 14:20  (disjoint)
+        (5, _ts(1, 14, 0), 3), (6, _ts(1, 14, 20), 3),
+        # user 4: 10:40 - 10:55  (touches user 1's end exactly)
+        (7, _ts(1, 10, 40), 4), (8, _ts(1, 10, 55), 4),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint"
+    )
+    out = interval_overlap_sessions(events)
+    got = {
+        (r.a_user, r.b_user): r.overlap_us for r in out.collect()
+    }
+    assert got == {
+        (1, 2): 10 * 60 * 1_000_000,
+        (1, 4): 0,
+        (2, 4): 15 * 60 * 1_000_000,
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
