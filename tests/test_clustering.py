@@ -91,3 +91,28 @@ def test_kmeans_registry_invariant_flags(spark):
     pdf = load_all()["ml_kmeans_clusters"].fn(spark, SF).toPandas()
     assert sorted(pdf["cluster"]) == list(range(KMEANS_K))
     assert pdf["nonempty"].all() and pdf["within_k1_sse"].all()
+
+
+def test_pca_gram_matches_numpy_and_eigsolve_is_exact(spark, sf_correctness):
+    """The distributed Gram/sums/n must equal the single-machine NumPy
+    computation to float tolerance, and the top component must match
+    np.linalg.eigh on the locally-built covariance (eigenvalue rel 1e-9,
+    |cos| of eigenvectors ~ 1)."""
+    from hbase_hadoop_flightsearch_spark.operators.clustering import (
+        gram_stats,
+        pca_top_component,
+    )
+
+    emb = _embeddings(spark, sf_correctness)
+    X = np.stack([r.v for r in emb.orderBy("vec_id").collect()])
+    G, sums, n = gram_stats(emb)
+    assert n == len(X)
+    np.testing.assert_allclose(G, X.T @ X, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(sums, X.sum(axis=0), rtol=1e-9, atol=1e-9)
+
+    mu = X.mean(axis=0)
+    cov = ((X.T @ X) - n * np.outer(mu, mu)) / (n - 1)
+    w, V = np.linalg.eigh(cov)
+    stats = pca_top_component(emb)
+    assert abs(stats["eigenvalue"] - w[-1]) <= 1e-9 * max(w[-1], 1e-12)
+    assert stats["residual"] <= 1e-10 * np.trace(cov)
