@@ -660,3 +660,143 @@ def agg_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("q75") - F.col("q25"), 2).alias("iqr"),
         )
     )
+
+
+@register(
+    "agg_mode_per_group",
+    oracle="""
+WITH counts AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1, 2, 3
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(qc AS DOUBLE) / 100 AS mode_qty,
+       CAST(cnt AS BIGINT) AS mode_count
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY l_returnflag, l_linestatus
+    ORDER BY cnt DESC, qc ASC
+  ) AS rn FROM counts
+) WHERE rn = 1
+""",
+    doc="Deterministic MODE (E4): most frequent quantity per "
+    "(returnflag, linestatus), ties to the LOWEST value — built-in "
+    "mode() is tie-nondeterministic in BOTH engines, so the operator is "
+    "two mergeable aggregations: value counts, then a lexicographic "
+    "struct max argmax of (count, -value). Both shuffles partial-agg; "
+    "the second exchange carries one struct per group.",
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mode() with a total order: (cnt DESC, value ASC). The cents-int
+    value rides inside the comparison struct negated so the struct MAX
+    realizes the ASC value tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qc = F.round(F.col("l_quantity") * 100, 0).cast("bigint")
+    counts = li.groupBy(
+        "l_returnflag", "l_linestatus", qc.alias("qc")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    top = F.max(F.struct(F.col("cnt"), (-F.col("qc")).alias("nqc"))).alias("t")
+    return (
+        counts.groupBy("l_returnflag", "l_linestatus")
+        .agg(top)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            ((-F.col("t.nqc")).cast("double") / 100).alias("mode_qty"),
+            F.col("t.cnt").cast("bigint").alias("mode_count"),
+        )
+    )
+
+
+@register(
+    "agg_winsorized_stats",
+    oracle="""
+WITH c AS (
+  SELECT o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+ranked AS (
+  SELECT priority, cents,
+    ROW_NUMBER() OVER (PARTITION BY priority ORDER BY cents) AS rn,
+    COUNT(*) OVER (PARTITION BY priority) AS n
+  FROM c
+),
+bounds AS (
+  SELECT priority,
+    MAX(CASE WHEN rn = (n + 19) // 20 THEN cents END) AS lo,
+    MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN cents END) AS hi
+  FROM ranked GROUP BY priority
+)
+SELECT c.priority,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(CAST(SUM(LEAST(GREATEST(cents, lo), hi)) AS DOUBLE)
+        / (100 * COUNT(*)), 2) AS winsorized_mean,
+  CAST(SUM(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clamped_low,
+  CAST(SUM(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clamped_high
+FROM c JOIN bounds USING (priority)
+GROUP BY c.priority
+""",
+    doc="Winsorized mean (E4, robust-stats family): clamp order values "
+    "at the DISCRETE 5th/95th order statistics, then average. Bounds are "
+    "actual data points at integer rank positions ((n+19) DIV 20 and "
+    "(19n+19) DIV 20 — pure integer math), so no interpolated float can "
+    "sit on a cross-engine boundary; the clamped sum rides cents "
+    "integers. Two-pass with a broadcast O(groups) bounds re-join — the "
+    "same shape as the MAD query.",
+)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization caps outliers instead of dropping them (vs trimmed
+    mean) — the robust location estimate a feature pipeline applies to
+    heavy-tailed monetary columns. The rank positions use ceil(q*n)
+    computed exactly in integers; the value AT a rank in the sorted
+    multiset is unique even under ties, so row_number's tie order cannot
+    leak into the result."""
+    c = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("priority").orderBy("cents")
+    ranked = c.select(
+        "priority",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("priority")
+        ).alias("n"),
+    )
+    bounds = (
+        ranked.groupBy("priority")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n + 19) DIV 20"), F.col("cents")
+                )
+            ).alias("lo"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(19 * n + 19) DIV 20"),
+                    F.col("cents"),
+                )
+            ).alias("hi"),
+        )
+    )
+    clamped = c.join(F.broadcast(bounds), "priority")
+    return clamped.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.least(F.greatest("cents", "lo"), "hi")).cast("double")
+            / (100 * F.count(F.lit(1))),
+            2,
+        ).alias("winsorized_mean"),
+        F.sum((F.col("cents") < F.col("lo")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_clamped_low"),
+        F.sum((F.col("cents") > F.col("hi")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_clamped_high"),
+    )

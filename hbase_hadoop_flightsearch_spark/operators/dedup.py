@@ -66,7 +66,12 @@ FROM pairs WHERE jac >= {JACCARD_THRESHOLD}
 
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingles: array<string>) — distinct word 3-grams."""
-    docs = load_table(spark, sf_dir, "documents")
+    return shingles_from(spark, load_table(spark, sf_dir, "documents"))
+
+
+def shingles_from(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Shingle an arbitrary (doc_id, text) frame — shared by the corpus
+    reader above and the containment operator's augmented corpus."""
     # Shingling is the CPU-heavy stage; a small single-file corpus arrives
     # as one input partition and would run it single-threaded. Widen only
     # when the scan is narrower than the cluster — at real scale the scan
@@ -166,6 +171,21 @@ def dedup_ngram_jaccard(
     in k docs emits k^2/2 pairs in one task); off by default so the DuckDB
     oracle, which does full pairwise, sees identical pairs."""
     sh = doc_shingles(spark, sf_dir)
+    inter = shingle_pair_intersections(sh, max_df)
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        inter.withColumn("jac", jac)
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .select("d1", "d2", F.round("jac", 4).alias("jaccard"))
+    )
+
+
+def shingle_pair_intersections(
+    sh: DataFrame, max_df: int | None = None
+) -> DataFrame:
+    """(d1, n1, d2, n2, inter) for every doc pair sharing >= 1 shingle —
+    the joinless posting-list pair counter shared by the Jaccard and
+    containment operators (they differ only in the final normalizer)."""
     posting = (
         sh.select(
             "doc_id",
@@ -196,16 +216,10 @@ def dedup_ngram_jaccard(
             F.slice("ids", F.col("i") + 2, F.size("ids"))
         ).alias("y"),
     ).select("d1", "n1", F.col("y.doc_id").alias("d2"), F.col("y.n").alias("n2"))
-    inter = (
+    return (
         pairs
         .groupBy("d1", "d2", "n1", "n2")  # n1/n2 functionally dep. on d1/d2
         .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
-    return (
-        inter.withColumn("jac", jac)
-        .filter(F.col("jac") >= JACCARD_THRESHOLD)
-        .select("d1", "d2", F.round("jac", 4).alias("jaccard"))
     )
 
 
@@ -854,3 +868,70 @@ def dedup_bloom_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return definite_new.unionByName(verified_new)
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup: catches sub-document duplication Jaccard misses
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.8
+PREFIX_MOD = 5  # every 5th doc contributes a synthetic 40% prefix excerpt
+
+
+@register(
+    "dedup_containment_prefix",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000,
+         array_to_string(toks[1:GREATEST(3, (2 * len(toks)) // 5)], ' ')
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE doc_id % {PREFIX_MOD} = 0
+),
+sh AS (
+  SELECT doc_id, list_distinct(
+    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+  ) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') toks FROM aug)
+  WHERE len(toks) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+    len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+      LEAST(len(a.shingles), len(b.shingles)) AS c
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT d1, d2, ROUND(c, 4) AS containment
+FROM pairs WHERE c >= {CONTAINMENT_THRESHOLD}
+""",
+    doc="Containment near-dup (E10): |A n B| / min(|A|, |B|) >= 0.8 on "
+    "word-3-gram sets — the excerpt/quotation detector. A 40% prefix of "
+    "a doc has Jaccard ~ 0.4 against its source (UNDER the 0.5 Jaccard "
+    "bar: asymmetric containment is what catches it, containment = 1.0). "
+    "Same joinless posting-list pair counter as the Jaccard operator — "
+    "only the normalizer differs; the corpus is augmented with "
+    "deterministic prefix excerpts so the sub-document case exists.",
+)
+def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup over the prefix-augmented corpus.
+
+    Scale notes (100 TB): identical plan shape to dedup_ngram_jaccard
+    (two partial-agg shuffles, cost sum(posting_len^2), max_df as the
+    skew knob) — containment reuses the intersection counts, so the
+    scale analysis carries over verbatim."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    k = F.greatest(F.lit(3), F.expr("(2 * size(split(text, ' '))) div 5"))
+    prefixes = docs.filter(F.col("doc_id") % PREFIX_MOD == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, F.lit(1), k)).alias("text"),
+    )
+    sh = shingles_from(spark, docs.unionByName(prefixes))
+    inter = shingle_pair_intersections(sh)
+    cont = F.col("inter") / F.least("n1", "n2")
+    return (
+        inter.withColumn("c", cont)
+        .filter(F.col("c") >= CONTAINMENT_THRESHOLD)
+        .select("d1", "d2", F.round("c", 4).alias("containment"))
+    )
