@@ -217,3 +217,119 @@ def stream_stateful_user_activity(
         F.round(F.sum("value"), 2).alias("total_value"),
         F.unix_micros(F.max("ts")).alias("last_ts_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming rolling z-score anomaly detection (twin of ts_anomaly_zscore)
+# ---------------------------------------------------------------------------
+
+ANOM_OUTPUT_SCHEMA = (
+    "event_id bigint, user_id bigint, event_type string, "
+    "value double, baseline_n bigint"
+)
+ANOM_STATE_SCHEMA = "buf array<bigint>"
+
+
+def _update_anomaly_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user ring buffer of the trailing 20 cents values; each arriving
+    event is judged against the buffer BEFORE being pushed (the batch
+    operator's current-row exclusion), using the same exact-integer
+    inequality — Python ints are arbitrary-precision, so the arithmetic
+    is identical to the BIGINT plan."""
+    from ..operators.timeseries import (
+        ZSCORE_LOOKBACK,
+        ZSCORE_MIN_N,
+        ZSCORE_Z,
+    )
+
+    buf = list(state.get[0]) if state.exists else []
+    out: list[dict] = []
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["ts_us", "event_id"])
+    for row in batch.itertuples(index=False):
+        x = int(row.cents)
+        n = len(buf)
+        if n >= ZSCORE_MIN_N:
+            s = sum(buf)
+            q = sum(v * v for v in buf)
+            dev = n * x - s
+            if dev * dev * (n - 1) > ZSCORE_Z * ZSCORE_Z * n * (n * q - s * s):
+                out.append(
+                    {
+                        "event_id": int(row.event_id),
+                        "user_id": int(row.user_id),
+                        "event_type": row.event_type,
+                        "value": float(row.value),
+                        "baseline_n": n,
+                    }
+                )
+        buf.append(x)
+        if len(buf) > ZSCORE_LOOKBACK:
+            buf.pop(0)
+    state.update((buf,))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def anomaly_zscore_stateful(stream_events: DataFrame) -> DataFrame:
+    """Streaming twin of `anomaly_zscore`: an append stream of anomalous
+    events. State is O(users) fixed-width ring buffers — the minimal
+    footprint for trailing-window judgment; pair with state TTL on a
+    real deployment."""
+    prepared = stream_events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _update_anomaly_state,
+        outputStructType=ANOM_OUTPUT_SCHEMA,
+        stateStructType=ANOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "stream_anomaly_zscore",
+    oracle=f"""
+WITH cents AS (
+  SELECT event_id, user_id, ts, value, event_type,
+         CAST(round(value * 100) AS BIGINT) AS x
+  FROM events
+),
+framed AS (
+  SELECT event_id, user_id, value, event_type, x,
+    SUM(x) OVER w AS s,
+    SUM(x * x) OVER w AS q,
+    COUNT(*) OVER w AS n
+  FROM cents
+  WINDOW w AS (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+  )
+)
+SELECT event_id, user_id, event_type, value,
+       CAST(n AS BIGINT) AS baseline_n
+FROM framed
+WHERE n >= 12
+  AND (n * x - s) * (n * x - s) * (n - 1) > 9 * n * (n * q - s * s)
+""",
+    doc="Batch twin of the streaming rolling-z-score anomaly detector "
+    "(E14): applyInPandasWithState holds a per-user 20-value ring buffer "
+    "and judges each event with the SAME exact-integer inequality as the "
+    "batch window plan, so the streaming and batch answers are "
+    "bit-identical on ordered input — proven across multi-microbatch "
+    "replay in tests/test_streaming.py.",
+)
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import anomaly_zscore
+
+    return anomaly_zscore(load_table(spark, sf_dir, "events"))

@@ -749,3 +749,61 @@ def test_streaming_upsert_converges_to_batch_merge(spark, sf_smoke, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(snapshot_path).collect()))
     want = sorted(map(tuple, merge_cdc(orders, feed).collect()))
     assert got == want
+
+
+def test_streaming_anomaly_converges_to_batch_across_microbatches(
+    spark, sf_smoke, tmp_path
+):
+    """The ring-buffer anomaly detector, replayed as THREE time-ordered
+    microbatches (maxFilesPerTrigger=1), must emit exactly the batch
+    window plan's anomaly set — state carries the trailing baseline
+    across microbatch boundaries, and the exact-integer test leaves no
+    room for drift."""
+    import time
+
+    from hbase_hadoop_flightsearch_spark.operators.timeseries import (
+        anomaly_zscore,
+    )
+    from hbase_hadoop_flightsearch_spark.sources.catalog import (
+        events_ts_codec,
+    )
+    from hbase_hadoop_flightsearch_spark.streaming.stateful import (
+        anomaly_zscore_stateful,
+    )
+
+    events = load_table(spark, sf_smoke, "events")
+    pdf = events.orderBy("ts", "event_id").toPandas()
+    src = str(tmp_path / "anom_src")
+    os.makedirs(src)
+    k = 3
+    cut = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+    now = time.time()
+    for i in range(k):
+        chunk = pdf.iloc[cut[i]:cut[i + 1]]
+        path = os.path.join(src, f"chunk_{i:02d}.parquet")
+        pq.write_table(pa.Table.from_pandas(chunk), path)
+        os.utime(path, (now + i, now + i))  # oldest-first processing order
+
+    raw_schema, normalize = events_ts_codec(spark, src)
+    stream = normalize(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        anomaly_zscore_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("anom_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress is not None
+    got = _sorted_rows(spark.sql("SELECT * FROM anom_sink"))
+    want = _sorted_rows(
+        anomaly_zscore(events).select(
+            "event_id", "user_id", "event_type", "value", "baseline_n"
+        )
+    )
+    assert got == want and want  # nonempty and identical
