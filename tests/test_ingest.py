@@ -334,6 +334,22 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert rows[2]["score"] == 0.5
 
 
+def test_orc_source_roundtrip(spark, tmp_path):
+    """ORC source/sink contract: the second columnar format Spark ships
+    natively — schema-preserving lossless roundtrip incl. timestamps, so
+    an ORC-resident warehouse can adopt every query unchanged."""
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    orders = load_table(spark, SF, "orders")
+    path = str(tmp_path / "orders_orc")
+    orders.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == orders.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, orders.collect())
+    )
+
+
 def test_json_source_roundtrip(spark, tmp_path):
     """JSONL source/sink contract: schema-preserving lossless roundtrip of
     a typed table (timestamps included) through the JSON format."""
