@@ -244,3 +244,110 @@ def sketch_quantile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_rank_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters — the UNDER-estimating dual of count-min
+# ---------------------------------------------------------------------------
+
+MG_K = 8  # counters per partial summary; deletion guarantee n/k per batch
+
+
+def misra_gries_partials(tokens: DataFrame, k: int = MG_K) -> DataFrame:
+    """Per-Arrow-batch Misra-Gries summaries: at most k surviving
+    (token, est) counters each, where est under-counts the batch's true
+    frequency by at most floor(n_batch / (k+1)). The partials are O(k)
+    rows per batch — the fixed-size-summary property that makes MG a
+    one-pass, merge-friendly 100 TB heavy-hitter pass (count-min's dual:
+    MG only UNDER-estimates, CMS only over-estimates)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            counters: dict[str, int] = {}
+            for t in pdf["token"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < k:
+                    counters[t] = 1
+                else:  # decrement-all: the deletion step
+                    for key in list(counters):
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            del counters[key]
+            if counters:
+                yield pd.DataFrame(
+                    {"token": list(counters), "est": list(counters.values())}
+                )
+
+    return tokens.mapInPandas(gen, "token string, est long")
+
+
+@register(
+    "sketch_misra_gries_heavy",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+exact AS (
+  SELECT token, COUNT(*) AS exact_count FROM tok
+  WHERE token <> '' GROUP BY token
+),
+n AS (SELECT CAST(SUM(exact_count) AS BIGINT) AS n FROM exact)
+SELECT token, CAST(exact_count AS BIGINT) AS exact_count,
+       TRUE AS in_sketch, TRUE AS est_le_exact, TRUE AS within_bound
+FROM exact, n
+WHERE exact_count > n / {MG_K + 1}
+""",
+    doc="Misra-Gries heavy hitters (E4): per-batch k=8-counter summaries "
+    "(mapInPandas, O(k) rows per batch — fixed-size one-pass state), "
+    "merged by a token sum. Output is DETERMINISTIC despite "
+    "batch-dependent estimates: the rows are exactly the tokens with "
+    "exact frequency > n/(k+1) — which MG theory GUARANTEES survive any "
+    "batching — with their exact counts, plus flags asserting each was "
+    "found in the sketch, its merged estimate never exceeds the exact "
+    "count, and the undercount stays within the summed per-batch n/(k+1) "
+    "bounds.",
+)
+def sketch_misra_gries_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter extraction with the standard two-pass contract: the
+    sketch pass nominates (cheap, fixed memory), the exact pass scores
+    only the nominated/heavy set. The value-checked columns are the
+    theory-guaranteed heavy set + exact counts; the estimates' batch
+    dependence is confined to the boolean invariants, which hold for ANY
+    partitioning (asserted again under local[3] by the invariance sweep).
+    """
+    tokens = _tokens(spark, sf_dir)
+    merged = (
+        misra_gries_partials(tokens)
+        .groupBy("token")
+        .agg(F.sum("est").alias("est"))
+    )
+    exact = tokens.groupBy("token").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    total = exact.agg(F.sum("exact_count").alias("n"))
+    heavy = (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("exact_count") > F.col("n") / (MG_K + 1))
+    )
+    return (
+        heavy.join(merged, "token", "left")
+        .select(
+            "token",
+            F.col("exact_count").cast("bigint").alias("exact_count"),
+            F.col("est").isNotNull().alias("in_sketch"),
+            (F.coalesce("est", F.lit(0)) <= F.col("exact_count")).alias(
+                "est_le_exact"
+            ),
+            # Each decrement event absorbs k+1 arrivals, so per-batch
+            # deletions total <= n_b/(k+1) and the merged undercount is
+            # <= sum_b n_b/(k+1) = n/(k+1) — tight for ANY batching.
+            (
+                F.col("exact_count") - F.coalesce("est", F.lit(0))
+                <= F.col("n") / (MG_K + 1)
+            ).alias("within_bound"),
+        )
+    )

@@ -132,3 +132,30 @@ def test_quantile_digest_exact_when_uncompressed(spark):
     }
     for q, est in got.items():
         assert abs(est - np.quantile(np.array(vals), q)) < 1e-6, (q, est)
+
+
+def test_misra_gries_flags_hold_under_any_partitioning(spark):
+    """A 40%-frequency hot token must appear in the heavy set with all
+    invariant flags true regardless of how the stream is batched — MG's
+    survival guarantee is partitioning-independent. Sweep several
+    repartitionings of a skewed fixture."""
+    from hbase_hadoop_flightsearch_spark.operators.sketches import (
+        MG_K,
+        misra_gries_partials,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [("hot",)] * 400 + [(f"t{i % 60}",) for i in range(600)]
+    tokens = spark.createDataFrame(rows, "token string")
+    for parts in (1, 3, 13):
+        t = tokens.repartition(parts)
+        merged = (
+            misra_gries_partials(t).groupBy("token").agg(
+                F.sum("est").alias("est")
+            )
+        )
+        got = {r.token: r.est for r in merged.collect()}
+        # survival + undercount bound for the guaranteed-heavy token
+        assert "hot" in got
+        assert got["hot"] <= 400
+        assert 400 - got["hot"] <= 1000 / (MG_K + 1)
