@@ -250,7 +250,7 @@ def sketch_quantile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Misra-Gries heavy hitters — the UNDER-estimating dual of count-min
 # ---------------------------------------------------------------------------
 
-MG_K = 8  # counters per partial summary; deletion guarantee n/k per batch
+MG_K = 12  # counters per partial summary; deletion guarantee n/(k+1)
 
 
 def misra_gries_partials(tokens: DataFrame, k: int = MG_K) -> DataFrame:
@@ -289,11 +289,12 @@ def misra_gries_partials(tokens: DataFrame, k: int = MG_K) -> DataFrame:
     "sketch_misra_gries_heavy",
     oracle=f"""
 WITH tok AS (
-  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+  SELECT event_type AS token FROM events
+  UNION ALL
+  SELECT 'u' || CAST(user_id AS VARCHAR) FROM events
 ),
 exact AS (
-  SELECT token, COUNT(*) AS exact_count FROM tok
-  WHERE token <> '' GROUP BY token
+  SELECT token, COUNT(*) AS exact_count FROM tok GROUP BY token
 ),
 n AS (SELECT CAST(SUM(exact_count) AS BIGINT) AS n FROM exact)
 SELECT token, CAST(exact_count AS BIGINT) AS exact_count,
@@ -319,7 +320,18 @@ def sketch_misra_gries_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependence is confined to the boolean invariants, which hold for ANY
     partitioning (asserted again under local[3] by the invariance sweep).
     """
-    tokens = _tokens(spark, sf_dir)
+    # Domain: a deliberately MIXED stream — 5 genuinely-heavy event
+    # types (~10% each) over a long tail of per-user tokens (vocab >> k,
+    # so decrements actually fire; the documents vocabulary is
+    # near-uniform and would make the heavy set empty).
+    ev = load_table(spark, sf_dir, "events")
+    tokens = ev.select(F.col("event_type").alias("token")).unionByName(
+        ev.select(
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias(
+                "token"
+            )
+        )
+    )
     merged = (
         misra_gries_partials(tokens)
         .groupBy("token")
