@@ -708,3 +708,99 @@ def interval_overlap_sessions(events: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "events_running_distinct_users",
+    oracle="""
+WITH firsts AS (
+  SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS first_day
+  FROM events GROUP BY user_id
+),
+per_day AS (
+  SELECT first_day AS day, COUNT(*) AS new_users FROM firsts GROUP BY 1
+)
+SELECT day, CAST(new_users AS BIGINT) AS new_users,
+  CAST(SUM(new_users) OVER (ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cumulative_users
+FROM per_day
+""",
+    doc="Running DISTINCT count (E6): cumulative unique users by day via "
+    "the first-seen rewrite — min(ts) per user, count firsts per day, "
+    "running-sum the O(days) rollup. A naive count(distinct) over an "
+    "expanding frame re-scans every prefix (O(days * events)); this "
+    "plan's heavy input is reduced by ONE partial-agg groupBy(user) "
+    "before any window runs, and the window sorts O(days) rows.",
+)
+def events_running_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The standard 'total users to date' metric. Exact: integer counts
+    only. The windowed final pass runs on the per-day rollup — at 100 TB
+    the expensive shuffle is groupBy(user_id), already minimal, and the
+    single-partition window touches O(days) rows."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("first_day")
+    )
+    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day",
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+    LEAD(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+    ) AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
+  ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6)
+    AS transition_prob
+FROM pairs
+""",
+    doc="Event-type transition matrix (user-journey Markov chain): "
+    "per-user lead() pairs -> (from, to) counts -> row-normalized "
+    "probabilities. ONE Exchange(user_id) for the sequence pass; the "
+    "normalizing window runs over the O(types^2) matrix. Probabilities "
+    "are an integer ratio n/rowsum evaluated identically in both "
+    "engines, rounded 6dp.",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions over each user's event sequence —
+    the sequence-analytics companion to the funnel query. The (ts,
+    event_id) sort key makes lead() deterministic under timestamp ties."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    norm = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        F.round(F.col("n") * 1.0 / F.sum("n").over(norm), 6).alias(
+            "transition_prob"
+        ),
+    )
