@@ -714,42 +714,42 @@ def interval_overlap_sessions(events: DataFrame) -> DataFrame:
     "events_running_distinct_users",
     oracle="""
 WITH firsts AS (
-  SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS first_day
+  SELECT date_trunc('hour', MIN(ts)) AS first_hour
   FROM events GROUP BY user_id
 ),
-per_day AS (
-  SELECT first_day AS day, COUNT(*) AS new_users FROM firsts GROUP BY 1
+per_hour AS (
+  SELECT first_hour AS hour, COUNT(*) AS new_users FROM firsts GROUP BY 1
 )
-SELECT day, CAST(new_users AS BIGINT) AS new_users,
-  CAST(SUM(new_users) OVER (ORDER BY day
+SELECT hour, CAST(new_users AS BIGINT) AS new_users,
+  CAST(SUM(new_users) OVER (ORDER BY hour
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
     AS cumulative_users
-FROM per_day
+FROM per_hour
 """,
-    doc="Running DISTINCT count (E6): cumulative unique users by day via "
-    "the first-seen rewrite — min(ts) per user, count firsts per day, "
-    "running-sum the O(days) rollup. A naive count(distinct) over an "
-    "expanding frame re-scans every prefix (O(days * events)); this "
+    doc="Running DISTINCT count (E6): cumulative unique users by hour via "
+    "the first-seen rewrite — min(ts) per user, count firsts per hour, "
+    "running-sum the O(hours) rollup. A naive count(distinct) over an "
+    "expanding frame re-scans every prefix (O(hours * events)); this "
     "plan's heavy input is reduced by ONE partial-agg groupBy(user) "
-    "before any window runs, and the window sorts O(days) rows.",
+    "before any window runs, and the window sorts O(hours) rows.",
 )
 def events_running_distinct_users(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """The standard 'total users to date' metric. Exact: integer counts
-    only. The windowed final pass runs on the per-day rollup — at 100 TB
+    only. The windowed final pass runs on the per-hour rollup — at 100 TB
     the expensive shuffle is groupBy(user_id), already minimal, and the
-    single-partition window touches O(days) rows."""
+    single-partition window touches O(hours) rows."""
     events = load_table(spark, sf_dir, "events")
     firsts = events.groupBy("user_id").agg(
-        F.date_trunc("day", F.min("ts")).cast("date").alias("first_day")
+        F.date_trunc("hour", F.min("ts")).alias("first_hour")
     )
-    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+    per_hour = firsts.groupBy(F.col("first_hour").alias("hour")).agg(
         F.count(F.lit(1)).alias("new_users")
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    return per_day.select(
-        "day",
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    return per_hour.select(
+        "hour",
         F.col("new_users").cast("bigint").alias("new_users"),
         F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
     )
