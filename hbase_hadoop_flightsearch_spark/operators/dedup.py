@@ -860,7 +860,12 @@ def dedup_bloom_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    flagged = bloom_flag(incoming, bloom_build(docs))
+    # Materialize the 4 KiB filter row ONCE (eager localCheckpoint —
+    # executor-side, still never driver-collected): both union branches
+    # below reference it, and without the checkpoint each branch would
+    # re-run the whole reference scan + bit_or build.
+    bf_row = bloom_build(docs).localCheckpoint(eager=True)
+    flagged = bloom_flag(incoming, bf_row)
     definite_new = flagged.filter(~F.col("bloom_hit")).select("doc_id")
     verified_new = (
         flagged.filter(F.col("bloom_hit"))
