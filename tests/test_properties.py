@@ -195,3 +195,88 @@ def test_zorder_interleave_roundtrip(spark, a, b):
         ra |= ((z >> (2 * i)) & 1) << i
         rb |= ((z >> (2 * i + 1)) & 1) << i
     assert (ra, rb) == (a, b)
+
+
+event_strategy = st.tuples(
+    st.integers(min_value=0, max_value=59),  # minute offset
+    st.integers(min_value=1, max_value=3),  # user
+    st.floats(min_value=0.01, max_value=400.0),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(event_strategy, min_size=14, max_size=40))
+def test_anomaly_zscore_translation_invariant(spark, rows):
+    """z-scores are translation-invariant, and the cents-integer
+    formulation preserves that EXACTLY: shifting every value by a whole
+    cent amount must yield the identical anomaly set (same event_ids).
+    A float implementation would drift near boundaries; the integer
+    inequality cannot."""
+    import datetime as dt
+
+    from hbase_hadoop_flightsearch_spark.operators.timeseries import (
+        anomaly_zscore,
+    )
+
+    base = [
+        (i, dt.datetime(2024, 1, 1, 0, m), u, "e", round(v, 2))
+        for i, (m, u, v) in enumerate(rows)
+    ]
+    shifted = [
+        (i, ts, u, t, round(v + 100.00, 2)) for (i, ts, u, t, v) in base
+    ]
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double"
+    )
+    ids = lambda data: sorted(
+        r.event_id
+        for r in anomaly_zscore(spark.createDataFrame(data, schema)).collect()
+    )
+    assert ids(base) == ids(shifted)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(event_strategy, min_size=1, max_size=30),
+    seed=st.integers(min_value=0, max_value=999),
+)
+def test_ohlc_input_order_invariant(spark, rows, seed):
+    """OHLC bars must not depend on row arrival order (the struct-key
+    argmin/argmax makes first/last a property of the DATA, not the
+    partition layout): any permutation + any partitioning yields
+    identical bars."""
+    import datetime as dt
+    import random
+
+    from hbase_hadoop_flightsearch_spark.operators.timeseries import (
+        resample_ohlc,
+    )
+
+    base = [
+        (i, dt.datetime(2024, 1, 1, 9 + (i % 2), m), u, "e", round(v, 2))
+        for i, (m, u, v) in enumerate(rows)
+    ]
+    perm = base[:]
+    random.Random(seed).shuffle(perm)
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double"
+    )
+    bars = lambda data, parts: sorted(
+        map(
+            tuple,
+            resample_ohlc(
+                spark.createDataFrame(data, schema).repartition(parts)
+            ).collect(),
+        )
+    )
+    assert bars(base, 1) == bars(perm, 5)
