@@ -125,3 +125,87 @@ def asof_merge_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="event_id bigint, user_id bigint, ts_us bigint, "
         "last_orderkey bigint",
     )
+
+
+@register(
+    "asof_join_forward_next_purchase",
+    oracle="""
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+  p.event_id AS next_purchase_id,
+  epoch_us(p.ts) - epoch_us(e.ts) AS us_to_purchase
+FROM events e
+ASOF LEFT JOIN (
+  SELECT user_id, event_id, ts,
+    -- dedup identical timestamps per user: keep the MIN event_id,
+    -- matching the window formulation's first()-in-sort-order semantics
+    ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                       ORDER BY event_id ASC) AS rn
+  FROM events WHERE event_type = 'purchase'
+) p ON e.user_id = p.user_id AND p.rn = 1 AND e.ts < p.ts
+WHERE e.event_type <> 'purchase'
+""",
+    doc="FORWARD as-of join: each non-purchase event joined to the "
+    "user's next purchase STRICTLY after it — time-to-conversion / "
+    "attribution, the forward direction the backward operator can't "
+    "express. Same union + window machinery with the frame reversed "
+    "(first(ignorenulls) over (currentRow, unboundedFollowing)); "
+    "oracled against DuckDB's native ASOF JOIN with the < inequality.",
+)
+def asof_join_forward_next_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forward as-of within the event stream: one Exchange(user) + one
+    sort, identical scale posture to the backward operator — the
+    direction only flips the frame and the tie ordering. Strict '<'
+    semantics: at equal timestamps the purchase does NOT match (left
+    events sort after purchases at the same instant, and the frame
+    starts one past the current row... realized by sorting purchases
+    BEFORE left events at equal ts and using a following-only frame)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase")
+    left = events.filter(F.col("event_type") != "purchase")
+    tagged = left.select(
+        "user_id", "ts_us", F.lit(1).alias("is_left"), "event_id",
+        F.lit(None).cast("long").alias("p_id"),
+        F.lit(None).cast("long").alias("p_ts"),
+    ).unionByName(
+        purchases.select(
+            "user_id", "ts_us", F.lit(0).alias("is_left"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("event_id").alias("p_id"),
+            F.col("ts_us").alias("p_ts"),
+        )
+    )
+    # Strict "after": purchases at the SAME ts as a left event must not
+    # match it, so at equal ts purchases (is_left=0) sort FIRST and the
+    # frame begins at 1 FOLLOWING... but a following-frame also skips
+    # later same-ts purchases. Instead: purchases sort first and the
+    # frame is (currentRow, following) anchored on the left row — a
+    # same-ts purchase then sits BEFORE the left row, outside the frame,
+    # while any later-ts purchase is inside. Among simultaneous
+    # purchases the smallest event_id is first in sort order.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "is_left", "p_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        tagged.select(
+            "user_id", "ts_us", "is_left", "event_id",
+            F.first("p_id", ignorenulls=True).over(w).alias(
+                "next_purchase_id"
+            ),
+            F.first("p_ts", ignorenulls=True).over(w).alias("p_ts_next"),
+        )
+        .filter(F.col("is_left") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            "next_purchase_id",
+            (F.col("p_ts_next") - F.col("ts_us")).alias("us_to_purchase"),
+        )
+    )

@@ -23,3 +23,42 @@ def test_asof_implementations_agree(spark, sf_correctness):
     # events), so matches must be total — a regression to "no match found"
     # (all NULL) would still satisfy pure agreement, this catches it.
     assert all(r[3] is not None for r in window_impl)
+
+
+def test_forward_asof_strict_after_and_nonempty(spark, sf_correctness):
+    """Strict-'<' boundary: a purchase at the SAME microsecond as a view
+    must NOT be its next-purchase; a later one must. And on the corpus,
+    matches must be substantially present (non-degenerate)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from hbase_hadoop_flightsearch_spark.operators.asof import (
+        asof_join_forward_next_purchase,
+    )
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    t1 = dt.datetime(2024, 1, 1, 12, 30, 0)
+    fixture = spark.createDataFrame(
+        [
+            (1, t0, 7, "view", 1.0),      # left event
+            (2, t0, 7, "purchase", 1.0),  # same instant: must NOT match
+            (3, t1, 7, "purchase", 1.0),  # later: must match
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        fixture.write.parquet(f"{d}/events.parquet")
+        (row,) = asof_join_forward_next_purchase(spark, d).collect()
+    assert row.event_id == 1
+    assert row.next_purchase_id == 3
+    assert row.us_to_purchase == 30 * 60 * 1_000_000
+
+    out = asof_join_forward_next_purchase(spark, sf_correctness)
+    n = out.count()
+    matched = out.filter(F.col("next_purchase_id").isNotNull()).count()
+    assert n > 0 and matched / n > 0.5  # non-degenerate on the corpus
