@@ -800,3 +800,90 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_clamped_high"),
     )
+
+
+SLIDING_HOURS = 3  # trailing window width for the sliding distinct count
+
+
+@register(
+    "agg_hll_sliding_distinct",
+    oracle=f"""
+WITH pairs AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS hour, user_id FROM events
+),
+targets AS (
+  SELECT hour + INTERVAL (off) HOUR AS t_hour, user_id
+  FROM pairs, unnest(generate_series(0, {SLIDING_HOURS - 1})) AS s(off)
+),
+exact AS (
+  SELECT t_hour AS hour, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM targets GROUP BY 1
+),
+bounds AS (SELECT MIN(date_trunc('hour', ts)) AS lo,
+                  MAX(date_trunc('hour', ts)) AS hi FROM events)
+SELECT hour, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       TRUE AS hll_within_5pct
+FROM exact, bounds
+WHERE hour >= lo AND hour <= hi
+""",
+    doc="Sliding-window distinct users per hour (trailing 3 h) from "
+    "MERGEABLE per-hour HLL sketches: hourly sketches are built once, "
+    "then each target hour UNIONS its 3 trailing sketches — no re-scan "
+    "of raw events per window, the sketch-rollup pattern that makes "
+    "sliding distinct affordable at 100 TB (recomputing COUNT DISTINCT "
+    "per window re-reads the corpus W times). Bound-flag oracle: exact "
+    "sliding counts value-checked, HLL estimate within 5% as a boolean.",
+)
+def agg_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact side and sketch side share the hour-explode shape; the
+    sketch side's input is O(hours) sketch rows, not events. Edge hours
+    (the first two) union fewer sketches — same semantics as the exact
+    trailing window, which also sees fewer source hours there."""
+    events = load_table(spark, sf_dir, "events")
+    hourly_pairs = events.select(
+        F.date_trunc("hour", "ts").alias("hour"), "user_id"
+    ).distinct()
+    # exact trailing-3h distinct via the explode-to-targets rewrite
+    off = F.explode(
+        F.sequence(F.lit(0), F.lit(SLIDING_HOURS - 1))
+    ).alias("off")
+    targets = hourly_pairs.select("hour", "user_id", off).select(
+        (F.col("hour") + F.make_interval(hours=F.col("off"))).alias(
+            "t_hour"
+        ),
+        "user_id",
+    )
+    exact = targets.groupBy(F.col("t_hour").alias("hour")).agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    # sketch side: one hourly sketch build over raw events, then an
+    # O(hours * W) explode of SKETCH ROWS unioned per target hour
+    hourly_sk = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    sk_targets = hourly_sk.select("hour", "sk", off).select(
+        (F.col("hour") + F.make_interval(hours=F.col("off"))).alias(
+            "t_hour"
+        ),
+        "sk",
+    )
+    est = sk_targets.groupBy(F.col("t_hour").alias("hour")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    return (
+        exact.join(est, "hour")
+        .crossJoin(F.broadcast(bounds))
+        .filter((F.col("hour") >= F.col("lo")) & (F.col("hour") <= F.col("hi")))
+        .select(
+            "hour",
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+            (
+                F.abs(F.col("est") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("hll_within_5pct"),
+        )
+    )
