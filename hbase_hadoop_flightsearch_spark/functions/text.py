@@ -625,3 +625,61 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
             ).alias("avg_neg_log2p"),
         )
     )
+
+
+@register(
+    "text_url_domain_stats",
+    oracle="""
+WITH urls AS (
+  SELECT doc_id, source,
+    'https://cdn' || CAST(doc_id % 40 AS VARCHAR) || '.host'
+      || CAST(doc_id % 6 AS VARCHAR) || '.example/p/'
+      || CAST(doc_id AS VARCHAR) || '?ref=' || source AS url
+  FROM documents
+),
+parsed AS (
+  SELECT doc_id,
+    regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+    regexp_extract(url, '\\?ref=(.*)$', 1) AS ref
+  FROM urls
+)
+SELECT regexp_extract(host, '\\.(host[0-9]+\\.example)$', 1)
+         AS registered_domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_subdomains,
+       CAST(COUNT(DISTINCT ref) AS BIGINT) AS n_refs
+FROM parsed
+GROUP BY 1
+""",
+    doc="URL parsing + domain-level corpus stats (E9/E12): Spark-native "
+    "parse_url(HOST/QUERY) on deterministically synthesized per-doc "
+    "URLs, rolled up by registered domain — the domain-filtering / "
+    "source-attribution shape of web-corpus curation (domain allowlists, "
+    "per-domain caps). The oracle parses with regex, proving the "
+    "parse_url semantics against an independent implementation.",
+)
+def text_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url runs JVM-side fused into the scan; the rollup shuffles
+    O(domains). sample_per_source_quota is the enforcement half (cap per
+    source); this is the measurement half."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://cdn"), (F.col("doc_id") % 40).cast("string"),
+        F.lit(".host"), (F.col("doc_id") % 6).cast("string"),
+        F.lit(".example/p/"), F.col("doc_id").cast("string"),
+        F.lit("?ref="), F.col("source"),
+    )
+    parsed = docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref"),
+    )
+    return parsed.groupBy(
+        F.regexp_extract(
+            F.col("host"), r"\.(host[0-9]+\.example)$", 1
+        ).alias("registered_domain")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct("host").cast("bigint").alias("n_subdomains"),
+        F.count_distinct("ref").cast("bigint").alias("n_refs"),
+    )
