@@ -174,3 +174,121 @@ def incremental_join_view_merge(
         F.col("n").alias("n_orders"),
         F.col("sum_c").cast("double").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental OHLC maintenance — mergeable ORDER-STATISTIC state
+# ---------------------------------------------------------------------------
+
+OHLC_SPLIT = "2024-01-15"  # history < split <= delta
+
+
+def ohlc_state(events: DataFrame) -> DataFrame:
+    """Mergeable per-(hour, type) OHLC state. open/close are MIN/MAX over
+    the (ts_us, event_id, value) struct — the struct's total order makes
+    first/last associative-mergeable facts, unlike bare first()/last()
+    which depend on arrival order and cannot be maintained incrementally."""
+    key = F.struct(
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id"),
+        F.col("value"),
+    )
+    return events.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_hour"),
+        "event_type",
+    ).agg(
+        F.min(key).alias("open_s"),
+        F.max(key).alias("close_s"),
+        F.max("value").alias("hi"),
+        F.min("value").alias("lo"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
+            "cents"
+        ),
+    )
+
+
+def merge_ohlc_states(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two OHLC states: struct-least/greatest for open/close (least/
+    greatest skip the NULL side of outer-join-missing groups), min/max
+    for hi/lo, + for n and cents. Associative and commutative — slice
+    order cannot change the result (asserted in tests)."""
+    keys = ["bucket_hour", "event_type"]
+    a2 = a.select(keys + [F.col(c).alias(f"a_{c}") for c in
+                          ("open_s", "close_s", "hi", "lo", "n", "cents")])
+    b2 = b.select(keys + [F.col(c).alias(f"b_{c}") for c in
+                          ("open_s", "close_s", "hi", "lo", "n", "cents")])
+    m = a2.join(b2, keys, "full_outer")
+    return m.select(
+        *keys,
+        F.least("a_open_s", "b_open_s").alias("open_s"),
+        F.greatest("a_close_s", "b_close_s").alias("close_s"),
+        F.greatest("a_hi", "b_hi").alias("hi"),
+        F.least("a_lo", "b_lo").alias("lo"),
+        (F.coalesce("a_n", F.lit(0)) + F.coalesce("b_n", F.lit(0))).alias(
+            "n"
+        ),
+        (
+            F.coalesce("a_cents", F.lit(0))
+            + F.coalesce("b_cents", F.lit(0))
+        ).alias("cents"),
+    )
+
+
+def finalize_ohlc(state: DataFrame) -> DataFrame:
+    return state.select(
+        "bucket_hour",
+        "event_type",
+        F.col("open_s.value").alias("open_value"),
+        F.col("hi").alias("high_value"),
+        F.col("lo").alias("low_value"),
+        F.col("close_s.value").alias("close_value"),
+        F.col("n").alias("n_events"),
+        (F.col("cents").cast("double") / 100).alias("total_value"),
+    )
+
+
+@register(
+    "incremental_ohlc_merge",
+    oracle="""
+WITH ranked AS (
+  SELECT date_trunc('hour', ts) AS bucket_hour, event_type, value,
+    ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                       ORDER BY ts, event_id) AS rn_first,
+    ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn_last,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT bucket_hour, event_type,
+  MAX(CASE WHEN rn_first = 1 THEN value END) AS open_value,
+  MAX(value) AS high_value,
+  MIN(value) AS low_value,
+  MAX(CASE WHEN rn_last = 1 THEN value END) AS close_value,
+  COUNT(*) AS n_events,
+  CAST(SUM(cents) AS DOUBLE) / 100 AS total_value
+FROM ranked
+GROUP BY bucket_hour, event_type
+""",
+    doc="Incremental OHLC maintenance: build the hourly bar state from "
+    "the historical slice, merge the delta slice's state, finalize — "
+    "and the oracle is the ONE-SHOT OHLC over the whole table, so "
+    "incremental and full recompute must agree value-for-value. The "
+    "point: open/close as struct-MIN/MAX over (ts, event_id, value) are "
+    "mergeable ORDER-STATISTIC facts (first()/last() are not), so "
+    "candlesticks join counts and sums in the set of incrementally-"
+    "maintainable aggregates.",
+)
+def incremental_ohlc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each refresh aggregates only the delta slice (one O(delta) shuffle)
+    then merges O(buckets x types) state rows — bar history is never
+    re-read. Same contract as incremental_agg_merge, extended to the
+    order-statistic fields."""
+    events = load_table(spark, sf_dir, "events")
+    hist = events.filter(F.col("ts") < F.lit(OHLC_SPLIT).cast("timestamp"))
+    delta = events.filter(
+        F.col("ts") >= F.lit(OHLC_SPLIT).cast("timestamp")
+    )
+    return finalize_ohlc(
+        merge_ohlc_states(ohlc_state(hist), ohlc_state(delta))
+    )

@@ -55,3 +55,35 @@ def test_merge_handles_one_sided_groups(spark):
         ("X", 2, 30.0, 15.0, 10.0, 20.0),
         ("Y", 1, 5.0, 5.0, 5.0, 5.0),
     ]
+
+
+def test_ohlc_merge_order_invariant_over_weekly_slices(spark, sf_smoke):
+    """Fold weekly OHLC states forward and REVERSED: both must equal the
+    one-shot bars — struct-min/max open/close is associative AND
+    commutative, which is exactly what bare first()/last() would break."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from hbase_hadoop_flightsearch_spark.operators.incremental import (
+        finalize_ohlc,
+        merge_ohlc_states,
+        ohlc_state,
+    )
+    from hbase_hadoop_flightsearch_spark.operators.timeseries import (
+        resample_ohlc,
+    )
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    events = load_table(spark, sf_smoke, "events")
+    slices = [
+        ohlc_state(
+            events.filter(F.weekofyear("ts") % 4 == w)
+        )
+        for w in range(4)
+    ]
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    want = rows(resample_ohlc(events))
+    fwd = rows(finalize_ohlc(reduce(merge_ohlc_states, slices)))
+    rev = rows(finalize_ohlc(reduce(merge_ohlc_states, reversed(slices))))
+    assert fwd == want and rev == want
