@@ -113,3 +113,85 @@ def rollup_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_rollup(load_table(spark, sf_dir, "events")).withColumn(
         "sum_value", F.round("sum_value", 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous OHLC bars — order-statistic state through foreachBatch
+# ---------------------------------------------------------------------------
+
+def _merge_ohlc_batch(state_path: str):
+    """foreachBatch body for candlesticks: per-batch OHLC state merged
+    into the materialized bar table with the SAME merge the batch IVM
+    operator uses (struct-min/max open/close — associative, so microbatch
+    boundaries cannot change the bars)."""
+    from ..operators.incremental import merge_ohlc_states, ohlc_state
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = ohlc_state(batch_df)
+        if os.path.exists(state_path):
+            partial = merge_ohlc_states(
+                spark.read.parquet(state_path), partial
+            )
+        partial.cache().count()  # materialize before overwriting the input
+        partial.write.mode("overwrite").parquet(state_path + ".tmp")
+        partial.unpersist()
+        spark.read.parquet(state_path + ".tmp").write.mode(
+            "overwrite"
+        ).parquet(state_path)
+
+    return merge
+
+
+def run_incremental_ohlc(
+    spark: SparkSession, src_dir: str, state_path: str, ckpt: str
+) -> None:
+    """Drive the OHLC continuous aggregate (availableNow, one file per
+    microbatch) — the candlestick twin of run_incremental_rollup."""
+    raw_schema, normalize = events_ts_codec(spark, src_dir)
+    stream = normalize(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_merge_ohlc_batch(state_path))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+@register(
+    "stream_ohlc_bars",
+    oracle="""
+WITH ranked AS (
+  SELECT date_trunc('hour', ts) AS bucket_hour, event_type, value,
+    ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                       ORDER BY ts, event_id) AS rn_first,
+    ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn_last,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT bucket_hour, event_type,
+  MAX(CASE WHEN rn_first = 1 THEN value END) AS open_value,
+  MAX(value) AS high_value,
+  MIN(value) AS low_value,
+  MAX(CASE WHEN rn_last = 1 THEN value END) AS close_value,
+  COUNT(*) AS n_events,
+  CAST(SUM(cents) AS DOUBLE) / 100 AS total_value
+FROM ranked
+GROUP BY bucket_hour, event_type
+""",
+    doc="Continuous OHLC aggregate (batch twin): hourly bars maintained "
+    "incrementally by foreachBatch with the mergeable order-statistic "
+    "state of incremental_ohlc_merge; the streaming path is proven "
+    "convergent to this twin across microbatches in "
+    "tests/test_streaming.py.",
+)
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import resample_ohlc
+
+    return resample_ohlc(load_table(spark, sf_dir, "events"))

@@ -807,3 +807,28 @@ def test_streaming_anomaly_converges_to_batch_across_microbatches(
         )
     )
     assert got == want and want  # nonempty and identical
+
+
+def test_streaming_ohlc_converges_to_batch(spark, sf_smoke, tmp_path):
+    """The foreachBatch OHLC continuous aggregate, driven over multiple
+    microbatches, must finalize to exactly the one-shot bars — the
+    struct-min/max merge makes microbatch boundaries invisible."""
+    from hbase_hadoop_flightsearch_spark.operators.incremental import (
+        finalize_ohlc,
+    )
+    from hbase_hadoop_flightsearch_spark.operators.timeseries import (
+        resample_ohlc,
+    )
+    from hbase_hadoop_flightsearch_spark.streaming.rollup import (
+        run_incremental_ohlc,
+    )
+
+    # stage THREE files so maxFilesPerTrigger=1 yields three merges
+    events = load_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "ohlc_src")
+    events.repartition(3).write.parquet(src)
+    state = str(tmp_path / "ohlc_state")
+    run_incremental_ohlc(spark, src, state, str(tmp_path / "ohlc_ckpt"))
+    got = _sorted_rows(finalize_ohlc(spark.read.parquet(state)))
+    want = _sorted_rows(resample_ohlc(events))
+    assert got == want and want
