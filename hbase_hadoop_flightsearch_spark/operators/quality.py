@@ -27,7 +27,7 @@ here so DuckDB can oracle it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
@@ -253,4 +253,124 @@ def profile_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'quantity~extendedprice', quantity_extendedprice, "
         "'quantity~discount', quantity_discount, "
         "'extendedprice~tax', extendedprice_tax) AS (pair, r)"
+    )
+
+
+DRIFT_SPLIT = "1999-06-01"  # reference < split <= current
+PSI_BUCKETS = 10
+
+
+@register(
+    "dq_drift_psi",
+    oracle=f"""
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderdate < TIMESTAMP '{DRIFT_SPLIT}'
+              THEN 0 ELSE 1 END AS slice
+  FROM orders
+),
+ref AS (SELECT cents FROM c WHERE slice = 0),
+ranked AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+         COUNT(*) OVER () AS n
+  FROM ref
+),
+cuts AS (
+  SELECT cents AS cut FROM ranked
+  WHERE rn IN (SELECT (k * n) // {PSI_BUCKETS}
+               FROM (SELECT MAX(n) AS n FROM ranked),
+                    unnest(generate_series(1, {PSI_BUCKETS - 1})) AS s(k))
+),
+bucketed AS (
+  SELECT slice,
+    (SELECT COUNT(*) FROM cuts WHERE cut <= c.cents) AS bucket
+  FROM c
+),
+counts AS (
+  SELECT bucket,
+    SUM(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS n_ref,
+    SUM(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS n_cur
+  FROM bucketed GROUP BY bucket
+),
+tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts)
+SELECT CAST(bucket AS INT) AS bucket,
+  CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+  ROUND(
+    ((n_ref + 1.0) / (t_ref + {PSI_BUCKETS})
+     - (n_cur + 1.0) / (t_cur + {PSI_BUCKETS}))
+    * ln(((n_ref + 1.0) / (t_ref + {PSI_BUCKETS}))
+         / ((n_cur + 1.0) / (t_cur + {PSI_BUCKETS}))), 6) AS psi_term
+FROM counts, tot
+""",
+    doc="Population-Stability-Index drift detection (DQ family): bucket "
+    "current data by the REFERENCE slice's decile cut points (discrete "
+    "order statistics at integer rank positions — the winsorize trick, "
+    "no interpolated floats) and compare distributions per bucket with "
+    "Laplace-smoothed PSI terms. The standard train-vs-serve / "
+    "yesterday-vs-today drift monitor for feature pipelines. ln only "
+    "ever sees ratios of exact integer-derived proportions (identical "
+    "IEEE inputs in both engines), rounded 6dp.",
+)
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 9 cut points ride a broadcast single-row array; bucket counts
+    are one partial-agg pass over the fact table and the finish is
+    O(buckets). Laplace smoothing (+1 per bucket) keeps every ratio
+    finite even for empty buckets — and is mirrored exactly in the
+    oracle. EXACT decile bounds pay a global sort of the reference slice
+    (the same honest cost as agg_histogram_equidepth); at 100 TB swap
+    the cut derivation for sketch_quantile_digest estimates — drift
+    monitoring tolerates approximate bucket edges, and the rest of the
+    plan is unchanged."""
+    c = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+        F.when(
+            F.col("o_orderdate") < F.lit(DRIFT_SPLIT).cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("slice"),
+    )
+    ref = c.filter(F.col("slice") == 0)
+    w = Window.orderBy("cents")
+    ranked = ref.select(
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    cuts = (
+        ranked.filter(
+            F.expr(
+                f"rn IN ({', '.join(f'(CAST({k} * n AS BIGINT)) DIV {PSI_BUCKETS}' for k in range(1, PSI_BUCKETS))})"
+            )
+        )
+        .agg(F.sort_array(F.collect_list("cents")).alias("cuts"))
+    )
+    bucketed = c.crossJoin(F.broadcast(cuts)).select(
+        "slice",
+        F.aggregate(
+            "cuts",
+            F.lit(0),
+            lambda acc, cut: acc
+            + F.when(cut <= F.col("cents"), 1).otherwise(0),
+        ).alias("bucket"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("slice") == 0, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("slice") == 1, 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = (F.col("n_ref") + 1.0) / (F.col("t_ref") + PSI_BUCKETS)
+    q = (F.col("n_cur") + 1.0) / (F.col("t_cur") + PSI_BUCKETS)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
     )
