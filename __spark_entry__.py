@@ -40,6 +40,48 @@ def _round_seed() -> int:
     return len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
 
 
+def _driver_history() -> tuple[set[str], set[str]]:
+    """(green_names, failed_names) from the checked-in CORRECTNESS_r*.json
+    artifacts; a name's latest-round status supersedes earlier rounds."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    names: set[str] = set()
+    failed: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        names.update(data.keys())
+        for name, rec in data.items():
+            ok = (
+                rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match", True)
+                and not rec.get("err")
+            )
+            if ok:
+                failed.discard(name)
+            else:
+                failed.add(name)
+    return names - failed, failed
+
+
+def _driver_checked_names() -> set[str]:
+    """Names whose MOST RECENT driver check was green. A query that failed
+    its latest check is deliberately excluded so it re-queues with the
+    never-checked priority group and the fix gets re-verified."""
+    return _driver_history()[0]
+
+
+def _driver_failed_names() -> set[str]:
+    return _driver_history()[1]
+
+
 def _family_interleaved() -> dict[str, object]:
     """Registry reordered round-robin across source modules (operator
     families), so that ANY prefix of ~35+ queries exercises at least one
@@ -48,29 +90,45 @@ def _family_interleaved() -> dict[str, object]:
     clustering, quality, mining, CDC, scalar/text functions, multimodal,
     UDFs, and streaming — instead of front-loading a few families.
 
-    Both the module order and each module's member order rotate by the
-    round seed: the first full round-robin pass still takes exactly one
-    query from every module (family coverage in any 50-prefix is
-    invariant), but WHICH member leads each family changes per round."""
+    Queries the driver has NEVER value-hashed (absent from every
+    CORRECTNESS_r*.json) are interleaved FIRST so the unchecked tail
+    drains in ~1-2 rounds (VERDICT r4 #4); already-checked queries follow
+    in a second interleave pass. Module order and member order still
+    rotate by the round seed so repeat passes vary which member leads."""
     from collections import OrderedDict
 
-    by_module: "OrderedDict[str, list]" = OrderedDict()
-    for q in load_all().values():
-        by_module.setdefault(q.fn.__module__, []).append(q)
     seed = _round_seed()
-    mods = list(by_module)
-    mods = mods[seed % len(mods):] + mods[: seed % len(mods)]
-    for mod in mods:
-        lst = by_module[mod]
-        k = seed % len(lst)
-        by_module[mod] = lst[k:] + lst[:k]
-    out: dict[str, object] = {}
-    while any(by_module.values()):
+    checked = _driver_checked_names()
+
+    def interleave(queries: list) -> list:
+        by_module: "OrderedDict[str, list]" = OrderedDict()
+        for q in queries:
+            by_module.setdefault(q.fn.__module__, []).append(q)
+        mods = list(by_module)
+        mods = mods[seed % len(mods):] + mods[: seed % len(mods)]
         for mod in mods:
-            if by_module[mod]:
-                q = by_module[mod].pop(0)
-                out[q.name] = q
-    return out
+            lst = by_module[mod]
+            k = seed % len(lst)
+            by_module[mod] = lst[k:] + lst[:k]
+        out: list = []
+        while any(by_module.values()):
+            for mod in mods:
+                if by_module[mod]:
+                    out.append(by_module[mod].pop(0))
+        return out
+
+    allq = list(load_all().values())
+    never = [q for q in allq if q.name not in checked]
+    seen = [q for q in allq if q.name in checked]
+    ordered = interleave(never) + interleave(seen)
+    # Queries that FAILED their latest driver check lead the whole list so
+    # the fix is re-verified even by the smallest driver prefix.
+    failed_first = sorted(
+        (q for q in ordered if q.name in _driver_failed_names()),
+        key=lambda q: q.name,
+    )
+    rest = [q for q in ordered if q.name not in _driver_failed_names()]
+    return {q.name: q for q in failed_first + rest}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -301,15 +301,17 @@ activity AS (
   SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
 )
 SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
-  date_diff('day', f.cohort_week, a.act_week) / 7 AS week_offset,
+  CAST(date_diff('day', f.cohort_week, a.act_week) // 7 AS BIGINT)
+    AS week_offset,
   COUNT(*) AS n_users
 FROM activity a JOIN firsts f USING (user_id)
 GROUP BY 1, 2
 """,
     doc="Retention cohort matrix: users bucketed by first-seen week x "
     "active-week offset. Two aggregates on user_id (shared shuffle key) + "
-    "one broadcast join of the O(users) cohort side; the (cohort, offset) "
-    "final agg is O(weeks^2) rows.",
+    "one shuffled join on user_id (both sides are O(users) — never "
+    "broadcast; AQE may still choose to if stats allow); the "
+    "(cohort, offset) final agg is O(weeks^2) rows.",
 )
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
@@ -320,7 +322,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("week", "ts").alias("act_week")
     ).distinct()
     return (
-        activity.join(F.broadcast(firsts), "user_id")
+        activity.join(firsts, "user_id")
         .groupBy(
             F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
             (F.datediff("act_week", "cohort_week") / 7)

@@ -32,13 +32,17 @@ def _norm_value(v):
     if isinstance(v, bool):
         return ("b", v)
     if isinstance(v, (int,)):
-        return ("n", float(v)) if float(v).is_integer() else ("n", v)
+        # Deliberately NOT normalized to float: the external driver's
+        # pandas-rendered hash distinguishes int64 "2" from float64 "2.0"
+        # (the r4 events_retention_cohorts escape), so the local gate must
+        # be at least as strict.
+        return ("i", v)
     if isinstance(v, float):
         if math.isnan(v):
             return ("nan",)
         # floats in query outputs are pre-rounded by the queries themselves;
         # normalize through a 9-digit round to absorb repr noise only.
-        return ("n", round(v, 9))
+        return ("f", round(v, 9))
     if isinstance(v, datetime.datetime):
         return ("t", v.replace(tzinfo=None).isoformat())
     if isinstance(v, datetime.date):
@@ -48,6 +52,84 @@ def _norm_value(v):
     if isinstance(v, (bytes, bytearray)):
         return ("y", bytes(v).hex())
     return ("s", str(v))
+
+
+def _spark_type_class(dt: str) -> str:
+    """Collapse a Spark simpleString dtype to a comparison class."""
+    dt = dt.lower()
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+        return "int"
+    if dt in ("float", "double"):
+        return "float"
+    if dt == "boolean":
+        return "bool"
+    if dt == "string":
+        return "str"
+    if dt == "date":
+        return "date"
+    if dt.startswith("timestamp"):
+        return "timestamp"
+    if dt.startswith("array"):
+        return "list"
+    if dt == "binary":
+        return "bytes"
+    return "other"
+
+
+def _duck_type_class(dt: str) -> str:
+    """Collapse a DuckDB DESCRIBE type to the same comparison classes."""
+    dt = str(dt).upper().strip()
+    if dt.endswith("[]"):
+        return "list"
+    if dt.startswith("DECIMAL"):
+        return "decimal"
+    if dt in (
+        "TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+        "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+    ):
+        return "int"
+    if dt in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if dt == "BOOLEAN":
+        return "bool"
+    if dt == "VARCHAR":
+        return "str"
+    if dt == "DATE":
+        return "date"
+    if dt.startswith("TIMESTAMP"):
+        return "timestamp"
+    if dt == "BLOB":
+        return "bytes"
+    return "other"
+
+
+def assert_type_classes_match(query, spark_schema, duck_desc) -> None:
+    """Assert per-column type-class equality (int vs float vs bool vs str vs
+    date/timestamp) between the Spark schema and DuckDB DESCRIBE output.
+
+    The external driver hashes pandas-rendered values, so a Spark BIGINT "2"
+    against a DuckDB DOUBLE "2.0" is a driver-side hash fail even when
+    fetchall() returns equal Python numbers (the r4 events_retention_cohorts
+    escape, VERDICT r4 #2). This catches the whole class at schema level.
+    """
+    spark_classes = {
+        f.name: _spark_type_class(f.dataType.simpleString())
+        for f in spark_schema.fields
+    }
+    duck_classes = {row[0]: _duck_type_class(row[1]) for row in duck_desc}
+    mismatches = {
+        name: (spark_classes[name], duck_classes.get(name))
+        for name in spark_classes
+        if spark_classes[name] != duck_classes.get(name)
+    }
+    assert not mismatches, (
+        f"{query.name}: Spark-vs-DuckDB type-class mismatch "
+        f"{mismatches} — the driver's pandas hash renders these "
+        "differently even when values are numerically equal; align the "
+        "oracle's types (CAST) with the Spark schema"
+    )
 
 
 def _normalize(cols: list[str], rows: list[tuple]) -> list[tuple]:
@@ -76,6 +158,7 @@ def compare_query_to_oracle(spark, query, sf_dir: str) -> None:
         "coerces these to float64 and the value hash diverges from Spark's "
         "int64; wrap the expression in CAST(... AS BIGINT)"
     )
+    assert_type_classes_match(query, sdf.schema, desc)
     res = con.execute(query.oracle)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()

@@ -4,6 +4,8 @@ has zero tests; SURVEY.md §5)."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from hbase_hadoop_flightsearch_spark.plans.registry import load_all
@@ -13,6 +15,81 @@ from .oracle_utils import compare_query_to_oracle
 REGISTRY = load_all()
 ORACLE_QUERIES = [q for q in REGISTRY.values() if q.oracle is not None]
 ROWS_ONLY_QUERIES = [q for q in REGISTRY.values() if q.oracle is None]
+
+# Directives whose DuckDB strftime output equals Spark date_format's for the
+# patterns this repo maps them to (see the queries' paired expressions).
+_SAFE_STRFTIME = {"%Y", "%m", "%d", "%H", "%M", "%S", "%j"}
+
+
+def lint_oracle_sql(sql: str) -> list[str]:
+    """Static lint for the DuckDB-oracle bug classes that survive a local
+    fetchall() compare but die at the driver's pandas hash (VERDICT r4 #3).
+
+    Flags:
+    - bare integer ``/``: DuckDB's ``/`` on two integers yields DOUBLE
+      (the r4 events_retention_cohorts escape) — require a float marker
+      (float literal, DOUBLE/FLOAT cast, ROUND, stddev/avg-style fn) in the
+      immediate context, else use ``//`` or CAST;
+    - strftime directives outside the verified-equivalent set (Spark
+      date_format uses a different pattern language; only directives this
+      repo has a proven mapping for are allowed).
+    """
+    problems: list[str] = []
+    # Strip single-quoted string literals so 'text/plain' is not division.
+    stripped = re.sub(r"'[^']*'", "''", sql)
+    float_marker = re.compile(
+        r"\d\.\d|DOUBLE|FLOAT|ROUND\s*\(|CAST\s*\(|::|"
+        r"STDDEV|AVG\s*\(|VAR_|CORR\s*\(|log2|ln\s*\(|epoch",
+        re.IGNORECASE,
+    )
+    for m in re.finditer(r"(?<!/)/(?!/)", stripped):
+        ctx = stripped[max(0, m.start() - 120): m.start() + 120]
+        if not float_marker.search(ctx):
+            line = stripped[: m.start()].count("\n") + 1
+            snippet = stripped.splitlines()[line - 1].strip()[:80]
+            problems.append(
+                f"bare integer '/' at line {line}: {snippet!r} — DuckDB "
+                "yields DOUBLE; use // or CAST if integer intended"
+            )
+    for m in re.finditer(r"%.", sql):
+        if "strftime" in sql and m.group(0) not in _SAFE_STRFTIME | {"%%"}:
+            # Only flag directives appearing inside a strftime call's span.
+            start = sql.rfind("strftime", 0, m.start())
+            if start != -1 and sql.count(")", start, m.start()) == 0:
+                problems.append(
+                    f"strftime directive {m.group(0)!r} outside the "
+                    "verified Spark-equivalent set"
+                )
+    return problems
+
+
+# Hand-audited exceptions: each bare `/` below was verified either (a) to
+# operate on DOUBLE parquet columns (l_extendedprice, l_quantity are DOUBLE
+# in the fixtures, so `/` is float on both engines), or (b) to sit in a
+# WHERE/score comparison whose result type never reaches the output schema
+# (the DESCRIBE type-class assertion in oracle_utils covers outputs anyway).
+_LINT_AUDITED_OK = {
+    "join_q2_min_cost_supplier",   # l_extendedprice / l_quantity: DOUBLE cols
+    "sketch_misra_gries_heavy",    # WHERE exact_count > n / 13: compare-only
+    "text_lang_id_ngram",          # trigram-count scores compared, not output
+    "pipeline_corpus_prep",        # same lang-id score in WHERE
+    "pipeline_corpus_prep_neardup",  # same lang-id score in WHERE
+}
+
+
+@pytest.mark.parametrize("query", ORACLE_QUERIES, ids=lambda q: q.name)
+def test_oracle_sql_lint(query):
+    if query.name in _LINT_AUDITED_OK:
+        pytest.skip("bare '/' hand-audited as float-safe (see allowlist)")
+    assert not lint_oracle_sql(query.oracle), lint_oracle_sql(query.oracle)
+
+
+def test_oracle_lint_catches_injected_bug():
+    """The lint must fail on the exact r4 bug shape (x / 7 on integers)."""
+    bad = "SELECT date_diff('day', a, b) / 7 AS week_offset FROM t"
+    assert lint_oracle_sql(bad), "lint missed the bare integer-division bug"
+    good = "SELECT CAST(date_diff('day', a, b) // 7 AS BIGINT) AS w FROM t"
+    assert not lint_oracle_sql(good)
 
 
 @pytest.mark.parametrize("query", ORACLE_QUERIES, ids=lambda q: q.name)
