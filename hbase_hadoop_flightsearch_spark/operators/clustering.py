@@ -227,7 +227,6 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 PCA_Q = 1 << 15  # quantization scale for the integer-exact oracle anchor
-PCA_ITERS = 50
 
 
 def gram_stats(emb: DataFrame) -> tuple[np.ndarray, np.ndarray, int]:

@@ -302,7 +302,8 @@ SELECT token, CAST(exact_count AS BIGINT) AS exact_count,
 FROM exact, n
 WHERE exact_count > n / {MG_K + 1}
 """,
-    doc="Misra-Gries heavy hitters (E4): per-batch k=8-counter summaries "
+    doc=f"Misra-Gries heavy hitters (E4): per-batch k={MG_K}-counter "
+    "summaries "
     "(mapInPandas, O(k) rows per batch — fixed-size one-pass state), "
     "merged by a token sum. Output is DETERMINISTIC despite "
     "batch-dependent estimates: the rows are exactly the tokens with "

@@ -571,7 +571,7 @@ MIN_SESSION_EVENTS = 2  # single-event sessions are zero-length intervals
     "join_interval_overlap_sessions",
     oracle=f"""
 WITH marked AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
     CASE WHEN epoch_us(ts) - epoch_us(
            LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
          ) > {SESSION_GAP_US}
@@ -582,7 +582,7 @@ WITH marked AS (
 ),
 sess AS (
   SELECT user_id, ts,
-    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM marked
 ),

@@ -7,11 +7,17 @@ materialized rollup table keyed by (window_start, event_type). Readers get
 O(windows) rows instead of re-scanning O(events) — at 100 TB/day of events
 the rollup is what makes dashboard-latency queries possible at all.
 
-The merge here is read-combine-overwrite on parquet, which is correct for
-a single writer (the streaming query) and keeps this repo dependency-free;
-on a real deployment the same `foreachBatch` body becomes a Delta/Iceberg
-`MERGE INTO` — the streaming plumbing (checkpointed exactly-once batches,
-partial aggregation per batch) is identical.
+Delivery guarantee — EXACTLY-ONCE via versioned commits: each microbatch
+writes its merged state to a batch-id-named directory
+(`batch-<id>/` + Spark's `_SUCCESS` marker as the commit record), reading
+its predecessor as "the newest COMMITTED version with id < this batch".
+A crash between the state write and the checkpoint commit replays the
+batch, which recomputes the identical merge from the identical
+predecessor and overwrites its OWN version directory — idempotent, so
+replay cannot double-count the additive fields (n/sums/cents). This is
+the same txn-version idea as Delta's idempotent `foreachBatch` writes
+(`txnAppId`/`txnVersion`), built on plain parquet; on a real deployment
+the bodies below become Delta/Iceberg `MERGE INTO` with that option.
 
 The registered query is the batch twin (full-input rollup, SQL-oracled);
 tests drive the incremental path over multiple microbatches and assert it
@@ -46,31 +52,74 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
     )
 
 
-def _merge_batch(rollup_path: str):
-    """foreachBatch body: combine this batch's partials with the table."""
+def _committed_versions(state_path: str) -> list[int]:
+    """Batch ids whose version directory carries Spark's `_SUCCESS`
+    commit marker (a half-written dir from a crash has none)."""
+    if not os.path.isdir(state_path):
+        return []
+    out = []
+    for name in os.listdir(state_path):
+        if name.startswith("batch-") and os.path.exists(
+            os.path.join(state_path, name, "_SUCCESS")
+        ):
+            out.append(int(name.split("-", 1)[1]))
+    return sorted(out)
+
+
+def read_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Read the newest committed version of a versioned state table."""
+    versions = _committed_versions(state_path)
+    if not versions:
+        raise FileNotFoundError(f"no committed state under {state_path}")
+    return spark.read.parquet(
+        os.path.join(state_path, f"batch-{versions[-1]:09d}")
+    )
+
+
+def _versioned_merge(state_path: str, aggregate, combine):
+    """Exactly-once foreachBatch body: merge this batch's `aggregate`
+    partials with the newest committed version OLDER than this batch
+    (replay leftovers with id >= batch_id are ignored), then overwrite
+    this batch's own version dir — replays are byte-idempotent."""
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        partial = hourly_rollup(batch_df)
-        if os.path.exists(rollup_path):
-            current = spark.read.parquet(rollup_path)
-            partial = (
-                current.unionByName(partial)
-                .groupBy("window_start_s", "event_type")
-                .agg(
-                    F.sum("n_events").alias("n_events"),
-                    F.sum("sum_value").alias("sum_value"),
-                )
+        partial = aggregate(batch_df)
+        prev = [v for v in _committed_versions(state_path) if v < batch_id]
+        if prev:
+            prev_df = spark.read.parquet(
+                os.path.join(state_path, f"batch-{prev[-1]:09d}")
             )
-        # Single-writer overwrite; Delta/Iceberg MERGE INTO in production.
-        partial.cache().count()  # materialize before overwriting the input
-        partial.write.mode("overwrite").parquet(rollup_path + ".tmp")
-        partial.unpersist()
-        spark.read.parquet(rollup_path + ".tmp").write.mode(
-            "overwrite"
-        ).parquet(rollup_path)
+            partial = combine(prev_df, partial)
+        partial.write.mode("overwrite").parquet(
+            os.path.join(state_path, f"batch-{batch_id:09d}")
+        )
+        # Prune all but the two newest committed versions (best-effort).
+        import shutil
+
+        for v in _committed_versions(state_path)[:-2]:
+            shutil.rmtree(
+                os.path.join(state_path, f"batch-{v:09d}"),
+                ignore_errors=True,
+            )
 
     return merge
+
+
+def _merge_batch(rollup_path: str):
+    """foreachBatch body: combine this batch's partials with the table."""
+
+    def combine(current: DataFrame, partial: DataFrame) -> DataFrame:
+        return (
+            current.unionByName(partial)
+            .groupBy("window_start_s", "event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+            )
+        )
+
+    return _versioned_merge(rollup_path, hourly_rollup, combine)
 
 
 def run_incremental_rollup(
@@ -123,24 +172,11 @@ def _merge_ohlc_batch(state_path: str):
     """foreachBatch body for candlesticks: per-batch OHLC state merged
     into the materialized bar table with the SAME merge the batch IVM
     operator uses (struct-min/max open/close — associative, so microbatch
-    boundaries cannot change the bars)."""
+    boundaries cannot change the bars). Versioned-commit exactly-once,
+    like the hourly rollup."""
     from ..operators.incremental import merge_ohlc_states, ohlc_state
 
-    def merge(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        partial = ohlc_state(batch_df)
-        if os.path.exists(state_path):
-            partial = merge_ohlc_states(
-                spark.read.parquet(state_path), partial
-            )
-        partial.cache().count()  # materialize before overwriting the input
-        partial.write.mode("overwrite").parquet(state_path + ".tmp")
-        partial.unpersist()
-        spark.read.parquet(state_path + ".tmp").write.mode(
-            "overwrite"
-        ).parquet(state_path)
-
-    return merge
+    return _versioned_merge(state_path, ohlc_state, merge_ohlc_states)
 
 
 def run_incremental_ohlc(

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..operators.timeseries import ZSCORE_LOOKBACK, ZSCORE_MIN_N, ZSCORE_Z
 from ..plans.registry import register
 from ..sources.catalog import load_table
 
@@ -313,14 +314,15 @@ framed AS (
   FROM cents
   WINDOW w AS (
     PARTITION BY user_id ORDER BY ts, event_id
-    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+    ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING
   )
 )
 SELECT event_id, user_id, event_type, value,
        CAST(n AS BIGINT) AS baseline_n
 FROM framed
-WHERE n >= 12
-  AND (n * x - s) * (n * x - s) * (n - 1) > 9 * n * (n * q - s * s)
+WHERE n >= {ZSCORE_MIN_N}
+  AND (n * x - s) * (n * x - s) * (n - 1)
+      > {ZSCORE_Z * ZSCORE_Z} * n * (n * q - s * s)
 """,
     doc="Batch twin of the streaming rolling-z-score anomaly detector "
     "(E14): applyInPandasWithState holds a per-user 20-value ring buffer "

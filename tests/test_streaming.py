@@ -489,12 +489,13 @@ def test_incremental_rollup_converges(spark, sf_smoke, tmp_path):
     rollup_path = str(tmp_path / "rollup")
     run_incremental_rollup(spark, src, rollup_path, str(tmp_path / "ckpt"))
 
-    got = (
-        spark.read.parquet(rollup_path)
-        .withColumn("sum_value", F.round("sum_value", 2))
-    )
     from hbase_hadoop_flightsearch_spark.streaming.rollup import (
+        read_state,
         rollup_hourly_events,
+    )
+
+    got = read_state(spark, rollup_path).withColumn(
+        "sum_value", F.round("sum_value", 2)
     )
 
     want = rollup_hourly_events(spark, sf_smoke)
@@ -502,6 +503,31 @@ def test_incremental_rollup_converges(spark, sf_smoke, tmp_path):
         map(tuple, want.collect())
     )
     assert got.agg(F.sum("n_events")).collect()[0][0] == n
+
+
+def test_rollup_merge_replay_is_idempotent(spark, sf_smoke, tmp_path):
+    """Exactly-once proof for the versioned-commit merge: replaying a
+    microbatch (crash between state write and checkpoint commit) must not
+    double-count — the replay overwrites its own version with identical
+    content instead of re-merging into it."""
+    from hbase_hadoop_flightsearch_spark.streaming.rollup import (
+        _merge_batch,
+        read_state,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    half = ev.limit(500)
+    path = str(tmp_path / "state")
+    merge = _merge_batch(path)
+    merge(half, 0)
+    merge(ev, 1)
+    after_once = sorted(map(tuple, read_state(spark, path).collect()))
+    merge(ev, 1)  # replay of batch 1 — same input, same predecessor
+    after_replay = sorted(map(tuple, read_state(spark, path).collect()))
+    assert after_once == after_replay
+    # and the additive field did not double
+    total = sum(r[2] for r in after_replay)
+    assert total == half.count() + ev.count()
 
 
 def test_stream_stream_join_equals_batch(spark, sf_smoke, tmp_path):
@@ -820,6 +846,7 @@ def test_streaming_ohlc_converges_to_batch(spark, sf_smoke, tmp_path):
         resample_ohlc,
     )
     from hbase_hadoop_flightsearch_spark.streaming.rollup import (
+        read_state,
         run_incremental_ohlc,
     )
 
@@ -829,6 +856,6 @@ def test_streaming_ohlc_converges_to_batch(spark, sf_smoke, tmp_path):
     events.repartition(3).write.parquet(src)
     state = str(tmp_path / "ohlc_state")
     run_incremental_ohlc(spark, src, state, str(tmp_path / "ohlc_ckpt"))
-    got = _sorted_rows(finalize_ohlc(spark.read.parquet(state)))
+    got = _sorted_rows(finalize_ohlc(read_state(spark, state)))
     want = _sorted_rows(resample_ohlc(events))
     assert got == want and want
