@@ -559,6 +559,163 @@ def multimodal_wav_sample_stats(
     )
 
 
+# ---------------------------------------------------------------------------
+# REAL image-content decode: uncompressed 24-bit BMP pixel arrays
+# ---------------------------------------------------------------------------
+
+BMP_W_MOD, BMP_H_MOD = 9, 7  # w = doc_id % 9 + 2, h = doc_id % 7 + 2
+
+
+def bmp_pixels(payload: bytes):
+    """REAL image-content decode (pure stdlib): parse an uncompressed
+    24-bit BMP's pixel array into rows of (b, g, r) tuples in logical
+    top-down order. Handles both bottom-up (positive biHeight) and
+    top-down (negative biHeight) layouts and the 4-byte row-stride
+    padding. Returns None for non-BMP payloads; raises ValueError for
+    BMP flavors outside 24bpp/BI_RGB. This is the content layer below
+    `parse_media_header`'s dimension metadata — the per-pixel starting
+    point for thumbnailing, perceptual hashing, and channel statistics."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    off = struct.unpack_from("<I", payload, 10)[0]
+    _hsize, w, h = struct.unpack_from("<Iii", payload, 14)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP flavor: bpp={bpp} comp={comp}")
+    topdown, h = h < 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for i in range(h):
+        base = off + i * stride
+        rows.append(
+            [
+                (
+                    payload[base + 3 * x],
+                    payload[base + 3 * x + 1],
+                    payload[base + 3 * x + 2],
+                )
+                for x in range(w)
+            ]
+        )
+    if not topdown:
+        rows.reverse()
+    return rows
+
+
+def _synth_bmp(doc_id: int) -> bytes:
+    """Full uncompressed 24-bit BMP (header + padded pixel array) whose
+    pixel at logical (x, y-from-top) follows an integer law DuckDB can
+    replay: b=(id+3x+7y)%256, g=(2id+5x+11y)%256, r=(3id+13x+17y)%256.
+    Odd doc_ids are written top-down (negative biHeight), even ones
+    bottom-up, so the decoder's row-order handling is exercised both
+    ways."""
+    import struct
+
+    w = doc_id % BMP_W_MOD + 2
+    h = doc_id % BMP_H_MOD + 2
+    topdown = doc_id % 2 == 1
+    stride = (w * 3 + 3) & ~3
+    order = range(h) if topdown else range(h - 1, -1, -1)
+    body = bytearray()
+    for y in order:
+        for x in range(w):
+            body += bytes(
+                (
+                    (doc_id + 3 * x + 7 * y) % 256,
+                    (doc_id * 2 + 5 * x + 11 * y) % 256,
+                    (doc_id * 3 + 13 * x + 17 * y) % 256,
+                )
+            )
+        body += b"\x00" * (stride - w * 3)
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, -h if topdown else h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+    )
+    return header + info + bytes(body)
+
+
+def _bmp_stats_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            px = bmp_pixels(_synth_bmp(int(doc_id)))
+            w = len(px[0])
+            n = sb = sg = sr = ck = 0
+            for y, row in enumerate(px):
+                for x, (b, g, r) in enumerate(row):
+                    n += 1
+                    sb += b
+                    sg += g
+                    sr += r
+                    # position-weighted checksum: any row-order or stride
+                    # bug in the decoder changes it.
+                    ck += (y * w + x + 1) * (b + 2 * g + 3 * r)
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "n_px": n,
+                    "sum_b": sb,
+                    "sum_g": sg,
+                    "sum_r": sr,
+                    "checksum": ck,
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "multimodal_bmp_pixel_stats",
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id,
+         doc_id % {BMP_W_MOD} + 2 AS w,
+         doc_id % {BMP_H_MOD} + 2 AS h
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.w, xs.x, ys.y,
+    (d.doc_id + 3 * xs.x + 7 * ys.y) % 256 AS b,
+    (d.doc_id * 2 + 5 * xs.x + 11 * ys.y) % 256 AS g,
+    (d.doc_id * 3 + 13 * xs.x + 17 * ys.y) % 256 AS r
+  FROM dims d
+  JOIN (SELECT unnest(generate_series(0, {BMP_W_MOD})) AS x) xs
+    ON xs.x < d.w
+  JOIN (SELECT unnest(generate_series(0, {BMP_H_MOD})) AS y) ys
+    ON ys.y < d.h
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_px,
+  CAST(SUM(b) AS BIGINT) AS sum_b,
+  CAST(SUM(g) AS BIGINT) AS sum_g,
+  CAST(SUM(r) AS BIGINT) AS sum_r,
+  CAST(SUM((y * w + x + 1) * (b + 2 * g + 3 * r)) AS BIGINT) AS checksum
+FROM px GROUP BY doc_id
+""",
+    doc="REAL pixel-content decode (E13, closes the r4 partial): "
+    "synthesize full uncompressed 24-bit BMPs (padded pixel array, "
+    "mixed top-down/bottom-up row order) per document, decode the "
+    "actual pixel bytes back out with the stdlib-only BMP parser, and "
+    "aggregate integer-exact per-channel sums plus a position-weighted "
+    "checksum that any row-order or stride bug would change. "
+    "Arrow-batched mapInPandas; scan-fused, no shuffle beyond the "
+    "driver-bound final collect.",
+)
+def multimodal_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _bmp_stats_batches,
+        schema="doc_id bigint, n_px bigint, sum_b bigint, sum_g bigint, "
+        "sum_r bigint, checksum bigint",
+    )
+
+
 @register(
     "multimodal_frame_sample",
     oracle=f"""

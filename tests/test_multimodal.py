@@ -200,3 +200,46 @@ def test_wav_pcm_samples_roundtrip():
         + b"data" + struct.pack("<I", len(samples)) + samples
     )
     assert list(wav_pcm_samples(wav)) == [1, -2, 3, -4]
+
+
+def test_bmp_pixels_roundtrip_and_row_order():
+    """The BMP pixel decoder must recover exact (b,g,r) values in logical
+    top-down order for BOTH storage layouts, honor the 4-byte row stride,
+    and reject unsupported flavors."""
+    from hbase_hadoop_flightsearch_spark.functions.multimodal import (
+        _synth_bmp,
+        bmp_pixels,
+    )
+
+    # doc_id 4 -> even -> bottom-up; doc_id 5 -> odd -> top-down.
+    for doc_id in (4, 5):
+        px = bmp_pixels(_synth_bmp(doc_id))
+        w, h = doc_id % 9 + 2, doc_id % 7 + 2
+        assert len(px) == h and len(px[0]) == w
+        for y in range(h):
+            for x in range(w):
+                assert px[y][x] == (
+                    (doc_id + 3 * x + 7 * y) % 256,
+                    (doc_id * 2 + 5 * x + 11 * y) % 256,
+                    (doc_id * 3 + 13 * x + 17 * y) % 256,
+                ), (doc_id, x, y)
+
+    # Hand-built 2x2 bottom-up BMP: file rows are (bottom row, top row);
+    # stride pads 6 pixel bytes to 8 per row.
+    top = bytes([1, 2, 3, 4, 5, 6])        # (1,2,3) (4,5,6)
+    bottom = bytes([7, 8, 9, 10, 11, 12])  # (7,8,9) (10,11,12)
+    body = bottom + b"\x00\x00" + top + b"\x00\x00"
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(body),
+                       0, 0, 0, 0)
+    px = bmp_pixels(hdr + info + body)
+    assert px == [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]]
+
+    # Non-BMP -> None; 8bpp or compressed BMP -> ValueError.
+    assert bmp_pixels(b"not an image" * 10) is None
+    bad = hdr + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 0, 0, 0, 0, 0)
+    bad += body
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bmp_pixels(bad)
