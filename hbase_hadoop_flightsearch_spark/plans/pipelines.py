@@ -138,6 +138,7 @@ GROUP BY k.lang_pred
 
 @register(
     "pipeline_corpus_prep_neardup",
+    headline=True,  # bench seat for the LLM-pipeline side (VERDICT r4 #6)
     oracle=_NEARDUP_ORACLE.format(
         lang_pred=ngram_lang_pred_duck("text"),
         bpe=_BPE_SQL,
