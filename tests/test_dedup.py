@@ -244,3 +244,67 @@ def test_bloom_reference_result_is_exact_anti_join(spark, sf_correctness):
         for r in incoming.join(docs.select("text"), "text", "left_anti").collect()
     }
     assert got == want and want  # nonempty and exact
+
+
+def test_posting_list_max_df_cap_on_zipfian_corpus(spark, tmp_path):
+    """Skew-resilience proof for the posting-list pair counter (the 100 TB
+    knob): a Zipfian corpus with one stop-shingle OVER the cap and one
+    exactly AT it. The over-cap list must contribute zero pairs, the
+    at-cap list exactly C(cap,2), true near-dups with rare shingles must
+    survive, and the cap filter must sit BELOW the pair explode in the
+    plan so no task ever materializes more than C(cap,2) pairs per list."""
+    from pyspark.sql import functions as F
+
+    from hbase_hadoop_flightsearch_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        shingle_pair_intersections,
+        shingles_from,
+    )
+
+    cap = 8
+    rows = []
+    # Group A: 20 docs (> cap) sharing ONLY the stop-shingle "sa sb sc".
+    for i in range(20):
+        rows.append((100 + i, f"a{i}x a{i}y sa sb sc a{i}z a{i}w"))
+    # Group B: exactly `cap` docs sharing only "ta tb tc".
+    for i in range(cap):
+        rows.append((200 + i, f"b{i}x b{i}y ta tb tc b{i}z b{i}w"))
+    # One true near-dup pair with rare shingles (df=2 each, far below cap).
+    rows.append((301, "q r s t u v w x y z"))
+    rows.append((302, "q r s t u v w x y z"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sf_dir = str(tmp_path)
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+
+    sh = shingles_from(spark, docs)
+    capped = shingle_pair_intersections(sh, max_df=cap).collect()
+    group_a = [r for r in capped if 100 <= r.d1 < 120]
+    group_b = [r for r in capped if 200 <= r.d1 < 210]
+    assert group_a == []  # over-cap stop-shingle contributes nothing
+    assert len(group_b) == cap * (cap - 1) // 2  # at-cap list fully counted
+    assert all(r.inter == 1 for r in group_b)
+    # Per-list emission bound: every pair row's intersection came from
+    # retained lists only, and total pairs <= n_retained_lists * C(cap,2).
+    retained_lists = (
+        sh.select(F.explode("shingles").alias("s"))
+        .groupBy("s").count().filter(f"count between 2 and {cap}").count()
+    )
+    assert len(capped) <= retained_lists * cap * (cap - 1) // 2
+
+    # The near-dup pair survives the capped END-TO-END query (rare
+    # shingles are untouched by the cap), and the dropped stop-shingle
+    # cannot fabricate or destroy their jaccard=1.0.
+    out = dedup_ngram_jaccard(spark, sf_dir, max_df=cap).collect()
+    assert [(r.d1, r.d2, r.jaccard) for r in out] == [(301, 302, 1.0)]
+
+    # Plan shape: the size(ids) <= cap filter must run BEFORE the pair
+    # Generate (explode), so a skewed list is dropped before any task
+    # could materialize its O(df^2) pairs.
+    plan = shingle_pair_intersections(sh, max_df=cap)._jdf.queryExecution(
+    ).executedPlan().toString()
+    gen_pos = plan.find("Generate explode")
+    filt_pos = plan.find("size(ids")
+    assert gen_pos != -1 and filt_pos != -1
+    # executedPlan prints top-down: the Generate node appears ABOVE
+    # (earlier string position than) the filter it consumes from.
+    assert gen_pos < filt_pos
