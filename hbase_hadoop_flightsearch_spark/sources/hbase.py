@@ -60,17 +60,32 @@ def _check_connector(spark: SparkSession) -> None:
         ) from exc
 
 
+def reader_options(table: str = "FlightRecords") -> dict[str, str]:
+    """The exact option map handed to the hbase-spark DefaultSource reader
+    — separable from .load() so the scan contract is testable without a
+    jar, symmetric to `writer_options`. The default table name is
+    `FlightRecords` because that is what the reference's query job scans
+    (HCompute/Main.java:51), while its loader writes `FlightTable`
+    (HPopulate/Main.java:59) — the name is a knob precisely because the
+    reference's own pipeline does not compose (SURVEY.md §1.1a)."""
+    return {"catalog": flight_blob_catalog(table)}
+
+
 def read_flight_table(
     spark: SparkSession, table: str = "FlightRecords"
 ) -> DataFrame:
     """S2: connector-backed scan of the blob table. Filter pushdown on
     rowkey ranges comes from the connector; for the reference's random-UUID
     keys there is nothing to push — which is exactly why the bronze layer
-    re-keys by year partition instead."""
+    re-keys by year partition instead. The scan result shape is
+    (rowkey string, raw_line string); `sources.ingest.flights_from_lines`
+    is the downstream parse that turns it into typed flights columns —
+    the composition the reference hand-codes in HCompute's mapper
+    (HCompute/Main.java:85-93)."""
     _check_connector(spark)
     return (
         spark.read.format(HBASE_FORMAT)
-        .option("catalog", flight_blob_catalog(table))
+        .options(**reader_options(table))
         .load()
     )
 

@@ -102,3 +102,48 @@ def test_writer_fails_actionably_without_connector(spark):
     )
     with pytest.raises(HBaseConnectorUnavailable, match="bronze"):
         write_flight_table(df)
+
+
+def test_reader_options_contract():
+    """Reader-side scan contract, symmetric to the writer's: exactly one
+    option (the catalog — a stray option silently changes connector scan
+    behavior), byte-identical layout to the writer's catalog, and the
+    default table names mirror the reference's OWN split (reads scan
+    FlightRecords per HCompute/Main.java:51; writes target FlightTable
+    per HPopulate/Main.java:59) with the name as the composing knob."""
+    from hbase_hadoop_flightsearch_spark.sources.hbase import (
+        reader_options,
+        writer_options,
+    )
+
+    opts = reader_options()
+    assert set(opts) == {"catalog"}
+    assert json.loads(opts["catalog"])["table"]["name"] == "FlightRecords"
+    # Same layout both directions once the table-name knob is aligned.
+    r = json.loads(reader_options("T")["catalog"])
+    w = json.loads(writer_options("T", create=False)["catalog"])
+    assert r == w
+
+
+def test_scan_shape_composes_with_blob_parse(spark):
+    """The connector's scan result shape — (rowkey string, raw_line
+    string), pinned by the catalog — must compose with the bronze blob
+    parser into typed flight columns, reproducing HCompute's
+    scan->parse->filter mapper chain (HCompute/Main.java:85-93) with the
+    scan simulated by an identically-shaped DataFrame (no jar in env)."""
+    from hbase_hadoop_flightsearch_spark.sources.ingest import (
+        flights_from_lines,
+    )
+
+    cells = ["x"] * 109
+    cells[0], cells[2], cells[6] = "2008", "1", "WN"
+    cells[37], cells[41], cells[43] = "15.00", "0.00", "0.00"
+    line = ",".join(cells)
+    scan_shaped = spark.createDataFrame(
+        [("8d3f-uuid", line)], ["rowkey", "raw_line"]
+    )
+    parsed = flights_from_lines(scan_shaped)
+    row = parsed.collect()[0]
+    assert row.raw_line == line  # full-fidelity blob preserved
+    assert (row.year, row.month, row.carrier) == (2008, 1, "WN")
+    assert (row.cancelled, row.diverted) == (0.0, 0.0)
