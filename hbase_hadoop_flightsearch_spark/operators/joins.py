@@ -568,3 +568,95 @@ def join_full_outer_nation_presence(
         )
         .orderBy("nationkey")
     )
+
+
+@register(
+    "join_q9_nation_profit",
+    oracle="""
+SELECT n_name AS nation,
+  CAST(EXTRACT(year FROM l_shipdate) AS INT) AS o_year,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)
+            - 0.01 * p_retailprice * l_quantity), 2) AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+""",
+    doc="TPC-H Q9 shape (product-type profit by nation and year) adapted "
+    "to the driver schema: no partsupp table exists, so supply cost is "
+    "proxied by 1% of p_retailprice per unit — the join/agg topology "
+    "(fact x 2 broadcast dims x nation rollup, LIKE-filtered part side) "
+    "is Q9's.",
+)
+def join_q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ part(LIKE-filtered, broadcast) ⋈ supplier(broadcast)
+    ⋈ nation(broadcast). The part filter prunes the fact rows inside the
+    broadcast join probe — no fact-side shuffle until the final
+    (nation, year) aggregate, which partial-aggregates to O(25 x years)
+    rows per task before its Exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - (
+        F.lit(0.01) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(sup), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+@register(
+    "join_q12_late_shipment_priority",
+    oracle="""
+SELECT CAST(EXTRACT(month FROM l_shipdate) AS INT) AS ship_month,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+""",
+    doc="TPC-H Q12 shape (shipmode priority split) adapted to the driver "
+    "schema: no l_shipmode/commit/receipt columns exist, so the grouping "
+    "key is ship month and 'late' means shipped more than 60 days after "
+    "the order date — the fact-fact join + conditional-count split is "
+    "Q12's.",
+)
+def join_q12_late_shipment_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """orders ⋈ lineitem is the one fact-fact join here: both sides
+    shuffle on orderkey (bucket both by orderkey on a real deployment and
+    the Exchange disappears); the late-shipment predicate is applied at
+    the join, and the 12-group conditional counts partial-aggregate
+    before their Exchange."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+        )
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )

@@ -498,3 +498,103 @@ def join_q17_small_quantity_revenue(
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+@register(
+    "join_q4_priority_order_counts",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4 shape (order-priority checking): correlated EXISTS with "
+    "a comparison correlate, decorrelated Spark-first as a left-semi join "
+    "carrying the equi key (orderkey) plus the shipdate>orderdate "
+    "residual. The driver schema has no commit/receipt dates, so 'late "
+    "line' means shipped after the order date — the EXISTS-per-order + "
+    "priority histogram topology is Q4's.",
+)
+def join_q4_priority_order_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Left-semi keeps exactly one copy of each qualifying order (EXISTS
+    semantics, never join-then-distinct). The date filter prunes orders
+    BEFORE the semi join, so the orderkey shuffle carries only the
+    quarter's orders; the 5-row priority aggregate partial-aggregates to
+    O(5) rows per task before its Exchange."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "join_q11_important_parts",
+    oracle="""
+WITH pv AS (
+  SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name IN ('NATION_3', 'NATION_7')
+  GROUP BY l_partkey
+)
+SELECT l_partkey, ROUND(value, 2) AS part_value
+FROM pv
+WHERE value > (SELECT SUM(value) * 0.002 FROM pv)
+""",
+    doc="TPC-H Q11 shape (important stock identification): per-part value "
+    "within a nation group, kept when above a scalar-subquery fraction of "
+    "the GLOBAL total. No partsupp table exists in the driver schema, so "
+    "value is lineitem revenue attributed through the supplier's nation — "
+    "the aggregate + global-threshold-scalar topology is Q11's.",
+)
+def join_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar subquery decorrelates to a 1-row broadcast cross join —
+    the per-part aggregate is computed ONCE (cached local checkpoint would
+    be overkill: Spark reuses the shuffle via ReusedExchange since both
+    branches share the plan), the global total reduces it to one row, and
+    every partition compares against the broadcast scalar. No collect, no
+    second scan of the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    pv = (
+        li.join(F.broadcast(sup), li.l_suppkey == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nat.select("n_nationkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("value")
+        )
+    )
+    total = pv.agg((F.sum("value") * 0.002).alias("threshold"))
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", F.round("value", 2).alias("part_value"))
+    )
