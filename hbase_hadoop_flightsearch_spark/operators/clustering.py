@@ -345,3 +345,57 @@ def ml_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(res <= 1e-8 * max(tr, 1e-12)).alias("residual_ok"),
         F.lit(0.0 < lam / tr <= 1.0).alias("explained_in_01"),
     )
+
+
+@register(
+    "ml_linear_regression",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+    COUNT(*) AS n,
+    SUM(l_quantity) AS sx,
+    SUM(l_extendedprice) AS sy,
+    SUM(l_quantity * l_extendedprice) AS sxy,
+    SUM(l_quantity * l_quantity) AS sxx
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+  CAST(n AS BIGINT) AS n,
+  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+    AS intercept
+FROM m
+""",
+    doc="Per-group ordinary least squares (price ~ quantity) by the "
+    "closed-form normal equations over exact moment sums — the "
+    "representative distributed-ML-training shape: ONE scan computes the "
+    "five sufficient statistics per group via partial aggregation, the "
+    "solve is O(groups) arithmetic. At 100 TB this is the same "
+    "moments-then-solve pattern as the k-means/PCA operators, with zero "
+    "driver collect (the solve is a column expression).",
+)
+def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sufficient statistics ride one partial-aggregated Exchange of
+    O(groups) rows; slope/intercept derive in the same plan. Both engines
+    evaluate the identical formula on the identical double sums, so
+    results are bit-comparable after display rounding."""
+    from ..sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.round(slope, 4).alias("slope"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+    )

@@ -374,3 +374,66 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_cur").cast("bigint").alias("n_cur"),
         F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
     )
+
+
+@register(
+    "dq_outlier_iqr",
+    oracle="""
+WITH c AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+q AS (
+  SELECT o_orderpriority,
+    quantile_cont(cents, 0.25) AS q1,
+    quantile_cont(cents, 0.75) AS q3,
+    COUNT(*) AS n
+  FROM c GROUP BY o_orderpriority
+)
+SELECT c.o_orderpriority,
+  CAST(MIN(q.n) AS BIGINT) AS n_rows,
+  ROUND(MIN(q.q1) / 100.0, 2) AS q1_price,
+  ROUND(MIN(q.q3) / 100.0, 2) AS q3_price,
+  CAST(SUM(CASE WHEN c.cents < q.q1 - 1.5 * (q.q3 - q.q1)
+                  OR c.cents > q.q3 + 1.5 * (q.q3 - q.q1)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM c JOIN q USING (o_orderpriority)
+GROUP BY c.o_orderpriority
+""",
+    doc="Tukey-fence outlier audit per order priority: exact interpolated "
+    "quartiles over CENTS integers (positions are multiples of 1/4 and "
+    "cents fit doubles exactly, so Spark's percentile() and DuckDB's "
+    "quantile_cont() produce bit-identical fences — no float-drift "
+    "boundary flips), then a conditional count of rows outside "
+    "[q1-1.5*IQR, q3+1.5*IQR]. Spark shape: groupBy percentile (one "
+    "Exchange on the 5-value group key) + a broadcast join of the 5-row "
+    "fence table back onto the fact side — aggregate-then-broadcast, "
+    "never a correlated per-row subquery.",
+)
+def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    q = c.groupBy("o_orderpriority").agg(
+        F.percentile("cents", F.lit(0.25)).alias("q1"),
+        F.percentile("cents", F.lit(0.75)).alias("q3"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    fenced = c.join(F.broadcast(q), "o_orderpriority")
+    out = F.when(
+        (F.col("cents") < F.col("q1") - 1.5 * iqr)
+        | (F.col("cents") > F.col("q3") + 1.5 * iqr),
+        1,
+    ).otherwise(0)
+    return fenced.groupBy("o_orderpriority").agg(
+        F.min("n").cast("bigint").alias("n_rows"),
+        F.round(F.min("q1") / 100.0, 2).alias("q1_price"),
+        F.round(F.min("q3") / 100.0, 2).alias("q3_price"),
+        F.sum(out).cast("bigint").alias("n_outliers"),
+    )

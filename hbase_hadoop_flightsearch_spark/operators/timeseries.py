@@ -806,3 +806,82 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transition_prob"
         ),
     )
+
+
+EWMA_WINDOW = 16  # trailing rows in the finite EWMA frame
+EWMA_NUM, EWMA_DEN = 3, 4  # decay (1-alpha) = 3/4 as an exact ratio
+
+# weight for lag i (0 = current row), scaled by 4^(W-1) so every weight is
+# an exact integer: w_i = 3^i * 4^(W-1-i).
+_EWMA_WEIGHTS = [
+    EWMA_NUM**i * EWMA_DEN ** (EWMA_WINDOW - 1 - i)
+    for i in range(EWMA_WINDOW)
+]
+
+
+@register(
+    "ts_ewma_cents",
+    oracle=f"""
+WITH r AS (
+  SELECT user_id, event_id,
+    CAST(round(value * 100) AS BIGINT) AS cents,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT a.user_id, a.event_id,
+  ROUND(
+    SUM(b.cents * CAST(POWER({EWMA_NUM}, a.rn - b.rn) AS BIGINT)
+        * CAST(POWER({EWMA_DEN},
+                     {EWMA_WINDOW - 1} - (a.rn - b.rn)) AS BIGINT))
+    / (SUM(CAST(POWER({EWMA_NUM}, a.rn - b.rn) AS BIGINT)
+           * CAST(POWER({EWMA_DEN},
+                        {EWMA_WINDOW - 1} - (a.rn - b.rn)) AS BIGINT))
+       * 100.0),
+    6) AS ewma
+FROM r a JOIN r b
+  ON a.user_id = b.user_id
+  AND b.rn BETWEEN a.rn - {EWMA_WINDOW - 1} AND a.rn
+GROUP BY a.user_id, a.event_id
+""",
+    doc=f"Finite-window EWMA (decay {EWMA_NUM}/{EWMA_DEN}, trailing "
+    f"{EWMA_WINDOW} rows) over each user's value series, computed in "
+    "EXACT integer arithmetic: cents x integer weights 3^i*4^(W-1-i), "
+    "one final double division — so Spark and DuckDB produce identical "
+    "doubles with no summation-order drift. Spark plan: ONE "
+    "Exchange(user_id) + one Window node building the trailing array, "
+    "weights applied via transform/aggregate expressions (codegen'd "
+    "array ops, no UDF). The oracle's O(W) self-join is the SQL "
+    "formulation only — the engine never self-joins.",
+)
+def ts_ewma_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA via trailing collect_list window: xs is oldest->current, so
+    element j of n has lag n-1-j and integer weight _EWMA_WEIGHTS[lag].
+    All sums are exact BIGINTs (max |cents| ~1e8 x 4^15 x 16 << 2^63);
+    the single division at the end is the only float op."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_WINDOW - 1), 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    weights = F.array(*[F.lit(x) for x in _EWMA_WEIGHTS])
+    xs = F.collect_list(cents).over(w)
+    base = events.select(
+        "user_id", "event_id", xs.alias("xs")
+    )
+    n = F.size("xs")
+    # element_at is 1-based: element j (0-based) has lag n-1-j, so its
+    # weight sits at index (n-1-j)+1 = n-j in the weights array.
+    weighted = F.transform(
+        F.col("xs"),
+        lambda x, j: x * F.element_at(weights, n - j),
+    )
+    wsum = F.transform(F.col("xs"), lambda x, j: F.element_at(weights, n - j))
+    num = F.aggregate(weighted, F.lit(0).cast("bigint"), lambda a, v: a + v)
+    den = F.aggregate(wsum, F.lit(0).cast("bigint"), lambda a, v: a + v)
+    return base.select(
+        "user_id",
+        "event_id",
+        F.round(num / (den * F.lit(100.0)), 6).alias("ewma"),
+    )

@@ -189,3 +189,75 @@ GROUP BY user_id, sid
 )
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_counts(load_table(spark, sf_dir, "events"))
+
+
+LATE_DELAY_US = 30 * 60 * 1_000_000  # 30-minute watermark delay
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "stream_late_data_accounting",
+    oracle=f"""
+WITH arr AS (
+  SELECT user_id, epoch_us(ts) AS us,
+    MAX(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ) AS hwm_us
+  FROM events
+)
+SELECT (us // {_HOUR_US}) * 3600 AS window_start_s,
+  CAST(SUM(CASE WHEN hwm_us IS NULL
+        OR (us // {_HOUR_US} + 1) * {_HOUR_US}
+           > hwm_us - {LATE_DELAY_US}
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+  CAST(SUM(CASE WHEN hwm_us IS NOT NULL
+        AND (us // {_HOUR_US} + 1) * {_HOUR_US}
+            <= hwm_us - {LATE_DELAY_US}
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_late
+FROM arr GROUP BY 1
+""",
+    doc="Watermark late-data accounting (E14): models Structured "
+    "Streaming's drop rule — an event is dropped when its hour-window "
+    "END is at or below the watermark (running max event time seen so "
+    "far minus the 30-min delay) at its arrival. Arrival order is "
+    "event_id within each user (mirroring per-partition watermark "
+    "tracking before the global min), so the running max parallelizes "
+    "per user instead of a single-partition global window. All "
+    "arithmetic is integer microseconds; one Exchange(user_id) then an "
+    "O(hours) aggregate.",
+)
+def stream_late_data_accounting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = events.select(
+        us.alias("us"), F.max(us).over(w).alias("hwm_us")
+    )
+    win_end = (F.col("us") / _HOUR_US).cast("bigint") * _HOUR_US + _HOUR_US
+    dropped = F.col("hwm_us").isNotNull() & (
+        win_end <= F.col("hwm_us") - LATE_DELAY_US
+    )
+    return (
+        arr.groupBy(
+            ((F.col("us") / _HOUR_US).cast("bigint") * 3600).alias(
+                "window_start_s"
+            )
+        )
+        .agg(
+            F.sum(F.when(dropped, 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_accepted"),
+            F.sum(F.when(dropped, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped_late"),
+        )
+    )
