@@ -434,3 +434,46 @@ def similarity_knn_quantized_int8_recall(
         similarity_knn_bruteforce(spark, sf_dir),
         INT8_RECALL_FLOOR,
     )
+
+
+RANGE_RADIUS = 0.3  # cosine floor for radius search
+
+
+@register(
+    "similarity_range_search",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+  ROUND(list_cosine_similarity(q.v, c.v), 6) AS cosine
+FROM e q JOIN e c ON c.vec_id != q.vec_id
+WHERE q.vec_id < {N_QUERIES}
+  AND list_cosine_similarity(q.v, c.v) >= {RANGE_RADIUS}
+""",
+    doc="Radius (range) similarity search (E11): ALL neighbors within a "
+    "cosine floor per query — the retrieval API top-k cannot express "
+    "(how many near-duplicates does this query have?). Same broadcast "
+    "shape as the exact kNN: queries broadcast, corpus scanned once, "
+    "and — unlike top-k — no window at all, so the plan is pure "
+    "scan+filter and the output is the only shuffle-free data movement. "
+    "Scales with corpus size times the (tiny) query set.",
+)
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (
+        _norm(F.col("qv")) * _norm(F.col("v"))
+    )
+    return (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= RANGE_RADIUS)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
