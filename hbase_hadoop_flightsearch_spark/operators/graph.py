@@ -430,3 +430,46 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(edges, source).select(
         "v", F.col("dist").cast("long").alias("dist")
     )
+
+
+@register(
+    "graph_degree_histogram",
+    oracle=f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey + {_SUPP_OFFSET} AS supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+deg AS (
+  SELECT src, COUNT(*) AS degree FROM (
+    SELECT cust AS src FROM pairs
+    UNION ALL SELECT supp FROM pairs
+  ) GROUP BY src
+)
+SELECT CAST(FLOOR(log2(degree)) AS INT) AS degree_bucket_log2,
+  CAST(COUNT(*) AS BIGINT) AS n_vertices,
+  CAST(MIN(degree) AS BIGINT) AS min_degree,
+  CAST(MAX(degree) AS BIGINT) AS max_degree
+FROM deg GROUP BY 1
+""",
+    doc="Degree distribution of the customer-supplier graph in log2 "
+    "buckets — the first diagnostic run before any graph algorithm at "
+    "scale (a power-law tail predicts CC/PageRank hot vertices). Reuses "
+    "the pagerank edge set; one Exchange for the distinct pair set, one "
+    "O(vertices) degree count, one O(log degmax) histogram. log2 of an "
+    "integer degree is exact in both engines (no drift at bucket "
+    "boundaries: floor(log2(2^k)) = k because small powers of two are "
+    "double-exact).",
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _customer_supplier_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy(
+            F.floor(F.log2("degree")).cast("int").alias("degree_bucket_log2")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+            F.min("degree").cast("bigint").alias("min_degree"),
+            F.max("degree").cast("bigint").alias("max_degree"),
+        )
+    )

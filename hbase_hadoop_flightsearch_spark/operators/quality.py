@@ -437,3 +437,91 @@ def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("q3") / 100.0, 2).alias("q3_price"),
         F.sum(out).cast("bigint").alias("n_outliers"),
     )
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+  CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child_rows,
+  CAST((SELECT COUNT(*) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+       AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+  CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+  CAST((SELECT COUNT(*) FROM lineitem
+        WHERE l_partkey NOT IN (SELECT p_partkey FROM part)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+  CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+  CAST((SELECT COUNT(*) FROM lineitem
+        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+       AS BIGINT)
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+  CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+  CAST((SELECT COUNT(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+       AS BIGINT)
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+  CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+  CAST((SELECT COUNT(*) FROM customer
+        WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+       AS BIGINT)
+UNION ALL
+SELECT 'supplier.s_nationkey->nation',
+  CAST((SELECT COUNT(*) FROM supplier) AS BIGINT),
+  CAST((SELECT COUNT(*) FROM supplier
+        WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+       AS BIGINT)
+UNION ALL
+SELECT 'nation.n_regionkey->region',
+  CAST((SELECT COUNT(*) FROM nation) AS BIGINT),
+  CAST((SELECT COUNT(*) FROM nation
+        WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+       AS BIGINT)
+""",
+    doc="Referential-integrity audit across all seven FK edges of the "
+    "star schema: child row count + orphan count per edge. Spark shape: "
+    "each orphan count is a LEFT ANTI join against the (broadcast where "
+    "small) parent key set — the child table is scanned once per edge "
+    "and never shuffled on a non-key; at 100 TB the three lineitem "
+    "edges share one cached scan. The everyday pre-flight check before "
+    "trusting any join-based metric downstream.",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    # True dimensions broadcast unconditionally; fact-sized parents
+    # (orders/customer/part grow with SF) are left to AQE — a forced
+    # broadcast of an O(rows) key set is a 100 TB OOM.
+    small_parents = {"nation", "region", "supplier"}
+    out = None
+    for child, fk, parent, pk in edges:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(pk)
+        if parent in small_parents:
+            p = F.broadcast(p)
+        orphans = c.join(
+            p, c[fk] == p[pk], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        row = (
+            c.agg(F.count(F.lit(1)).cast("bigint").alias("n_child_rows"))
+            .join(orphans.select(F.col("n_orphans").cast("bigint")))
+            .select(
+                F.lit(f"{child}.{fk}->{parent}").alias("fk_edge"),
+                "n_child_rows",
+                "n_orphans",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
