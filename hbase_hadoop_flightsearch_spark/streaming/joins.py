@@ -154,3 +154,50 @@ def stream_join_view_purchase_outer(
         events.filter(F.col("event_type") == "view"),
         events.filter(F.col("event_type") == "purchase"),
     )
+
+
+def enrich_with_segment(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-STATIC join + aggregate: events enriched with the customer's
+    market segment (user_id is a customer FK in this schema), rolled up to
+    (segment, event_type) counts and value totals. Unlike stream-stream,
+    a stream-static join needs NO state store and no watermark: the
+    static side is simply (re)broadcast into every microbatch — which is
+    why dimension enrichment is the cheapest join a streaming pipeline
+    can do, and why dims belong in a broadcastable table at 100 TB."""
+    seg = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        events.select("user_id", "event_type", cents.alias("cents"))
+        .join(F.broadcast(seg), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.sum("cents").cast("double") / 100).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+SELECT c_mktsegment, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+    AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+""",
+    doc="Stream-static dimension enrichment (E14), batch-equivalence "
+    "form: events joined to the broadcast customer-segment dim, rolled "
+    "up per (segment, event_type). The true readStream twin (static side "
+    "re-broadcast each microbatch, complete-mode aggregate) is proven "
+    "equal to this batch plan in tests/test_streaming.py. Value sums "
+    "ride the cents-integer path so both engines agree bit-exactly.",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return enrich_with_segment(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+    )

@@ -563,6 +563,40 @@ def test_stream_stream_join_equals_batch(spark, sf_smoke, tmp_path):
     assert want, "no attributed purchases in fixture"
 
 
+def test_stream_static_enrich_equals_batch(spark, sf_smoke, tmp_path):
+    """True stream-STATIC join: the events side is readStream (multiple
+    microbatches via maxFilesPerTrigger), the customer dim is a plain
+    batch DataFrame re-broadcast into each microbatch, and the running
+    complete-mode aggregate at end-of-stream must equal the batch twin.
+    No watermark and no join state are involved — the semantics
+    stream-static is supposed to have."""
+    from hbase_hadoop_flightsearch_spark.streaming.joins import (
+        enrich_with_segment,
+        stream_static_enrich,
+    )
+
+    src = copy_events_to_dir(sf_smoke, str(tmp_path / "sse_src"))
+    events = stream_from_dir(spark, src)
+    customer = load_table(spark, sf_smoke, "customer")
+    q = (
+        enrich_with_segment(events, customer)
+        .writeStream.format("memory")
+        .queryName("sse_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM sse_sink").collect()
+    }
+    want = {
+        tuple(r) for r in stream_static_enrich(spark, sf_smoke).collect()
+    }
+    assert got == want
+    assert want, "no enriched rows in fixture"
+
+
 def test_stream_stream_outer_join_equals_batch(spark, sf_smoke, tmp_path):
     """True LEFT OUTER stream-stream join: null-extended rows may only be
     emitted after the watermark proves no match can arrive; with
