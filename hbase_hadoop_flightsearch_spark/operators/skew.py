@@ -114,3 +114,57 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("skew_factor"),
     )
+
+
+JOIN_SALTS = 8  # replication factor for hot build-side keys
+
+
+@register(
+    "skew_salted_join_events",
+    oracle="""
+SELECT e.user_id,
+  c.c_mktsegment,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY e.user_id, c.c_mktsegment
+""",
+    doc="Salted equi-join (the OTHER skew pattern, complementing the "
+    "salted aggregation): the probe side appends a deterministic salt to "
+    "its key, the build side is replicated once per salt value, and the "
+    "join runs on (key, salt) so one hot user's rows spread across "
+    f"{8} tasks instead of one. Result is bit-identical to the plain "
+    "join (proven by the unsalted oracle). At 100 TB this is the manual "
+    "fallback when AQE's skew split cannot apply (e.g. bucketed inputs "
+    "or non-shuffle joins); replication cost is build_rows x salts, "
+    "which is why it pairs with a SMALL or pre-filtered build side.",
+)
+def skew_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    # Probe side: deterministic per-row salt (hash of a row-unique id —
+    # never rand(), which breaks on stage retry/speculation).
+    probe = events.withColumn(
+        "salt",
+        F.pmod(
+            F.xxhash64("user_id", F.monotonically_increasing_id()),
+            JOIN_SALTS,
+        ).cast("int"),
+    )
+    # Build side: replicate each row across all salt values.
+    build = cust.withColumn(
+        "salt",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(JOIN_SALTS - 1)).cast("array<int>")
+        ),
+    )
+    return (
+        probe.join(
+            build,
+            (probe.user_id == build.c_custkey)
+            & (probe.salt == build.salt),
+        )
+        .groupBy("user_id", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )

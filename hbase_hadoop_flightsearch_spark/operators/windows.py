@@ -302,3 +302,41 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "window_topk_with_ties",
+    oracle="""
+WITH r AS (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+    RANK() OVER (PARTITION BY c_mktsegment
+                 ORDER BY round(c_acctbal, 0) DESC) AS rk
+  FROM customer
+)
+SELECT c_mktsegment, c_custkey, c_acctbal, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= 5
+""",
+    doc="Top-k per group WITH TIES (E7): rank() instead of row_number(), "
+    "so equal keys all survive and the result can exceed k rows per "
+    "group — the WITH TIES semantics of SQL:2008 FETCH FIRST. Ranking on "
+    "the rounded balance manufactures real ties (and makes the rank "
+    "deterministic across engines: unrounded doubles rank identically, "
+    "but the output row SET is what ties change). Same WindowGroupLimit "
+    "partial-pushdown shape as the row_number top-k — rank() is "
+    "group-limit-eligible, so each task emits at most rank<=k rows "
+    "before the exchange.",
+)
+def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.round("c_acctbal", 0).desc()
+    )
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.rank().over(w).cast("int").alias("rk"),
+        )
+        .filter(F.col("rk") <= 5)
+    )

@@ -94,3 +94,43 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         zvalue(F.col("o_custkey"), price_bucket).alias("zval"),
     )
+
+
+@register(
+    "layout_file_skipping_stats",
+    oracle="""
+SELECT 'orders.parquet' AS file_name,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(MIN(o_orderdate) AS DATE) AS min_orderdate,
+  CAST(MAX(o_orderdate) AS DATE) AS max_orderdate,
+  CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+  CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey
+FROM orders
+""",
+    doc="Per-file skipping-stats audit via Spark's hidden _metadata "
+    "column: for every physical file behind the orders table, the "
+    "min/max of the prune-relevant columns plus row count — exactly the "
+    "footer stats the reader consults when deciding to skip a file, "
+    "surfaced as a queryable table. At 100 TB this is how you audit "
+    "whether a layout (1-D sort, z-order) actually tightened per-file "
+    "ranges. The driver fixture is one file per table, so the oracle "
+    "pins that file's stats; the multi-file case is exercised in "
+    "tests/test_layout.py.",
+)
+def layout_file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.col("_metadata.file_name").alias("file_name"),
+            "o_orderdate",
+            "o_orderkey",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("o_orderdate").cast("date").alias("min_orderdate"),
+            F.max("o_orderdate").cast("date").alias("max_orderdate"),
+            F.min("o_orderkey").cast("bigint").alias("min_orderkey"),
+            F.max("o_orderkey").cast("bigint").alias("max_orderkey"),
+        )
+    )
