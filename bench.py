@@ -49,8 +49,12 @@ def main() -> None:
     registry = load_all()
     headline = [q for q in registry.values() if q.headline]
 
-    # JVM / codegen warmup (not timed).
-    headline[0].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # JVM / whole-stage-codegen warmup: one untimed pass of EVERY headline
+    # query, so each timed median measures the steady-state plan rather
+    # than first-run codegen/classloading (observed ~5x on the heavier
+    # queries on a cold JVM).
+    for q in headline:
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for q in headline:

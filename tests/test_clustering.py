@@ -116,3 +116,33 @@ def test_pca_gram_matches_numpy_and_eigsolve_is_exact(spark, sf_correctness):
     stats = pca_top_component(emb)
     assert abs(stats["eigenvalue"] - w[-1]) <= 1e-9 * max(w[-1], 1e-12)
     assert stats["residual"] <= 1e-10 * np.trace(cov)
+
+
+def test_linear_regression_matches_numpy(spark, sf_smoke):
+    """Per-group OLS must agree with numpy.polyfit on the same rows."""
+    import numpy as np
+
+    from hbase_hadoop_flightsearch_spark.operators.clustering import (
+        ml_linear_regression,
+    )
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    got = {
+        r.l_returnflag: (r.slope, r.intercept)
+        for r in ml_linear_regression(spark, sf_smoke).collect()
+    }
+    li = load_table(spark, sf_smoke, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    by_flag: dict[str, list] = {}
+    for r in li:
+        by_flag.setdefault(r.l_returnflag, []).append(
+            (r.l_quantity, r.l_extendedprice)
+        )
+    for flag, pts in by_flag.items():
+        x = np.array([p[0] for p in pts])
+        y = np.array([p[1] for p in pts])
+        slope, intercept = np.polyfit(x, y, 1)
+        gs, gi = got[flag]
+        assert abs(gs - slope) < 1e-3 * max(abs(slope), 1), flag
+        assert abs(gi - intercept) < 1e-2 * max(abs(intercept), 1), flag

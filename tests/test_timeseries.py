@@ -224,3 +224,40 @@ def test_interval_overlap_hand_computed_and_no_nested_loop(spark):
     }
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan, plan
+
+
+def test_ewma_bounded_and_warm_start(spark, sf_smoke):
+    """EWMA must stay within each row's trailing-window [min, max] (a
+    convex combination of window values) and equal value/1 exactly on
+    each user's first row (warm start: single-element window)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hbase_hadoop_flightsearch_spark.operators.timeseries import (
+        EWMA_WINDOW,
+        ts_ewma_cents,
+    )
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_smoke, "events")
+    got = ts_ewma_cents(spark, sf_smoke)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_WINDOW - 1), 0)
+    )
+    wf = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ref = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.min("value").over(w).alias("wmin"),
+        F.max("value").over(w).alias("wmax"),
+        F.row_number().over(wf).alias("rn"),
+    )
+    joined = got.join(ref, ["user_id", "event_id"]).collect()
+    assert joined
+    for r in joined:
+        assert r.wmin - 1e-6 <= r.ewma <= r.wmax + 1e-6, r
+        if r.rn == 1:  # warm start: ewma == the value itself (cents-exact)
+            assert abs(r.ewma - round(r.value * 100) / 100) < 1e-9, r
