@@ -277,3 +277,38 @@ def scalar_date_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter(d).cast("int").alias("qtr"),
         (F.dayofweek(d) - 1).cast("int").alias("dow"),
     )
+
+
+@register(
+    "scalar_bitwise_surface",
+    oracle="""
+SELECT o_orderpriority,
+  CAST(bit_and(o_orderkey) AS BIGINT) AS key_bit_and,
+  CAST(bit_or(o_orderkey) AS BIGINT) AS key_bit_or,
+  CAST(bit_xor(o_orderkey) AS BIGINT) AS key_bit_xor,
+  CAST(SUM(o_orderkey & 255) AS BIGINT) AS sum_low_byte,
+  CAST(SUM(CASE WHEN (o_orderkey >> 4) & 1 = 1 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_bit4_set
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="Bitwise function surface (E9): the bit_and/bit_or/bit_xor "
+    "AGGREGATES (the checksum/flag-fold primitives behind "
+    "dq_table_fingerprint and the Bloom build) plus scalar shift/mask "
+    "expressions, per group. All integer arithmetic — bit-identical "
+    "across engines by construction; partial-aggregated like any "
+    "hash agg (bitwise folds are associative+commutative, the property "
+    "that makes them shuffle-safe).",
+)
+def scalar_bitwise_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return orders.groupBy("o_orderpriority").agg(
+        F.bit_and(k).cast("bigint").alias("key_bit_and"),
+        F.bit_or(k).cast("bigint").alias("key_bit_or"),
+        F.bit_xor(k).cast("bigint").alias("key_bit_xor"),
+        F.sum(k.bitwiseAND(F.lit(255))).cast("bigint").alias("sum_low_byte"),
+        F.sum(
+            F.when(F.shiftright(k, 4).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_bit4_set"),
+    )

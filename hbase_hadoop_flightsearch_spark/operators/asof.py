@@ -209,3 +209,74 @@ def asof_join_forward_next_purchase(
             (F.col("p_ts_next") - F.col("ts_us")).alias("us_to_purchase"),
         )
     )
+
+
+ASOF_TOLERANCE_US = 7 * 24 * 3600 * 1_000_000  # max staleness: 7 days
+
+
+@register(
+    "asof_join_tolerance",
+    oracle=f"""
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+  CASE WHEN epoch_us(e.ts) - epoch_us(o.o_orderdate)
+            <= {ASOF_TOLERANCE_US}
+       THEN o.o_orderkey END AS recent_orderkey,
+  CASE WHEN epoch_us(e.ts) - epoch_us(o.o_orderdate)
+            <= {ASOF_TOLERANCE_US}
+       THEN epoch_us(e.ts) - epoch_us(o.o_orderdate)
+  END AS staleness_us
+FROM events e
+ASOF LEFT JOIN (
+  SELECT o_custkey, o_orderkey,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                       ORDER BY o_orderkey DESC) AS rn,
+    o_orderdate
+  FROM orders
+) o ON e.user_id = o.o_custkey AND o.rn = 1 AND e.ts >= o.o_orderdate
+""",
+    doc="As-of join WITH TOLERANCE (pandas merge_asof's `tolerance` "
+    "semantics): the latest order at-or-before each event counts only "
+    "if it is at most 7 days stale — older matches become NULL, exactly "
+    "like a feature-store point-in-time lookup with a freshness SLA. "
+    "Same union + last(ignorenulls) single-sort machinery as the plain "
+    "backward as-of (the matched side's timestamp rides along in a "
+    "second carried column, so staleness is one subtraction — no second "
+    "join); oracled against DuckDB native ASOF + CASE.",
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events, orders = _sides(spark, sf_dir)
+    tagged = events.select(
+        "user_id", "ts_us", F.lit(1).alias("is_event"), "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("long").alias("o_ts_us"),
+    ).unionByName(
+        orders.select(
+            "user_id", "ts_us", F.lit(0).alias("is_event"),
+            F.lit(None).cast("long").alias("event_id"), "o_orderkey",
+            F.col("ts_us").alias("o_ts_us"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "is_event", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staleness = F.col("ts_us") - F.col("last_ots")
+    fresh = staleness <= ASOF_TOLERANCE_US
+    return (
+        tagged.select(
+            "ts_us", "is_event", "event_id", "user_id",
+            F.last("o_orderkey", ignorenulls=True).over(w).alias(
+                "last_orderkey"
+            ),
+            F.last("o_ts_us", ignorenulls=True).over(w).alias("last_ots"),
+        )
+        .filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.when(fresh, F.col("last_orderkey")).alias("recent_orderkey"),
+            F.when(fresh, staleness).alias("staleness_us"),
+        )
+    )

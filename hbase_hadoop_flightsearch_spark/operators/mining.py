@@ -29,7 +29,7 @@ oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
@@ -319,4 +319,43 @@ def mining_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         frequent_triples(load_table(spark, sf_dir, "lineitem"))
         .orderBy(F.desc("triple_count"), "part_a", "part_b", "part_c")
         .limit(20)
+    )
+
+
+@register(
+    "mining_sequence_trigrams",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+    LEAD(event_type, 1) OVER w AS t2,
+    LEAD(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type AS t1, t2, t3,
+  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM seq
+WHERE t3 IS NOT NULL
+GROUP BY event_type, t2, t3
+""",
+    doc="Sequential-pattern mining: consecutive event-type TRIGRAMS per "
+    "user (the order-sensitive pattern the co-occurrence miners cannot "
+    "see), with occurrence and distinct-user support counts. One "
+    "Exchange(user_id) for the lead() pass — both leads share a single "
+    "Window node — then an O(types^3) aggregate; the (ts, event_id) "
+    "sort key makes the sequence total-ordered and engine-deterministic.",
+)
+def mining_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return seq.groupBy("t1", "t2", "t3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
     )
