@@ -432,3 +432,45 @@ def test_levenshtein_cap_filter_is_partial_aggregated(spark):
     plan = _plan(spark, "dedup_levenshtein_blocked")
     assert "partial_count" in plan or "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q9_all_dims_broadcast(spark):
+    """Q9 shape: part/supplier/nation must ALL broadcast — the fact table
+    may not shuffle before its final aggregate."""
+    plan = _plan(spark, "join_q9_nation_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_with_ties_group_limit_pushdown(spark):
+    """rank()-based WITH TIES top-k must still get the WindowGroupLimit
+    partial below the exchange (rank is group-limit-eligible)."""
+    plan = _plan(spark, "window_topk_with_ties")
+    assert "WindowGroupLimit" in plan
+
+
+def test_range_search_has_no_window(spark):
+    """Radius search is scan+filter only: no Window node, and the corpus
+    side must meet the broadcast queries in a nested-loop broadcast."""
+    plan = _plan(spark, "similarity_range_search")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" not in plan
+
+
+def test_ewma_single_exchange_no_python(spark):
+    """The EWMA plan is one Exchange(user_id) + one Window of codegen
+    array expressions — no Python evaluation anywhere."""
+    plan = _plan(spark, "ts_ewma_cents")
+    assert "Python" not in plan
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_q11_reuses_aggregate_exchange(spark):
+    """The Q11 global-threshold branch must REUSE the per-part aggregate's
+    shuffle, not rescan/reshuffle the fact table."""
+    df = load_all()["join_q11_important_parts"].fn(spark, SF)
+    df.collect()  # AQE finalizes reuse decisions at execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
