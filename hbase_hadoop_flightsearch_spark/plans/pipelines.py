@@ -153,12 +153,19 @@ GROUP BY k.lang_pred
 def pipeline_corpus_prep_neardup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Pairs are mined once on the full corpus (the posting-list plan) and
-    semi-joined down to quality-surviving docs — jaccard between two docs
-    does not depend on the rest of the corpus, so filtering pairs equals
-    mining pairs on the filtered subset. Keeper stats aggregate in one
-    final shuffle on (lang_pred)."""
-    from ..operators.dedup import dedup_ngram_jaccard
+    """Pairs are mined DIRECTLY on the quality-surviving docs: jaccard
+    between two docs does not depend on the rest of the corpus, so mining
+    on the filtered subset equals mining on the full corpus and then
+    filtering pairs (the oracle's formulation) — but skips shingling and
+    posting-list work for every dropped doc (~20% less pair-stage input
+    at this fixture's survival rate; at 100 TB the quality filter
+    typically drops far more, making the reordering the dominant win).
+    Keeper stats aggregate in one final shuffle on (lang_pred)."""
+    from ..operators.dedup import (
+        JACCARD_THRESHOLD,
+        shingle_pair_intersections,
+        shingles_from,
+    )
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
@@ -179,12 +186,11 @@ def pipeline_corpus_prep_neardup(
         .localCheckpoint()  # reused by pairs-filter, vertices, and rollup
     )
     ids = kept.select("doc_id")
-    pairs = (
-        dedup_ngram_jaccard(spark, sf_dir)
-        .join(ids.withColumnRenamed("doc_id", "d1"), "d1", "left_semi")
-        .join(ids.withColumnRenamed("doc_id", "d2"), "d2", "left_semi")
-        .select("d1", "d2")
+    inter = shingle_pair_intersections(
+        shingles_from(spark, kept.select("doc_id", "text"))
     )
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    pairs = inter.filter(jac >= JACCARD_THRESHOLD).select("d1", "d2")
     labels = connected_components(ids, pairs)
     members = labels.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("n_members")
