@@ -742,3 +742,148 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("flesch_score"),
     )
+
+
+HASH_DIM_BITS = 10  # 2^10 = 1024 feature buckets
+HASH_DIM = 1 << HASH_DIM_BITS
+
+
+@register(
+    "text_hashed_linear_score",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % {HASH_DIM}
+      AS bucket
+  FROM tok
+),
+scored AS (
+  SELECT doc_id, bucket, COUNT(*) AS tf,
+    -- deterministic per-bucket weight in [-8, 7]: the "trained model"
+    (bucket * 2654435761) % 16 - 8 AS w
+  FROM feat GROUP BY doc_id, bucket
+)
+SELECT doc_id,
+  CAST(SUM(tf * w) AS BIGINT) AS score_raw,
+  CAST(COUNT(*) AS BIGINT) AS n_active_features,
+  SUM(tf * w) > 0 AS keep
+FROM scored GROUP BY doc_id
+""",
+    doc="Feature-hashed linear quality scorer (the fastText-classifier "
+    "inference shape): tokens hash into 2^10 buckets via md5 (the "
+    "cross-engine hash primitive), per-doc term frequencies meet a "
+    "bucket-indexed weight vector, score = <tf, w>. The weight vector "
+    "here is a deterministic function of the bucket id standing in for "
+    "trained parameters — in production it is a broadcast array lookup, "
+    "identical plan. Integer arithmetic end-to-end. Scale shape: "
+    "explode -> ONE partial-aggregated groupBy(doc, bucket) -> per-doc "
+    "sum; the model never exceeds 2^k weights regardless of vocabulary "
+    "size — the whole point of the hashing trick.",
+)
+def text_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10)
+        .cast("bigint")
+        % HASH_DIM
+    )
+    feat = tok.select("doc_id", bucket.alias("bucket"))
+    w = (F.col("bucket") * F.lit(2654435761)) % 16 - 8
+    scored = (
+        feat.groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("doc_id", (F.col("tf") * w).alias("contrib"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("contrib").cast("bigint").alias("score_raw"),
+        F.count(F.lit(1)).cast("bigint").alias("n_active_features"),
+        (F.sum("contrib") > 0).alias("keep"),
+    )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(string_split(text, ' ')) AS token,
+    generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+big AS (
+  SELECT a.doc_id, a.token AS w1, b.token AS w2
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+doc_big AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS tf FROM big GROUP BY doc_id, w1, w2
+),
+lm_big AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2
+),
+lm_uni AS (
+  SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1
+),
+vocab AS (
+  SELECT COUNT(DISTINCT token) AS v FROM tok
+)
+SELECT doc_id,
+  CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+  ROUND(
+    (SUM(tf * log2(c1 + v)) - SUM(tf * log2(c12 + 1))) / SUM(tf),
+    6) AS avg_neg_log2p
+FROM doc_big
+JOIN lm_big USING (w1, w2)
+JOIN lm_uni USING (w1), vocab
+GROUP BY doc_id
+""",
+    doc="BIGRAM language-model scoring with add-one (Laplace) smoothing — "
+    "the order-2 upgrade of the unigram perplexity filter: "
+    "-log2 P(w2|w1) = log2(c(w1)+V) - log2(c(w1w2)+1), averaged per "
+    "document. Like the unigram and entropy precedents, log2 is only "
+    "ever applied to exact integer counts, so both engines compute "
+    "identical doubles. Scale shape: bigrams via one lead() window "
+    "(Exchange(doc_id)), then two token-keyed partial-agg shuffles; "
+    "the bigram LM table joins back broadcast (vocab^2-bounded but "
+    "Zipf-sparse — swap for a shuffle join at web scale, plan "
+    "otherwise unchanged).",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = tok.select(
+        "doc_id",
+        F.col("token").alias("w1"),
+        F.lead("token").over(w).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    doc_big = big.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    lm_big = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    lm_uni = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = tok.agg(F.count_distinct("token").alias("v"))
+    neg_lp = F.sum(
+        F.col("tf") * F.log2(F.col("c1") + F.col("v"))
+    ) - F.sum(F.col("tf") * F.log2(F.col("c12") + 1))
+    return (
+        doc_big.join(F.broadcast(lm_big), ["w1", "w2"])
+        .join(F.broadcast(lm_uni), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.round(neg_lp / F.sum("tf"), 6).alias("avg_neg_log2p"),
+        )
+    )

@@ -261,3 +261,75 @@ def stream_late_data_accounting(
             .alias("n_dropped_late"),
         )
     )
+
+
+GAP_PURCHASE_M, GAP_DEFAULT_M = 45, 5  # per-event-type session gaps
+
+
+@register(
+    "stream_session_dynamic_gap",
+    oracle=f"""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+    epoch_us(ts) AS us,
+    CASE WHEN event_type = 'purchase'
+         THEN {GAP_PURCHASE_M * 60_000_000}
+         ELSE {GAP_DEFAULT_M * 60_000_000} END AS gap_us
+  FROM events
+),
+marked AS (
+  SELECT user_id, us, gap_us,
+    CASE WHEN MAX(us + gap_us) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) IS NULL
+         OR us >= MAX(us + gap_us) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         )
+    THEN 1 ELSE 0 END AS new_session
+  FROM g
+),
+sessions AS (
+  SELECT user_id, us, gap_us,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+  MIN(us) AS session_start_us,
+  MAX(us + gap_us) AS session_end_us,
+  COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+""",
+    doc="DYNAMIC-gap session windows (E14): the inactivity gap is an "
+    "expression of the event (purchases hold a session open "
+    f"{GAP_PURCHASE_M}m, everything else {GAP_DEFAULT_M}m) — Spark's "
+    "session_window(ts, CASE...) merging state machine, which a fixed-gap "
+    "sessionizer cannot express. Oracle derives the same merge from "
+    "first principles: a session's end is the RUNNING MAX of ts+gap "
+    "(not just last-event+gap — a long-gap event mid-session can "
+    "outlive later short-gap events), and a new session starts exactly "
+    "when an event's ts reaches that max (half-open intervals). All "
+    "integer microseconds.",
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit(f"{GAP_PURCHASE_M} minutes")
+    ).otherwise(F.lit(f"{GAP_DEFAULT_M} minutes"))
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.col("session_window.end")).alias(
+                "session_end_us"
+            ),
+            "n_events",
+        )
+    )
