@@ -887,3 +887,69 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(neg_lp / F.sum("tf"), 6).alias("avg_neg_log2p"),
         )
     )
+
+
+ZIPF_TOP_N = 100  # head of the rank-frequency curve used for the fit
+
+
+@register(
+    "text_zipf_slope",
+    oracle=f"""
+WITH cnt AS (
+  SELECT token, COUNT(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token) AS r FROM cnt
+),
+m AS (
+  SELECT COUNT(*) AS n,
+    SUM(log2(r)) AS sx, SUM(log2(c)) AS sy,
+    SUM(log2(r) * log2(c)) AS sxy, SUM(log2(r) * log2(r)) AS sxx
+  FROM ranked WHERE r <= {ZIPF_TOP_N}
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+    AS zipf_intercept
+FROM m
+""",
+    doc="Zipf's-law fit: OLS slope of log2(count) on log2(rank) over the "
+    f"top-{ZIPF_TOP_N} tokens — the corpus-health diagnostic (natural "
+    "text sits near slope -1; a crawl full of boilerplate or spam "
+    "doesn't). Composes the OLS-sufficient-statistics pattern with the "
+    "token counter: one token-keyed partial-agg shuffle, a top-N "
+    "window over O(vocab) counts, then a 1-row moment aggregate — the "
+    "100 TB input only ever feeds the first partial agg. log2 on exact "
+    "integer counts/ranks per the entropy precedent.",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("token"))
+    ranked = cnt.select(
+        "c", F.row_number().over(w).alias("r")
+    ).filter(F.col("r") <= ZIPF_TOP_N)
+    lx, ly = F.log2("r"), F.log2("c")
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        n.cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
+    )

@@ -158,3 +158,42 @@ FROM nation n, LATERAL (
 def sql_lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+_PIVOT_SPARK_SQL = """
+SELECT * FROM (
+  SELECT o_orderpriority, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+) PIVOT (
+  CAST(ROUND(SUM(price), 2) AS DOUBLE)
+  FOR o_orderstatus IN ('F' AS f_total, 'O' AS o_total, 'P' AS p_total)
+)
+"""
+
+
+@register(
+    "sql_pivot_syntax",
+    oracle="""
+SELECT o_orderpriority,
+  CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'F'
+      THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+    AS f_total,
+  CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'O'
+      THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+    AS o_total,
+  CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'P'
+      THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+    AS p_total
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="SQL PIVOT clause through the front door (Spark's native PIVOT "
+    "syntax; DuckDB's PIVOT dialect differs, so the oracle is the "
+    "portable conditional-aggregation desugaring — which is also "
+    "exactly what Catalyst lowers PIVOT to: groupBy + pivotfirst "
+    "partials, one exchange). Money stays in DECIMAL so the sums are "
+    "engine-exact before the display cast.",
+)
+def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_PIVOT_SPARK_SQL)
