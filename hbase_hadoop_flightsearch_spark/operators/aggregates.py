@@ -887,3 +887,46 @@ def agg_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hll_within_5pct"),
         )
     )
+
+
+@register(
+    "agg_grouping_id_rollup",
+    oracle="""
+SELECT COALESCE(o_orderstatus, '(subtotal)') AS status,
+  COALESCE(o_orderpriority, '(subtotal)') AS priority,
+  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT)
+    AS gid,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    doc="ROLLUP with GROUPING() disambiguation (E5): the gid bit vector "
+    "(status-bit*2 + priority-bit) tells subtotal rows apart from rows "
+    "whose group value is genuinely NULL — the correctness detail the "
+    "COALESCE-only rollup queries cannot express (composed per-column "
+    "from GROUPING() in both engines, avoiding any bit-order dialect "
+    "difference in native grouping_id encodings). Same single-pass "
+    "Expand + partial-agg plan as plain ROLLUP.",
+)
+def agg_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    gid = (
+        F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+    ).cast("int")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            gid.alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("(subtotal)")).alias(
+                "status"
+            ),
+            F.coalesce(F.col("o_orderpriority"), F.lit("(subtotal)")).alias(
+                "priority"
+            ),
+            "gid",
+            "n_orders",
+        )
+    )
