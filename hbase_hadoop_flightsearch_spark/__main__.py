@@ -39,7 +39,26 @@ def main(argv: list[str] | None = None) -> int:
     p_dir = sub.add_parser("direct", help="Secondary: CSV -> delay report")
     p_dir.add_argument("csv")
     p_dir.add_argument("out")
+    p_q = sub.add_parser(
+        "query",
+        help="Run ANY registered query by name over a testdata dir",
+    )
+    p_q.add_argument("name", help="registry name (see `list`)")
+    p_q.add_argument("sf_dir", help="dir holding the parquet tables")
+    p_q.add_argument("out", help="output path, or '-' to print 20 rows")
+    p_q.add_argument(
+        "--format", default="parquet", choices=["parquet", "csv", "json"]
+    )
+    sub.add_parser("list", help="List every registered query with its doc")
     args = parser.parse_args(argv)
+
+    if args.job == "list":
+        from .plans.registry import load_all
+
+        for q in load_all().values():
+            first = (q.doc or "").split(". ")[0].strip()
+            print(f"{q.name}\t{first}")
+        return 0
 
     from .plans.delay_report import delay_report_from, format_report
     from .session import get_spark
@@ -88,11 +107,29 @@ def main(argv: list[str] | None = None) -> int:
             write_report_text(
                 format_report(delay_report_from(fl)), args.out
             )
-        else:  # direct
+        elif args.job == "direct":
             write_report_text(
                 format_report(delay_report_from(read_bts_csv(spark, args.csv))),
                 args.out,
             )
+        else:  # query
+            from .plans.registry import load_all
+
+            reg = load_all()
+            if args.name not in reg:
+                print(
+                    f"unknown query {args.name!r}; run `list` for names",
+                    file=sys.stderr,
+                )
+                return 2
+            df = reg[args.name].fn(spark, args.sf_dir)
+            if args.out == "-":
+                df.show(20, truncate=False)
+            else:
+                w = df.write.mode("overwrite")
+                if args.format == "csv":
+                    w = w.option("header", "true")
+                w.format(args.format).save(args.out)
     finally:
         if not preexisting:
             spark.stop()

@@ -435,3 +435,29 @@ def test_malformed_lines_never_crash_ingest(spark, tmp_path):
 
     report = delay_report_from(df).collect()
     assert len(report) == 1 and report[0]["carrier"] == "AA"
+
+
+def test_cli_query_and_list(spark, sf_smoke, tmp_path, capsys):
+    """The generic `query` front door must run any registered query by
+    name to a chosen sink format, and `list` must enumerate the whole
+    registry — the switch-over surface for a reference user."""
+    from hbase_hadoop_flightsearch_spark.__main__ import main
+    from hbase_hadoop_flightsearch_spark.plans.registry import load_all
+
+    out = str(tmp_path / "q_out")
+    rc = main(["query", "agg_q1_pricing_summary", sf_smoke, out,
+               "--format", "csv"])
+    assert rc == 0
+    got = spark.read.option("header", "true").csv(out)
+    want = load_all()["agg_q1_pricing_summary"].fn(spark, sf_smoke)
+    assert got.count() == want.count() > 0
+    assert set(got.columns) == set(want.columns)
+
+    rc = main(["list"])
+    assert rc == 0
+    listed = capsys.readouterr().out
+    assert "flight_delay_report" in listed
+    assert len(listed.strip().splitlines()) == len(load_all())
+
+    rc = main(["query", "no_such_query", sf_smoke, "-"])
+    assert rc == 2
