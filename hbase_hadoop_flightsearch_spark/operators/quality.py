@@ -525,3 +525,86 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Benford's-law first-digit audit
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) for d = 1..9, rounded to the comparison precision. Kept as
+# literals (not computed at query time) so the Spark and DuckDB sides share
+# the exact same constants.
+BENFORD_EXPECTED = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {v}" for d, v in BENFORD_EXPECTED.items()
+)
+
+
+@register(
+    "dq_benford_first_digit",
+    oracle=f"""
+WITH digits AS (
+  SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+agg AS (
+  SELECT digit, COUNT(*) AS n, SUM(COUNT(*)) OVER () AS total
+  FROM digits GROUP BY digit
+)
+SELECT digit,
+  CAST(n AS BIGINT) AS n,
+  ROUND(n * 1.0 / total, 6) AS observed_frac,
+  CAST(CASE digit {_BENFORD_CASE} END AS DOUBLE) AS benford_frac,
+  ROUND(ABS(n * 1.0 / total
+            - CAST(CASE digit {_BENFORD_CASE} END AS DOUBLE)), 6)
+    AS abs_dev
+FROM agg
+ORDER BY digit
+""",
+    doc="Benford's-law first-digit audit (DQ family): the distribution "
+    "of leading digits of o_totalprice vs the log10(1+1/d) law — the "
+    "classic fraud/synthetic-data screen on monetary columns. The first "
+    "digit is taken from the INTEGER part rendered as a string (integer "
+    "formatting is engine-stable; double formatting is not), so the "
+    "Spark and DuckDB sides agree bit-for-bit. Spark shape: one scan, "
+    "one 9-group hash aggregate, one single-row window for the total — "
+    "O(9) output regardless of table size; at 100 TB the partial "
+    "aggregate reduces each task to <=9 rows before the only exchange.",
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    digit = (
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(digit)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total_w = Window.partitionBy()
+    expected = F.create_map(
+        *[F.lit(x) for kv in BENFORD_EXPECTED.items() for x in kv]
+    )[F.col("digit")]
+    return (
+        counts.withColumn("total", F.sum("n").over(total_w))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("total"), 6).alias("observed_frac"),
+            expected.alias("benford_frac"),
+            F.round(
+                F.abs(F.col("n") / F.col("total") - expected), 6
+            ).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )

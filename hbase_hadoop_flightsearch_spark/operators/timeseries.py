@@ -885,3 +885,72 @@ def ts_ewma_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(num / (den * F.lit(100.0)), 6).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) anomaly detection on daily series
+# ---------------------------------------------------------------------------
+
+MAD_K = 3  # |x - median| > MAD_K * MAD flags a day
+
+
+@register(
+    "events_anomaly_mad",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, quantile_cont(cnt, 0.5) AS med
+  FROM daily GROUP BY event_type
+),
+mad AS (
+  SELECT d.event_type, m.med,
+         quantile_cont(ABS(d.cnt - m.med), 0.5) AS mad
+  FROM daily d JOIN med m USING (event_type)
+  GROUP BY d.event_type, m.med
+)
+SELECT d.event_type, d.day, d.cnt, a.med, a.mad
+FROM daily d JOIN mad a USING (event_type)
+WHERE ABS(d.cnt - a.med) > {MAD_K} * a.mad
+ORDER BY d.event_type, d.day
+""",
+    doc=f"Robust anomaly detection on daily event counts: flag days "
+    f"where |count - median| > {MAD_K} * MAD (median absolute "
+    "deviation) per event type — the outlier screen that, unlike the "
+    "z-score, is not itself corrupted by the outliers it hunts. "
+    "Arithmetic is engine-exact by construction: counts are integers, "
+    "so the interpolated median and MAD are dyadic rationals (k or "
+    "k+0.5) that doubles represent exactly — the flag comparison can "
+    "never flip on float rounding. A zero MAD (over half the days "
+    "identical) flags any deviating day, the correct robust limit. "
+    "Spark shape: one shuffle to daily counts (partial count "
+    "map-side), then two tiny percentile aggregates over O(types x "
+    "days) rows joined back broadcast — at 100 TB every post-rollup "
+    "stage is megabytes.",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(cnt, 0.5)").alias("med")
+    )
+    mad = (
+        daily.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(cnt - med), 0.5)").alias("mad"))
+    )
+    return (
+        daily.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("cnt") - F.col("med")) > MAD_K * F.col("mad"))
+        .select("event_type", "day", "cnt", "med", "mad")
+        .orderBy("event_type", "day")
+    )
