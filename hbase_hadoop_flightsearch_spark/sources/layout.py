@@ -134,3 +134,108 @@ def layout_file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").cast("bigint").alias("max_orderkey"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planning (OPTIMIZE binPack)
+# ---------------------------------------------------------------------------
+
+COMPACT_MAX_GROUPS = 3  # target compaction groups per partition
+COMPACT_ROW_BYTES = 120  # manifest's estimated bytes per row
+COMPACT_FILE_BUCKETS = 7  # simulated files per day-partition
+
+
+@register(
+    "layout_compaction_plan",
+    oracle=f"""
+WITH manifest AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS part_day,
+         o_orderkey % {COMPACT_FILE_BUCKETS} AS file_bucket,
+         CAST(COUNT(*) * {COMPACT_ROW_BYTES} AS BIGINT) AS size_bytes
+  FROM orders GROUP BY 1, 2
+),
+sized AS (
+  SELECT part_day, file_bucket, size_bytes,
+    GREATEST(SUM(size_bytes) OVER (PARTITION BY part_day)
+             // {COMPACT_MAX_GROUPS}, 1) AS target_bytes,
+    COALESCE(SUM(size_bytes) OVER (
+        PARTITION BY part_day ORDER BY file_bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
+  FROM manifest
+),
+planned AS (
+  SELECT part_day, file_bucket, size_bytes,
+         CAST(run // target_bytes AS BIGINT) AS group_id
+  FROM sized
+)
+SELECT part_day, file_bucket, size_bytes, group_id,
+  CAST(SUM(size_bytes) OVER (PARTITION BY part_day, group_id) AS BIGINT)
+    AS group_bytes,
+  CAST(COUNT(*) OVER (PARTITION BY part_day, group_id) AS BIGINT)
+    AS group_files
+FROM planned
+ORDER BY part_day, file_bucket
+""",
+    doc="Small-file compaction planner (table maintenance; the OPTIMIZE "
+    "binPack step behind Delta/Iceberg): given a per-partition file "
+    "manifest (simulated here as day-partitions x "
+    f"{COMPACT_FILE_BUCKETS} key-bucketed files with row-count-derived "
+    "sizes), assign files to compaction groups by sorted prefix-sum "
+    "binning: group_id = floor(exclusive_running_bytes / target) "
+    "within each partition, with the target derived from the "
+    f"partition's total as total/{COMPACT_MAX_GROUPS} (the "
+    "max-groups-per-partition knob real compactors expose; an absolute "
+    "byte target works identically and is SF-dependent). Prefix "
+    "binning is the deterministic one-window-pass approximation of bin "
+    "packing that production compactors use — no driver loop, no "
+    "quadratic pairing. Spark shape: one shuffle to the manifest "
+    "rollup, then Window passes over the manifest only; at 100 TB the "
+    "plan is O(files), never O(rows), because sizing rides the "
+    "manifest, not the data.",
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    manifest = (
+        orders.groupBy(
+            F.date_trunc("day", F.col("o_orderdate")).cast("date").alias(
+                "part_day"
+            ),
+            (F.col("o_orderkey") % COMPACT_FILE_BUCKETS).alias("file_bucket"),
+        )
+        .agg(
+            (F.count(F.lit(1)) * COMPACT_ROW_BYTES)
+            .cast("bigint")
+            .alias("size_bytes")
+        )
+    )
+    part = Window.partitionBy("part_day")
+    running = (
+        Window.partitionBy("part_day")
+        .orderBy("file_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = manifest.select(
+        "part_day",
+        "file_bucket",
+        "size_bytes",
+        F.floor(
+            F.coalesce(F.sum("size_bytes").over(running), F.lit(0))
+            / F.greatest(
+                F.floor(F.sum("size_bytes").over(part) / COMPACT_MAX_GROUPS),
+                F.lit(1),
+            )
+        )
+        .cast("bigint")
+        .alias("group_id"),
+    )
+    grp = Window.partitionBy("part_day", "group_id")
+    return planned.select(
+        "part_day",
+        "file_bucket",
+        "size_bytes",
+        "group_id",
+        F.sum("size_bytes").over(grp).cast("bigint").alias("group_bytes"),
+        F.count(F.lit(1)).over(grp).cast("bigint").alias("group_files"),
+    ).orderBy("part_day", "file_bucket")
