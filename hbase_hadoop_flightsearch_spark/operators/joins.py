@@ -660,3 +660,59 @@ def join_q12_late_shipment_priority(
             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
         )
     )
+
+
+@register(
+    "join_bloom_semi_prune",
+    oracle="""
+SELECT l_returnflag,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    AS revenue_cents
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="Bloom-pruned semi join (the hand-rolled runtime filter): revenue "
+    "per return flag over lineitems of URGENT orders. The filtered build "
+    "side reduces to a 4 KiB Bloom filter via the same distributed "
+    "bit_or build as dedup_bloom_reference; the probe side tests "
+    "l_orderkey with pure codegen bit expressions BEFORE the exchange, "
+    "so only the ~selectivity fraction (hits + small false-positive "
+    "sliver) shuffles into the exact semi join that guarantees "
+    "correctness. Same result as a plain semi join — the filter only "
+    "cuts shuffle volume. At 100 TB this is the difference between "
+    "shuffling every lineitem row and shuffling the urgent fifth; "
+    "Spark's own runtimeFilter does this invisibly when stats allow — "
+    "built explicitly here so the pruning is observable and "
+    "engine-independent.",
+)
+def join_bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import bloom_build, bloom_flag
+
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    # One 4 KiB filter row, built once (eager checkpoint: the row feeds a
+    # broadcast on the probe side; without it the urgent scan re-runs).
+    bf_row = bloom_build(urgent, "o_orderkey").localCheckpoint(eager=True)
+    pruned = bloom_flag(li, bf_row, "l_orderkey").filter(F.col("bloom_hit"))
+    exact = pruned.join(urgent, pruned.l_orderkey == urgent.o_orderkey,
+                        "left_semi")
+    return (
+        exact.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
