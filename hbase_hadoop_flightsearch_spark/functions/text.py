@@ -953,3 +953,126 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction
+# ---------------------------------------------------------------------------
+
+RAKE_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+RAKE_TOP_K = 3
+
+
+@register(
+    "text_keyword_rake",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, t.toks[i] AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+       LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+),
+seg AS (
+  SELECT doc_id, pos, tok,
+    SUM(CASE WHEN tok IN {RAKE_STOPWORDS} THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS seg_id
+  FROM toks
+),
+words AS (
+  SELECT doc_id, seg_id, pos, tok FROM seg
+  WHERE tok NOT IN {RAKE_STOPWORDS}
+),
+phrases AS (
+  SELECT doc_id, seg_id,
+    string_agg(tok, ' ' ORDER BY pos) AS phrase,
+    COUNT(*) AS k
+  FROM words GROUP BY doc_id, seg_id
+),
+wstats AS (
+  SELECT w.doc_id, w.tok,
+    COUNT(*) AS freq,
+    SUM(p.k) AS deg
+  FROM words w JOIN phrases p USING (doc_id, seg_id)
+  GROUP BY w.doc_id, w.tok
+),
+scored AS (
+  SELECT p.doc_id, p.phrase,
+    SUM(s.deg * 1.0 / s.freq) AS score
+  FROM words w
+  JOIN phrases p USING (doc_id, seg_id)
+  JOIN wstats s ON s.doc_id = w.doc_id AND s.tok = w.tok
+  GROUP BY p.doc_id, p.seg_id, p.phrase
+),
+dedup AS (
+  SELECT doc_id, phrase, ROUND(MAX(score), 6) AS rake_score
+  FROM scored GROUP BY doc_id, phrase
+),
+ranked AS (
+  SELECT doc_id, phrase, rake_score,
+    ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY rake_score DESC, phrase) AS rnk
+  FROM dedup
+)
+SELECT doc_id, CAST(rnk AS INT) AS rnk, phrase, rake_score
+FROM ranked WHERE rnk <= {RAKE_TOP_K}
+""",
+    doc="RAKE keyword extraction (Rapid Automatic Keyword Extraction, "
+    "Rose et al. 2010): split each document into candidate phrases at "
+    f"stopwords {RAKE_STOPWORDS}, score each word as degree/frequency "
+    "(degree = total length of phrases containing it), score a phrase "
+    "as the sum of member-word scores, and keep the top-"
+    f"{RAKE_TOP_K} phrases per document (rounded-score + phrase "
+    "tiebreak so ranking is engine-deterministic). Spark shape: "
+    "posexplode -> one running-sum window keyed by doc_id for segment "
+    "ids -> three doc_id-co-partitioned aggregates; every shuffle key "
+    "includes doc_id, so at 100 TB the work stays embarrassingly "
+    "per-document with no global hotspot. Identical-phrase "
+    "repetitions within a doc collapse to one row (same score by "
+    "construction).",
+)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    is_stop = F.col("tok").isin(*RAKE_STOPWORDS)
+    seg = toks.withColumn(
+        "seg_id",
+        F.sum(is_stop.cast("int")).over(
+            Window.partitionBy("doc_id").orderBy("pos")
+        ),
+    )
+    words = seg.filter(~is_stop).select("doc_id", "seg_id", "pos", "tok")
+    phrases = words.groupBy("doc_id", "seg_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    wstats = (
+        words.join(phrases.select("doc_id", "seg_id", "k"),
+                   ["doc_id", "seg_id"])
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("k").alias("deg"))
+    )
+    scored = (
+        words.join(phrases, ["doc_id", "seg_id"])
+        .join(wstats, ["doc_id", "tok"])
+        .groupBy("doc_id", "seg_id", "phrase")
+        .agg(F.sum(F.col("deg") / F.col("freq")).alias("score"))
+    )
+    dedup = scored.groupBy("doc_id", "phrase").agg(
+        F.round(F.max("score"), 6).alias("rake_score")
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("rake_score").desc(), "phrase"
+    )
+    return (
+        dedup.withColumn("rnk", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rnk") <= RAKE_TOP_K)
+        .select("doc_id", "rnk", "phrase", "rake_score")
+    )
