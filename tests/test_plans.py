@@ -474,3 +474,65 @@ def test_q11_reuses_aggregate_exchange(spark):
     df.collect()  # AQE finalizes reuse decisions at execution
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_benford_single_scan_tiny_agg(spark):
+    """One scan of one column; the only exchanges carry <=9 digit groups
+    (partial agg first) and the single-row total window."""
+    plan = _plan(spark, "dq_benford_first_digit")
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+    assert "ReadSchema: struct<o_totalprice:double>" in plan
+
+
+def test_mad_anomaly_broadcasts_tiny_stats(spark):
+    """The median/MAD tables are O(event types) rows — they must broadcast
+    back onto the daily rollup, never shuffle it."""
+    plan = _plan(spark, "events_anomaly_mad")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_compaction_plan_rides_manifest_not_rows(spark):
+    """All window work happens after the manifest rollup: exactly one
+    pre-aggregated exchange from the orders scan; no join anywhere."""
+    plan = _plan(spark, "layout_compaction_plan")
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+    # partial aggregation before the only row-bearing exchange
+    assert "partial_count" in plan
+
+
+def test_bloom_semi_prune_filters_before_exchange(spark):
+    """The probe side must evaluate the bloom bit-test (xxhash64 against
+    the broadcast map) BEFORE its exchange, and the exact semi join must
+    stay a semi join."""
+    plan = _plan(spark, "join_bloom_semi_prune")
+    assert "LeftSemi" in plan
+    assert "xxhash64" in plan
+    assert "bloom_hit" in plan
+    # the 1-row filter map arrives via broadcast, not shuffle
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_gif_stats_scan_prunes_to_doc_id(spark):
+    """The GIF query synthesizes payloads from doc_id alone — the scan
+    must read ONLY doc_id (never text), and no shuffle exists at all."""
+    plan = _plan(spark, "multimodal_gif_pixel_stats")
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+    assert "Exchange" not in plan
+
+
+def test_rake_all_shuffles_keyed_by_doc(spark):
+    """Every groupBy/window key includes doc_id, so no stage concentrates
+    the corpus on one key at scale; phrase assembly stays in SQL exprs
+    (no Python UDF in the plan)."""
+    plan = _plan(spark, "text_keyword_rake")
+    assert "PythonUDF" not in plan
+    low = plan.lower()
+    assert "hashpartitioning(doc_id" in low
+    # no partitioning clause without doc_id as leading key
+    import re
+
+    for m in re.finditer(r"hashpartitioning\(([a-z0-9_#]+)", low):
+        assert m.group(1).startswith("doc_id"), m.group(0)
