@@ -1076,3 +1076,130 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= RAKE_TOP_K)
         .select("doc_id", "rnk", "phrase", "rake_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (byte-pair encoding, Sennrich et al. 2016)
+# ---------------------------------------------------------------------------
+
+BPE_N_MERGES = 4
+
+
+def _bpe_oracle() -> str:
+    """Unrolled DuckDB twin of the iterative trainer: each merge step is
+    one CTE pair (best_k picks the argmax pair with (count DESC, l, r)
+    tiebreak; w_k applies it with the same greedy-left single-pass
+    replace the Spark side uses)."""
+    parts = [
+        """
+WITH w_0 AS (
+  SELECT word, n,
+         array_to_string(regexp_extract_all(word, '.'), '  ') AS t
+  FROM (
+    SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+  )
+)"""
+    ]
+    for k in range(1, BPE_N_MERGES + 1):
+        parts.append(f""",
+pairs_{k} AS (
+  SELECT toks[i] AS l, toks[i + 1] AS r, SUM(n) AS c
+  FROM (SELECT n, string_split(t, '  ') AS toks FROM w_{k - 1}),
+       LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
+  GROUP BY 1, 2
+),
+best_{k} AS (
+  SELECT l, r, CAST(c AS BIGINT) AS c FROM pairs_{k}
+  ORDER BY c DESC, l, r LIMIT 1
+),
+w_{k} AS (
+  SELECT word, n,
+    trim(replace(' ' || t || ' ',
+                 ' ' || b.l || '  ' || b.r || ' ',
+                 ' ' || b.l || b.r || ' ')) AS t
+  FROM w_{k - 1}, best_{k} b
+)""")
+    selects = " UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, l AS pair_left, r AS pair_right, "
+        f"l || r AS merged, c AS pair_count FROM best_{k}"
+        for k in range(1, BPE_N_MERGES + 1)
+    )
+    return "".join(parts) + f"""
+SELECT CAST(merge_rank AS INT) AS merge_rank, pair_left, pair_right,
+       merged, pair_count
+FROM ({selects}) ORDER BY merge_rank
+"""
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=_bpe_oracle(),
+    doc=f"Distributed BPE tokenizer training (Sennrich et al. 2016): "
+    "count corpus word frequencies in ONE distributed shuffle, then "
+    f"run {BPE_N_MERGES} merge iterations on the (word, count, tokens) "
+    "vocabulary table — per iteration, count weighted adjacent token "
+    "pairs, pick the argmax pair (count DESC, then lexicographic, so "
+    "ties are engine-deterministic), and apply it with a greedy-left "
+    "single-pass replace (the canonical apply order). This is exactly "
+    "how production BPE trainers scale: the corpus is touched once "
+    "for the frequency table; iterations ride the vocabulary, which "
+    "is orders of magnitude smaller. The driver sees ONE row per "
+    "iteration (the chosen pair) — the same bounded-scalar iterative "
+    "pattern as the k-means and PageRank operators. End-of-word "
+    "markers are omitted (a constant-suffix simplification; the merge "
+    "dynamics are unchanged).",
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "word",
+            "n",
+            F.array_join(
+                F.expr("regexp_extract_all(word, '.', 0)"), "  "
+            ).alias("t"),
+        )
+        .localCheckpoint(eager=True)  # corpus scan runs exactly once
+    )
+    merges = []
+    for rank in range(1, BPE_N_MERGES + 1):
+        toks = F.split("t", "  ")
+        pairs = (
+            words.select(
+                "n",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(toks, 1, F.size(toks) - 1).alias("l"),
+                        F.slice(toks, 2, F.size(toks) - 1).alias("r"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.col("c").desc(), "l", "r")
+            .limit(1)
+        )
+        best = pairs.collect()[0]  # one scalar row per iteration
+        merges.append((rank, best["l"], best["r"], best["l"] + best["r"],
+                       int(best["c"])))
+        words = words.select(
+            "word",
+            "n",
+            F.trim(
+                F.expr(
+                    "replace(' ' || t || ' ', "
+                    f"' {best['l']}  {best['r']} ', "
+                    f"' {best['l']}{best['r']} ')"
+                )
+            ).alias("t"),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, pair_left string, pair_right string, "
+        "merged string, pair_count bigint",
+    )
