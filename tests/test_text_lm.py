@@ -29,3 +29,46 @@ def test_unigram_logprob_rare_scores_above_common(spark):
     rows = {r.doc_id: r.avg_neg_log2p for r in unigram_logprob(docs).collect()}
     assert rows[2] > rows[1]
     assert rows[1] == rows[3]  # same token mix => same score
+
+
+def test_bpe_greedy_left_apply_semantics(spark):
+    """The single-pass replace used to apply a merge must be greedy-left
+    (the canonical BPE apply order): b b b with merge (b,b) -> [bb, b],
+    and a b a b -> [ab, ab]; a merged symbol must not re-pair with the
+    character it just consumed."""
+    rows = [("x", 1, "b  b  b"), ("y", 1, "a  b  a  b")]
+    df = spark.createDataFrame(rows, "word string, n int, t string")
+    out = {
+        r["word"]: r["t2"]
+        for r in df.selectExpr(
+            "word",
+            "trim(replace(' ' || t || ' ', ' a  b ', ' ab ')) AS t2"
+        ).collect()
+    }
+    assert out["y"] == "ab  ab"
+    out = {
+        r["word"]: r["t2"]
+        for r in df.selectExpr(
+            "word",
+            "trim(replace(' ' || t || ' ', ' b  b ', ' bb ')) AS t2"
+        ).collect()
+    }
+    assert out["x"] == "bb  b"
+
+
+def test_bpe_merges_deterministic_and_wellformed(spark, sf_smoke):
+    """Each learned merge concatenates the pair, counts are nonincreasing
+    is NOT required (later merges can beat earlier residuals is false —
+    argmax sequence must be nonincreasing when no new-pair creation
+    intervenes; we assert the weaker invariants that always hold), and a
+    repeat run is identical (pure determinism)."""
+    from hbase_hadoop_flightsearch_spark.plans.registry import load_all
+
+    q = load_all()["text_bpe_train_merges"]
+    a = q.fn(spark, sf_smoke).collect()
+    b = q.fn(spark, sf_smoke).collect()
+    assert a == b
+    assert [r["merge_rank"] for r in a] == [1, 2, 3, 4]
+    for r in a:
+        assert r["merged"] == r["pair_left"] + r["pair_right"]
+        assert r["pair_count"] > 0
