@@ -333,3 +333,60 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+STREAM_TOPK = 3
+
+
+def topk_per_window(windowed: DataFrame, k: int = STREAM_TOPK) -> DataFrame:
+    """Rank stage over an already-windowed count table: top-k event types
+    per window with (count DESC, event_type) deterministic tiebreak."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start_s").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        windowed.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("window_start_s", "rnk", "event_type", "n_events")
+    )
+
+
+@register(
+    "stream_topk_per_window",
+    oracle=f"""
+WITH counts AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) * 3600
+      AS window_start_s,
+    event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT window_start_s, event_type, n_events,
+    ROW_NUMBER() OVER (PARTITION BY window_start_s
+                       ORDER BY n_events DESC, event_type) AS rnk
+  FROM counts
+)
+SELECT window_start_s, CAST(rnk AS INT) AS rnk, event_type, n_events
+FROM ranked WHERE rnk <= {STREAM_TOPK}
+""",
+    doc=f"Streaming top-{STREAM_TOPK} trending event types per tumbling "
+    "hour (E14). Ranking inside an append-mode stream is not allowed "
+    "(a window's ranks are unstable until the watermark closes it), so "
+    "the production split is: stage 1 = the watermark-bounded windowed "
+    "count (incremental, state-store-backed — the same plan as "
+    "stream_tumbling_event_counts); stage 2 = row_number over the "
+    "COMPLETED windows (here: batch over the closed stream; in "
+    "production: foreachBatch or a downstream batch job over the "
+    "sink). tests/test_streaming.py proves stage 1 through a true "
+    "readStream -> memory-sink run and re-ranks the sink to this same "
+    "result. Tiebreak (count DESC, event_type) keeps ranks "
+    "engine-deterministic. Top-k prunes with WindowGroupLimit before "
+    "the rank's exchange — per-window state is O(types), bounded.",
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = tumbling_counts(load_table(spark, sf_dir, "events")).drop(
+        "total_value"
+    )
+    return topk_per_window(counts)

@@ -893,3 +893,22 @@ def test_streaming_ohlc_converges_to_batch(spark, sf_smoke, tmp_path):
     got = _sorted_rows(finalize_ohlc(read_state(spark, state)))
     want = _sorted_rows(resample_ohlc(events))
     assert got == want and want
+
+
+def test_stream_topk_stage1_streams_stage2_ranks(spark, sf_smoke, tmp_path):
+    """The top-k query's production split: the windowed count runs as a
+    TRUE stream (readStream -> watermark -> memory sink); ranking the
+    closed sink reproduces the registered batch-equivalence result."""
+    from hbase_hadoop_flightsearch_spark.streaming.windows import (
+        topk_per_window,
+    )
+    from hbase_hadoop_flightsearch_spark.plans.registry import load_all
+
+    src = copy_events_to_dir(sf_smoke, str(tmp_path / "stream_src_topk"))
+    stream = stream_from_dir(spark, src)
+    sink = run_stream_to_memory(
+        tumbling_counts(stream).drop("total_value"), "topk_sink", spark
+    )
+    got = topk_per_window(sink)
+    want = load_all()["stream_topk_per_window"].fn(spark, sf_smoke)
+    assert _sorted_rows(got) == _sorted_rows(want)
