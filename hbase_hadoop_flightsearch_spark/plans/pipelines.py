@@ -392,3 +392,120 @@ def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "planned_tokens"
         ),
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle="""
+WITH per_doc AS (
+  SELECT doc_id, source, lang, n_chars,
+    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+      AS ws_tokens,
+    text
+  FROM documents
+),
+dup_keys AS (
+  SELECT array_to_string(string_split(text, ' ')[1:8], ' ') AS pfx
+  FROM documents GROUP BY pfx HAVING COUNT(*) > 1
+),
+flagged AS (
+  SELECT d.*, CASE WHEN t.pfx IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+  FROM per_doc d
+  LEFT JOIN dup_keys t
+    ON array_to_string(string_split(d.text, ' ')[1:8], ' ') = t.pfx
+),
+lang_counts AS (
+  SELECT source, lang, COUNT(*) AS c FROM per_doc GROUP BY source, lang
+),
+top_lang AS (
+  SELECT source, lang AS majority_lang FROM (
+    SELECT source, lang,
+      ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
+    FROM lang_counts
+  ) WHERE rn = 1
+)
+SELECT f.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(f.ws_tokens) AS BIGINT) AS total_tokens,
+  ROUND(AVG(f.n_chars), 2) AS mean_chars,
+  CAST(COUNT(DISTINCT f.lang) AS BIGINT) AS n_langs,
+  MAX(t.majority_lang) AS majority_lang,
+  CAST(SUM(f.is_dup) AS BIGINT) AS dup_docs,
+  ROUND(SUM(f.is_dup) * 1.0 / COUNT(*), 6) AS dup_frac
+FROM flagged f JOIN top_lang t USING (source)
+GROUP BY f.source
+ORDER BY f.source
+""",
+    doc="Per-source dataset card (the datasheet a training-data pipeline "
+    "publishes before a corpus ships): document and whitespace-token "
+    "counts, mean length, language diversity, deterministic majority "
+    "language (count DESC + lang tiebreak), and the corpus-wide "
+    "duplicate exposure per source — docs sharing an 8-token prefix "
+    "fingerprint with any other doc (the cheap first-pass near-dup "
+    "signal; swap in the exact text digest or MinHash bands for "
+    "stricter tiers). Spark shape: one scan feeds both the per-source "
+    "rollup and the fingerprint detector; the dup join keys on the "
+    "md5 of the prefix (never raw text at scale); lang mode rides a "
+    "per-source window over O(sources x langs) rows. At 100 TB every "
+    "post-rollup stage is KBs.",
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars", "text"
+    )
+    per_doc = docs.withColumn(
+        "ws_tokens",
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", ""))
+            + 1
+        ).cast("bigint"),
+    ).withColumn(
+        "digest",
+        F.md5(F.array_join(F.slice(F.split("text", " "), 1, 8), " ")),
+    )
+    dup_texts = (
+        per_doc.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("digest")
+    )
+    flagged = per_doc.join(
+        dup_texts.withColumn("is_dup_m", F.lit(1)), "digest", "left"
+    ).withColumn("is_dup", F.coalesce(F.col("is_dup_m"), F.lit(0)))
+    lang_counts = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top_lang = (
+        lang_counts.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(F.col("c").desc(), "lang")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("majority_lang"))
+    )
+    card = (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ws_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 2).alias("mean_chars"),
+            F.count_distinct("lang").cast("bigint").alias("n_langs"),
+            F.sum("is_dup").cast("bigint").alias("dup_docs"),
+            F.round(
+                F.sum("is_dup") / F.count(F.lit(1)), 6
+            ).alias("dup_frac"),
+        )
+    )
+    return (
+        card.join(F.broadcast(top_lang), "source")
+        .select(
+            "source", "n_docs", "total_tokens", "mean_chars", "n_langs",
+            "majority_lang", "dup_docs", "dup_frac",
+        )
+        .orderBy("source")
+    )
