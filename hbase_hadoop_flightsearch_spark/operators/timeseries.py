@@ -954,3 +954,82 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "cnt", "med", "mad")
         .orderBy("event_type", "day")
     )
+
+
+WAU_DAYS = 7  # trailing window for weekly active users
+
+
+@register(
+    "events_dau_wau",
+    oracle=f"""
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM user_days),
+covers AS (
+  SELECT DISTINCT u.user_id, u.day + CAST(i AS INT) AS cover_day
+  FROM user_days u,
+       LATERAL (SELECT unnest(generate_series(0, {WAU_DAYS - 1})) AS i)
+),
+dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM user_days GROUP BY day
+),
+wau AS (
+  SELECT c.cover_day AS day, CAST(COUNT(*) AS BIGINT) AS wau
+  FROM covers c JOIN days d ON c.cover_day = d.day
+  GROUP BY c.cover_day
+)
+SELECT d.day, d.dau, w.wau
+FROM dau d JOIN wau w USING (day)
+ORDER BY d.day
+""",
+    doc=f"DAU / trailing-{WAU_DAYS}-day WAU (exact rolling distinct "
+    "users). A windowed COUNT DISTINCT over raw events re-scans the "
+    "window per day; the scalable rewrite dedups to (user, active-day) "
+    "pairs ONCE, then fans each pair out to the {WAU_DAYS} days it "
+    "covers — the trailing-distinct count becomes a plain pre-counted "
+    "aggregate (the pairs are distinct by construction, so no second "
+    "distinct pass is needed: COUNT(*) == COUNT(DISTINCT user)). "
+    "Expansion factor is the window length, shuffle keys are "
+    "(user, day) then day — no per-day rescans, no unbounded state. "
+    "Cover-days past the observed range are dropped by joining the "
+    "observed-day spine. The same rewrite scales to MAU with x30 "
+    "expansion; beyond that the mergeable-HLL path "
+    "(agg_hll_sliding_distinct) is the registered approximation.",
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    user_days = (
+        events.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .distinct()
+    )
+    days = user_days.select("day").distinct()
+    covers = (
+        user_days.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.date_add(F.col("day"), WAU_DAYS - 1),
+                )
+            ).alias("cover_day"),
+        )
+        .distinct()
+    )
+    dau = user_days.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    wau = (
+        covers.join(days, covers.cover_day == days.day)
+        .groupBy(covers.cover_day.alias("wday"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == F.col("wday"))
+        .select("day", "dau", "wau")
+        .orderBy("day")
+    )
