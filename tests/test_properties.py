@@ -280,3 +280,89 @@ def test_ohlc_input_order_invariant(spark, rows, seed):
         )
     )
     assert bars(base, 1) == bars(perm, 5)
+
+
+def test_dau_wau_invariants_and_bruteforce(spark, sf_smoke):
+    """WAU >= DAU everywhere, and WAU at each day equals the brute-force
+    distinct-user count over the trailing window."""
+    import datetime
+
+    from hbase_hadoop_flightsearch_spark.operators.timeseries import (
+        WAU_DAYS,
+        events_dau_wau,
+    )
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    out = {r["day"]: r for r in events_dau_wau(spark, sf_smoke).collect()}
+    assert out
+    events = load_table(spark, sf_smoke, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    )
+    pairs = {(r["user_id"], r["d"]) for r in events.distinct().collect()}
+    for day, r in out.items():
+        assert r["wau"] >= r["dau"] > 0
+        lo = day - datetime.timedelta(days=WAU_DAYS - 1)
+        brute = len({u for (u, d) in pairs if lo <= d <= day})
+        assert r["wau"] == brute, day
+
+
+def test_bitmap_distinct_word_collisions(spark):
+    """Keys landing in the same 64-bit word must still count separately;
+    duplicate keys must collapse."""
+    rows = [("P", k) for k in (0, 1, 63, 64, 64, 128, 128, 128)] + [
+        ("Q", 5), ("Q", 5)
+    ]
+    df = spark.createDataFrame(rows, "o_orderpriority string, o_custkey long")
+    words = (
+        df.select(
+            "o_orderpriority",
+            (F.col("o_custkey") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(1L, CAST(pmod(o_custkey, 64) AS INT))").alias(
+                "b"
+            ),
+        )
+        .groupBy("o_orderpriority", "w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.bit_count("bits")).alias("n"))
+    )
+    got = {r["o_orderpriority"]: r["n"] for r in words.collect()}
+    assert got == {"P": 5, "Q": 1}
+
+
+def test_compaction_groups_contiguous_and_bounded(spark, sf_smoke):
+    """Per partition: group ids start at 0 and are nondecreasing in file
+    order (a file bigger than the target may legitimately skip ids), and
+    every group's byte total is < target + its own largest file (the
+    prefix-binning bound — no group can overshoot by more than one
+    file)."""
+    from hbase_hadoop_flightsearch_spark.plans.registry import load_all
+    from hbase_hadoop_flightsearch_spark.sources.layout import (
+        COMPACT_MAX_GROUPS,
+    )
+
+    rows = load_all()["layout_compaction_plan"].fn(spark, sf_smoke).collect()
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r["part_day"], []).append(r)
+    assert by_part
+    for day, files in by_part.items():
+        total = sum(f["size_bytes"] for f in files)
+        target = max(total // COMPACT_MAX_GROUPS, 1)
+        files.sort(key=lambda f: f["file_bucket"])
+        seq = [f["group_id"] for f in files]
+        assert seq[0] == 0 and seq == sorted(seq), day
+        for g in set(seq):
+            members = [f for f in files if f["group_id"] == g]
+            gbytes = sum(f["size_bytes"] for f in members)
+            assert gbytes == members[0]["group_bytes"]
+            assert gbytes < target + max(f["size_bytes"] for f in members)
+
+
+def test_benford_fracs_sum_to_one(spark, sf_smoke):
+    from hbase_hadoop_flightsearch_spark.plans.registry import load_all
+
+    rows = load_all()["dq_benford_first_digit"].fn(spark, sf_smoke).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["observed_frac"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["benford_frac"] for r in rows) - 1.0) < 1e-3
