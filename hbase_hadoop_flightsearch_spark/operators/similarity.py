@@ -477,3 +477,197 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified reranking
+# ---------------------------------------------------------------------------
+
+MMR_QUERIES = 3  # query vectors (vec_id < 3)
+MMR_POOL = 20  # candidate pool per query (stage-1 top-k)
+MMR_K = 5  # results returned per query
+MMR_LAMBDA = 0.7  # relevance weight; (1-lambda) penalizes redundancy
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR: stage s picks, per query, the unselected
+    candidate maximizing the exact integer 7*qcos_u - 3*max_sim_u over
+    micro-cosine BIGINTs, vec_id tiebreak — identical numbers in both
+    engines."""
+    base = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cands AS (
+  SELECT query_id, cand_id, qcos_u FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      CAST(ROUND(list_cosine_similarity(q.v, c.v) * 1000000) AS BIGINT)
+        AS qcos_u,
+      ROW_NUMBER() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rn
+    FROM e q JOIN e c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < {MMR_QUERIES}
+  ) WHERE rn <= {MMR_POOL}
+),
+psim AS (
+  SELECT a.query_id, a.cand_id AS c1, b.cand_id AS c2,
+    CAST(ROUND(list_cosine_similarity(ea.v, eb.v) * 1000000) AS BIGINT)
+      AS ccos_u
+  FROM cands a
+  JOIN cands b ON a.query_id = b.query_id AND a.cand_id != b.cand_id
+  JOIN e ea ON ea.vec_id = a.cand_id
+  JOIN e eb ON eb.vec_id = b.cand_id
+)"""
+    prev_sel = None  # name of CTE holding (query_id, rnk, vec_id, mmr_score)
+    stages = []
+    for s in range(1, MMR_K + 1):
+        if s == 1:
+            pick = """,
+pick_1 AS (
+  SELECT query_id, 1 AS rnk, cand_id AS vec_id,
+         7 * qcos_u AS mmr_score_u
+  FROM (
+    SELECT c.query_id, c.cand_id, c.qcos_u,
+      ROW_NUMBER() OVER (PARTITION BY c.query_id
+                         ORDER BY 7 * c.qcos_u DESC, c.cand_id) AS rn
+    FROM cands c
+  ) t(query_id, cand_id, qcos_u, rn) WHERE rn = 1
+),
+sel_1 AS (SELECT * FROM pick_1)"""
+        else:
+            pick = f""",
+pen_{s} AS (
+  SELECT c.query_id, c.cand_id, c.qcos_u, MAX(p.ccos_u) AS max_sim_u
+  FROM cands c
+  JOIN sel_{s - 1} s ON s.query_id = c.query_id
+  JOIN psim p ON p.query_id = c.query_id AND p.c1 = c.cand_id
+             AND p.c2 = s.vec_id
+  WHERE c.cand_id NOT IN (
+    SELECT vec_id FROM sel_{s - 1} x WHERE x.query_id = c.query_id)
+  GROUP BY c.query_id, c.cand_id, c.qcos_u
+),
+pick_{s} AS (
+  SELECT query_id, {s} AS rnk, cand_id AS vec_id, mmr_score_u FROM (
+    SELECT query_id, cand_id,
+      7 * qcos_u - 3 * max_sim_u AS mmr_score_u,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY 7 * qcos_u - 3 * max_sim_u DESC, cand_id) AS rn
+    FROM pen_{s}
+  ) WHERE rn = 1
+),
+sel_{s} AS (SELECT * FROM sel_{s - 1} UNION ALL SELECT * FROM pick_{s})"""
+        stages.append(pick)
+        prev_sel = f"sel_{s}"
+    return (
+        base
+        + "".join(stages)
+        + f"""
+SELECT query_id, CAST(rnk AS INT) AS rnk, vec_id, mmr_score_u
+FROM {prev_sel} ORDER BY query_id, rnk
+"""
+    )
+
+
+@register(
+    "similarity_mmr_rerank",
+    oracle=_mmr_oracle(),
+    doc=f"Maximal-Marginal-Relevance reranking (Carbonell & Goldstein "
+    f"1998): stage 1 retrieves the top-{MMR_POOL} candidates per query "
+    "exactly as similarity_knn_bruteforce does (broadcast queries, one "
+    "corpus scan, WindowGroupLimit top-k — the distributed heavy "
+    f"lift); stage 2 greedily picks {MMR_K} results maximizing "
+    f"lambda*relevance - (1-lambda)*max-similarity-to-already-picked "
+    f"(lambda={MMR_LAMBDA}) — the diversity pass every retrieval "
+    "pipeline bolts onto ANN. The greedy step is inherently "
+    "sequential, so it runs on the COLLECTED candidate pool: "
+    f"O(queries x pool^2) = {MMR_QUERIES}x{MMR_POOL}^2 rounded "
+    "similarities — bounded scalars like the k-means centroid "
+    "collect, never corpus-sized. Similarities quantize to BIGINT "
+    "micro-cosines and the score is the exact integer "
+    "7*q_u - 3*pen_u (lambda as a 7:3 weighting, units 1e-7), with "
+    "vec_id tiebreaks — no float ever enters a comparison, so the "
+    "greedy order cannot flip on engine rounding; the oracle unrolls "
+    f"the same greedy as {MMR_K} SQL stages.",
+)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < MMR_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            _dot(F.col("qv"), F.col("v"))
+            / (_norm(F.col("qv")) * _norm(F.col("v"))),
+        )
+        .select("query_id", F.col("vec_id").alias("cand_id"), "cos", "v")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("cand_id")
+    )
+    pool = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_POOL)
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(F.col("cos") * 1000000)
+            .cast("bigint")
+            .alias("qcos_u"),
+            "v",
+        )
+    )
+    a, b = pool.alias("a"), pool.alias("b")
+    psim = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.cand_id") != F.col("b.cand_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.cand_id").alias("c1"),
+            F.col("b.cand_id").alias("c2"),
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("ccos_u"),
+        )
+    )
+    # Greedy selection over the collected pool (bounded scalars).
+    qcos = {}
+    for r in pool.select("query_id", "cand_id", "qcos_u").collect():
+        qcos[(r["query_id"], r["cand_id"])] = r["qcos_u"]
+    sims = {}
+    for r in psim.collect():
+        sims[(r["query_id"], r["c1"], r["c2"])] = r["ccos_u"]
+    out = []
+    # lambda = 0.7 as the exact integer weighting 7*q_u - 3*pen_u
+    # (units: 1e-7 cosine) — no float ever enters a comparison, so the
+    # greedy order cannot flip on engine rounding.
+    for q in sorted({k[0] for k in qcos}):
+        cands = sorted(c for (qq, c) in qcos if qq == q)
+        picked = []
+        for rnk in range(1, MMR_K + 1):
+            best = None
+            for c in cands:
+                if c in picked:
+                    continue
+                if picked:
+                    pen = max(sims[(q, c, p)] for p in picked)
+                    score = 7 * qcos[(q, c)] - 3 * pen
+                else:
+                    score = 7 * qcos[(q, c)]
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c, score)
+            picked.append(best[1])
+            out.append((q, rnk, best[1], best[2]))
+    return spark.createDataFrame(
+        out, "query_id bigint, rnk int, vec_id bigint, mmr_score_u bigint"
+    )
