@@ -536,3 +536,69 @@ def test_rake_all_shuffles_keyed_by_doc(spark):
 
     for m in re.finditer(r"hashpartitioning\(([a-z0-9_#]+)", low):
         assert m.group(1).startswith("doc_id"), m.group(0)
+
+
+def test_dataset_card_single_scan_broadcast_mode(spark):
+    """Each branch's scan prunes to the columns it needs (the lang-mode
+    branch must read only lang+source, never text); the per-source
+    majority-lang table joins back broadcast."""
+    plan = _plan(spark, "pipeline_dataset_card")
+    assert plan.count("FileScan") <= 3
+    assert "ReadSchema: struct<lang:string,source:string>" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "PythonUDF" not in plan
+
+
+def test_dau_wau_no_expand_distinct(spark):
+    """The rolling-distinct rewrite must not fall back to the
+    Expand-based COUNT DISTINCT: pairs are pre-deduped, counts are
+    plain COUNT(*)."""
+    plan = _plan(spark, "events_dau_wau")
+    assert "Expand" not in plan
+    assert "count(distinct" not in plan.lower()
+
+
+def test_bitmap_distinct_word_level_shuffle(spark):
+    """The shuffle must carry bit-or'd words, never raw keys: partial
+    bit_or before the exchange, no Expand."""
+    plan = _plan(spark, "agg_bitmap_distinct")
+    assert "partial_bit_or" in plan
+    assert "Expand" not in plan
+
+
+def test_mmr_pool_stage_matches_knn_shape(spark):
+    """Stage 1 (the distributed part) must be the knn plan: broadcast
+    queries over one corpus scan with group-limit pruning before the
+    rank exchange."""
+    from hbase_hadoop_flightsearch_spark.operators.similarity import (
+        MMR_POOL,
+        MMR_QUERIES,
+        _embeddings,
+    )
+    from hbase_hadoop_flightsearch_spark.operators.similarity import (  # noqa
+        _dot,
+        _norm,
+    )
+    from pyspark.sql import Window
+
+    emb = _embeddings(spark, SF)
+    queries = emb.filter(F.col("vec_id") < MMR_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = emb.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).withColumn(
+        "cos", _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    pool = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= MMR_POOL
+    )
+    em = pool._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "extended"
+    )
+    plan = pool._jdf.queryExecution().explainString(em)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
