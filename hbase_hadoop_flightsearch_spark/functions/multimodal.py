@@ -2,12 +2,19 @@
 
 Pattern: media is an opaque BinaryType column plus a typed metadata struct;
 decode / feature-extract run as Arrow-batched pandas functions over
-`mapInPandas` (never row-at-a-time Python). The image/audio codecs are NOT
-in this container, so the codec step is stubbed (`decode_media` raises
-NotImplementedError unless `fake=True`), while everything Spark-side —
-schema, binary handling, Arrow batch shape, partitioning — is real and
-oracle-verified: the fake "decoder" derives dimensions from byte length
-with arithmetic DuckDB reproduces from octet_length.
+`mapInPandas` (never row-at-a-time Python). Codec layers, from fully real
+to honestly stubbed:
+  - REAL header parse for PNG/BMP/GIF/WAV/JPEG/ICO/TIFF (struct-exact);
+  - REAL content decode where the stdlib suffices: BMP pixel arrays,
+    GIF LZW decompression (+ deinterlace), PNG zlib-inflate + all five
+    filter reversals (+ per-chunk CRC32 verify), WAV int16 PCM samples —
+    the GIF and PNG codec pairs are cross-validated against Java ImageIO
+    in both directions;
+  - env-gated stubs ONLY where external libs are genuinely required
+    (JPEG DCT, general audio/video: PIL/librosa/av not installable);
+    `decode_media` raises NotImplementedError there unless `fake=True`,
+    whose deterministic byte-length law DuckDB reproduces from
+    octet_length so the distributed plumbing stays oracle-verified.
 
 Scale notes: binary payloads ride the normal columnar path (Parquet binary
 + Arrow), so filters/metadata projections prune without touching bytes.
@@ -1041,4 +1048,246 @@ def multimodal_gif_pixel_stats(
         _gif_stats_batches,
         schema="doc_id bigint, n_px bigint, sum_idx bigint, "
         "sum_r bigint, checksum bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL deflate-compressed image decode: PNG (zlib inflate + filter reversal)
+# ---------------------------------------------------------------------------
+# PNG was the one synthesized format still listed as env-stubbed for pixel
+# decode ("needs inflate") — but zlib IS in the Python stdlib, so the full
+# decode path is implementable without external imaging libs: chunk walk
+# with CRC32 verification, zlib.decompress of the IDAT stream, and per-row
+# reversal of all five PNG filter types (None/Sub/Up/Average/Paeth).
+# Cross-validated against Java ImageIO in both directions in
+# tests/test_multimodal.py (ImageIO's writer picks its own filters, so the
+# decoder is exercised on filter choices we didn't make).
+
+PNG_W_MOD, PNG_H_MOD = 11, 13  # w = doc_id % 11 + 2, h = doc_id % 13 + 2
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9.4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_pixel_law(doc_id: int, x: int, y: int) -> tuple:
+    """(r, g, b) at (x, y): same integer family as the BMP law."""
+    return (
+        (doc_id + 3 * x + 7 * y) % 256,
+        (2 * doc_id + 5 * x + 11 * y) % 256,
+        (3 * doc_id + 13 * x + 17 * y) % 256,
+    )
+
+
+def _synth_png(doc_id: int) -> bytes:
+    """Full 8-bit RGB PNG: signature, CRC-correct IHDR/IDAT/IEND chunks,
+    zlib-compressed scanlines. Row y uses filter type y % 5, so every
+    synthesized image with h >= 5 exercises ALL five filters."""
+    import struct
+    import zlib
+
+    w = doc_id % PNG_W_MOD + 2
+    h = doc_id % PNG_H_MOD + 2
+    bpp = 3
+    raw = bytearray()
+    prev = bytes(bpp * w)
+    for y in range(h):
+        row = bytes(
+            b for x in range(w) for b in _png_pixel_law(doc_id, x, y)
+        )
+        f = y % 5
+        raw.append(f)
+        out = bytearray()
+        for i, v in enumerate(row):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                out.append(v)
+            elif f == 1:
+                out.append((v - left) & 0xFF)
+            elif f == 2:
+                out.append((v - up) & 0xFF)
+            elif f == 3:
+                out.append((v - (left + up) // 2) & 0xFF)
+            else:
+                out.append((v - _paeth(left, up, ul)) & 0xFF)
+        raw += out
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", crc)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_pixels(payload: bytes):
+    """REAL PNG pixel decode (pure stdlib): walk chunks verifying each
+    CRC32, inflate the concatenated IDAT stream, reverse the per-row
+    filter (all five types), return rows of (r, g, b). Supports the
+    8-bit/RGB/non-interlaced flavor (the one synthesized here and by
+    ImageIO's writer for TYPE_INT_RGB); anything else raises. Returns
+    None for non-PNG payloads."""
+    import struct
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos + 12 <= len(payload):
+        ln, ctype = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8: pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in chunk {ctype!r}")
+        if ctype == b"IHDR":
+            w, h, depth, ct, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ct, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    f"unsupported PNG flavor: depth={depth} color={ct} "
+                    f"interlace={inter}"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("no IHDR chunk")
+    raw = zlib.decompress(bytes(idat))
+    bpp = 3
+    stride = bpp * w
+    if len(raw) != h * (1 + stride):
+        raise ValueError("scanline length mismatch")
+    rows = []
+    prev = bytes(stride)
+    pos = 0
+    for _y in range(h):
+        f = raw[pos]
+        line = raw[pos + 1: pos + 1 + stride]
+        pos += 1 + stride
+        out = bytearray()
+        for i, v in enumerate(line):
+            left = out[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                out.append(v)
+            elif f == 1:
+                out.append((v + left) & 0xFF)
+            elif f == 2:
+                out.append((v + up) & 0xFF)
+            elif f == 3:
+                out.append((v + (left + up) // 2) & 0xFF)
+            elif f == 4:
+                out.append((v + _paeth(left, up, ul)) & 0xFF)
+            else:
+                raise ValueError(f"bad filter byte {f}")
+        prev = bytes(out)
+        rows.append(
+            [tuple(out[bpp * x: bpp * x + bpp]) for x in range(w)]
+        )
+    return rows
+
+
+def _png_stats_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            px = png_pixels(_synth_png(int(doc_id)))
+            w = len(px[0])
+            n = sr = sg = sb = ck = 0
+            for y, row in enumerate(px):
+                for x, (r, g, b) in enumerate(row):
+                    n += 1
+                    sr += r
+                    sg += g
+                    sb += b
+                    ck += (y * w + x + 1) * (r + 2 * g + 3 * b)
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "n_px": n,
+                    "sum_r": sr,
+                    "sum_g": sg,
+                    "sum_b": sb,
+                    "checksum": ck,
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "multimodal_png_pixel_stats",
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id,
+         doc_id % {PNG_W_MOD} + 2 AS w,
+         doc_id % {PNG_H_MOD} + 2 AS h
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.w, xs.x, ys.y,
+    (d.doc_id + 3 * xs.x + 7 * ys.y) % 256 AS r,
+    (2 * d.doc_id + 5 * xs.x + 11 * ys.y) % 256 AS g,
+    (3 * d.doc_id + 13 * xs.x + 17 * ys.y) % 256 AS b
+  FROM dims d
+  JOIN (SELECT unnest(generate_series(0, {PNG_W_MOD + 1})) AS x) xs
+    ON xs.x < d.w
+  JOIN (SELECT unnest(generate_series(0, {PNG_H_MOD + 1})) AS y) ys
+    ON ys.y < d.h
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_px,
+  CAST(SUM(r) AS BIGINT) AS sum_r,
+  CAST(SUM(g) AS BIGINT) AS sum_g,
+  CAST(SUM(b) AS BIGINT) AS sum_b,
+  CAST(SUM((y * w + x + 1) * (r + 2 * g + 3 * b)) AS BIGINT)
+    AS checksum
+FROM px GROUP BY doc_id
+""",
+    doc="REAL deflate-compressed image decode (E13, closes the last "
+    "stubbed pixel path): synthesize full CRC-correct 8-bit RGB PNGs "
+    "whose row y uses filter type y%5 (all five PNG filters in every "
+    "tall-enough image), then decode the actual bytes back out — "
+    "chunk walk + CRC32 verify + stdlib zlib inflate + "
+    "Sub/Up/Average/Paeth reversal — and aggregate integer-exact "
+    "channel sums plus a position-weighted checksum. Codec pair "
+    "cross-validated against Java ImageIO in both directions "
+    "(ImageIO's writer picks its own filters). Arrow-batched "
+    "mapInPandas; doc_id-only scan, no shuffle.",
+)
+def multimodal_png_pixel_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _png_stats_batches,
+        schema="doc_id bigint, n_px bigint, sum_r bigint, sum_g bigint, "
+        "sum_b bigint, checksum bigint",
     )

@@ -434,3 +434,124 @@ public class GifXCheck {
             for x in range(w):
                 want = _gif_pixel_law(doc_id, x, y)
                 assert ct[rows[y][x]][:3] == palette(want), (doc_id, x, y)
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (deflate-compressed decode with filter reversal)
+# ---------------------------------------------------------------------------
+
+from hbase_hadoop_flightsearch_spark.functions.multimodal import (  # noqa: E402
+    _png_pixel_law,
+    _synth_png,
+    png_pixels,
+)
+
+
+def test_png_synth_decode_matches_law_all_filters():
+    """Roundtrip through real zlib compression: every image with h >= 5
+    exercises all five PNG filter types (row y uses filter y % 5)."""
+    from hbase_hadoop_flightsearch_spark.functions.multimodal import (
+        PNG_H_MOD,
+        PNG_W_MOD,
+    )
+
+    for doc_id in (0, 1, 7, 42, 120, 254):
+        w = doc_id % PNG_W_MOD + 2
+        h = doc_id % PNG_H_MOD + 2
+        rows = png_pixels(_synth_png(doc_id))
+        assert len(rows) == h and len(rows[0]) == w
+        for y in range(h):
+            for x in range(w):
+                assert rows[y][x] == _png_pixel_law(doc_id, x, y), (
+                    doc_id, x, y,
+                )
+
+
+def test_png_crc_verification_catches_corruption():
+    """A flipped byte anywhere in a chunk body must be caught by the CRC
+    check, not silently decoded."""
+    p = bytearray(_synth_png(7))
+    # flip one byte inside the IDAT body (after sig+IHDR chunk = 8+25=33,
+    # IDAT data starts at 33+8)
+    p[45] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        png_pixels(bytes(p))
+    assert png_pixels(b"not a png") is None
+
+
+@pytest.mark.skipif(
+    __import__("shutil").which("javac") is None
+    or __import__("shutil").which("java") is None,
+    reason="JDK not on PATH",
+)
+def test_png_codec_interops_with_java_imageio(tmp_path):
+    """(a) PNGs written here decode pixel-exactly in Java ImageIO;
+    (b) PNGs written by ImageIO — whose writer picks ITS OWN filter
+    types — decode pixel-exactly here."""
+    import subprocess
+
+    java_src = """
+import java.awt.image.BufferedImage;
+import java.io.File;
+import javax.imageio.ImageIO;
+public class PngXCheck {
+  public static void main(String[] a) throws Exception {
+    if (a[0].equals("encode")) {
+      int id = Integer.parseInt(a[2]), w = Integer.parseInt(a[3]), h = Integer.parseInt(a[4]);
+      BufferedImage img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB);
+      for (int y = 0; y < h; y++) for (int x = 0; x < w; x++) {
+        int r = (id + 3*x + 7*y) % 256, g = (2*id + 5*x + 11*y) % 256, b = (3*id + 13*x + 17*y) % 256;
+        img.setRGB(x, y, (r << 16) | (g << 8) | b);
+      }
+      ImageIO.write(img, "png", new File(a[1]));
+    } else {
+      BufferedImage img = ImageIO.read(new File(a[1]));
+      System.out.println(img.getWidth() + " " + img.getHeight());
+      StringBuilder sb = new StringBuilder();
+      for (int y = 0; y < img.getHeight(); y++) {
+        for (int x = 0; x < img.getWidth(); x++) {
+          int p = img.getRGB(x, y);
+          sb.append((p>>16)&255).append(',').append((p>>8)&255).append(',').append(p&255).append(' ');
+        }
+        sb.append('\\n');
+      }
+      System.out.print(sb);
+    }
+  }
+}
+"""
+    (tmp_path / "PngXCheck.java").write_text(java_src)
+    subprocess.run(
+        ["javac", "PngXCheck.java"], cwd=tmp_path, check=True,
+        capture_output=True,
+    )
+
+    def java(*args):
+        return subprocess.run(
+            ["java", "-cp", str(tmp_path), "PngXCheck", *args],
+            check=True, capture_output=True, text=True,
+        ).stdout
+
+    # (a) ours -> Java
+    for doc_id in (7, 42):
+        p = tmp_path / f"ours{doc_id}.png"
+        p.write_bytes(_synth_png(doc_id))
+        out = java("decode", str(p)).splitlines()
+        w, h = map(int, out[0].split())
+        for y in range(h):
+            cells = out[1 + y].split()
+            for x in range(w):
+                rgb = tuple(map(int, cells[x].split(",")))
+                assert rgb == _png_pixel_law(doc_id, x, y), (doc_id, x, y)
+
+    # (b) Java -> ours (bigger image so ImageIO's filter heuristics vary)
+    for doc_id, w, h in ((11, 40, 30), (254, 12, 14)):
+        p = tmp_path / f"java{doc_id}.png"
+        java("encode", str(p), str(doc_id), str(w), str(h))
+        rows = png_pixels(p.read_bytes())
+        assert len(rows) == h and len(rows[0]) == w
+        for y in range(h):
+            for x in range(w):
+                assert rows[y][x] == _png_pixel_law(doc_id, x, y), (
+                    doc_id, x, y,
+                )
