@@ -987,7 +987,7 @@ ORDER BY d.day
     doc=f"DAU / trailing-{WAU_DAYS}-day WAU (exact rolling distinct "
     "users). A windowed COUNT DISTINCT over raw events re-scans the "
     "window per day; the scalable rewrite dedups to (user, active-day) "
-    "pairs ONCE, then fans each pair out to the {WAU_DAYS} days it "
+    f"pairs ONCE, then fans each pair out to the {WAU_DAYS} days it "
     "covers — the trailing-distinct count becomes a plain pre-counted "
     "aggregate (the pairs are distinct by construction, so no second "
     "distinct pass is needed: COUNT(*) == COUNT(DISTINCT user)). "
