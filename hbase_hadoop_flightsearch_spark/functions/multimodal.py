@@ -1291,3 +1291,87 @@ def multimodal_png_pixel_stats(
         schema="doc_id bigint, n_px bigint, sum_r bigint, sum_g bigint, "
         "sum_b bigint, checksum bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary-corpus integrity audit
+# ---------------------------------------------------------------------------
+
+_CORRUPT_MOD = 3  # doc_id % 3 == 1 -> byte flip; == 2 -> truncation
+
+
+def _audit_payload(doc_id: int) -> bytes:
+    """Deterministically damaged corpus: every doc is a real PNG;
+    doc_id%3==1 gets one IDAT byte flipped (CRC must catch it),
+    doc_id%3==2 is truncated mid-chunk (structural parse must catch it),
+    doc_id%3==0 is intact."""
+    p = _synth_png(doc_id)
+    kind = doc_id % _CORRUPT_MOD
+    if kind == 1:
+        b = bytearray(p)
+        b[45] ^= 0xFF  # inside IDAT data for every synth size
+        return bytes(b)
+    if kind == 2:
+        return p[: len(p) - 16]  # loses IEND + part of IDAT CRC
+    return p
+
+
+def _audit_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            payload = _audit_payload(int(doc_id))
+            try:
+                px = png_pixels(payload)
+                status = "ok" if px is not None else "unknown_format"
+            except ValueError as e:
+                status = "crc_error" if "CRC" in str(e) else "malformed"
+            except Exception:  # noqa: BLE001 — bad bytes must never kill the job
+                status = "malformed"
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "byte_len": len(payload),
+                    "status": status,
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "multimodal_integrity_audit",
+    oracle=f"""
+SELECT CASE doc_id % {_CORRUPT_MOD}
+         WHEN 0 THEN 'ok' WHEN 1 THEN 'crc_error' ELSE 'malformed'
+       END AS status,
+  CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1
+ORDER BY status
+""",
+    doc="Binary-corpus integrity audit (E13 x DQ): run the real PNG "
+    "decoder over a deterministically damaged corpus — every third "
+    "payload intact, every third with one flipped IDAT byte (caught "
+    "by the per-chunk CRC32 check), every third truncated mid-chunk "
+    "(caught by the structural parse) — and classify each object "
+    "instead of failing the job. The non-negotiable property at "
+    "100 TB: one rotten object must cost one row, never a task retry "
+    "storm; every decode error maps to a status string inside the "
+    "Arrow batch. Rolls up to O(statuses) rows after a partial "
+    "aggregate.",
+)
+def multimodal_integrity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    audited = docs.mapInPandas(
+        _audit_batches,
+        schema="doc_id bigint, byte_len bigint, status string",
+    )
+    return (
+        audited.groupBy("status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("status")
+    )
