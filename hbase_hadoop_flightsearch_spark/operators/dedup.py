@@ -1040,3 +1040,164 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (aHash over REALLY-decoded pixels)
+# ---------------------------------------------------------------------------
+
+PHASH_GRID = 8  # 8x8 sample grid -> 64-bit hash
+PHASH_BANDS = 8  # 8 bands x 8 bits: pigeonhole-lossless for hamming <= 7
+PHASH_HAM_T = 7  # max hamming distance for a near-dup pair
+
+
+def _ahash_from_pixels(px) -> int:
+    """64-bit average-hash from a decoded (b,g,r) pixel grid: point-sample
+    an 8x8 grid, gray = b + 2g + 3r, bit ij set iff 64*gray_ij > sum of
+    all 64 sampled grays (integer-exact mean comparison, no floats)."""
+    h = len(px)
+    w = len(px[0])
+    grays = []
+    for i in range(PHASH_GRID):
+        y = i * h // PHASH_GRID
+        for j in range(PHASH_GRID):
+            x = j * w // PHASH_GRID
+            b, g, r = px[y][x]
+            grays.append(b + 2 * g + 3 * r)
+    total = sum(grays)
+    bits = 0
+    for k, gv in enumerate(grays):
+        if 64 * gv > total:
+            bits |= 1 << k
+    # interpret as signed 64-bit so Spark/DuckDB BIGINT semantics match
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def _phash_batches(batches):
+    import pandas as pd
+
+    from ..functions.multimodal import bmp_pixels
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            px = bmp_pixels(_synth_bmp_for_phash(int(doc_id)))
+            rows.append(
+                {"doc_id": doc_id, "ahash": _ahash_from_pixels(px)}
+            )
+        yield pd.DataFrame(rows)
+
+
+def _synth_bmp_for_phash(doc_id: int) -> bytes:
+    """The BMP corpus for the image-dedup query: same synth as
+    multimodal_bmp_pixel_stats — pixel laws are mod-256 in doc_id, so
+    doc_id and doc_id+256 produce IDENTICAL images (true duplicates) and
+    nearby ids produce near-duplicates; the hash must find them from the
+    DECODED BYTES alone."""
+    from ..functions.multimodal import _synth_bmp
+
+    return _synth_bmp(doc_id)
+
+
+_PHASH_HASH_DUCK = f"""
+hashes AS (
+  SELECT doc_id,
+    bit_or(CASE WHEN 64 * gray > total THEN 1::UBIGINT << k
+                ELSE 0::UBIGINT END) AS ahash
+  FROM (
+    SELECT d.doc_id, g.k, g.gray,
+      SUM(g.gray) OVER (PARTITION BY d.doc_id) AS total
+    FROM (SELECT doc_id,
+                 doc_id % 9 + 2 AS w,
+                 doc_id % 7 + 2 AS h
+          FROM documents) d,
+    LATERAL (
+      SELECT i * {PHASH_GRID} + j AS k,
+        ((d.doc_id + 3 * ((j * d.w) // {PHASH_GRID})
+          + 7 * ((i * d.h) // {PHASH_GRID})) % 256)
+        + 2 * ((d.doc_id * 2 + 5 * ((j * d.w) // {PHASH_GRID})
+          + 11 * ((i * d.h) // {PHASH_GRID})) % 256)
+        + 3 * ((d.doc_id * 3 + 13 * ((j * d.w) // {PHASH_GRID})
+          + 17 * ((i * d.h) // {PHASH_GRID})) % 256) AS gray
+      FROM (SELECT unnest(generate_series(0, {PHASH_GRID - 1})) AS i),
+           (SELECT unnest(generate_series(0, {PHASH_GRID - 1})) AS j)
+    ) g
+  ) GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "dedup_image_phash",
+    oracle=f"""
+WITH {_PHASH_HASH_DUCK}
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+  CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= {PHASH_HAM_T}
+ORDER BY d1, d2
+""",
+    doc="Perceptual-hash image near-dup detection (E10 x E13 crossover): "
+    "each document's BMP is REALLY decoded (the stdlib pixel parser), "
+    "reduced to a 64-bit average-hash (8x8 point-sampled grayscale, "
+    "integer-exact mean threshold), and pairs within Hamming "
+    f"distance {PHASH_HAM_T} are found by {PHASH_BANDS}-band blocking: "
+    "two hashes within the threshold MUST agree exactly on at least "
+    "one 8-bit band (pigeonhole: 7 errors cannot cover 8 bands), so "
+    "band-bucket equi-joins generate candidates LOSSLESSLY and the "
+    "exact bit_count(xor) filter verifies — identical result to the "
+    "all-pairs oracle, never an O(n^2) plan. The mod-256 pixel laws "
+    "make doc_id and doc_id+256 byte-identical images, so true "
+    "duplicate pairs exist at every SF. At scale, bucket size is the "
+    "skew knob exactly as in banded simhash/minhash; the hash "
+    "computation itself is an Arrow-batched decode scan. Oracle "
+    "replays hash + all-pairs in SQL from the pixel law.",
+)
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import BMP_H_MOD, BMP_W_MOD  # noqa: F401
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashes = docs.mapInPandas(
+        _phash_batches, schema="doc_id bigint, ahash bigint"
+    ).localCheckpoint(eager=True)  # decode scan runs once, feeds 8 bands
+    bands = hashes.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"CAST((ahash >> {8 * b}) & 255 AS INT)"
+                        ).alias("val"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "ahash", "bv.band", "bv.val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.ahash").alias("h1"),
+            F.col("b.ahash").alias("h2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("h1 ^ h2")).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= PHASH_HAM_T)
+        .select("d1", "d2", "hamming")
+        .orderBy("d1", "d2")
+    )

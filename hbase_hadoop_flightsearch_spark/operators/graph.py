@@ -473,3 +473,132 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("degree").cast("bigint").alias("max_degree"),
         )
     )
+
+
+MODULARITY_STRONG_MIN = 2  # pair_count >= 2 defines the strong subgraph
+
+
+@register(
+    "graph_modularity_strong",
+    oracle=f"""
+WITH RECURSIVE
+items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sized AS (
+  SELECT l_orderkey FROM items
+  GROUP BY l_orderkey HAVING COUNT(*) BETWEEN 2 AND 64
+),
+it AS (SELECT i.* FROM items i JOIN sized USING (l_orderkey)),
+all_edges AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS w
+  FROM it a JOIN it b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+strong AS (
+  SELECT a, b FROM all_edges WHERE w >= {MODULARITY_STRONG_MIN}
+),
+verts AS (
+  SELECT DISTINCT v FROM (
+    SELECT a AS v FROM all_edges UNION ALL SELECT b FROM all_edges)
+),
+sym AS (
+  SELECT a AS src, b AS dst FROM strong
+  UNION ALL SELECT b, a FROM strong
+),
+reach(src, dst) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src
+),
+labels AS (SELECT src AS v, MIN(dst) AS c FROM reach GROUP BY src),
+m_cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM all_edges),
+internal AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS l_int
+  FROM all_edges e
+  JOIN labels la ON la.v = e.a
+  JOIN labels lb ON lb.v = e.b
+  WHERE la.c = lb.c
+),
+degs AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS v FROM all_edges UNION ALL SELECT b FROM all_edges)
+  GROUP BY v
+),
+dmass AS (
+  SELECT l.c, SUM(d.deg) AS dc
+  FROM degs d JOIN labels l ON l.v = d.v GROUP BY l.c
+),
+sq AS (SELECT CAST(SUM(dc * dc) AS BIGINT) AS sum_dc2,
+              CAST(COUNT(*) AS BIGINT) AS n_communities FROM dmass)
+SELECT m_cnt.m, sq.n_communities, internal.l_int AS internal_edges,
+  ROUND((4 * m_cnt.m * internal.l_int - sq.sum_dc2) * 1.0
+        / (4 * m_cnt.m * m_cnt.m), 6) AS modularity
+FROM m_cnt, internal, sq
+""",
+    doc="Newman modularity of the strong-edge community partition over "
+    "the co-purchase graph: communities = connected components of the "
+    f"subgraph with pair_count >= {MODULARITY_STRONG_MIN}, evaluated "
+    "against ALL edges (weak edges cross communities, so Q is a real "
+    "quality measure, not the degenerate all-internal case) — the "
+    "standard post-clustering diagnostic before trusting a dedup/"
+    "segmentation partition. Exact arithmetic: Q = (4m*L_int - "
+    "sum(d_c^2)) / (4m^2) over BIGINTs, divided once and rounded — no "
+    "float accumulation. Spark shape: joinless capped-basket pair "
+    "mining (one shuffle), the iterative CC loop on the strong "
+    "subgraph (O(diameter) rounds, edges localCheckpointed), then "
+    "O(V+E) label joins and O(communities) mass aggregation.",
+)
+def graph_modularity_strong(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .mining import copurchase_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    all_edges = copurchase_pairs(li).localCheckpoint(eager=True)
+    strong = all_edges.filter(
+        F.col("pair_count") >= MODULARITY_STRONG_MIN
+    ).select(F.col("part_a").alias("d1"), F.col("part_b").alias("d2"))
+    verts = (
+        all_edges.select(F.col("part_a").alias("doc_id"))
+        .unionByName(all_edges.select(F.col("part_b").alias("doc_id")))
+        .distinct()
+    )
+    labels = connected_components(verts, strong).select(
+        F.col("doc_id").alias("v"), F.col("component_id").alias("c")
+    )
+    la = labels.select(F.col("v").alias("part_a"), F.col("c").alias("ca"))
+    lb = labels.select(F.col("v").alias("part_b"), F.col("c").alias("cb"))
+    internal = (
+        all_edges.join(la, "part_a")
+        .join(lb, "part_b")
+        .filter(F.col("ca") == F.col("cb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("l_int"))
+    )
+    m_cnt = all_edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    degs = (
+        all_edges.select(F.col("part_a").alias("v"))
+        .unionByName(all_edges.select(F.col("part_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    dmass = (
+        degs.join(labels, "v")
+        .groupBy("c")
+        .agg(F.sum("deg").alias("dc"))
+    )
+    sq = dmass.agg(
+        F.sum(F.col("dc") * F.col("dc")).cast("bigint").alias("sum_dc2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+    )
+    return (
+        m_cnt.join(internal)
+        .join(sq)
+        .select(
+            "m",
+            "n_communities",
+            F.col("l_int").alias("internal_edges"),
+            F.round(
+                (4 * F.col("m") * F.col("l_int") - F.col("sum_dc2"))
+                / (4 * F.col("m") * F.col("m")),
+                6,
+            ).alias("modularity"),
+        )
+    )
