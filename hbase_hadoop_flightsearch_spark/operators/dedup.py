@@ -1090,10 +1090,10 @@ def _phash_batches(batches):
 
 def _synth_bmp_for_phash(doc_id: int) -> bytes:
     """The BMP corpus for the image-dedup query: same synth as
-    multimodal_bmp_pixel_stats — pixel laws are mod-256 in doc_id, so
-    doc_id and doc_id+256 produce IDENTICAL images (true duplicates) and
-    nearby ids produce near-duplicates; the hash must find them from the
-    DECODED BYTES alone."""
+    multimodal_bmp_pixel_stats — pixel laws are mod-cyclic in doc_id,
+    so distinct ids produce recurring visual content (hash-identical and
+    near-duplicate images); the hash must find them from the DECODED
+    BYTES alone."""
     from ..functions.multimodal import _synth_bmp
 
     return _synth_bmp(doc_id)
@@ -1146,9 +1146,9 @@ ORDER BY d1, d2
     "one 8-bit band (pigeonhole: 7 errors cannot cover 8 bands), so "
     "band-bucket equi-joins generate candidates LOSSLESSLY and the "
     "exact bit_count(xor) filter verifies — identical result to the "
-    "all-pairs oracle, never an O(n^2) plan. The mod-256 pixel laws "
-    "make doc_id and doc_id+256 byte-identical images, so true "
-    "duplicate pairs exist at every SF. At scale, bucket size is the "
+    "all-pairs oracle, never an O(n^2) plan. The mod-cyclic pixel "
+    "laws make hash-identical (hamming-0) image pairs exist at every "
+    "SF. At scale, bucket size is the "
     "skew knob exactly as in banded simhash/minhash; the hash "
     "computation itself is an Arrow-batched decode scan. Oracle "
     "replays hash + all-pairs in SQL from the pixel law.",

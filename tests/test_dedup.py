@@ -308,3 +308,45 @@ def test_posting_list_max_df_cap_on_zipfian_corpus(spark, tmp_path):
     # executedPlan prints top-down: the Generate node appears ABOVE
     # (earlier string position than) the filter it consumes from.
     assert gen_pos < filt_pos
+
+
+def test_phash_banding_is_lossless_vs_bruteforce(spark, sf_smoke):
+    """Pigeonhole in practice: the 8-band candidate path must find
+    EXACTLY the pairs brute-force hamming <= 7 finds, including
+    hash-identical pairs at hamming 0."""
+    import itertools
+
+    from hbase_hadoop_flightsearch_spark.operators.dedup import (
+        PHASH_HAM_T,
+        _ahash_from_pixels,
+        _synth_bmp_for_phash,
+        dedup_image_phash,
+    )
+    from hbase_hadoop_flightsearch_spark.functions.multimodal import (
+        bmp_pixels,
+    )
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_smoke, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    hashes = {
+        i: _ahash_from_pixels(bmp_pixels(_synth_bmp_for_phash(i)))
+        for i in ids
+    }
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(ids), 2)
+        if bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+        <= PHASH_HAM_T
+    }
+    got = {
+        (r["d1"], r["d2"])
+        for r in dedup_image_phash(spark, sf_smoke).collect()
+    }
+    assert got == brute
+    zero = [(a, b) for (a, b) in brute if hashes[a] == hashes[b]]
+    assert zero, "hash-identical image pairs must exist"
