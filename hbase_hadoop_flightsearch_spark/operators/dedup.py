@@ -1201,3 +1201,108 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", "hamming")
         .orderBy("d1", "d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint dedup (delta-sign fingerprint over REALLY-decoded PCM)
+# ---------------------------------------------------------------------------
+
+AUDIO_FP_POINTS = 65  # resampled points -> 64 delta-sign bits
+
+
+def _audio_fingerprint(samples) -> int:
+    """64-bit waveform fingerprint: resample to 65 points (integer index
+    arithmetic), bit j set iff the waveform rises between resampled
+    points j and j+1 — the slope-sign primitive under audio fingerprint
+    schemes. Signed-64 wrapped to match BIGINT semantics."""
+    n = len(samples)
+    pts = [samples[j * (n - 1) // (AUDIO_FP_POINTS - 1)]
+           for j in range(AUDIO_FP_POINTS)]
+    bits = 0
+    for j in range(AUDIO_FP_POINTS - 1):
+        if pts[j + 1] > pts[j]:
+            bits |= 1 << j
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def _audio_fp_batches(batches):
+    import pandas as pd
+
+    from ..functions.multimodal import _synth_wav_pcm, wav_pcm_samples
+
+    for pdf in batches:
+        rows = []
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            samples = wav_pcm_samples(
+                _synth_wav_pcm(int(doc_id), int(n_chars))
+            )
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "fp": _audio_fingerprint(list(samples)),
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "dedup_audio_fingerprint",
+    oracle=f"""
+WITH lens AS (
+  SELECT doc_id, n_chars % 64 + 16 AS n FROM documents
+),
+pts AS (
+  SELECT doc_id, j,
+    ((doc_id * 31 + ((j * (n - 1)) // {AUDIO_FP_POINTS - 1}) * 7)
+     % 65536) - 32768 AS v
+  FROM lens,
+       LATERAL (SELECT unnest(generate_series(0, {AUDIO_FP_POINTS - 1}))
+                AS j)
+),
+bits AS (
+  SELECT a.doc_id, a.j,
+    CASE WHEN b.v > a.v THEN 1::UBIGINT << a.j ELSE 0::UBIGINT END AS bit
+  FROM pts a JOIN pts b ON b.doc_id = a.doc_id AND b.j = a.j + 1
+),
+fps AS (
+  -- two's-complement wrap UBIGINT -> signed BIGINT (Spark semantics)
+  SELECT doc_id,
+    CAST(CAST(bit_or(bit) AS HUGEINT)
+         - CASE WHEN bit_or(bit) >= 9223372036854775808::UBIGINT
+                THEN 18446744073709551616::HUGEINT ELSE 0 END
+         AS BIGINT) AS fp
+  FROM bits GROUP BY doc_id
+)
+SELECT fp,
+  CAST(COUNT(*) AS BIGINT) AS n_members,
+  CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+FROM fps GROUP BY fp
+ORDER BY fp
+""",
+    doc="Audio fingerprint dedup (E10 x E13, the audio leg of the "
+    "modality triple): every document's WAV is REALLY decoded (int16 "
+    "PCM from actual data-chunk bytes), reduced to a 64-bit slope-sign "
+    "fingerprint over 65 integer-resampled points (the zero-cost "
+    "cousin of spectral-peak fingerprints — pure integer comparisons, "
+    "engine-exact), and recurring waveforms collapse by exact "
+    "fingerprint match: one groupBy(fp) shuffle of O(docs) 8-byte "
+    "keys, O(distinct fingerprints) output with a deterministic "
+    "min-doc keeper. The banded-Hamming near-match tier is "
+    "dedup_image_phash's plan, reusable verbatim on this hash. "
+    "Oracle replays decode law + resampling + bit fold in SQL.",
+)
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    fps = docs.mapInPandas(
+        _audio_fp_batches, schema="doc_id bigint, fp bigint"
+    )
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+        )
+        .orderBy("fp")
+    )
