@@ -509,3 +509,119 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pipeline_media_curation",
+    oracle="""
+WITH statuses AS (
+  SELECT doc_id,
+    CASE doc_id % 3 WHEN 0 THEN 'ok' WHEN 1 THEN 'crc_error'
+         ELSE 'malformed' END AS status
+  FROM documents
+),
+ok AS (SELECT doc_id FROM statuses WHERE status = 'ok'),
+dims AS (
+  SELECT doc_id, doc_id % 9 + 2 AS w, doc_id % 7 + 2 AS h FROM ok
+),
+grays AS (
+  SELECT d.doc_id, g.k,
+    ((d.doc_id + 3 * ((g.j * d.w) // 8) + 7 * ((g.i * d.h) // 8)) % 256)
+    + 2 * ((d.doc_id * 2 + 5 * ((g.j * d.w) // 8)
+            + 11 * ((g.i * d.h) // 8)) % 256)
+    + 3 * ((d.doc_id * 3 + 13 * ((g.j * d.w) // 8)
+            + 17 * ((g.i * d.h) // 8)) % 256) AS gray
+  FROM dims d,
+  LATERAL (
+    SELECT i, j, i * 8 + j AS k
+    FROM (SELECT unnest(generate_series(0, 7)) AS i),
+         (SELECT unnest(generate_series(0, 7)) AS j)
+  ) g
+),
+gtot AS (
+  SELECT doc_id, k, gray,
+    SUM(gray) OVER (PARTITION BY doc_id) AS total
+  FROM grays
+),
+hashes AS (
+  SELECT doc_id,
+    bit_or(CASE WHEN 64 * gray > total
+                THEN 1::UBIGINT << k ELSE 0::UBIGINT END) AS ahash
+  FROM gtot GROUP BY doc_id
+),
+clusters AS (
+  SELECT ahash, COUNT(*) AS n_members FROM hashes GROUP BY ahash
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM statuses) AS BIGINT) AS n_total,
+  CAST((SELECT COUNT(*) FROM ok) AS BIGINT) AS n_ok,
+  CAST((SELECT COUNT(*) FROM statuses WHERE status != 'ok') AS BIGINT)
+    AS n_rejected,
+  CAST((SELECT COUNT(*) FROM clusters) AS BIGINT) AS n_clusters,
+  CAST((SELECT COALESCE(SUM(n_members - 1), 0) FROM clusters) AS BIGINT)
+    AS n_dupes_removed
+""",
+    doc="Media curation composite (the multimodal mirror of "
+    "pipeline_corpus_prep): integrity-audit every payload with the real "
+    "PNG decoder (CRC flips and truncations rejected per object, one "
+    "row each, never a task failure), perceptual-hash the SURVIVORS "
+    "from their really-decoded BMP pixels, collapse hash-identical "
+    "media, and publish the curation card: totals, rejects, clusters, "
+    "dupes removed. One decode scan feeds both the audit and the hash "
+    "(fused in a single mapInPandas pass); the only shuffles carry "
+    "statuses and 8-byte hashes. The per-pair near-dup tier "
+    "(dedup_image_phash's lossless banding) drops in between at "
+    "production scale.",
+)
+def pipeline_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def curate(batches):
+        from ..functions.multimodal import bmp_pixels, png_pixels
+        from ..functions.multimodal import _synth_bmp
+        from ..operators.dedup import _ahash_from_pixels
+        from ..functions.multimodal import _audit_payload
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                payload = _audit_payload(int(doc_id))
+                try:
+                    px = png_pixels(payload)
+                    status = "ok" if px is not None else "unknown_format"
+                except Exception:  # noqa: BLE001
+                    status = "rejected"
+                ahash = None
+                if status == "ok":
+                    ahash = _ahash_from_pixels(
+                        bmp_pixels(_synth_bmp(int(doc_id)))
+                    )
+                rows.append(
+                    {"doc_id": doc_id, "status": status, "ahash": ahash}
+                )
+            yield pd.DataFrame(rows)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    curated = docs.mapInPandas(
+        curate, schema="doc_id bigint, status string, ahash bigint"
+    ).localCheckpoint(eager=True)  # one decode pass feeds both branches
+    ok = curated.filter(F.col("status") == "ok")
+    clusters = ok.groupBy("ahash").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    totals = curated.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum((F.col("status") == "ok").cast("int"))
+        .cast("bigint")
+        .alias("n_ok"),
+        F.sum((F.col("status") != "ok").cast("int"))
+        .cast("bigint")
+        .alias("n_rejected"),
+    )
+    cstats = clusters.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.coalesce(F.sum(F.col("n_members") - 1), F.lit(0))
+        .cast("bigint")
+        .alias("n_dupes_removed"),
+    )
+    return totals.join(cstats)
