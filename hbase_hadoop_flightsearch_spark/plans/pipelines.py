@@ -599,7 +599,20 @@ def pipeline_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append(
                     {"doc_id": doc_id, "status": status, "ahash": ahash}
                 )
-            yield pd.DataFrame(rows)
+            # None + int must NOT pass through pd.DataFrame's default
+            # column inference: it coerces to float64 and silently
+            # rounds 64-bit hashes above 2^53, colliding distinct
+            # values. Build the hash column as nullable Int64 from the
+            # raw Python ints.
+            yield pd.DataFrame(
+                {
+                    "doc_id": [r["doc_id"] for r in rows],
+                    "status": [r["status"] for r in rows],
+                    "ahash": pd.array(
+                        [r["ahash"] for r in rows], dtype="Int64"
+                    ),
+                }
+            )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     curated = docs.mapInPandas(

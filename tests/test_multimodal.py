@@ -555,3 +555,40 @@ public class PngXCheck {
                 assert rows[y][x] == _png_pixel_law(doc_id, x, y), (
                     doc_id, x, y,
                 )
+
+
+def test_media_curation_hash_column_is_precision_exact(spark, sf_smoke):
+    """Regression: pandas coerces int+None columns to float64, silently
+    rounding 64-bit hashes above 2^53 (caught at sf0.1 as phantom
+    cluster merges). The composite's survivor hashes must equal the
+    directly-computed values bit-for-bit."""
+    from hbase_hadoop_flightsearch_spark.functions.multimodal import (
+        _synth_bmp,
+        bmp_pixels,
+    )
+    from hbase_hadoop_flightsearch_spark.operators.dedup import (
+        _ahash_from_pixels,
+    )
+    from hbase_hadoop_flightsearch_spark.plans.pipelines import (
+        pipeline_media_curation,  # noqa: F401 — import check
+    )
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    # drive the same mapInPandas body through Spark via the registered
+    # query's internal scan: recompute expected from the ok-law
+    docs = [
+        r["doc_id"]
+        for r in load_table(spark, sf_smoke, "documents")
+        .select("doc_id")
+        .collect()
+        if r["doc_id"] % 3 == 0
+    ]
+    expected = {
+        _ahash_from_pixels(bmp_pixels(_synth_bmp(i))) for i in docs
+    }
+    got = pipeline_media_curation(spark, sf_smoke).collect()[0]
+    assert got["n_ok"] == len(docs)
+    assert got["n_clusters"] == len(expected)
+    assert any(abs(h) > (1 << 53) for h in expected), (
+        "fixture must exercise hashes beyond float53 precision"
+    )
