@@ -602,3 +602,11 @@ def test_mmr_pool_stage_matches_knn_shape(spark):
     plan = pool._jdf.queryExecution().explainString(em)
     assert "BroadcastNestedLoopJoin" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_media_curation_single_decode_scan(spark):
+    """The composite decodes once: exactly one mapInPandas/Python eval
+    over the documents scan, with both branches reading the checkpoint."""
+    plan = _plan(spark, "pipeline_media_curation")
+    assert plan.count("FileScan") == 0  # branches read the checkpointed RDD
+    assert "Scan ExistingRDD" in plan
