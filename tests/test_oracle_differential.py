@@ -112,3 +112,24 @@ def test_rows_only_runs(spark, sf_correctness, query):
     df = query.fn(spark, sf_correctness)
     assert df.count() >= 0  # materializes without error, schema is stable
     assert len(df.columns) > 0
+
+
+# Arrow-boundary hash queries re-verified at sf0.1: 64-bit fingerprints
+# survive sf0.01 even when mangled (few collisions among 500 docs), so
+# precision bugs at the pandas/Arrow boundary — like the int+None ->
+# float64 coercion that silently rounded hashes past 2^53 and merged
+# phantom clusters — only surface at larger scale. These three carry
+# full-width hashes through mapInPandas and get the sf0.1 treatment in
+# the suite, not just in round sweeps.
+_HASH_AT_SCALE = [
+    "dedup_image_phash",
+    "dedup_audio_fingerprint",
+    "pipeline_media_curation",
+]
+
+
+@pytest.mark.parametrize("name", _HASH_AT_SCALE)
+def test_hash_queries_match_oracle_at_sf01(spark, name):
+    from hbase_hadoop_flightsearch_spark.plans.registry import load_all
+
+    compare_query_to_oracle(spark, load_all()[name], "/root/testdata/sf0.1")
