@@ -975,3 +975,73 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.bit_count("bits")).cast("bigint").alias("n_customers"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "agg_bitmap_overlap",
+    oracle="""
+WITH u AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+l AS (SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderpriority = '5-LOW')
+SELECT
+  CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS n_urgent,
+  CAST((SELECT COUNT(*) FROM l) AS BIGINT) AS n_low,
+  CAST((SELECT COUNT(*) FROM u JOIN l USING (o_custkey)) AS BIGINT)
+    AS n_both,
+  CAST((SELECT COUNT(*) FROM (SELECT * FROM u UNION SELECT * FROM l))
+       AS BIGINT) AS n_either,
+  CAST((SELECT COUNT(*) FROM u
+        WHERE o_custkey NOT IN (SELECT o_custkey FROM l)) AS BIGINT)
+    AS n_urgent_only
+""",
+    doc="EXACT audience-overlap set algebra on bitmaps (the bitmap-index "
+    "companion to agg_bitmap_distinct): build one bitmap per segment "
+    "(urgent-order customers, low-priority customers) as (word, bits) "
+    "rows via map-side bit_or, then compute intersection / union / "
+    "difference cardinalities with POSITION-WISE bit ops on a full "
+    "outer word join — bit_count(a&b), bit_count(a|b), "
+    "bit_count(a&~b). No row-level join between the segments ever "
+    "happens: after the per-segment fold, overlap math touches one "
+    "64-bit word per occupied bucket, which is how bitmap-indexed "
+    "engines answer audience-overlap at interactive speed over "
+    "billions of keys. Oracle computes the same five cardinalities "
+    "from first-principles set SQL.",
+)
+def agg_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey"
+    )
+
+    def seg_words(priority: str, col: str) -> DataFrame:
+        return (
+            orders.filter(F.col("o_orderpriority") == priority)
+            .select(
+                (F.col("o_custkey") / 64).cast("long").alias("word_idx"),
+                F.expr(
+                    "shiftleft(1L, CAST(pmod(o_custkey, 64) AS INT))"
+                ).alias("bit"),
+            )
+            .groupBy("word_idx")
+            .agg(F.expr("bit_or(bit)").alias(col))
+        )
+    u = seg_words("1-URGENT", "ub")
+    low = seg_words("5-LOW", "lb")
+    words = (
+        u.join(low, "word_idx", "full_outer")
+        .select(
+            F.coalesce(F.col("ub"), F.lit(0)).alias("ub"),
+            F.coalesce(F.col("lb"), F.lit(0)).alias("lb"),
+        )
+    )
+    return words.agg(
+        F.sum(F.bit_count("ub")).cast("bigint").alias("n_urgent"),
+        F.sum(F.bit_count("lb")).cast("bigint").alias("n_low"),
+        F.sum(F.bit_count(F.expr("ub & lb"))).cast("bigint").alias("n_both"),
+        F.sum(F.bit_count(F.expr("ub | lb")))
+        .cast("bigint")
+        .alias("n_either"),
+        F.sum(F.bit_count(F.expr("ub & ~lb")))
+        .cast("bigint")
+        .alias("n_urgent_only"),
+    )
