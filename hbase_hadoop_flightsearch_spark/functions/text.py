@@ -1203,3 +1203,76 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_rank int, pair_left string, pair_right string, "
         "merged string, pair_count bigint",
     )
+
+
+@register(
+    "text_source_vocab_overlap",
+    oracle="""
+WITH toks AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM toks GROUP BY source),
+inter AS (
+  SELECT a.source AS s1, b.source AS s2, COUNT(*) AS i
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.s1, i.s2,
+  CAST(i.i AS BIGINT) AS n_shared,
+  ROUND(i.i * 1.0 / (x.n + y.n - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes x ON x.source = i.s1
+JOIN sizes y ON y.source = i.s2
+ORDER BY s1, s2
+""",
+    doc="Cross-source vocabulary-overlap matrix: pairwise Jaccard of the "
+    "distinct-token sets of every source pair — the corpus diagnostic "
+    "that catches a source scraping another (or two crawls of the same "
+    "site) before near-dup mining spends real money on it. Spark shape "
+    "is the joinless posting-list pattern shared with "
+    "dedup_ngram_jaccard: dedup (token, source) once, group tokens "
+    "into sorted source arrays, expand C(sources-per-token, 2) pairs "
+    "map-side with a higher-order transform, and count — the corpus "
+    "is never self-joined (the oracle deliberately IS the self-join "
+    "formulation). Per-token fan-out is bounded by the number of "
+    "SOURCES (small by construction), so there is no max_df analogue "
+    "to tune; vocab sizes broadcast back for the Jaccard finish.",
+)
+def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    toks = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .distinct()
+    )
+    sizes = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    postings = toks.groupBy("tok").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs")
+    )
+    pairs_expr = """
+flatten(transform(srcs, (x, i) ->
+  transform(slice(srcs, i + 2, size(srcs) - i - 1),
+            y -> struct(x AS s1, y AS s2))))
+"""
+    inter = (
+        postings.select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sx = sizes.select(F.col("source").alias("s1"), F.col("n").alias("n1"))
+    sy = sizes.select(F.col("source").alias("s2"), F.col("n").alias("n2"))
+    return (
+        inter.join(F.broadcast(sx), "s1")
+        .join(F.broadcast(sy), "s2")
+        .select(
+            "s1",
+            "s2",
+            F.col("i").cast("bigint").alias("n_shared"),
+            F.round(
+                F.col("i") / (F.col("n1") + F.col("n2") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("s1", "s2")
+    )
