@@ -1033,3 +1033,81 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "dau", "wau")
         .orderBy("day")
     )
+
+
+SEASONAL_K2 = 2  # flag when dev^2 > K2 * variance (K = sqrt(2))
+
+
+@register(
+    "events_seasonal_profile",
+    oracle=f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hr,
+         EXTRACT(dow FROM ts) AS dow,
+         EXTRACT(hour FROM ts) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2, 3
+),
+profile AS (
+  SELECT dow, hod,
+    CAST(COUNT(*) AS BIGINT) AS n_obs,
+    CAST(SUM(cnt) AS BIGINT) AS s,
+    CAST(SUM(cnt * cnt) AS BIGINT) AS q
+  FROM hourly GROUP BY dow, hod
+)
+SELECT h.hr, h.cnt,
+  CAST(p.dow AS BIGINT) AS dow, CAST(p.hod AS BIGINT) AS hod,
+  ROUND(p.s * 1.0 / p.n_obs, 6) AS expected
+FROM hourly h JOIN profile p USING (dow, hod)
+WHERE p.n_obs >= 4
+  AND (h.cnt * p.n_obs - p.s) * (h.cnt * p.n_obs - p.s)
+      > {SEASONAL_K2}
+        * (p.n_obs * p.q - p.s * p.s)
+ORDER BY h.hr
+""",
+    doc="Seasonal-profile anomaly detection: the (day-of-week x "
+    "hour-of-day) traffic profile is the baseline — each observed hour "
+    f"is flagged when its squared deviation exceeds {SEASONAL_K2}x the "
+    "slot variance — K = sqrt(2), a deliberately sensitive screen "
+    "because the synthetic traffic is near-uniform; production would "
+    "run K = 3 — relative to its own weekly slot (the monitoring "
+    "baseline that rolling windows get wrong across weekends). The "
+    "flag test is the cross-multiplied integer inequality "
+    "(cnt*n - S)^2 > K^2 * (n*Q - S^2) over BIGINT count sums — no "
+    "float can flip a boundary, same discipline as ts_anomaly_zscore. "
+    "Spark shape: one shuffle to hourly counts (partial map-side), a "
+    "168-row profile aggregate broadcast back, O(hours) output.",
+)
+def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        F.dayofweek(F.col("ts")).alias("dow_spark"),
+        F.hour(F.col("ts")).alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # Spark dayofweek: Sunday=1..Saturday=7; DuckDB dow: Sunday=0..6.
+    hourly = hourly.withColumn(
+        "dow", (F.col("dow_spark") - 1).cast("bigint")
+    ).drop("dow_spark")
+    profile = hourly.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum("cnt").cast("bigint").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("q"),
+    )
+    j = hourly.join(F.broadcast(profile), ["dow", "hod"])
+    n, s, q, c = (F.col("n_obs"), F.col("s"), F.col("q"), F.col("cnt"))
+    dev = c * n - s
+    return (
+        j.filter(
+            (n >= 4)
+            & (dev * dev > F.lit(SEASONAL_K2) * (n * q - s * s))
+        )
+        .select(
+            "hr",
+            "cnt",
+            "dow",
+            F.col("hod").cast("bigint").alias("hod"),
+            F.round(s / n, 6).alias("expected"),
+        )
+        .orderBy("hr")
+    )
