@@ -390,3 +390,91 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_value"
     )
     return topk_per_window(counts)
+
+
+VALID_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+GATE_TS_LO, GATE_TS_HI = "2024-01-01", "2024-12-31"
+
+
+def gate_classify(events: DataFrame) -> DataFrame:
+    """Append a `gate` column: 'ok' or the FIRST failing rule, over a
+    deterministically mutated feed (event_id % 13 == 0 -> NULL value,
+    % 17 == 3 -> unknown type, % 19 == 5 -> out-of-range timestamp) —
+    the adversarial-input synthesis pattern shared with the bloom and
+    integrity-audit queries. Works identically on a batch or streaming
+    DataFrame (pure row-local expressions)."""
+    mutated = events.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.when(
+            F.col("event_id") % 17 == 3,
+            F.concat(F.lit("unknown_"), F.col("event_id").cast("string")),
+        )
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.when(
+            F.col("event_id") % 19 == 5,
+            F.col("ts") + F.expr("INTERVAL 2 YEARS"),
+        )
+        .otherwise(F.col("ts"))
+        .alias("ts"),
+    )
+    return mutated.withColumn(
+        "gate",
+        F.when(F.col("value").isNull(), F.lit("null_value"))
+        .when(~F.col("event_type").isin(*VALID_EVENT_TYPES),
+              F.lit("unknown_type"))
+        .when(
+            ~F.col("ts").between(GATE_TS_LO, GATE_TS_HI),
+            F.lit("ts_out_of_range"),
+        )
+        .otherwise(F.lit("ok")),
+    )
+
+
+@register(
+    "stream_quality_gate",
+    oracle=f"""
+WITH mutated AS (
+  SELECT event_id,
+    CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value,
+    CASE WHEN event_id % 17 = 3
+         THEN 'unknown_' || CAST(event_id AS VARCHAR)
+         ELSE event_type END AS event_type,
+    CASE WHEN event_id % 19 = 5 THEN ts + INTERVAL 2 YEAR ELSE ts END
+      AS ts
+  FROM events
+)
+SELECT
+  CASE WHEN value IS NULL THEN 'null_value'
+       WHEN event_type NOT IN {VALID_EVENT_TYPES} THEN 'unknown_type'
+       WHEN ts NOT BETWEEN TIMESTAMP '{GATE_TS_LO}'
+                       AND TIMESTAMP '{GATE_TS_HI}'
+            THEN 'ts_out_of_range'
+       ELSE 'ok' END AS gate,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM mutated
+GROUP BY 1 ORDER BY gate
+""",
+    doc="Streaming data-quality gate (E14 x DQ): classify every event "
+    "against ordered validation rules (null value, unknown type, "
+    "out-of-range timestamp — first failure wins) over a "
+    "deterministically corrupted feed, and count per disposition. In "
+    "production the same classifier runs inside foreachBatch, "
+    "splitting each microbatch into the clean sink and a QUARANTINE "
+    "table instead of dropping rows on the floor — "
+    "tests/test_streaming.py proves the quarantine split through a "
+    "true readStream run and that ok + quarantined == batch totals "
+    "exactly. Row-local codegen expressions; the only shuffle carries "
+    "O(4) disposition counts after partial aggregation.",
+)
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gated = gate_classify(load_table(spark, sf_dir, "events"))
+    return (
+        gated.groupBy("gate")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .orderBy("gate")
+    )

@@ -912,3 +912,58 @@ def test_stream_topk_stage1_streams_stage2_ranks(spark, sf_smoke, tmp_path):
     got = topk_per_window(sink)
     want = load_all()["stream_topk_per_window"].fn(spark, sf_smoke)
     assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_quality_gate_quarantine_split_streams(spark, sf_smoke, tmp_path):
+    """The gate classifier runs inside a TRUE stream (readStream ->
+    foreachBatch split into clean + quarantine sinks); the union of the
+    two sinks must equal the batch classification exactly — no row
+    dropped on the floor, none double-counted."""
+    import os
+
+    from hbase_hadoop_flightsearch_spark.streaming.windows import (
+        gate_classify,
+    )
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    src = copy_events_to_dir(sf_smoke, str(tmp_path / "gate_src"))
+    stream = stream_from_dir(spark, src)
+    clean_dir = str(tmp_path / "clean")
+    quar_dir = str(tmp_path / "quarantine")
+
+    def split(batch_df, batch_id):
+        gated = gate_classify(batch_df)
+        gated.filter(F.col("gate") == "ok").write.mode("append").parquet(
+            clean_dir
+        )
+        gated.filter(F.col("gate") != "ok").write.mode("append").parquet(
+            quar_dir
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(split)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    clean = spark.read.parquet(clean_dir)
+    quar = spark.read.parquet(quar_dir)
+    want = gate_classify(load_table(spark, sf_smoke, "events"))
+    assert clean.count() == want.filter(F.col("gate") == "ok").count()
+    got_quar = {
+        (r["gate"], r["n"])
+        for r in quar.groupBy("gate").agg(F.count("*").alias("n")).collect()
+    }
+    want_quar = {
+        (r["gate"], r["n"])
+        for r in want.filter(F.col("gate") != "ok")
+        .groupBy("gate")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got_quar == want_quar
+    # no event lost or duplicated across the split
+    assert clean.count() + quar.count() == want.count()
+    assert os.path.isdir(quar_dir)
