@@ -340,3 +340,108 @@ def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 5)
     )
+
+
+@register(
+    "window_pct_change_mom",
+    oracle="""
+WITH monthly AS (
+  SELECT o_orderpriority,
+    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS rev_cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, month, rev_cents,
+  LAG(rev_cents) OVER w AS prev_cents,
+  ROUND((rev_cents - LAG(rev_cents) OVER w) * 100.0
+        / LAG(rev_cents) OVER w, 4) AS pct_change
+FROM monthly
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+ORDER BY o_orderpriority, month
+""",
+    doc="Month-over-month revenue change per priority segment — the BI "
+    "staple. Revenue folds to exact BIGINT cents before any window "
+    "touches it (the percent ratio is the only float, computed once "
+    "from two integers and rounded — engine-stable). Spark shape: one "
+    "partial-agg shuffle to the monthly rollup, then a single LAG "
+    "window over O(segments x months) rows; first month NULLs rather "
+    "than fabricating a baseline.",
+)
+def window_pct_change_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias(
+            "month"
+        ),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    prev = F.lag("rev_cents").over(w)
+    return monthly.select(
+        "o_orderpriority",
+        "month",
+        "rev_cents",
+        prev.alias("prev_cents"),
+        F.round((F.col("rev_cents") - prev) * 100.0 / prev, 4).alias(
+            "pct_change"
+        ),
+    ).orderBy("o_orderpriority", "month")
+
+
+@register(
+    "events_inter_arrival_stats",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+    epoch_us(ts) - epoch_us(LAG(ts) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_gaps,
+  CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+  CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+  quantile_cont(gap_us, 0.5) AS p50_gap_us,
+  quantile_cont(gap_us, 0.9) AS p90_gap_us
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY user_id
+HAVING COUNT(*) >= 20
+ORDER BY user_id
+""",
+    doc="Per-user inter-arrival-time distribution (min/max/p50/p90 gap "
+    "in integer microseconds) for users with enough history — the "
+    "activity-cadence profile behind engagement scoring and "
+    "bot-vs-human screens. Integer microsecond gaps make the "
+    "interpolated percentiles dyadic-exact (same argument as the MAD "
+    "query). One Exchange(user_id) shared by the LAG window and the "
+    "per-user aggregate; output O(users).",
+)
+def events_inter_arrival_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(
+        "user_id",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.min("gap_us").cast("bigint").alias("min_gap_us"),
+            F.max("gap_us").cast("bigint").alias("max_gap_us"),
+            F.expr("percentile(gap_us, 0.5)").alias("p50_gap_us"),
+            F.expr("percentile(gap_us, 0.9)").alias("p90_gap_us"),
+        )
+        .filter(F.col("n_gaps") >= 20)
+        .orderBy("user_id")
+    )
