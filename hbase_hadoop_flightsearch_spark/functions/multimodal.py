@@ -1375,3 +1375,136 @@ def multimodal_integrity_audit(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# JPEG EXIF metadata: orientation from the APP1-embedded TIFF block
+# ---------------------------------------------------------------------------
+
+EXIF_ORIENTATION_TAG = 274
+
+
+def _synth_jpeg_exif(doc_id: int) -> bytes:
+    """JPEG with an APP1/Exif segment: SOI, APP1 carrying a little-endian
+    TIFF block whose IFD holds the orientation tag (law: doc_id % 8 + 1
+    — all eight EXIF orientations cycle through the corpus), then a SOF0
+    with the dimension law shared with the other synth containers."""
+    import struct
+
+    orientation = doc_id % 8 + 1
+    tiff = (
+        b"II*\x00"
+        + struct.pack("<I", 8)
+        + struct.pack("<H", 1)
+        + struct.pack(
+            "<HHIHH", EXIF_ORIENTATION_TAG, 3, 1, orientation, 0
+        )
+        + struct.pack("<I", 0)
+    )
+    exif = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", 2 + len(exif)) + exif
+    w, h = doc_id % 640 + 1, (doc_id * 7) % 480 + 1
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x03\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app1 + sof0
+
+
+def jpeg_exif_orientation(payload: bytes):
+    """Walk JPEG markers to the APP1/Exif segment and read the
+    orientation tag from the embedded TIFF block (its own byte order,
+    its own IFD — the same walker discipline as the standalone TIFF
+    parser). Returns 1-8, or None when no Exif orientation exists."""
+    import struct
+
+    p = payload
+    if len(p) < 4 or p[:2] != b"\xff\xd8":
+        return None
+    off = 2
+    while off + 4 <= len(p):
+        if p[off] != 0xFF:
+            return None
+        marker = p[off + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            off += 2
+            continue
+        seg_len = struct.unpack(">H", p[off + 2: off + 4])[0]
+        if marker == 0xE1 and p[off + 4: off + 10] == b"Exif\x00\x00":
+            t = p[off + 10: off + 2 + seg_len]
+            if len(t) < 8 or t[:2] not in (b"II", b"MM"):
+                return None
+            bo = "<" if t[:2] == b"II" else ">"
+            (ifd_off,) = struct.unpack(bo + "I", t[4:8])
+            if ifd_off + 2 > len(t):
+                return None
+            (n_entries,) = struct.unpack(
+                bo + "H", t[ifd_off: ifd_off + 2]
+            )
+            for k in range(n_entries):
+                e = ifd_off + 2 + 12 * k
+                if e + 12 > len(t):
+                    break
+                tag, typ = struct.unpack(bo + "HH", t[e: e + 4])
+                if tag == EXIF_ORIENTATION_TAG and typ == 3:
+                    (val,) = struct.unpack(bo + "H", t[e + 8: e + 10])
+                    return val
+            return None
+        if marker == 0xDA:  # start of scan: no Exif before image data
+            return None
+        off += 2 + seg_len
+    return None
+
+
+def _exif_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            payload = _synth_jpeg_exif(int(doc_id))
+            hdr = parse_media_header(payload)
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "orientation": jpeg_exif_orientation(payload),
+                    "width": hdr["width"],
+                    "height": hdr["height"],
+                    "needs_transpose": jpeg_exif_orientation(payload) >= 5,
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "multimodal_exif_orientation",
+    oracle="""
+SELECT doc_id,
+  CAST(doc_id % 8 + 1 AS INT) AS orientation,
+  CAST(doc_id % 640 + 1 AS INT) AS width,
+  CAST((doc_id * 7) % 480 + 1 AS INT) AS height,
+  (doc_id % 8 + 1) >= 5 AS needs_transpose
+FROM documents
+""",
+    doc="JPEG EXIF metadata decode (E13): synthesize JPEGs whose APP1 "
+    "segment embeds a real TIFF block carrying the orientation tag "
+    "(all eight EXIF orientations cycle through the corpus), walk "
+    "markers to APP1, and parse the tag with the TIFF IFD walker in "
+    "the blob's own byte order — the rotate-before-resize metadata "
+    "every image-curation pipeline must honor (orientations 5-8 "
+    "transpose width/height). SOF dims parsed by the shared header "
+    "codec in the same pass. Arrow-batched mapInPandas, doc_id-only "
+    "scan, no shuffle.",
+)
+def multimodal_exif_orientation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _exif_batches,
+        schema="doc_id bigint, orientation int, width int, height int, "
+        "needs_transpose boolean",
+    )

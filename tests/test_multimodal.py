@@ -592,3 +592,30 @@ def test_media_curation_hash_column_is_precision_exact(spark, sf_smoke):
     assert any(abs(h) > (1 << 53) for h in expected), (
         "fixture must exercise hashes beyond float53 precision"
     )
+
+
+def test_exif_orientation_both_byte_orders_and_absence():
+    from hbase_hadoop_flightsearch_spark.functions.multimodal import (
+        EXIF_ORIENTATION_TAG,
+        _synth_jpeg_exif,
+        jpeg_exif_orientation,
+    )
+
+    for doc_id in (0, 4, 7, 15):
+        assert jpeg_exif_orientation(_synth_jpeg_exif(doc_id)) == (
+            doc_id % 8 + 1
+        )
+    # big-endian (MM) Exif block
+    tiff = (
+        b"MM\x00*"
+        + struct.pack(">I", 8)
+        + struct.pack(">H", 1)
+        + struct.pack(">HHIHH", EXIF_ORIENTATION_TAG, 3, 1, 6, 0)
+        + struct.pack(">I", 0)
+    )
+    exif = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", 2 + len(exif)) + exif
+    assert jpeg_exif_orientation(b"\xff\xd8" + app1) == 6
+    # plain JPEG without APP1 -> None; non-JPEG -> None
+    assert jpeg_exif_orientation(_jpeg(10, 10)) is None
+    assert jpeg_exif_orientation(b"nope") is None
