@@ -716,3 +716,135 @@ def join_bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial: grid-binned proximity join
+# ---------------------------------------------------------------------------
+
+GEO_RADIUS_MICRO = 5_000_000  # 5 degrees in microdegrees
+_GEO_PTS_DUCK = """
+pts AS (
+  SELECT c_custkey AS id,
+    (c_custkey * 2654435761) % 180000000 - 90000000 AS lat,
+    (c_custkey * 40503 * 65537) % 360000000 - 180000000 AS lon
+  FROM customer
+)
+"""
+
+
+@register(
+    "spatial_grid_neighbors",
+    oracle=f"""
+WITH {_GEO_PTS_DUCK},
+pairs AS (
+  SELECT a.id AS i1, b.id AS i2,
+    (a.lat - b.lat) * (a.lat - b.lat)
+      + (a.lon - b.lon) * (a.lon - b.lon) AS d2
+  FROM pts a JOIN pts b ON a.id < b.id
+  WHERE (a.lat - b.lat) * (a.lat - b.lat)
+          + (a.lon - b.lon) * (a.lon - b.lon)
+        <= {GEO_RADIUS_MICRO}::BIGINT * {GEO_RADIUS_MICRO}
+),
+sym AS (
+  SELECT i1 AS id, i2 AS other, d2 FROM pairs
+  UNION ALL SELECT i2, i1, d2 FROM pairs
+),
+stats AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+    MIN(struct_pack(d2 := d2, other := other)) AS nearest
+  FROM sym GROUP BY id
+)
+SELECT p.id,
+  COALESCE(s.n_neighbors, 0) AS n_neighbors,
+  CAST(s.nearest.other AS BIGINT) AS nearest_id,
+  CAST(s.nearest.d2 AS BIGINT) AS nearest_d2
+FROM pts p LEFT JOIN stats s ON s.id = p.id
+ORDER BY p.id
+""",
+    doc="Spatial proximity join by grid binning: every customer gets a "
+    "deterministic (lat, lon) in integer MICRODEGREES; for each point, "
+    "the neighbor count and nearest neighbor within a 5-degree radius. "
+    "The Spark plan is the canonical distributed spatial join: bin "
+    "points into radius-sized grid cells, replicate each point into "
+    "its 3x3 neighboring cells on ONE side only, equi-join on the "
+    "cell key, then verify with the EXACT integer squared-distance "
+    "filter — candidates are bounded by cell occupancy (the skew knob "
+    "is cell size), never all-pairs; the oracle deliberately IS the "
+    "all-pairs formulation. All arithmetic is BIGINT (planar "
+    "microdegrees — the haversine upgrade changes only the verify "
+    "expression, not the plan), so no float can flip a boundary; "
+    "nearest tiebreak via struct-min on (d2, id).",
+)
+def spatial_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    R = GEO_RADIUS_MICRO
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * F.lit(2654435761)) % 180000000
+         - 90000000).alias("lat"),
+        ((F.col("c_custkey") * F.lit(40503).cast("long") * F.lit(65537).cast("long")) % 360000000
+         - 180000000).alias("lon"),
+    )
+    cell = pts.select(
+        "id", "lat", "lon",
+        F.floor(F.col("lat") / R).cast("long").alias("cy"),
+        F.floor(F.col("lon") / R).cast("long").alias("cx"),
+    )
+    probe = cell.select(
+        F.col("id").alias("i1"),
+        F.col("lat").alias("lat1"),
+        F.col("lon").alias("lon1"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cy") + dy).alias("cy"),
+                        (F.col("cx") + dx).alias("cx"),
+                    )
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                ]
+            )
+        ).alias("nc"),
+    ).select("i1", "lat1", "lon1", "nc.cy", "nc.cx")
+    build = cell.select(
+        F.col("id").alias("i2"),
+        F.col("lat").alias("lat2"),
+        F.col("lon").alias("lon2"),
+        "cy",
+        "cx",
+    )
+    d2 = (F.col("lat1") - F.col("lat2")) * (
+        F.col("lat1") - F.col("lat2")
+    ) + (F.col("lon1") - F.col("lon2")) * (F.col("lon1") - F.col("lon2"))
+    pairs = (
+        probe.join(build, ["cy", "cx"])
+        .filter(F.col("i1") < F.col("i2"))
+        .select("i1", "i2", d2.alias("d2"))
+        .filter(F.col("d2") <= F.lit(R * R).cast("long"))
+        .distinct()  # a pair can meet in several probed cells
+    )
+    sym = pairs.select(
+        F.col("i1").alias("id"), F.col("i2").alias("other"), "d2"
+    ).unionByName(
+        pairs.select(
+            F.col("i2").alias("id"), F.col("i1").alias("other"), "d2"
+        )
+    )
+    stats = sym.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
+        F.min(F.struct("d2", "other")).alias("nearest"),
+    )
+    return (
+        pts.join(stats, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_neighbors"), F.lit(0))
+            .cast("bigint")
+            .alias("n_neighbors"),
+            F.col("nearest.other").cast("bigint").alias("nearest_id"),
+            F.col("nearest.d2").cast("bigint").alias("nearest_d2"),
+        )
+        .orderBy("id")
+    )
