@@ -1111,3 +1111,152 @@ def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hr")
     )
+
+
+PARETO_SHARES = (50, 80, 90, 99)  # % of events; find smallest user share
+
+
+@register(
+    "events_pareto_concentration",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT user_id, n,
+    SUM(n) OVER (ORDER BY n DESC, user_id
+                 ROWS UNBOUNDED PRECEDING) AS cum_n,
+    ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rnk,
+    SUM(n) OVER () AS total_n,
+    COUNT(*) OVER () AS total_users
+  FROM per_user
+)
+SELECT s.share_pct,
+  CAST(MIN(r.rnk) AS BIGINT) AS users_needed,
+  ROUND(MIN(r.rnk) * 1.0 / MAX(r.total_users), 6) AS user_frac
+FROM (SELECT unnest(ARRAY{list(PARETO_SHARES)}) AS share_pct) s
+JOIN ranked r ON r.cum_n * 100 >= s.share_pct * r.total_n
+GROUP BY s.share_pct
+ORDER BY s.share_pct
+""",
+    doc="Pareto concentration curve: the smallest number of top users "
+    "that generate 50/80/90/99% of all events — the workload-"
+    "concentration diagnostic behind capacity planning AND shuffle-"
+    "skew prediction (the same curve over join keys predicts hot "
+    "partitions). The threshold test is the integer cross-product "
+    "cum*100 >= share*total (no float percentages), ranking ties "
+    "broken by user_id. Spark shape: one shuffle to per-user counts, "
+    "then windows over O(users) rows; the single-partition ranking "
+    "window is the honest exact cost at profile time (the counts "
+    "table is tiny relative to the event log).",
+)
+def events_pareto_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w_rank = Window.orderBy(F.col("n").desc(), "user_id")
+    w_all = Window.partitionBy()
+    ranked = per_user.select(
+        "n",
+        F.sum("n").over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_n"),
+        F.row_number().over(w_rank).alias("rnk"),
+        F.sum("n").over(w_all).alias("total_n"),
+        F.count(F.lit(1)).over(w_all).alias("total_users"),
+    )
+    shares = spark.createDataFrame(
+        [(s,) for s in PARETO_SHARES], "share_pct int"
+    )
+    return (
+        ranked.join(
+            F.broadcast(shares),
+            F.col("cum_n") * 100 >= F.col("share_pct") * F.col("total_n"),
+        )
+        .groupBy("share_pct")
+        .agg(
+            F.min("rnk").cast("bigint").alias("users_needed"),
+            F.round(F.min("rnk") / F.max("total_users"), 6).alias(
+                "user_frac"
+            ),
+        )
+        .orderBy("share_pct")
+    )
+
+
+@register(
+    "events_time_to_convert_pctl",
+    oracle="""
+WITH views AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+),
+purchases AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+),
+delays AS (
+  SELECT v.user_id, v.event_id,
+    MIN(epoch_us(p.ts) - epoch_us(v.ts)) AS delay_us
+  FROM views v JOIN purchases p
+    ON p.user_id = v.user_id AND p.ts > v.ts
+  GROUP BY v.user_id, v.event_id
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_converted_views,
+  quantile_cont(delay_us, 0.5) AS p50_us,
+  quantile_cont(delay_us, 0.9) AS p90_us,
+  CAST(MAX(delay_us) AS BIGINT) AS max_us
+FROM delays
+""",
+    doc="Funnel latency distribution: for every view that eventually "
+    "converts, the delay to that user's NEXT purchase, summarized as "
+    "dyadic-exact integer-microsecond percentiles. The Spark side "
+    "computes next-purchase via the FORWARD as-of machinery "
+    "(frame-reversed union + last-over-window — one sort, no join), "
+    "while the oracle deliberately uses the quadratic join-then-min "
+    "formulation; both reduce to one O(1)-row summary. At 100 TB the "
+    "as-of formulation shuffles each side once on user_id; the "
+    "join-min would explode on power users.",
+)
+def events_time_to_convert_pctl(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    views = events.filter(F.col("event_type") == "view")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    # Forward as-of via the union+window technique (asof.py discipline):
+    # at equal ts a purchase sorts BEFORE the view (is_left ordering) and
+    # the frame starts at the current row, so strictly-later purchases
+    # only. One Exchange(user_id), one sort, no join.
+    tagged = views.select(
+        "user_id", "ts_us", F.lit(1).alias("is_left"),
+        F.lit(None).cast("long").alias("p_ts"),
+    ).unionByName(
+        purchases.select(
+            "user_id", "ts_us", F.lit(0).alias("is_left"),
+            F.col("ts_us").alias("p_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "is_left")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    joined = tagged.select(
+        "is_left", "ts_us",
+        F.first("p_ts", ignorenulls=True).over(w).alias("next_p_ts"),
+    ).filter((F.col("is_left") == 1) & F.col("next_p_ts").isNotNull())
+    delays = joined.select(
+        (F.col("next_p_ts") - F.col("ts_us")).alias("delay_us")
+    )
+    return delays.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted_views"),
+        F.expr("percentile(delay_us, 0.5)").alias("p50_us"),
+        F.expr("percentile(delay_us, 0.9)").alias("p90_us"),
+        F.max("delay_us").cast("bigint").alias("max_us"),
+    )
