@@ -1276,3 +1276,75 @@ flatten(transform(srcs, (x, i) ->
         )
         .orderBy("s1", "s2")
     )
+
+
+VOCAB_CHECKPOINTS = 10  # corpus deciles by doc_id
+
+
+@register(
+    "text_vocab_growth_curve",
+    oracle=f"""
+WITH firsts AS (
+  SELECT tok, MIN(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  GROUP BY tok
+),
+bounds AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+cps AS (
+  SELECT k, (SELECT n FROM bounds) * k / {VOCAB_CHECKPOINTS} AS thresh
+  FROM (SELECT unnest(generate_series(1, {VOCAB_CHECKPOINTS})) AS k)
+)
+SELECT CAST(c.k AS INT) AS decile,
+  CAST(c.thresh AS BIGINT) AS docs_processed,
+  CAST(COUNT(f.tok) AS BIGINT) AS vocab_size
+FROM cps c LEFT JOIN firsts f ON f.first_doc < c.thresh
+GROUP BY c.k, c.thresh
+ORDER BY decile
+""",
+    doc="Vocabulary-growth (Heaps'-law) curve: cumulative distinct "
+    "token count after each tenth of the corpus in doc_id order — the "
+    "diagnostic that says whether more data still buys new vocabulary "
+    "or the crawl has saturated (this synthetic corpus saturates "
+    "immediately, which the curve shows honestly). The naive "
+    "formulation re-scans a growing prefix per checkpoint; the "
+    "scalable rewrite is the FIRST-SEEN trick shared with "
+    "events_running_distinct_users: one groupBy(token) -> min(doc_id), "
+    "then each checkpoint counts tokens first seen before its "
+    "threshold — O(vocab x checkpoints) work after one corpus "
+    "shuffle, never a rescan.",
+)
+def text_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    firsts = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    n = docs.agg((F.max("doc_id") + 1).alias("n"))
+    cps = (
+        spark.range(1, VOCAB_CHECKPOINTS + 1)
+        .withColumnRenamed("id", "k")
+        .join(F.broadcast(n))
+        .select(
+            F.col("k").cast("int").alias("decile"),
+            (F.col("n") * F.col("k") / VOCAB_CHECKPOINTS)
+            .cast("bigint")
+            .alias("thresh"),
+        )
+    )
+    return (
+        cps.join(
+            firsts, F.col("first_doc") < F.col("thresh"), "left"
+        )
+        .groupBy("decile", "thresh")
+        .agg(F.count(F.col("tok")).cast("bigint").alias("vocab_size"))
+        .select(
+            "decile",
+            F.col("thresh").alias("docs_processed"),
+            "vocab_size",
+        )
+        .orderBy("decile")
+    )
