@@ -292,3 +292,74 @@ def incremental_ohlc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_ohlc(
         merge_ohlc_states(ohlc_state(hist), ohlc_state(delta))
     )
+
+
+@register(
+    "incremental_bitmap_distinct_merge",
+    oracle="""
+SELECT o_orderpriority,
+  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+  CAST(COUNT(DISTINCT CASE WHEN o_orderdate < DATE '1998-01-01'
+                           THEN o_custkey END) AS BIGINT)
+    AS n_customers_pre98
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc="Incrementally-maintained EXACT distinct via mergeable bitmap "
+    "states: per (priority, year) slice, fold customer keys into "
+    "(word, bits) bitmap rows — the per-slice STATE an incremental "
+    "pipeline persists; merging any subset of slices is a plain "
+    "bit_or re-aggregation (associative + commutative + idempotent, "
+    "so replays and out-of-order arrivals are free), and the distinct "
+    "count falls out of bit_count. This is what HLL sketches do "
+    "approximately, done exactly: the state size is bounded by "
+    "keyspace density per slice. Query output: all-time and pre-1998 "
+    "distinct customers per priority, both computed ONLY by merging "
+    "the per-year states — the oracle computes the same from raw "
+    "rows. Fold associativity across slice boundaries is asserted in "
+    "tests/test_incremental.py.",
+)
+def incremental_bitmap_distinct_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # per-(priority, year) bitmap states — the persisted increment
+    states = (
+        orders.select(
+            "o_orderpriority",
+            F.year("o_orderdate").alias("yr"),
+            (F.col("o_custkey") / 64).cast("long").alias("word_idx"),
+            F.expr(
+                "shiftleft(1L, CAST(pmod(o_custkey, 64) AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("o_orderpriority", "yr", "word_idx")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+
+    def merged_count(st, alias):
+        return (
+            st.groupBy("o_orderpriority", "word_idx")
+            .agg(F.expr("bit_or(bits)").alias("bits"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum(F.bit_count("bits")).cast("bigint").alias(alias)
+            )
+        )
+
+    all_time = merged_count(states, "n_customers")
+    pre98 = merged_count(
+        states.filter(F.col("yr") < 1998), "n_customers_pre98"
+    )
+    return (
+        all_time.join(pre98, "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            "n_customers",
+            F.coalesce(F.col("n_customers_pre98"), F.lit(0))
+            .cast("bigint")
+            .alias("n_customers_pre98"),
+        )
+        .orderBy("o_orderpriority")
+    )

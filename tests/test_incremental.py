@@ -87,3 +87,50 @@ def test_ohlc_merge_order_invariant_over_weekly_slices(spark, sf_smoke):
     fwd = rows(finalize_ohlc(reduce(merge_ohlc_states, slices)))
     rev = rows(finalize_ohlc(reduce(merge_ohlc_states, reversed(slices))))
     assert fwd == want and rev == want
+
+
+def test_bitmap_state_fold_is_associative_and_idempotent(spark, sf_smoke):
+    """Bitmap distinct states must merge identically regardless of slice
+    grouping, and re-merging a slice (replay) must not change counts —
+    the properties that make the state safe for incremental pipelines."""
+    from pyspark.sql import functions as F
+
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf_smoke, "orders")
+    states = (
+        orders.select(
+            F.year("o_orderdate").alias("yr"),
+            (F.col("o_custkey") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(1L, CAST(pmod(o_custkey, 64) AS INT))").alias(
+                "b"
+            ),
+        )
+        .groupBy("yr", "w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+        .cache()
+    )
+
+    def count_of(df):
+        return (
+            df.groupBy("w")
+            .agg(F.expr("bit_or(bits)").alias("bits"))
+            .agg(F.sum(F.bit_count("bits")))
+            .first()[0]
+        )
+
+    all_at_once = count_of(states)
+    years = sorted(r["yr"] for r in states.select("yr").distinct().collect())
+    mid = years[len(years) // 2]
+    left = states.filter(F.col("yr") <= mid)
+    right = states.filter(F.col("yr") > mid)
+    # merge-of-merges: fold each half to one bitmap, then fold the union
+    half_states = (
+        left.groupBy("w").agg(F.expr("bit_or(bits)").alias("bits"))
+    ).unionByName(
+        right.groupBy("w").agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    assert count_of(half_states) == all_at_once
+    # replay a slice: duplicate one year's states, counts unchanged
+    replay = states.unionByName(states.filter(F.col("yr") == years[0]))
+    assert count_of(replay) == all_at_once
