@@ -1348,3 +1348,90 @@ def text_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "ml_eval_langid_confusion",
+    oracle=f"""
+WITH preds AS (
+  SELECT lang AS actual, {ngram_lang_pred_duck("text")} AS predicted
+  FROM documents
+),
+cm AS (
+  SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+  FROM preds GROUP BY actual, predicted
+),
+tp AS (
+  SELECT actual AS cls, n AS n_tp FROM cm WHERE actual = predicted
+),
+per_actual AS (SELECT actual AS cls, SUM(n) AS n_actual FROM cm GROUP BY 1),
+per_pred AS (SELECT predicted AS cls, SUM(n) AS n_pred FROM cm GROUP BY 1)
+SELECT a.cls,
+  CAST(a.n_actual AS BIGINT) AS n_actual,
+  CAST(COALESCE(p.n_pred, 0) AS BIGINT) AS n_predicted,
+  CAST(COALESCE(t.n_tp, 0) AS BIGINT) AS n_correct,
+  ROUND(COALESCE(t.n_tp, 0) * 1.0 / a.n_actual, 6) AS recall,
+  CASE WHEN COALESCE(p.n_pred, 0) > 0
+       THEN ROUND(COALESCE(t.n_tp, 0) * 1.0 / p.n_pred, 6) END
+    AS precision
+FROM per_actual a
+LEFT JOIN per_pred p ON p.cls = a.cls
+LEFT JOIN tp t ON t.cls = a.cls
+ORDER BY a.cls
+""",
+    doc="Model-evaluation operator (the missing ML-eval family): "
+    "confusion-matrix-derived per-class precision and recall of the "
+    "n-gram language-ID model against the corpus's true lang labels — "
+    "the eval harness every model-backed curation filter needs before "
+    "it gates real data. Counts are exact integers; the two ratios "
+    "divide once and round. Spark shape: one scan -> (actual, "
+    "predicted) pairs -> O(langs^2) confusion counts -> three "
+    "O(langs) rollups joined broadcast; at 100 TB everything after "
+    "the first partial aggregate is bytes. Precision is NULL for a "
+    "class the model never predicts (not fake-zeroed).",
+)
+def ml_eval_langid_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    preds = docs.select(
+        F.col("lang").alias("actual"),
+        ngram_lang_pred(F.col("text")).alias("predicted"),
+    )
+    cm = preds.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tp = cm.filter(F.col("actual") == F.col("predicted")).select(
+        F.col("actual").alias("cls"), F.col("n").alias("n_tp")
+    )
+    per_actual = cm.groupBy(F.col("actual").alias("cls")).agg(
+        F.sum("n").alias("n_actual")
+    )
+    per_pred = cm.groupBy(F.col("predicted").alias("cls")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    return (
+        per_actual.join(F.broadcast(per_pred), "cls", "left")
+        .join(F.broadcast(tp), "cls", "left")
+        .select(
+            "cls",
+            F.col("n_actual").cast("bigint").alias("n_actual"),
+            F.coalesce(F.col("n_pred"), F.lit(0))
+            .cast("bigint")
+            .alias("n_predicted"),
+            F.coalesce(F.col("n_tp"), F.lit(0))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.round(
+                F.coalesce(F.col("n_tp"), F.lit(0)) / F.col("n_actual"), 6
+            ).alias("recall"),
+            F.when(
+                F.coalesce(F.col("n_pred"), F.lit(0)) > 0,
+                F.round(
+                    F.coalesce(F.col("n_tp"), F.lit(0)) / F.col("n_pred"),
+                    6,
+                ),
+            ).alias("precision"),
+        )
+        .orderBy("cls")
+    )
