@@ -1260,3 +1260,88 @@ def events_time_to_convert_pctl(
         F.expr("percentile(delay_us, 0.9)").alias("p90_us"),
         F.max("delay_us").cast("bigint").alias("max_us"),
     )
+
+
+SESSION_CONV_GAP_MIN = 5  # session gap, minutes (same as stream sessions)
+
+
+@register(
+    "events_session_conversion",
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w
+                 >= INTERVAL {SESSION_CONV_GAP_MIN} MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_type,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+per_session AS (
+  SELECT user_id, sid,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM sessions GROUP BY user_id, sid
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+  CAST(SUM(converted) AS BIGINT) AS n_converted,
+  ROUND(SUM(converted) * 1.0 / COUNT(*), 6) AS conversion_rate,
+  ROUND(AVG(n_events), 6) AS avg_events_per_session
+FROM per_session
+""",
+    doc="Session-level conversion rate: sessionize each user's stream "
+    f"(gaps-and-islands, {SESSION_CONV_GAP_MIN}-minute gap — the exact "
+    "batch twin of the streaming session_window), mark a session "
+    "converted when it contains a purchase, and roll up "
+    "sessions/conversions/rate/avg-length — THE product metric "
+    "downstream of every sessionizer. Both window functions share one "
+    "(user_id, ts, event_id) sort; the only float is the final pair "
+    "of ratios from exact integers. One Exchange(user_id) then O(1) "
+    "output.",
+)
+def events_session_conversion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_CONV_GAP_MIN * 60 * 1_000_000
+    marked = events.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                >= gap_us
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = marked.select(
+        "user_id", "event_type",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    per_session = sessions.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("converted"),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.round(F.sum("converted") / F.count(F.lit(1)), 6).alias(
+            "conversion_rate"
+        ),
+        F.round(F.avg("n_events"), 6).alias("avg_events_per_session"),
+    )
