@@ -239,3 +239,85 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("size_bytes").over(grp).cast("bigint").alias("group_bytes"),
         F.count(F.lit(1)).over(grp).cast("bigint").alias("group_files"),
     ).orderBy("part_day", "file_bucket")
+
+
+@register(
+    "layout_partition_key_advisor",
+    oracle="""
+WITH cands AS (
+  SELECT 'o_orderpriority' AS candidate, o_orderpriority AS val
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', o_orderstatus FROM orders
+  UNION ALL
+  SELECT 'order_year', CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR)
+  FROM orders
+),
+per_val AS (
+  SELECT candidate, val, CAST(COUNT(*) AS BIGINT) AS n
+  FROM cands GROUP BY candidate, val
+)
+SELECT candidate,
+  CAST(COUNT(*) AS BIGINT) AS n_partitions,
+  CAST(MIN(n) AS BIGINT) AS min_rows,
+  CAST(MAX(n) AS BIGINT) AS max_rows,
+  ROUND(MAX(n) * COUNT(*) * 1.0 / SUM(n), 6) AS skew_factor,
+  ROUND(SUM(n * n) * 1.0 / (SUM(n) * SUM(n)), 6) AS collision_prob
+FROM per_val
+GROUP BY candidate
+ORDER BY candidate
+""",
+    doc="Partition-key advisor (physical-design table maintenance): for "
+    "each candidate partition column of the orders table, the "
+    "partition count, min/max partition sizes, skew factor "
+    "(max/mean), and the collision probability sum(n_i^2)/N^2 (the "
+    "chance two random rows share a partition — low = fine-grained "
+    "pruning, high = few fat partitions). This is the profiling pass "
+    "run BEFORE committing a 100 TB table layout: too many tiny "
+    "partitions (order_year=fine at low SF, catastrophic small-files "
+    "at high SF) vs too few fat ones (status: 3 partitions, no "
+    "pruning) is exactly what these four numbers expose. One scan, "
+    "O(candidates x values) aggregate, O(3) output.",
+)
+def layout_partition_key_advisor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cands = (
+        orders.select(
+            F.lit("o_orderpriority").alias("candidate"),
+            F.col("o_orderpriority").alias("val"),
+        )
+        .unionByName(
+            orders.select(
+                F.lit("o_orderstatus").alias("candidate"),
+                F.col("o_orderstatus").alias("val"),
+            )
+        )
+        .unionByName(
+            orders.select(
+                F.lit("order_year").alias("candidate"),
+                F.year("o_orderdate").cast("string").alias("val"),
+            )
+        )
+    )
+    per_val = cands.groupBy("candidate", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return (
+        per_val.groupBy("candidate")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+            F.min("n").cast("bigint").alias("min_rows"),
+            F.max("n").cast("bigint").alias("max_rows"),
+            F.round(
+                F.max("n") * F.count(F.lit(1)) / F.sum("n"), 6
+            ).alias("skew_factor"),
+            F.round(
+                F.sum(F.col("n") * F.col("n"))
+                / (F.sum("n") * F.sum("n")),
+                6,
+            ).alias("collision_prob"),
+        )
+        .orderBy("candidate")
+    )
