@@ -1129,6 +1129,7 @@ hashes AS (
 
 @register(
     "dedup_image_phash",
+    headline=True,  # benches the Arrow-batched decode+hash path
     oracle=f"""
 WITH {_PHASH_HASH_DUCK}
 SELECT a.doc_id AS d1, b.doc_id AS d2,
