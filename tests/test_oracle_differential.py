@@ -74,6 +74,8 @@ _LINT_AUDITED_OK = {
     "text_lang_id_ngram",          # trigram-count scores compared, not output
     "pipeline_corpus_prep",        # same lang-id score in WHERE
     "pipeline_corpus_prep_neardup",  # same lang-id score in WHERE
+    "ml_eval_langid_confusion",  # same lang-id score inside CASE; the
+    # output ratios are ROUND(x * 1.0 / y, 6) — float by construction
 }
 
 
