@@ -608,3 +608,94 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table reconciliation: order header totals vs lineitem detail sums
+# ---------------------------------------------------------------------------
+
+RECON_BANDS_PCT = (1, 5, 10)  # deviation bands (percent)
+
+
+@register(
+    "dq_order_total_reconciliation",
+    oracle=f"""
+WITH detail AS (
+  SELECT l_orderkey,
+    CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+              AS BIGINT)) AS BIGINT) AS detail_cents
+  FROM lineitem GROUP BY l_orderkey
+),
+recon AS (
+  SELECT o.o_orderkey,
+    CAST(round(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+    d.detail_cents,
+    ABS(CAST(round(o.o_totalprice * 100) AS BIGINT) - d.detail_cents)
+      AS dev_cents
+  FROM orders o JOIN detail d ON d.l_orderkey = o.o_orderkey
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CASE WHEN dev_cents * 100 <= header_cents * {RECON_BANDS_PCT[0]}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+  CAST(SUM(CASE WHEN dev_cents * 100 <= header_cents * {RECON_BANDS_PCT[1]}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_within_5pct,
+  CAST(SUM(CASE WHEN dev_cents * 100 <= header_cents * {RECON_BANDS_PCT[2]}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_within_10pct,
+  quantile_cont(dev_cents, 0.5) AS p50_dev_cents
+FROM recon
+""",
+    doc="Fact-to-fact financial reconciliation (DQ): per order, compare "
+    "the header total against the lineitem-derived sum of "
+    "extendedprice*(1-discount), both folded to exact BIGINT cents, "
+    "and report how many orders land within 1/5/10% deviation bands "
+    "plus the median absolute deviation — the ledger-vs-detail "
+    "consistency check every revenue pipeline runs before publishing "
+    "(this synthetic fixture generates header and detail "
+    "independently, and the bands report that honestly). Band tests "
+    "are integer cross-products (dev*100 <= header*pct), no float "
+    "thresholds. Spark shape: one partial-agg shuffle per table "
+    "co-keyed on orderkey (bucket both in production and the join "
+    "Exchange disappears), O(1) output.",
+)
+def dq_order_total_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    detail = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("detail_cents")
+    )
+    recon = orders.join(
+        detail, orders.o_orderkey == detail.l_orderkey
+    ).select(
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("header_cents"),
+        "detail_cents",
+    ).withColumn(
+        "dev_cents",
+        F.abs(F.col("header_cents") - F.col("detail_cents")),
+    )
+    bands = [
+        F.sum(
+            (
+                F.col("dev_cents") * 100
+                <= F.col("header_cents") * F.lit(p)
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias(f"n_within_{p}pct")
+        for p in RECON_BANDS_PCT
+    ]
+    return recon.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        *bands,
+        F.expr("percentile(dev_cents, 0.5)").alias("p50_dev_cents"),
+    )
