@@ -1345,3 +1345,80 @@ def events_session_conversion(
         ),
         F.round(F.avg("n_events"), 6).alias("avg_events_per_session"),
     )
+
+
+SLO_ERROR_BUDGET_PCT = 21  # SLO: error rate budget, percent of events
+BURN_FAST, BURN_SLOW = 2, 1  # burn multipliers for the 1h / 6h windows
+
+
+@register(
+    "events_error_budget_burn",
+    oracle=f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hr,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+      AS errs
+  FROM events GROUP BY 1
+),
+windows AS (
+  SELECT hr, n, errs,
+    SUM(n) OVER w6 AS n6, SUM(errs) OVER w6 AS errs6
+  FROM hourly
+  WINDOW w6 AS (ORDER BY hr ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT hr,
+  ROUND(errs * 100.0 / n, 4) AS rate_1h_pct,
+  ROUND(errs6 * 100.0 / n6, 4) AS rate_6h_pct
+FROM windows
+WHERE errs * 10000 > n * {SLO_ERROR_BUDGET_PCT * BURN_FAST * 100}
+  AND errs6 * 10000 > n6 * {SLO_ERROR_BUDGET_PCT * BURN_SLOW * 100}
+ORDER BY hr
+""",
+    doc="Multi-window error-budget burn alert (the SRE alerting pattern "
+    "that kills both flappy and slow-blind alerts): fire only when the "
+    f"1-hour error rate burns > {BURN_FAST}x the "
+    f"{SLO_ERROR_BUDGET_PCT}% SLO budget AND the trailing 6-hour rate "
+    f"burns > {BURN_SLOW}x — the fast window gives detection latency, "
+    "the slow window confirms it is not a blip. Both burn tests are "
+    "integer cross-products (errs*10000 > n*budget*100), so no float "
+    "threshold can flip an alert; the reported rates are display-only "
+    "rounded ratios. Spark shape: one shuffle to hourly counts, one "
+    "ordered window over O(hours) rows (single-partition at profile "
+    "granularity — the rollup is tiny; partition by service/tenant in "
+    "production).",
+)
+def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("event_type") == "error").cast("int"))
+        .cast("bigint")
+        .alias("errs"),
+    )
+    w6 = Window.orderBy("hr").rowsBetween(-5, 0)
+    windows = hourly.select(
+        "hr", "n", "errs",
+        F.sum("n").over(w6).alias("n6"),
+        F.sum("errs").over(w6).alias("errs6"),
+    )
+    fast = SLO_ERROR_BUDGET_PCT * BURN_FAST * 100
+    slow = SLO_ERROR_BUDGET_PCT * BURN_SLOW * 100
+    return (
+        windows.filter(
+            (F.col("errs") * 10000 > F.col("n") * fast)
+            & (F.col("errs6") * 10000 > F.col("n6") * slow)
+        )
+        .select(
+            "hr",
+            F.round(F.col("errs") * 100.0 / F.col("n"), 4).alias(
+                "rate_1h_pct"
+            ),
+            F.round(F.col("errs6") * 100.0 / F.col("n6"), 4).alias(
+                "rate_6h_pct"
+            ),
+        )
+        .orderBy("hr")
+    )
