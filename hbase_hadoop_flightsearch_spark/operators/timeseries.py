@@ -1422,3 +1422,71 @@ def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hr")
     )
+
+
+@register(
+    "events_activity_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+islands AS (
+  SELECT user_id, day,
+    day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+               AS INT) AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len,
+    MIN(day) AS streak_start
+  FROM islands GROUP BY user_id, grp
+)
+SELECT user_id,
+  CAST(MAX(len) AS BIGINT) AS longest_streak,
+  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+  MIN(streak_start) AS first_active_day
+FROM streaks
+GROUP BY user_id
+HAVING MAX(len) >= 7
+ORDER BY user_id
+""",
+    doc="Longest consecutive-day activity streak per user (the "
+    "engagement/retention staple): the date-minus-row_number "
+    "gaps-and-islands trick turns consecutive days into a constant "
+    "group key, so streaks fall out of one groupBy — no self-join, no "
+    "recursive scan. Integer day arithmetic end to end. Users with a "
+    "7+ day best streak reported with their streak count and first "
+    "active day. One Exchange(user_id) shared by the dedup, the "
+    "ranking window, and both aggregations.",
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    days = (
+        events.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "grp",
+        F.date_sub(
+            F.col("day"), F.row_number().over(w)
+        ),
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+        F.min("day").alias("streak_start"),
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("len").cast("bigint").alias("longest_streak"),
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+            F.min("streak_start").alias("first_active_day"),
+        )
+        .filter(F.col("longest_streak") >= 7)
+        .orderBy("user_id")
+    )
