@@ -1045,3 +1045,81 @@ def agg_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_urgent_only"),
     )
+
+
+@register(
+    "agg_rfm_segments",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+    date_diff('day', MAX(o_orderdate),
+              (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+    CAST(COUNT(*) AS BIGINT) AS frequency,
+    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS monetary_cents
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT *,
+    NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+    NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+    NTILE(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_score
+  FROM per_cust
+)
+SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+  CAST(m_score AS INT) AS m_score,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+""",
+    doc="RFM customer segmentation (recency / frequency / monetary — "
+    "the marketing-analytics staple): per customer, days since last "
+    "order (anchored to the data's own max date, never wall-clock), "
+    "order count, and exact cents; each dimension NTILE(5)-scored "
+    "with customer-key tiebreaks so quintile boundaries are "
+    "engine-deterministic; rolled up to the 125-cell segment cube. "
+    "Spark shape: one shuffle to per-customer stats, the 1-row max "
+    "date broadcast, three ranking windows over O(customers) rows "
+    "(partition by tenant in production), O(125) output.",
+)
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .join(F.broadcast(anchor))
+        .withColumn(
+            "recency_days", F.datediff(F.col("anchor"), F.col("last_order"))
+        )
+    )
+    scored = per_cust.select(
+        "o_custkey", "recency_days", "frequency", "monetary_cents",
+        F.ntile(5)
+        .over(Window.orderBy("recency_days", "o_custkey"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(
+            Window.orderBy(F.col("monetary_cents").desc(), "o_custkey")
+        )
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("monetary_cents").cast("bigint").alias("segment_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
