@@ -1307,3 +1307,62 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fp")
     )
+
+
+@register(
+    "dedup_chaining_audit",
+    oracle=f"""
+WITH RECURSIVE
+jp AS ({_JACCARD_PAIRS_DUCK}),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM jp
+  UNION ALL SELECT d2, d1 FROM jp
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS c FROM reach GROUP BY src),
+sizes AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS sz FROM comp GROUP BY c
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM jp) AS BIGINT) AS n_direct_pairs,
+  CAST((SELECT SUM(sz * (sz - 1) / 2) FROM sizes WHERE sz > 1) AS BIGINT)
+    AS n_implied_pairs,
+  CAST((SELECT COUNT(*) FROM sizes WHERE sz > 1) AS BIGINT) AS n_clusters,
+  CAST((SELECT MAX(sz) FROM sizes) AS BIGINT) AS max_cluster
+""",
+    doc="Dedup chaining audit: transitive clustering declares C(size,2) "
+    "implied duplicate pairs per cluster, but only n_direct_pairs were "
+    "actually measured similar — the gap (implied vs direct) is the "
+    "CHAINING exposure, the classic failure where A~B~C bridges "
+    "dissimilar A and C and one keeper silently absorbs both. A "
+    "ratio near 1 means clusters are cliques (safe); a large gap "
+    "says the threshold or banding is bridging — run before trusting "
+    "any CC-based dedup at scale. Reuses the production pair miner + "
+    "CC loop; O(1) output. sz*(sz-1)/2 divides an always-even "
+    "product (integer-exact in any engine).",
+)
+def dedup_chaining_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import connected_components
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    pairs = pairs.localCheckpoint(eager=True)  # mined once, used twice
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = connected_components(docs, pairs)
+    sizes = labels.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    n_direct = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_direct_pairs")
+    )
+    cl = sizes.filter(F.col("sz") > 1).agg(
+        F.sum(F.col("sz") * (F.col("sz") - 1) / 2)
+        .cast("bigint")
+        .alias("n_implied_pairs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+    )
+    mx = sizes.agg(F.max("sz").cast("bigint").alias("max_cluster"))
+    return n_direct.join(cl).join(mx)
