@@ -1490,3 +1490,108 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("longest_streak") >= 7)
         .orderBy("user_id")
     )
+
+
+LTV_HORIZON_MONTHS = 6  # cohort-age horizon for the LTV curve
+
+
+@register(
+    "events_cohort_ltv",
+    oracle=f"""
+WITH firsts AS (
+  SELECT o_custkey,
+    CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS cohort_month
+  FROM orders GROUP BY o_custkey
+),
+cohort_sizes AS (
+  SELECT cohort_month, CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM firsts GROUP BY cohort_month
+),
+spend AS (
+  SELECT f.cohort_month,
+    CAST((EXTRACT(year FROM o.o_orderdate)
+          - EXTRACT(year FROM f.cohort_month)) * 12
+         + (EXTRACT(month FROM o.o_orderdate)
+            - EXTRACT(month FROM f.cohort_month)) AS BIGINT) AS age_m,
+    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+),
+by_age AS (
+  SELECT cohort_month, age_m, CAST(SUM(cents) AS BIGINT) AS cents
+  FROM spend WHERE age_m < {LTV_HORIZON_MONTHS}
+  GROUP BY cohort_month, age_m
+),
+cum AS (
+  SELECT cohort_month, age_m,
+    SUM(cents) OVER (PARTITION BY cohort_month ORDER BY age_m
+                     ROWS UNBOUNDED PRECEDING) AS cum_cents
+  FROM by_age
+)
+SELECT c.cohort_month, CAST(c.age_m AS INT) AS age_m,
+  s.n_customers,
+  CAST(c.cum_cents AS BIGINT) AS cum_cents,
+  CAST(c.cum_cents // s.n_customers AS BIGINT) AS ltv_cents_per_cust
+FROM cum c JOIN cohort_sizes s USING (cohort_month)
+WHERE c.cohort_month < DATE '1996-01-01'
+ORDER BY c.cohort_month, age_m
+""",
+    doc="Cohort LTV curves: customers cohorted by first-order month; "
+    "cumulative revenue per cohort through each month of cohort age "
+    f"(horizon {LTV_HORIZON_MONTHS} months), divided by cohort size — "
+    "the lifetime-value table behind every growth model. All money is "
+    "exact BIGINT cents; per-customer LTV uses integer floor-division "
+    "(the r4 retention bug class, avoided by construction). The "
+    "earliest cohort year keeps the output bounded. Spark shape: "
+    "first-order rollup, broadcast back onto orders, partial-agg to "
+    "O(cohorts x horizon) rows, one running-sum window — the orders "
+    "table is scanned twice but shuffled only as aggregates. NOTE: "
+    "the broadcast of `firsts` is per-CUSTOMER — the same O(users) "
+    "broadcast the r4 verdict flagged; here it is deliberately LEFT "
+    "TO AQE (no hint) so stats decide, and both sides are "
+    "custkey-keyed for the shuffled fallback.",
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate"))
+        .cast("date")
+        .alias("cohort_month")
+    )
+    cohort_sizes = firsts.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    spend = orders.join(firsts, "o_custkey").select(
+        "cohort_month",
+        (
+            (F.year("o_orderdate") - F.year("cohort_month")) * 12
+            + (F.month("o_orderdate") - F.month("cohort_month"))
+        )
+        .cast("bigint")
+        .alias("age_m"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    by_age = (
+        spend.filter(F.col("age_m") < LTV_HORIZON_MONTHS)
+        .groupBy("cohort_month", "age_m")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = by_age.withColumn("cum_cents", F.sum("cents").over(w))
+    return (
+        cum.join(F.broadcast(cohort_sizes), "cohort_month")
+        .filter(F.col("cohort_month") < F.lit("1996-01-01").cast("date"))
+        .select(
+            "cohort_month",
+            F.col("age_m").cast("int").alias("age_m"),
+            "n_customers",
+            F.col("cum_cents").cast("bigint").alias("cum_cents"),
+            F.floor(F.col("cum_cents") / F.col("n_customers"))
+            .cast("bigint")
+            .alias("ltv_cents_per_cust"),
+        )
+        .orderBy("cohort_month", "age_m")
+    )
