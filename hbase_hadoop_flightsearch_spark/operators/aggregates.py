@@ -1123,3 +1123,71 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag,
+    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+    CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+),
+cum AS (
+  SELECT l_returnflag, cents, qty,
+    SUM(qty) OVER (PARTITION BY l_returnflag ORDER BY cents, qty
+                   ROWS UNBOUNDED PRECEDING) AS cum_qty,
+    SUM(qty) OVER (PARTITION BY l_returnflag) AS total_qty
+  FROM w
+)
+SELECT l_returnflag,
+  CAST(MIN(cents) AS BIGINT) AS weighted_median_cents,
+  CAST(MAX(total_qty) AS BIGINT) AS total_weight
+FROM cum
+WHERE 2 * cum_qty >= total_qty
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="Exact WEIGHTED median (quantity-weighted median unit price per "
+    "return flag): the first value whose cumulative weight crosses "
+    "half the total — a single integer cross-product test "
+    "(2*cum >= total) over exact cents and integer quantities, with "
+    "(cents, qty) ordering making the crossing row unique. Weighted "
+    "percentiles have no built-in in either engine; this is the "
+    "sort-and-scan formulation both express identically. Spark shape: "
+    "one Exchange(returnflag) shared by both window sums (one sort), "
+    "then a 4-group aggregate. At 100 TB pre-aggregate equal cents "
+    "values per group first (groupBy(flag, cents).sum(qty)) to "
+    "shrink the sorted set to distinct prices — same answer, same "
+    "crossing test.",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents", "qty")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "cents",
+        F.sum("qty").over(w_cum).alias("cum_qty"),
+        F.sum("qty").over(w_all).alias("total_qty"),
+    )
+    return (
+        cum.filter(2 * F.col("cum_qty") >= F.col("total_qty"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("cents").cast("bigint").alias("weighted_median_cents"),
+            F.max("total_qty").cast("bigint").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
