@@ -1508,3 +1508,90 @@ def multimodal_exif_orientation(
         schema="doc_id bigint, orientation int, width int, height int, "
         "needs_transpose boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Frame-level audio features from decoded PCM
+# ---------------------------------------------------------------------------
+
+AUDIO_FRAME = 16  # samples per analysis frame
+
+
+def _audio_frames_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            samples = list(
+                wav_pcm_samples(_synth_wav_pcm(int(doc_id), int(n_chars)))
+            )
+            n_frames = len(samples) // AUDIO_FRAME
+            for f_idx in range(n_frames):
+                fr = samples[
+                    f_idx * AUDIO_FRAME: (f_idx + 1) * AUDIO_FRAME
+                ]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "frame_idx": f_idx,
+                        "sum_sq": sum(v * v for v in fr),
+                        "peak": max(abs(v) for v in fr),
+                        "zero_crossings": sum(
+                            1
+                            for i in range(1, AUDIO_FRAME)
+                            if (fr[i - 1] < 0) != (fr[i] < 0)
+                        ),
+                    }
+                )
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "multimodal_audio_frame_features",
+    oracle=f"""
+WITH lens AS (
+  SELECT doc_id, n_chars % 64 + 16 AS n FROM documents
+),
+samples AS (
+  SELECT doc_id, i,
+    ((doc_id * 31 + i * 7) % 65536) - 32768 AS v
+  FROM lens, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i)
+),
+framed AS (
+  SELECT doc_id, i // {AUDIO_FRAME} AS frame_idx, i, v,
+    LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev_v,
+    (SELECT MAX(n) FROM lens l2 WHERE l2.doc_id = samples.doc_id) AS n
+  FROM samples
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+  CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+  CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+  CAST(SUM(CASE WHEN i % {AUDIO_FRAME} > 0
+                 AND (prev_v < 0) != (v < 0) THEN 1 ELSE 0 END)
+       AS BIGINT) AS zero_crossings
+FROM framed
+WHERE frame_idx < n // {AUDIO_FRAME}
+GROUP BY doc_id, frame_idx
+""",
+    doc=f"Frame-level audio feature extraction (E13): decode the real "
+    f"PCM bytes, split into {AUDIO_FRAME}-sample frames, and emit "
+    "per-frame energy (integer sum of squares — RMS without the "
+    "float sqrt), peak amplitude, and zero-crossing count (the "
+    "cheap voiced/unvoiced discriminator) — the classic front end "
+    "before any audio model. One-to-many mapInPandas (a payload "
+    "becomes O(duration) frame rows); integer arithmetic end to "
+    "end; trailing partial frames dropped (documented, matching the "
+    "oracle's floor-division frame count).",
+)
+def multimodal_audio_frame_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    return docs.mapInPandas(
+        _audio_frames_batches,
+        schema="doc_id bigint, frame_idx bigint, sum_sq bigint, "
+        "peak bigint, zero_crossings bigint",
+    )
