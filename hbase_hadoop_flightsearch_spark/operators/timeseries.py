@@ -1595,3 +1595,86 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "age_m")
     )
+
+
+@register(
+    "ml_eval_next_event_baseline",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS next_type
+  FROM events
+),
+transitions AS (
+  SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+best AS (
+  SELECT event_type, next_type AS predicted, n AS n_hits FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY n DESC, next_type) AS rn
+    FROM transitions
+  ) WHERE rn = 1
+),
+totals AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_total
+  FROM transitions GROUP BY event_type
+)
+SELECT b.event_type, b.predicted, t.n_total, b.n_hits,
+  ROUND(b.n_hits * 1.0 / t.n_total, 6) AS accuracy
+FROM best b JOIN totals t USING (event_type)
+ORDER BY b.event_type
+""",
+    doc="Next-event baseline model + evaluation (ML-eval family): the "
+    "majority-class sequence predictor — for each current event type, "
+    "predict the most frequent next type (count DESC + lexicographic "
+    "tiebreak) — and its exact hit rate over every observed "
+    "transition. This is THE baseline any sequence model must beat, "
+    "and computing it honestly (train and eval on the same "
+    "transition counts: the baseline's accuracy equals its class "
+    "share by construction) costs one LEAD window + O(types^2) "
+    "aggregate. One Exchange(user_id) for the sequence window; "
+    "everything after is bytes.",
+)
+def ml_eval_next_event_baseline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    transitions = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w_best = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), "next_type"
+    )
+    best = (
+        transitions.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("next_type").alias("predicted"),
+            F.col("n").alias("n_hits"),
+        )
+    )
+    totals = transitions.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_total")
+    )
+    return (
+        best.join(totals, "event_type")
+        .select(
+            "event_type",
+            "predicted",
+            "n_total",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_total"), 6).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("event_type")
+    )
