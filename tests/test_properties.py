@@ -366,3 +366,115 @@ def test_benford_fracs_sum_to_one(spark, sf_smoke):
     assert {r["digit"] for r in rows} <= set(range(1, 10))
     assert abs(sum(r["observed_frac"] for r in rows) - 1.0) < 1e-4
     assert abs(sum(r["benford_frac"] for r in rows) - 1.0) < 1e-3
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.data(),
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=30),
+)
+def test_gif_lzw_roundtrip_arbitrary_images(data, w, h):
+    """Property: ANY 8-color index grid survives GIF LZW encode+decode
+    through the full container (not just the registered pixel law)."""
+    import struct
+
+    from hbase_hadoop_flightsearch_spark.functions.multimodal import (
+        GIF_NCOLORS,
+        gif_pixels,
+        lzw_encode_gif,
+    )
+
+    idx = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=GIF_NCOLORS - 1),
+            min_size=w * h,
+            max_size=w * h,
+        )
+    )
+    hdr = b"GIF87a" + struct.pack("<HHBBB", w, h, 0x80 | 0x02, 0, 0)
+    gct = bytes(range(GIF_NCOLORS * 3))
+    desc = b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    payload = lzw_encode_gif(idx, 3)
+    blocks = bytearray([3])
+    for i in range(0, len(payload), 255):
+        chunk = payload[i: i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    rows, _ct = gif_pixels(hdr + gct + desc + bytes(blocks) + b"\x3B")
+    assert [c for r in rows for c in r] == idx
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.data(),
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=15),
+)
+def test_png_filter_roundtrip_arbitrary_images(data, w, h):
+    """Property: ANY RGB grid survives the PNG encode+decode, across all
+    five per-row filter types (encode cycles them by row)."""
+    from hbase_hadoop_flightsearch_spark.functions.multimodal import (
+        png_pixels,
+    )
+    from hbase_hadoop_flightsearch_spark.functions import multimodal as mm
+
+    px = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+            ),
+            min_size=w * h,
+            max_size=w * h,
+        )
+    )
+
+    def law(_doc, x, y):
+        return px[y * w + x]
+
+    # reuse the synth pipeline with an arbitrary law via monkey wiring:
+    # _synth_png derives dims from doc_id; build the container manually
+    # with the same filter cycling instead.
+    import struct
+    import zlib
+
+    bpp = 3
+    raw = bytearray()
+    prev = bytes(bpp * w)
+    for y in range(h):
+        row = bytes(b for x in range(w) for b in law(0, x, y))
+        f = y % 5
+        raw.append(f)
+        out = bytearray()
+        for i, v in enumerate(row):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                out.append(v)
+            elif f == 1:
+                out.append((v - left) & 0xFF)
+            elif f == 2:
+                out.append((v - up) & 0xFF)
+            elif f == 3:
+                out.append((v - (left + up) // 2) & 0xFF)
+            else:
+                out.append((v - mm._paeth(left, up, ul)) & 0xFF)
+        raw += out
+        prev = row
+
+    def chunk(ctype, payload):
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", crc)
+        )
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    rows = png_pixels(blob)
+    assert [tuple(c) for r in rows for c in r] == px
