@@ -1191,3 +1191,64 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_gini_revenue",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT cents,
+    ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+    COUNT(*) OVER () AS n,
+    SUM(cents) OVER () AS total
+  FROM per_cust
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+  CAST(MAX(total) AS BIGINT) AS total_cents,
+  ROUND((2.0 * SUM(i * cents) - (MAX(n) + 1.0) * MAX(total))
+        / (MAX(n) * MAX(total)), 6) AS gini
+FROM ranked
+""",
+    doc="Gini coefficient of per-customer revenue (the inequality "
+    "measure behind whale-risk and fairness dashboards): the exact "
+    "rank formula G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) "
+    "over cents sorted ascending with customer-key tiebreaks — every "
+    "term is an exact BIGINT product until the single final division. "
+    "Complements events_pareto_concentration (one number vs the "
+    "curve). One shuffle to per-customer cents, one ranking window "
+    "over O(customers) rows (profile-time single partition; shard by "
+    "tenant in production), O(1) output.",
+)
+def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w_rank = Window.orderBy("cents", "o_custkey")
+    w_all = Window.partitionBy()
+    ranked = per_cust.select(
+        "cents",
+        F.row_number().over(w_rank).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("cents").over(w_all).alias("total"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.max("total").cast("bigint").alias("total_cents"),
+        F.round(
+            (
+                2.0 * F.sum(F.col("i") * F.col("cents"))
+                - (F.max("n") + 1.0) * F.max("total")
+            )
+            / (F.max("n") * F.max("total")),
+            6,
+        ).alias("gini"),
+    )

@@ -445,3 +445,49 @@ def events_inter_arrival_stats(
         .filter(F.col("n_gaps") >= 20)
         .orderBy("user_id")
     )
+
+
+@register(
+    "window_yoy_change",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+    CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mth,
+    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS rev_cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT yr, mth, rev_cents,
+  LAG(rev_cents) OVER w AS prev_year_cents,
+  ROUND((rev_cents - LAG(rev_cents) OVER w) * 100.0
+        / LAG(rev_cents) OVER w, 4) AS yoy_pct
+FROM monthly
+WINDOW w AS (PARTITION BY mth ORDER BY yr)
+ORDER BY yr, mth
+""",
+    doc="Year-over-year revenue change per calendar month: the "
+    "seasonality-aware sibling of window_pct_change_mom — partitioning "
+    "the LAG window BY MONTH makes 'previous row' mean 'same month "
+    "last year', so no 12-step frame arithmetic and no seasonal "
+    "aliasing. Exact BIGINT cents into the window; one ratio rounded. "
+    "First observed year NULLs honestly.",
+)
+def window_yoy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mth"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    w = Window.partitionBy("mth").orderBy("yr")
+    prev = F.lag("rev_cents").over(w)
+    return monthly.select(
+        "yr", "mth", "rev_cents",
+        prev.alias("prev_year_cents"),
+        F.round((F.col("rev_cents") - prev) * 100.0 / prev, 4).alias(
+            "yoy_pct"
+        ),
+    ).orderBy("yr", "mth")
