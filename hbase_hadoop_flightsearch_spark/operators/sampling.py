@@ -276,3 +276,53 @@ def sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@register(
+    "sample_class_rebalance",
+    oracle="""
+WITH labeled AS (
+  SELECT event_id,
+    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_pos
+  FROM events
+),
+n_pos AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM labeled
+          WHERE is_pos = 1),
+ranked_neg AS (
+  SELECT event_id,
+    ROW_NUMBER() OVER (ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+      AS rn
+  FROM labeled WHERE is_pos = 0
+)
+SELECT event_id, 1 AS label FROM labeled WHERE is_pos = 1
+UNION ALL
+SELECT event_id, 0 FROM ranked_neg WHERE rn <= (SELECT k FROM n_pos)
+ORDER BY label, event_id
+""",
+    doc="Deterministic class rebalancing (ML prep): keep every positive "
+    "('error' events) and downsample the majority class to EXACTLY 1:1 "
+    "by md5-rank — the same salted-hash determinism as the split "
+    "operators, so the rebalanced set is reproducible, append-order-"
+    "independent, and auditable (no rand(), no stage-retry "
+    "divergence). Spark shape: one scan, the positive count broadcast "
+    "as one row, a ranking window over the negatives (rank by md5 — "
+    "at 100 TB swap the global window for per-partition quantile "
+    "cutting on the hash, same determinism); output 2*k rows.",
+)
+def sample_class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type"
+    )
+    pos = events.filter(F.col("event_type") == "error").select(
+        "event_id", F.lit(1).alias("label")
+    )
+    k = pos.agg(F.count(F.lit(1)).alias("k"))
+    w = Window.orderBy(F.md5(F.col("event_id").cast("string")), "event_id")
+    neg = (
+        events.filter(F.col("event_type") != "error")
+        .withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(k))
+        .filter(F.col("rn") <= F.col("k"))
+        .select("event_id", F.lit(0).alias("label"))
+    )
+    return pos.unionByName(neg).orderBy("label", "event_id")
