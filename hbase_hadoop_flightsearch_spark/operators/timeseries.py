@@ -1678,3 +1678,53 @@ def ml_eval_next_event_baseline(
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ts_forecast_snaive_eval",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hr,
+    EXTRACT(dow FROM ts) AS dow, EXTRACT(hour FROM ts) AS hod,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2, 3
+),
+fc AS (
+  SELECT hr, cnt,
+    LAG(cnt) OVER (PARTITION BY dow, hod ORDER BY hr) AS forecast
+  FROM hourly
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+  CAST(SUM(ABS(cnt - forecast)) AS BIGINT) AS abs_err_total,
+  ROUND(SUM(ABS(cnt - forecast)) * 1.0 / COUNT(*), 6) AS mae,
+  ROUND(SUM(ABS(cnt - forecast)) * 100.0 / SUM(cnt), 6) AS wape_pct
+FROM fc WHERE forecast IS NOT NULL
+""",
+    doc="Seasonal-naive forecast evaluation: forecast each hour's event "
+    "count as the SAME weekday-hour one week earlier (LAG partitioned "
+    "by (dow, hour) — the standard snaive baseline every forecasting "
+    "model must beat), scored by MAE and WAPE over all forecastable "
+    "hours. Error sums are exact BIGINTs; the two ratios divide once. "
+    "The same two-window shape as the seasonal-profile query (one "
+    "hourly rollup, one tiny partitioned window), O(1) output — at "
+    "100 TB the rollup is the only row-bearing stage.",
+)
+def ts_forecast_snaive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = Window.partitionBy("dow", "hod").orderBy("hr")
+    fc = hourly.withColumn("forecast", F.lag("cnt").over(w)).filter(
+        F.col("forecast").isNotNull()
+    )
+    err = F.abs(F.col("cnt") - F.col("forecast"))
+    return fc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_forecasts"),
+        F.sum(err).cast("bigint").alias("abs_err_total"),
+        F.round(F.sum(err) / F.count(F.lit(1)), 6).alias("mae"),
+        F.round(F.sum(err) * 100.0 / F.sum("cnt"), 6).alias("wape_pct"),
+    )
