@@ -1728,3 +1728,116 @@ def ts_forecast_snaive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(err) / F.count(F.lit(1)), 6).alias("mae"),
         F.round(F.sum(err) * 100.0 / F.sum("cnt"), 6).alias("wape_pct"),
     )
+
+
+PATH_TOPK = 10
+PATH_MAX_LEN = 5  # truncate long sessions to their first 5 steps
+
+
+@register(
+    "events_top_session_paths",
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w >= INTERVAL 5 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+numbered AS (
+  SELECT user_id, sid, event_type,
+    ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                       ORDER BY ts, event_id) AS step
+  FROM sess
+),
+paths AS (
+  SELECT user_id, sid,
+    string_agg(event_type, '>' ORDER BY step) AS path
+  FROM numbered WHERE step <= {PATH_MAX_LEN}
+  GROUP BY user_id, sid
+),
+counted AS (
+  SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+  FROM paths GROUP BY path
+),
+ranked AS (
+  SELECT path, n_sessions,
+    ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rnk
+  FROM counted
+)
+SELECT CAST(rnk AS INT) AS rnk, path, n_sessions
+FROM ranked WHERE rnk <= {PATH_TOPK}
+ORDER BY rnk
+""",
+    doc=f"Top-{PATH_TOPK} session paths (funnel discovery): sessionize "
+    "(5-minute gap), render each session's first "
+    f"{PATH_MAX_LEN} steps as an ordered type path, and rank paths "
+    "by session count with (count DESC, path) determinism — the "
+    "exploratory mirror of the fixed-funnel query: instead of "
+    "checking a hypothesized funnel, surface the funnels users "
+    "actually walk. Truncation at {PATH_MAX_LEN} steps bounds path "
+    "cardinality (untruncated paths explode combinatorially at "
+    "100 TB). All three windows share the one (user_id, ts, "
+    "event_id) sort; the path rollup shuffles O(distinct paths).",
+)
+def events_top_session_paths(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 5 * 60 * 1_000_000
+    marked = events.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                >= gap_us
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = marked.withColumn(
+        "sid",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    w_step = Window.partitionBy("user_id", "sid").orderBy(
+        "ts", "event_id"
+    )
+    numbered = sess.withColumn(
+        "step", F.row_number().over(w_step)
+    ).filter(F.col("step") <= PATH_MAX_LEN)
+    paths = numbered.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("step", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    w_rank = Window.orderBy(F.col("n_sessions").desc(), "path")
+    return (
+        counted.withColumn(
+            "rnk", F.row_number().over(w_rank).cast("int")
+        )
+        .filter(F.col("rnk") <= PATH_TOPK)
+        .select("rnk", "path", "n_sessions")
+        .orderBy("rnk")
+    )
