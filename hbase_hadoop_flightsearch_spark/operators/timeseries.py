@@ -1782,7 +1782,7 @@ ORDER BY rnk
     "by session count with (count DESC, path) determinism — the "
     "exploratory mirror of the fixed-funnel query: instead of "
     "checking a hypothesized funnel, surface the funnels users "
-    "actually walk. Truncation at {PATH_MAX_LEN} steps bounds path "
+    f"actually walk. Truncation at {PATH_MAX_LEN} steps bounds path "
     "cardinality (untruncated paths explode combinatorially at "
     "100 TB). All three windows share the one (user_id, ts, "
     "event_id) sort; the path rollup shuffles O(distinct paths).",
