@@ -619,3 +619,175 @@ def test_exif_orientation_both_byte_orders_and_absence():
     # plain JPEG without APP1 -> None; non-JPEG -> None
     assert jpeg_exif_orientation(_jpeg(10, 10)) is None
     assert jpeg_exif_orientation(b"nope") is None
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec (the last real pixel path)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_synth_decode_matches_law_exactly():
+    """The block-constant corpus makes the lossy codec integer-exact:
+    flat blocks are DC-only and a uniform-8 quant table divides the DC
+    losslessly, so decoded Y/Cb/Cr equal the law byte-for-byte and RGB
+    equals the fixed-point conversion of the law."""
+    from hbase_hadoop_flightsearch_spark.functions.multimodal import (
+        JPEG_BH_MOD,
+        JPEG_BW_MOD,
+        _jpeg_block_law,
+        _synth_jpeg,
+        jpeg_decode,
+    )
+
+    for doc_id in (0, 1, 5, 7, 42, 199, 254, 499):
+        out = jpeg_decode(_synth_jpeg(doc_id))
+        bw = doc_id % JPEG_BW_MOD + 1
+        bh = doc_id % JPEG_BH_MOD + 1
+        assert (out["w"], out["h"]) == (8 * bw, 8 * bh)
+        for by in range(bh):
+            for bx in range(bw):
+                yv, cb, cr = _jpeg_block_law(doc_id, bx, by)
+                blk = out["ycbcr"][
+                    8 * by: 8 * by + 8, 8 * bx: 8 * bx + 8
+                ]
+                assert (blk == (yv, cb, cr)).all(), (doc_id, bx, by)
+                # fixed-point RGB, clamped — decoder's documented law
+                r = min(255, max(0, yv + ((91881 * (cr - 128) + 32768) >> 16)))
+                g = min(255, max(0, yv + ((-22554 * (cb - 128)
+                                           - 46802 * (cr - 128) + 32768) >> 16)))
+                b = min(255, max(0, yv + ((116130 * (cb - 128) + 32768) >> 16)))
+                rgbblk = out["rgb"][
+                    8 * by: 8 * by + 8, 8 * bx: 8 * bx + 8
+                ]
+                assert (rgbblk == (r, g, b)).all(), (doc_id, bx, by)
+
+
+def test_jpeg_decoder_rejects_garbage_and_names_unsupported():
+    import struct
+
+    import pytest as _pytest
+
+    from hbase_hadoop_flightsearch_spark.functions.multimodal import (
+        jpeg_decode,
+    )
+
+    assert jpeg_decode(b"not a jpeg") is None
+    assert jpeg_decode(b"\x89PNG\r\n\x1a\n") is None
+    # progressive (SOF2) raises with a NAMED error, not a crash
+    sof2 = (b"\xff\xd8\xff\xc2" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 8, 8) + b"\x01\x01\x11\x00")
+    with _pytest.raises(ValueError, match="progressive"):
+        jpeg_decode(sof2)
+    # truncated entropy stream raises, never hangs
+    from hbase_hadoop_flightsearch_spark.functions.multimodal import (
+        _synth_jpeg,
+    )
+    good = _synth_jpeg(42)
+    with _pytest.raises((ValueError, IndexError)):
+        jpeg_decode(good[: len(good) - 4] + b"\xff\xd9")
+
+
+@pytest.mark.skipif(
+    __import__("shutil").which("javac") is None
+    or __import__("shutil").which("java") is None,
+    reason="JDK not on PATH",
+)
+def test_jpeg_codec_interops_with_java_imageio(tmp_path):
+    """(a) JPEGs written here — including the one-symbol EOB Huffman
+    table — decode in Java ImageIO within the spec's IDCT tolerance of
+    our own decode; (b) JPEGs written by ImageIO (its own quant tables,
+    its own subsampling choice) decode here within lossy-codec tolerance
+    of the original pixels. JPEG is lossy, so unlike the GIF/PNG interop
+    the assertion is a tight band (<= 4/255 per channel on flat blocks),
+    not equality — that band is what the T.81 IDCT accuracy clause plus
+    one quantization round trip permits."""
+    import subprocess
+
+    from hbase_hadoop_flightsearch_spark.functions.multimodal import (
+        _synth_jpeg,
+        jpeg_decode,
+    )
+
+    java_src = """
+import java.awt.image.BufferedImage;
+import java.io.File;
+import javax.imageio.ImageIO;
+public class JpegXCheck {
+  public static void main(String[] a) throws Exception {
+    if (a[0].equals("encode")) {
+      int id = Integer.parseInt(a[2]), w = Integer.parseInt(a[3]), h = Integer.parseInt(a[4]);
+      BufferedImage img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB);
+      for (int y = 0; y < h; y++) for (int x = 0; x < w; x++) {
+        int tx = x / 16, ty = y / 16;
+        int r = (id + 37*tx + 53*ty) % 256, g = (2*id + 41*tx + 59*ty) % 256, b = (3*id + 43*tx + 61*ty) % 256;
+        img.setRGB(x, y, (r << 16) | (g << 8) | b);
+      }
+      ImageIO.write(img, "jpg", new File(a[1]));
+    } else {
+      BufferedImage img = ImageIO.read(new File(a[1]));
+      System.out.println(img.getWidth() + " " + img.getHeight());
+      StringBuilder sb = new StringBuilder();
+      for (int y = 0; y < img.getHeight(); y++) {
+        for (int x = 0; x < img.getWidth(); x++) {
+          int p = img.getRGB(x, y);
+          sb.append((p>>16)&255).append(',').append((p>>8)&255).append(',').append(p&255).append(' ');
+        }
+        sb.append('\\n');
+      }
+      System.out.print(sb);
+    }
+  }
+}
+"""
+    (tmp_path / "JpegXCheck.java").write_text(java_src)
+    subprocess.run(
+        ["javac", "JpegXCheck.java"], cwd=tmp_path, check=True,
+        capture_output=True,
+    )
+
+    def java(*args):
+        return subprocess.run(
+            ["java", "-cp", str(tmp_path), "JpegXCheck", *args],
+            check=True, capture_output=True, text=True,
+        ).stdout
+
+    # (a) ours -> Java: ImageIO accepts the file and lands within the
+    # IDCT-tolerance band of our own decode of the same bytes.
+    for doc_id in (7, 42, 101):
+        p = tmp_path / f"ours{doc_id}.jpg"
+        p.write_bytes(_synth_jpeg(doc_id))
+        mine = jpeg_decode(p.read_bytes())["rgb"]
+        out = java("decode", str(p)).splitlines()
+        w, h = map(int, out[0].split())
+        assert (w, h) == (mine.shape[1], mine.shape[0])
+        worst = 0
+        for y in range(h):
+            cells = out[1 + y].split()
+            for x in range(w):
+                rgb = tuple(map(int, cells[x].split(",")))
+                for c in range(3):
+                    worst = max(worst, abs(rgb[c] - int(mine[y, x, c])))
+        assert worst <= 4, f"doc {doc_id}: max channel diff {worst}"
+
+    # (b) Java -> ours: 32x32, constant per 16x16 tile so ImageIO's
+    # subsampling choice (4:2:0 for TYPE_INT_RGB) cannot smear edges.
+    for doc_id in (11, 254):
+        p = tmp_path / f"java{doc_id}.jpg"
+        java("encode", str(p), str(doc_id), "32", "32")
+        out = jpeg_decode(p.read_bytes())
+        assert (out["w"], out["h"]) == (32, 32)
+        worst = 0
+        for y in range(32):
+            ty = y // 16
+            for x in range(32):
+                tx = x // 16
+                want = (
+                    (doc_id + 37 * tx + 53 * ty) % 256,
+                    (2 * doc_id + 41 * tx + 59 * ty) % 256,
+                    (3 * doc_id + 43 * tx + 61 * ty) % 256,
+                )
+                for c in range(3):
+                    worst = max(
+                        worst, abs(want[c] - int(out["rgb"][y, x, c]))
+                    )
+        assert worst <= 4, f"doc {doc_id}: max channel diff {worst}"
