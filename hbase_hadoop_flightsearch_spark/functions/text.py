@@ -1187,14 +1187,17 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = pairs.collect()[0]  # one scalar row per iteration
         merges.append((rank, best["l"], best["r"], best["l"] + best["r"],
                        int(best["c"])))
+        # Column-literal replace: the winning pair is DATA and must never
+        # be spliced into a SQL string (a token containing ' or \\ would
+        # break the expression parse) — F.lit carries any bytes safely.
         words = words.select(
             "word",
             "n",
             F.trim(
-                F.expr(
-                    "replace(' ' || t || ' ', "
-                    f"' {best['l']}  {best['r']} ', "
-                    f"' {best['l']}{best['r']} ')"
+                F.replace(
+                    F.concat(F.lit(" "), F.col("t"), F.lit(" ")),
+                    F.lit(f" {best['l']}  {best['r']} "),
+                    F.lit(f" {best['l']}{best['r']} "),
                 )
             ).alias("t"),
         ).localCheckpoint(eager=True)

@@ -72,3 +72,39 @@ def test_bpe_merges_deterministic_and_wellformed(spark, sf_smoke):
     for r in a:
         assert r["merged"] == r["pair_left"] + r["pair_right"]
         assert r["pair_count"] > 0
+
+
+def test_bpe_merge_apply_survives_quote_bearing_tokens(spark, tmp_path):
+    """A winning pair containing ' (or \\) must not break the merge
+    apply: the replace is built from column LITERALS, never spliced into
+    a SQL string (VERDICT r5 #3). Corpus: \"don't\" x5 forces the
+    apostrophe into the winning pair of merge 1 and into the SEARCH
+    literal of merges 3-4."""
+    import pandas as pd
+
+    from hbase_hadoop_flightsearch_spark.plans.registry import load_all
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(6)),
+            "text": ["don't"] * 5 + ["zz"],
+            "lang": ["en"] * 6,
+            "source": ["t"] * 6,
+            "n_chars": [5] * 5 + [2],
+        }
+    )
+    sf = tmp_path / "sfq"
+    sf.mkdir()
+    pdf.to_parquet(sf / "documents.parquet")
+    q = load_all()["text_bpe_train_merges"]
+    got = [
+        (r["merge_rank"], r["pair_left"], r["pair_right"], r["merged"],
+         r["pair_count"])
+        for r in q.fn(spark, str(sf)).collect()
+    ]
+    assert got == [
+        (1, "'", "t", "'t", 5),
+        (2, "d", "o", "do", 5),
+        (3, "do", "n", "don", 5),
+        (4, "don", "'t", "don't", 5),
+    ]
