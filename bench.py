@@ -56,9 +56,24 @@ def main() -> None:
     for q in headline:
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Load guard (VERDICT r5 #6): the two queries whose hot stage is
+    # Python-side codec/CC work are the most sensitive to a contended box
+    # (their pins were taken at loadavg ~1-2; readings at loadavg 6+ drift
+    # ~6%). On a loaded box, take median-of-5 for those so BENCH_r{N}
+    # stays adjudicable against the 2x bar without a quiet-box re-run.
+    PY_STAGE = {"dedup_image_phash", "pipeline_corpus_prep_neardup"}
+    loaded_box = load_before > 4.0
+    if loaded_box:
+        print(
+            f"bench: loadavg_1m {load_before:.2f} > 4 — contended box; "
+            f"using median-of-{max(runs, 5)} for {sorted(PY_STAGE)}",
+            file=sys.stderr,
+        )
+
     timings: dict[str, float] = {}
     for q in headline:
-        timings[q.name] = round(time_query(spark, q, sf_dir, runs), 4)
+        q_runs = max(runs, 5) if (loaded_box and q.name in PY_STAGE) else runs
+        timings[q.name] = round(time_query(spark, q, sf_dir, q_runs), 4)
 
     total = round(sum(timings.values()), 4)
     load_after = os.getloadavg()[0]
@@ -73,6 +88,9 @@ def main() -> None:
                 "loadavg_1m_before": round(load_before, 2),
                 "loadavg_1m_after": round(load_after, 2),
                 "n_cpus": os.cpu_count(),
+                "loaded_box_medians": sorted(PY_STAGE)
+                if loaded_box
+                else [],
             }
         )
     )
