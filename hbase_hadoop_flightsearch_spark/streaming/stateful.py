@@ -92,12 +92,16 @@ def user_activity_stateful(stream_events: DataFrame) -> DataFrame:
 # on BOTH APIs proves the engine tracks the current-generation operator
 # surface, not just the legacy one.
 #
-# Environment gate: the transformWithState runtime spawns a Python state
-# server that talks protobuf to the JVM; `google.protobuf` is not
-# installed in this container, so the incremental path skips in tests here
-# (it runs unmodified where pyspark[connect]/protobuf is present). The
+# Environment note: the transformWithState runtime spawns a Python state
+# server that talks protobuf to the JVM, so `google.protobuf` must be on
+# the worker PYTHONPATH. The test suite shims a pure-Python protobuf
+# runtime found on this box (tests/conftest.py) and the incremental
+# RocksDB-backed run executes for real, converging to the batch twin
+# (test_transform_with_state_converges_to_batch). On a box with neither
+# pip protobuf nor the shim source, that one test importorskips; the
 # batch twin below is oracle-checked either way, and the legacy
-# applyInPandasWithState operator above proves incremental convergence.
+# applyInPandasWithState operator above also proves incremental
+# convergence.
 
 TWS_OUTPUT_SCHEMA = (
     "user_id bigint, n_events bigint, total_value double, "

@@ -7,6 +7,34 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Environment shim (VERDICT r5 #8): transformWithStateInPandas' Python
+# state server needs `google.protobuf`, which isn't pip-installed here.
+# A pure-Python protobuf runtime ships on this box inside the Google
+# Cloud SDK's App Engine platform dir; when the real package is absent
+# and that dir exists, put it on BOTH sys.path (driver) and PYTHONPATH
+# (inherited by the JVM -> Python workers, so the state server sees it
+# too). Must happen BEFORE the first SparkSession. Harmless elsewhere:
+# on boxes with protobuf installed or without the SDK this is a no-op,
+# and no engine code depends on it — only the transformWithState test
+# un-skips.
+_GAE_PROTOBUF_DIR = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+try:
+    import google.protobuf  # noqa: F401
+except ImportError:
+    if os.path.isdir(os.path.join(_GAE_PROTOBUF_DIR, "google", "protobuf")):
+        sys.path.insert(0, _GAE_PROTOBUF_DIR)
+        os.environ["PYTHONPATH"] = (
+            _GAE_PROTOBUF_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
+        )
+        # The SDK runtime is 6.32.0-dev; pyspark 4.1.2's StateMessage
+        # gencode is 6.33.0, one MINOR newer, and protobuf's validator
+        # rejects older-runtime-than-gencode. Protobuf's own documented
+        # escape hatch covers exactly this adjacent-version case; scoped
+        # to the test env only (conftest), never set by engine code.
+        os.environ.setdefault(
+            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+        )
+
 from hbase_hadoop_flightsearch_spark.session import get_spark
 
 SF_SMOKE = "/root/testdata/sf0.001"
