@@ -59,4 +59,7 @@ def sf_smoke() -> str:
 
 @pytest.fixture(scope="session")
 def sf_correctness() -> str:
-    return SF_CORRECTNESS
+    # Overridable so the oracle-differential suite can run over an
+    # alternate-seed corpus (tools/gen_altseed.py) — the fixture
+    # robustness sweep; default stays the driver fixture.
+    return os.environ.get("SPARK_GRAFT_SF_CORRECTNESS", SF_CORRECTNESS)
