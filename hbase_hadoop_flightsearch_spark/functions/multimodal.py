@@ -2144,3 +2144,250 @@ def multimodal_jpeg_pixel_stats(
         "sum_cr bigint, sum_r bigint, sum_g bigint, sum_b bigint, "
         "checksum bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# AVI video: real RIFF container walk + uncompressed DIB frame decode
+# ---------------------------------------------------------------------------
+# The video leg of E13. AVI is the RIFF container (same chunk discipline as
+# the WAV walker above) holding a stream-header list and a movie list of
+# per-frame chunks; with biCompression=0 the frames are raw bottom-up BGR
+# DIBs — the same pixel layout the BMP decoder handles. Everything here is
+# pure struct/stdlib; only COMPRESSED codecs (H.264 etc.) stay env-stubbed.
+
+AVI_W_MOD, AVI_H_MOD, AVI_F_MOD = 5, 3, 4
+# w = doc_id % 5 + 2, h = doc_id % 3 + 2, frames = doc_id % 4 + 2
+
+
+def _avi_pixel_law(doc_id: int, f: int, x: int, y: int) -> tuple:
+    """(r, g, b) at (x, y) of frame f — the BMP/PNG law family plus a
+    frame term, so temporal stats genuinely vary per frame."""
+    return (
+        (doc_id + 3 * x + 7 * y + 11 * f) % 256,
+        (2 * doc_id + 5 * x + 11 * y + 13 * f) % 256,
+        (3 * doc_id + 13 * x + 17 * y + 19 * f) % 256,
+    )
+
+
+def _synth_avi(doc_id: int) -> bytes:
+    """Spec-layout uncompressed AVI: RIFF('AVI ') -> LIST(hdrl) with avih
+    + LIST(strl){strh 'vids'/raw, strf BITMAPINFOHEADER biCompression=0}
+    -> LIST(movi) with one '00db' raw bottom-up BGR DIB chunk per frame
+    (rows 4-byte padded, chunks even-padded per RIFF) -> idx1."""
+    import struct
+
+    w = doc_id % AVI_W_MOD + 2
+    h = doc_id % AVI_H_MOD + 2
+    nframes = doc_id % AVI_F_MOD + 2
+    stride = (3 * w + 3) & ~3
+
+    def frame_bytes(f: int) -> bytes:
+        out = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up
+            row = bytearray()
+            for x in range(w):
+                r, g, b = _avi_pixel_law(doc_id, f, x, y)
+                row += bytes((b, g, r))  # BGR
+            row += bytes(stride - 3 * w)
+            out += row
+        return bytes(out)
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(listtype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", listtype + data)
+
+    frame_size = stride * h
+    avih = struct.pack(
+        "<14I", 40000, frame_size * 25, 0, 0x10, nframes, 0, 1,
+        frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh", b"vids", b"DIB ", 0, 0, 0, 0, 1, 25,
+        0, nframes, frame_size, 0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    frames = [chunk(b"00db", frame_bytes(f)) for f in range(nframes)]
+    movi = lst(b"movi", b"".join(frames))
+    # idx1: one entry per frame (offset relative to movi list data start)
+    off = 4
+    idx = bytearray()
+    for fr in frames:
+        idx += b"00db" + struct.pack("<III", 0x10, off + 8, len(fr) - 8 - (len(fr) % 2))
+        off += len(fr)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_frames(payload: bytes):
+    """REAL AVI decode (pure stdlib): verify the RIFF/'AVI ' envelope,
+    walk LIST chunks honoring even-padding, read dimensions + declared
+    frame count from avih, require biCompression=0 in strf (compressed
+    codecs raise with a named error), then decode every '00db'/'00dc'
+    movi chunk as a bottom-up 24-bit BGR DIB. Returns a list of frames,
+    each a list of rows of (r, g, b) tuples, top-down. Non-AVI payloads
+    return None."""
+    import struct
+
+    p = payload
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"AVI ":
+        return None
+
+    def walk(pos: int, end: int):
+        while pos + 8 <= end:
+            fourcc = p[pos: pos + 4]
+            (size,) = struct.unpack_from("<I", p, pos + 4)
+            yield fourcc, pos + 8, size
+            pos += 8 + size + (size % 2)
+
+    w = h = None
+    declared_frames = None
+    compression = None
+    frames = []
+
+    def handle_list(pos: int, end: int) -> None:
+        nonlocal w, h, declared_frames, compression
+        for fourcc, dpos, size in walk(pos, end):
+            if fourcc == b"LIST":
+                handle_list(dpos + 4, dpos + size)
+            elif fourcc == b"avih":
+                vals = struct.unpack_from("<14I", p, dpos)
+                declared_frames = vals[4]
+                w, h = vals[8], vals[9]
+            elif fourcc == b"strf" and compression is None:
+                # BITMAPINFOHEADER: biSize, biWidth, biHeight, planes,
+                # bitcount, biCompression, ...
+                _, bw, bh, _, bits, compression = struct.unpack_from(
+                    "<IiiHHI", p, dpos
+                )
+                if compression != 0 or bits != 24:
+                    raise ValueError(
+                        f"unsupported AVI codec: biCompression={compression} "
+                        f"bits={bits} (only raw 24-bit DIB is decodable "
+                        "without external codec libraries)"
+                    )
+            elif fourcc in (b"00db", b"00dc"):
+                if w is None:
+                    raise ValueError("movi chunk before avih header")
+                stride = (3 * w + 3) & ~3
+                if size < stride * h:
+                    raise ValueError("truncated video frame chunk")
+                rows = []
+                for y in range(h - 1, -1, -1):
+                    base = dpos + y * stride
+                    rows.append(
+                        [
+                            (
+                                p[base + 3 * x + 2],
+                                p[base + 3 * x + 1],
+                                p[base + 3 * x],
+                            )
+                            for x in range(w)
+                        ]
+                    )
+                frames.append(rows)
+
+    handle_list(12, 8 + struct.unpack_from("<I", p, 4)[0])
+    if declared_frames is not None and len(frames) != declared_frames:
+        raise ValueError(
+            f"frame count mismatch: avih declares {declared_frames}, "
+            f"movi holds {len(frames)}"
+        )
+    return frames
+
+
+def _video_stats_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            frames = avi_frames(_synth_avi(d))
+            w = len(frames[0][0])
+            for f, frame in enumerate(frames):
+                n = sr = sg = sb = ck = 0
+                for y, row in enumerate(frame):
+                    for x, (r, g, b) in enumerate(row):
+                        n += 1
+                        sr += r
+                        sg += g
+                        sb += b
+                        ck += (y * w + x + 1) * (r + 2 * g + 3 * b)
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "frame_idx": f,
+                        "n_px": n,
+                        "sum_r": sr,
+                        "sum_g": sg,
+                        "sum_b": sb,
+                        "checksum": ck,
+                    }
+                )
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "multimodal_video_frame_stats",
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id,
+         doc_id % {AVI_W_MOD} + 2 AS w,
+         doc_id % {AVI_H_MOD} + 2 AS h,
+         doc_id % {AVI_F_MOD} + 2 AS nf
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, fs.f AS frame_idx, d.w, xs.x, ys.y,
+    (d.doc_id + 3 * xs.x + 7 * ys.y + 11 * fs.f) % 256 AS r,
+    (2 * d.doc_id + 5 * xs.x + 11 * ys.y + 13 * fs.f) % 256 AS g,
+    (3 * d.doc_id + 13 * xs.x + 17 * ys.y + 19 * fs.f) % 256 AS b
+  FROM dims d
+  JOIN (SELECT unnest(generate_series(0, {AVI_F_MOD})) AS f) fs
+    ON fs.f < d.nf
+  JOIN (SELECT unnest(generate_series(0, {AVI_W_MOD})) AS x) xs
+    ON xs.x < d.w
+  JOIN (SELECT unnest(generate_series(0, {AVI_H_MOD})) AS y) ys
+    ON ys.y < d.h
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+  CAST(COUNT(*) AS BIGINT) AS n_px,
+  CAST(SUM(r) AS BIGINT) AS sum_r,
+  CAST(SUM(g) AS BIGINT) AS sum_g,
+  CAST(SUM(b) AS BIGINT) AS sum_b,
+  CAST(SUM((y * w + x + 1) * (r + 2 * g + 3 * b)) AS BIGINT)
+    AS checksum
+FROM px GROUP BY doc_id, frame_idx
+""",
+    doc="REAL video decode (E13's video leg): synthesize spec-layout "
+    "uncompressed AVIs (RIFF envelope, hdrl/strl header lists, movi "
+    "frame chunks, idx1) and decode the actual bytes back — recursive "
+    "RIFF LIST walk with even-padding, avih/strf validation "
+    "(compressed codecs raise a NAMED error), per-frame bottom-up "
+    "24-bit BGR DIB decode with 4-byte row stride, frame-count "
+    "cross-check against the declared header. One payload fans out to "
+    "O(frames) rows (the frame-sampling shape every video pipeline "
+    "needs); integer-exact per-frame channel stats + position-weighted "
+    "checksum. Arrow-batched mapInPandas; doc_id-only scan, no "
+    "shuffle. Only compressed codecs (H.264/VP9/...) remain "
+    "env-stubbed — the container and raw-frame layer is fully real.",
+)
+def multimodal_video_frame_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _video_stats_batches,
+        schema="doc_id bigint, frame_idx bigint, n_px bigint, "
+        "sum_r bigint, sum_g bigint, sum_b bigint, checksum bigint",
+    )

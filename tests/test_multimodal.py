@@ -791,3 +791,88 @@ public class JpegXCheck {
                         worst, abs(want[c] - int(out["rgb"][y, x, c]))
                     )
         assert worst <= 4, f"doc {doc_id}: max channel diff {worst}"
+
+
+# ---------------------------------------------------------------------------
+# AVI video container + raw-frame decode
+# ---------------------------------------------------------------------------
+
+
+def test_avi_synth_decode_matches_law_all_frames():
+    from hbase_hadoop_flightsearch_spark.functions.multimodal import (
+        AVI_F_MOD,
+        AVI_H_MOD,
+        AVI_W_MOD,
+        _avi_pixel_law,
+        _synth_avi,
+        avi_frames,
+    )
+
+    for doc_id in (0, 1, 7, 42, 59, 254):
+        frames = avi_frames(_synth_avi(doc_id))
+        w = doc_id % AVI_W_MOD + 2
+        h = doc_id % AVI_H_MOD + 2
+        assert len(frames) == doc_id % AVI_F_MOD + 2
+        for f, frame in enumerate(frames):
+            assert len(frame) == h and len(frame[0]) == w
+            for y, row in enumerate(frame):
+                for x, px in enumerate(row):
+                    assert px == _avi_pixel_law(doc_id, f, x, y)
+
+
+def test_avi_decoder_rejects_garbage_and_names_codec_errors():
+    import struct
+
+    import pytest as _pytest
+
+    from hbase_hadoop_flightsearch_spark.functions.multimodal import (
+        _synth_avi,
+        avi_frames,
+    )
+
+    assert avi_frames(b"not an avi") is None
+    assert avi_frames(b"RIFF\x04\x00\x00\x00WAVE") is None  # RIFF, not AVI
+    # Compressed codec must raise a NAMED error, not garbage output:
+    # flip biCompression in strf from 0 to 'MJPG'.
+    good = bytearray(_synth_avi(7))
+    strf_at = bytes(good).index(b"strf") + 8
+    struct.pack_into("<I", good, strf_at + 16, 0x47504A4D)  # 'MJPG'
+    with _pytest.raises(ValueError, match="unsupported AVI codec"):
+        avi_frames(bytes(good))
+    # Declared-vs-actual frame-count mismatch is detected via avih.
+    good2 = bytearray(_synth_avi(7))
+    avih_at = bytes(good2).index(b"avih") + 8
+    struct.pack_into("<I", good2, avih_at + 16, 99)  # dwTotalFrames
+    with _pytest.raises(ValueError, match="frame count mismatch"):
+        avi_frames(bytes(good2))
+
+
+def test_avi_walker_honors_riff_even_padding():
+    """An odd-sized chunk inserted before movi must not desync the walk
+    (RIFF pads odd chunks with one byte that is NOT counted in the
+    size)."""
+    import struct
+
+    from hbase_hadoop_flightsearch_spark.functions.multimodal import (
+        _synth_avi,
+        avi_frames,
+    )
+
+    base = _synth_avi(3)
+    baseline = avi_frames(base)
+    movi_at = base.index(b"LIST", 12 + 4)  # first LIST is hdrl; find movi
+    # locate the movi LIST specifically
+    pos = 12
+    while True:
+        fourcc = base[pos: pos + 4]
+        (size,) = struct.unpack_from("<I", base, pos + 4)
+        if fourcc == b"LIST" and base[pos + 8: pos + 12] == b"movi":
+            movi_at = pos
+            break
+        pos += 8 + size + (size % 2)
+    junk = b"JUNK" + struct.pack("<I", 3) + b"odd" + b"\x00"  # padded
+    patched = bytearray(base[:movi_at] + junk + base[movi_at:])
+    struct.pack_into(
+        "<I", patched, 4, struct.unpack_from("<I", patched, 4)[0] + len(junk)
+    )
+    assert avi_frames(bytes(patched)) == baseline
