@@ -339,3 +339,224 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.timeseries import anomaly_zscore
 
     return anomaly_zscore(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# transformWithState with EVENT-TIME TIMERS + ListState: session close-out
+# ---------------------------------------------------------------------------
+# The second current-gen StatefulProcessor, covering the API surface the
+# span accumulator doesn't: event-time timeMode, per-key timer
+# registration/deletion, handleExpiredTimer emission, and ListState. A
+# session (gap > TWS_SESSION_GAP_US) closes in one of two ways — a later
+# in-key event proves the gap (emitted from handleInputRows), or the
+# WATERMARK passes end + gap with no such event and the registered timer
+# fires (emitted from handleExpiredTimer). State per key is one
+# fixed-width ValueState + a <=3-element ListState (the session's top-3
+# event values) — O(users), never O(events).
+
+TWS_SESSION_GAP_US = 21_600_000_000  # 6 h: the events fixture is sparse
+# (~67 events/user over 30 days), so a sub-hour gap would make every
+# session a singleton; 6 h yields real multi-event sessions for heavy
+# users while staying semantically a "session".
+TWS_TOP_N = 3
+
+
+def _make_session_processor():
+    """Factory (deferred import: StatefulProcessor needs pyspark >= 4)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = TWS_SESSION_GAP_US
+
+    class SessionTimerProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState(
+                "sess", "start_us bigint, end_us bigint, n bigint, "
+                "total double",
+            )
+            self._top = handle.getListState("top3", "v double")
+
+        def _row(self, key) -> pd.DataFrame:
+            start, end, n, total = self._sess.get()
+            top = sorted(
+                (r[0] for r in self._top.get()), reverse=True
+            )[:TWS_TOP_N]
+            self._sess.clear()
+            self._top.clear()
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_us": [start],
+                    "session_end_us": [end],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                    "top3_sum": [round(sum(top), 2)],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            evs = []
+            for pdf in rows:
+                evs.extend(
+                    zip(pdf["ts_us"].astype("int64"), pdf["value"])
+                )
+            evs.sort()
+            out = []
+            for t, v in evs:
+                t = int(t)
+                if self._sess.exists():
+                    start, end, n, total = self._sess.get()
+                    if t - end > gap_us:  # in-key gap proof: close now
+                        out.append(self._row(key))
+                        start, end, n, total = t, t, 0, 0.0
+                else:
+                    start, end, n, total = t, t, 0, 0.0
+                self._sess.update(
+                    (start, max(end, t), n + 1, total + float(v))
+                )
+                top = sorted(
+                    [r[0] for r in self._top.get()] + [float(v)],
+                    reverse=True,
+                )[:TWS_TOP_N]
+                self._top.put([(x,) for x in top])
+            # re-arm: exactly one live timer per key, at end + gap
+            for old in self._handle.listTimers():
+                self._handle.deleteTimer(old)
+            end_ms = self._sess.get()[1] // 1000
+            self._handle.registerTimer(end_ms + gap_us // 1000)
+            yield from iter(out)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # Guard against a stale timer racing a same-batch extension:
+            # only close if the expiry really covers end + gap.
+            if self._sess.exists():
+                end_ms = self._sess.get()[1] // 1000
+                if expiredTimerInfo.getExpiryTimeInMs() >= (
+                    end_ms + TWS_SESSION_GAP_US // 1000
+                ):
+                    yield self._row(key)
+
+        def close(self) -> None:
+            pass
+
+    return SessionTimerProcessor()
+
+
+TWS_SESSION_SCHEMA = (
+    "user_id bigint, session_start_us bigint, session_end_us bigint, "
+    "n_events bigint, total_value double, top3_sum double"
+)
+
+
+def user_sessions_tws(stream_events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas sessionization with event-time timers.
+    Caller must enable the RocksDB state store provider and the input
+    must carry a watermark (timeMode='EventTime')."""
+    prepared = stream_events.select(
+        "user_id", "value", F.unix_micros("ts").alias("ts_us"), "ts"
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_session_processor(),
+        outputStructType=TWS_SESSION_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+
+
+@register(
+    "stream_tws_sessions_top3",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus, value FROM events
+),
+lagd AS (
+  SELECT *, LAG(tus) OVER (PARTITION BY user_id ORDER BY tus) AS prev
+  FROM e
+),
+marks AS (
+  SELECT *, CASE WHEN prev IS NULL
+                   OR tus - prev > {TWS_SESSION_GAP_US} THEN 1 ELSE 0
+            END AS new_s
+  FROM lagd
+),
+sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                               ORDER BY value DESC, tus) AS vr
+  FROM sess
+)
+SELECT user_id,
+  MIN(tus) AS session_start_us,
+  MAX(tus) AS session_end_us,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  ROUND(SUM(value), 2) AS total_value,
+  ROUND(SUM(CASE WHEN vr <= {TWS_TOP_N} THEN value ELSE 0 END), 2)
+    AS top3_sum
+FROM ranked
+GROUP BY user_id, sid
+""",
+    doc="Batch twin of the timer-closing transformWithState "
+    "sessionization (E14, Spark 4 StatefulProcessor with EVENT-TIME "
+    f"TIMERS + ListState): {TWS_SESSION_GAP_US // 3_600_000_000}h-gap "
+    "sessions per user with event count, value total, and top-3 value "
+    "sum (the ListState's job — a metric a plain running aggregate "
+    "can't keep). Batch plan is the gaps-and-islands classic: LAG gap "
+    "marks -> running-sum session ids -> per-session aggregates + "
+    "windowed top-3. The incremental path — sessions closed by "
+    "in-key gap proof OR by the watermark-driven timer — is proven "
+    "against this twin across multi-microbatch replay in "
+    "tests/test_streaming.py.",
+)
+def stream_tws_sessions_top3(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "user_id", F.unix_micros("ts").alias("tus"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("tus")
+    marks = e.withColumn("prev", F.lag("tus").over(w)).withColumn(
+        "new_s",
+        F.when(
+            F.col("prev").isNull()
+            | (F.col("tus") - F.col("prev") > TWS_SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = marks.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ranked = sess.withColumn(
+        "vr",
+        F.row_number().over(
+            Window.partitionBy("user_id", "sid").orderBy(
+                F.desc("value"), F.asc("tus")
+            )
+        ),
+    )
+    return ranked.groupBy("user_id", "sid").agg(
+        F.min("tus").alias("session_start_us"),
+        F.max("tus").alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(
+            F.sum(
+                F.when(F.col("vr") <= TWS_TOP_N, F.col("value")).otherwise(
+                    0.0
+                )
+            ),
+            2,
+        ).alias("top3_sum"),
+    ).drop("sid")

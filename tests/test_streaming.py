@@ -970,3 +970,94 @@ def test_quality_gate_quarantine_split_streams(spark, sf_smoke, tmp_path):
     # no event lost or duplicated across the split
     assert clean.count() + quar.count() == want.count()
     assert os.path.isdir(quar_dir)
+
+
+def test_tws_timer_sessions_converge_to_batch(spark, sf_smoke, tmp_path):
+    """The timer-closing transformWithState sessionizer (EVENT-TIME
+    timeMode, per-key timers, ListState top-3) must agree with its batch
+    gaps-and-islands twin. Events are staged time-sorted into THREE files
+    (maxFilesPerTrigger=1), so the watermark advances across microbatches
+    and sessions close BOTH ways: by in-key gap proof and by timer
+    expiry. Every emitted session must exist in the batch result, and
+    every batch session except possibly each user's LAST (whose closing
+    timer may have no later watermark to fire under) must be emitted."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state server requires protobuf",
+    )
+    from hbase_hadoop_flightsearch_spark.streaming.stateful import (
+        stream_tws_sessions_top3,
+        user_sessions_tws,
+    )
+
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, provider)
+    try:
+        src = tmp_path / "tws_sess_src"
+        src.mkdir()
+        events = (
+            load_table(spark, sf_smoke, "events").orderBy("ts").collect()
+        )
+        n = len(events)
+        for i in range(3):
+            chunk = events[i * n // 3: (i + 1) * n // 3]
+            spark.createDataFrame(
+                chunk, load_table(spark, sf_smoke, "events").schema
+            ).coalesce(1).write.mode("overwrite").parquet(
+                str(src / f"f{i}")
+            )
+            for p in (src / f"f{i}").glob("part-*.parquet"):
+                p.rename(src / f"events_{i}.parquet")
+        from hbase_hadoop_flightsearch_spark.streaming.windows import (
+            events_ts_codec,
+        )
+
+        raw_schema, normalize = events_ts_codec(spark, str(src))
+        stream = normalize(
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        ).withWatermark("ts", "10 minutes")
+        q = (
+            user_sessions_tws(stream)
+            .writeStream.format("memory")
+            .queryName("tws_sessions_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            tuple(r)
+            for r in spark.sql(
+                "SELECT * FROM tws_sessions_sink"
+            ).collect()
+        }
+        batch_rows = stream_tws_sessions_top3(spark, sf_smoke).collect()
+        batch = {tuple(r) for r in batch_rows}
+        # last session per user (largest start) may legally stay open
+        last_per_user = {}
+        for r in batch_rows:
+            cur = last_per_user.get(r.user_id)
+            if cur is None or r.session_start_us > cur.session_start_us:
+                last_per_user[r.user_id] = r
+        must_emit = batch - {tuple(r) for r in last_per_user.values()}
+        assert got <= batch, got - batch
+        assert must_emit <= got, must_emit - got
+        # and the sweep must have exercised BOTH closing paths: more
+        # sessions than users proves in-key closes; a nonempty got with
+        # file-split watermarks proves timer wiring executed.
+        assert len(must_emit) > 0 and len(got) >= len(must_emit)
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
+        for q in spark.streams.active:
+            if q.name == "tws_sessions_sink":
+                q.stop()
