@@ -2076,6 +2076,7 @@ def _jpeg_stats_batches(
 
 @register(
     "multimodal_jpeg_pixel_stats",
+    headline=True,
     oracle=f"""
 WITH dims AS (
   SELECT doc_id,

@@ -610,3 +610,37 @@ def test_media_curation_single_decode_scan(spark):
     plan = _plan(spark, "pipeline_media_curation")
     assert plan.count("FileScan") == 0  # branches read the checkpointed RDD
     assert "Scan ExistingRDD" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["multimodal_jpeg_pixel_stats", "multimodal_video_frame_stats"],
+)
+def test_r6_codec_stats_scan_prunes_to_doc_id(spark, name):
+    """The r6 JPEG/AVI queries synthesize payloads from doc_id alone —
+    the scan must read ONLY doc_id, and the decode is one shuffle-free
+    Arrow-batched stage."""
+    plan = _plan(spark, name)
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+    assert "Exchange" not in plan
+
+
+def test_pq_adc_single_scan_broadcast_rerank(spark):
+    """PQ/ADC plan shape: the corpus is encoded+scored in ONE Python
+    (Arrow) stage with the codebook and LUTs in the closure — no join,
+    no cartesian, no second corpus scan before the shortlist window; the
+    exact re-rank joins the tiny shortlist via BROADCAST."""
+    plan = _plan(spark, "similarity_ann_pq")
+    assert "CartesianProduct" not in plan
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert physical.count("MapInPandas") == 1
+    assert "BroadcastHashJoin" in physical
+
+
+def test_bpe_apply_join_not_per_row_retokenize(spark):
+    """BPE apply tokenizes the DISTINCT vocabulary and joins counts back
+    to documents: the plan must contain the word join and aggregate, and
+    no Python stage at all (merge application is pure JVM expressions)."""
+    plan = _plan(spark, "text_bpe_apply_compression")
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
