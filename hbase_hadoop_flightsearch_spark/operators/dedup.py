@@ -1366,3 +1366,198 @@ def dedup_chaining_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = sizes.agg(F.max("sz").cast("bigint").alias("max_cluster"))
     return n_direct.join(cl).join(mx)
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup, THE SCALE PATH: LSH candidates + exact verify
+# ---------------------------------------------------------------------------
+# `dedup_embedding_cosine` above is the exact all-pairs baseline and is
+# O(n^2) by definition. This operator is its registered sub-quadratic
+# twin: random-hyperplane LSH banding generates candidate pairs only
+# inside hash buckets (the similarity module's corpus-side banding,
+# identical determinism), every candidate is verified with EXACT cosine
+# >= the same 0.4 threshold — so precision is 1.0 by construction and
+# only recall is hash-dependent. The recall audit inside the registered
+# query runs on a deterministic 1/3 SUBSAMPLE (exact ground truth among
+# sampled vectors costs (n/3)^2 ~ 11% of the full quadratic, and at
+# production scale the sample rate drops with n) — the honest production
+# shape for auditing a hash-based dedup path. Full-corpus recall is
+# measured in tests at sf <= 0.01.
+
+EMB_DEDUP_THRESH = 0.4
+EMB_DEDUP_SAMPLE_MOD = 3  # vec_id % 3 == 0 -> recall-audit subsample
+EMB_DEDUP_RECALL_FLOOR = 0.5  # sampled-audit floor. Measured FULL recall
+# with 1-bit asymmetric multi-probe: 1.0 / 1.0 / 0.987 at
+# sf0.001/0.01/0.1 (66/66, 59/59, 908/920 pairs) and 0.999 on the
+# alternate-seed corpus (12449/12464) — without multi-probe the plain
+# 4x3-bit banding measured 0.68/0.54, which is why the probe side
+# exists. The floor stays conservative because the audit subsample is
+# small at test SFs.
+
+
+def embedding_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs from banded hyperplane LSH + exact cosine verify.
+    Returns (d1, d2, cosine) with d1 < d2, cosine >= EMB_DEDUP_THRESH."""
+    from .similarity import (
+        LSH_BANDS,
+        LSH_PLANES,
+        _dot,
+        _hyperplanes,
+        _norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    planes = _hyperplanes(LSH_PLANES, 64)
+    bits_per_band = LSH_PLANES // LSH_BANDS
+    sig = emb.withColumn(
+        "sig",
+        F.array(
+            *[
+                (
+                    _dot(
+                        F.col("v"), F.array(*[F.lit(x) for x in plane])
+                    )
+                    > 0
+                ).cast("int")
+                for plane in planes
+            ]
+        ),
+    )
+    def band_key(b: int, flip: int | None = None) -> Column:
+        bits = []
+        for i in range(bits_per_band):
+            bit = F.element_at("sig", b * bits_per_band + i + 1)
+            if flip == i:
+                bit = F.lit(1) - bit
+            bits.append(bit.cast("string"))
+        return F.concat_ws("", *bits)
+
+    # Index side: exactly ONE key per band per vector (index size is the
+    # scale cost). Probe side: the same vectors also visit every bucket
+    # within Hamming 1 of each band key (1 + bits flips), so a pair
+    # collides if ANY band differs in <= 1 bit — recall at cos 0.4
+    # (~66deg) rises ~0.54 -> ~0.9 for the cost of 4x probe-side rows
+    # only, the identical asymmetric multi-probe trade similarity_ann_lsh
+    # makes.
+    bands = sig.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), band_key(b).alias("bkey")
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "v", "bk.band", "bk.bkey")
+    probes = sig.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_key(b, flip).alias("bkey"),
+                    )
+                    for b in range(LSH_BANDS)
+                    for flip in [None, *range(bits_per_band)]
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "v", "bk.band", "bk.bkey")
+    a, b = probes.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("d1"),
+            F.col("b.vec_id").alias("d2"),
+            F.col("a.v").alias("v1"),
+            F.col("b.v").alias("v2"),
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
+    return (
+        cands.withColumn(
+            "cosine",
+            _dot(F.col("v1"), F.col("v2"))
+            / (_norm(F.col("v1")) * _norm(F.col("v2"))),
+        )
+        .filter(F.col("cosine") >= EMB_DEDUP_THRESH)
+        .select("d1", "d2", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+@register(
+    "dedup_embedding_ann",
+    oracle="SELECT TRUE AS pairs_nonempty, TRUE AS thresh_bounded, "
+    "TRUE AS pairs_ordered_distinct, TRUE AS sample_recall_ok",
+    doc="Embedding near-dup via LSH banding + exact verify (E10 x E11 — "
+    "the registered SUB-QUADRATIC twin of the exact all-pairs cosine "
+    "tier): hyperplane band keys bucket the corpus, candidates meet "
+    "only inside buckets, and exact cosine >= 0.4 re-verifies every "
+    "candidate, so precision is 1.0 by construction and only recall "
+    "is hash-defined. Bound-flag oracle: pairs exist, every pair "
+    "meets the threshold with d1 < d2 distinct, and the recall audit "
+    "on the deterministic 1/3 subsample (exact ground truth among "
+    "sampled vectors only — (n/3)^2 cost, the production audit shape) "
+    f"clears {EMB_DEDUP_RECALL_FLOOR}. Full recall measured in tests: "
+    "1.0 / 1.0 / 0.987 at sf0.001/0.01/0.1 with the 1-bit multi-probe "
+    "side (0.999 on the alternate-seed corpus).",
+)
+def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = embedding_ann_pairs(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).filter(F.col("vec_id") % EMB_DEDUP_SAMPLE_MOD == 0)
+    from .similarity import _dot, _norm
+
+    a, b = emb.alias("a"), emb.alias("b")
+    exact_sample = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn(
+            "cos",
+            _dot(F.col("a.v"), F.col("b.v"))
+            / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
+        )
+        .filter(F.col("cos") >= EMB_DEDUP_THRESH)
+        .select(
+            F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2")
+        )
+    )
+    hits = exact_sample.join(pairs.select("d1", "d2"), ["d1", "d2"])
+    stats = (
+        pairs.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.coalesce(
+                F.bool_and(F.col("cosine") >= EMB_DEDUP_THRESH),
+                F.lit(True),
+            ).alias("tb"),
+            F.coalesce(
+                F.bool_and(F.col("d1") < F.col("d2")), F.lit(True)
+            ).alias("ordered"),
+            F.count_distinct("d1", "d2").alias("n_distinct"),
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .crossJoin(exact_sample.agg(F.count(F.lit(1)).alias("n_exact")))
+    )
+    return stats.select(
+        (F.col("n_pairs") > 0).alias("pairs_nonempty"),
+        F.col("tb").alias("thresh_bounded"),
+        (F.col("ordered") & (F.col("n_distinct") == F.col("n_pairs"))).alias(
+            "pairs_ordered_distinct"
+        ),
+        (
+            F.col("n_hits") >= EMB_DEDUP_RECALL_FLOOR * F.col("n_exact")
+        ).alias("sample_recall_ok"),
+    )

@@ -350,3 +350,33 @@ def test_phash_banding_is_lossless_vs_bruteforce(spark, sf_smoke):
     assert got == brute
     zero = [(a, b) for (a, b) in brute if hashes[a] == hashes[b]]
     assert zero, "hash-identical image pairs must exist"
+
+
+def test_embedding_ann_pairs_precision_exact_and_recall(spark, sf_smoke):
+    """The sub-quadratic embedding near-dup twin: every emitted pair must
+    REALLY clear the exact cosine threshold (precision 1.0 by verify),
+    and full recall vs the exact all-pairs ground truth must clear the
+    measured floor (multi-probe banding: 1.0 at this SF)."""
+    from hbase_hadoop_flightsearch_spark.operators.dedup import (
+        EMB_DEDUP_THRESH,
+        embedding_ann_pairs,
+    )
+
+    import duckdb
+
+    got = embedding_ann_pairs(spark, sf_smoke).collect()
+    exact = set(
+        duckdb.sql(
+            f"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM read_parquet('{sf_smoke}/embeddings.parquet'))
+      SELECT a.vec_id, b.vec_id FROM e a JOIN e b
+      ON a.vec_id < b.vec_id
+         AND list_cosine_similarity(a.v, b.v) >= {EMB_DEDUP_THRESH}
+    """
+        ).fetchall()
+    )
+    pairs = {(r.d1, r.d2) for r in got}
+    assert pairs <= exact  # precision 1.0: every pair is a true pair
+    assert len(pairs & exact) / len(exact) >= 0.95  # measured 1.0
+    assert all(r.cosine >= EMB_DEDUP_THRESH for r in got)
