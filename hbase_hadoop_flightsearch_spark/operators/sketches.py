@@ -364,3 +364,94 @@ def sketch_misra_gries_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: audience intersection WITHOUT a row-level join
+# ---------------------------------------------------------------------------
+
+HLL_INTER_TOL = 0.05  # inclusion-exclusion tolerance vs exact (each HLL
+# term carries ~1.6% rsd at the default lgK=12; three terms compound, and
+# at the test SFs the sparse-mode sketches are usually exact)
+
+
+@register(
+    "sketch_hll_intersection",
+    oracle="""
+WITH ua AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS exact_intersection
+  FROM ua a JOIN ua b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, exact_intersection, TRUE AS est_within_tol
+FROM inter ORDER BY type_a, type_b
+""",
+    doc="Audience-intersection estimation via HLL sketch ALGEBRA (E4): "
+    "ONE corpus scan builds a per-event-type user sketch (partial-agg "
+    "friendly, fixed-size state); every pairwise intersection is then "
+    "inclusion-exclusion over sketch estimates — est(A) + est(B) - "
+    "est(A u B) with the union computed by hll_union on the two "
+    "sketches, NO second scan and NO row-level join between audiences. "
+    "At 100 TB this is the audience-overlap answer whose cost is "
+    "O(segments^2) sketch merges instead of O(rows^2) joins. The "
+    "per-pair exact intersection (one distinct self-join, the audit "
+    "twin) rides along so the oracle value-checks it, and the estimate "
+    f"must land within {HLL_INTER_TOL:.0%} (+2 absolute slack for "
+    "integer rounding) — a bound-flag the oracle expects TRUE.",
+)
+def sketch_hll_intersection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    )
+    sk = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    est = (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            (
+                F.hll_sketch_estimate(F.col("a.sk"))
+                + F.hll_sketch_estimate(F.col("b.sk"))
+                - F.hll_sketch_estimate(
+                    F.hll_union(F.col("a.sk"), F.col("b.sk"))
+                )
+            ).alias("inter_est"),
+        )
+    )
+    ua = events.distinct()
+    ua1, ua2 = ua.alias("x"), ua.alias("y")
+    exact = (
+        ua1.join(
+            ua2,
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return (
+        est.join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "exact_intersection",
+            (
+                F.abs(F.col("inter_est") - F.col("exact_intersection"))
+                <= HLL_INTER_TOL * F.col("exact_intersection") + 2
+            ).alias("est_within_tol"),
+        )
+        .orderBy("type_a", "type_b")
+    )
