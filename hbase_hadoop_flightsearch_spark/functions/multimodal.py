@@ -8,13 +8,17 @@ to honestly stubbed:
   - REAL content decode where stdlib + numpy suffice: BMP pixel arrays,
     GIF LZW decompression (+ deinterlace), PNG zlib-inflate + all five
     filter reversals (+ per-chunk CRC32 verify), WAV int16 PCM samples,
-    and baseline JPEG (canonical Huffman entropy decode, dequantize,
-    de-zigzag, 2-D IDCT, chroma upsampling, fixed-point YCbCr->RGB) —
-    the GIF, PNG, and JPEG codec pairs are cross-validated against Java
-    ImageIO in both directions (JPEG to the spec's IDCT tolerance);
+    uncompressed-AVI video frames (RIFF walk + per-frame DIB decode),
+    and JPEG — BASELINE and PROGRESSIVE (canonical Huffman entropy
+    decode incl. successive-approximation DC/AC scans and EOB runs,
+    dequantize, de-zigzag, vectorized 2-D IDCT, libjpeg-identical
+    triangular chroma upsampling, fixed-point YCbCr->RGB) — the GIF,
+    PNG, and JPEG codec pairs are cross-validated against Java ImageIO
+    in both directions (JPEG to the spec's IDCT tolerance, progressive
+    included);
   - env-gated stubs ONLY where external libs are genuinely required
-    (progressive/arithmetic JPEG, general audio/video: PIL/librosa/av
-    not installable);
+    (arithmetic-coded JPEG, compressed audio/video codecs: PIL/librosa/
+    av not installable);
     `decode_media` raises NotImplementedError there unless `fake=True`,
     whose deterministic byte-length law DuckDB reproduces from
     octet_length so the distributed plumbing stays oracle-verified.
@@ -1628,7 +1632,7 @@ def _zigzag_order() -> list:
     order = []
     for s in range(15):
         diag = [(s - j, j) for j in range(s + 1) if s - j < 8 and j < 8]
-        if s % 2 == 0:
+        if s % 2 == 1:  # odd diagonals run top-right -> bottom-left
             diag.reverse()
         order.extend(diag)
     return [r * 8 + c for r, c in order]
@@ -1856,14 +1860,20 @@ def _extend(v: int, t: int) -> int:
 
 
 def jpeg_decode(payload: bytes):
-    """REAL baseline JPEG decode, pure stdlib + numpy. Returns
-    {"w", "h", "ycbcr": ndarray (h, w, ncomp) uint8 AFTER upsampling,
-    "rgb": ndarray (h, w, 3) uint8} (grayscale: rgb = Y replicated).
-    Supports SOF0 with 1-3 components, sampling factors 1-2 (covers
-    4:4:4 / 4:2:2 / 4:2:0), 8-bit DQTs (16-bit accepted too), multiple
-    DHT/DQT segments, restart intervals, APPn/COM skip. Progressive
-    (SOF2) and arithmetic coding raise with a named error; non-JPEG
-    payloads return None."""
+    """REAL JPEG decode, pure stdlib + numpy — BASELINE (SOF0/1) and
+    PROGRESSIVE (SOF2). Returns {"w", "h", "ycbcr": ndarray (h, w,
+    ncomp) uint8 AFTER upsampling, "rgb": ndarray (h, w, 3) uint8}
+    (grayscale: rgb = Y replicated).
+
+    Architecture: every SOS scan decodes into per-component QUANTIZED
+    coefficient buffers (T.81 G.2's model — progressive DC/AC first +
+    successive-approximation refinement scans, EOB runs, point
+    transform), and reconstruction (dequantize, vectorized 2-D IDCT,
+    upsample, fixed-point YCbCr->RGB) runs once at EOI. Baseline is the
+    degenerate single full-band scan of the same machinery. Supports
+    1-3 components, sampling factors 1-2, 8/16-bit DQTs, multiple
+    DHT/DQT segments, restart intervals, APPn/COM skip. Arithmetic
+    coding raises a named error; non-JPEG payloads return None."""
     import struct
 
     import numpy as np
@@ -1874,7 +1884,9 @@ def jpeg_decode(payload: bytes):
     qt: dict = {}
     huff: dict = {}  # (class, id) -> {(len, code): sym}
     frame = None
+    coefs = None  # per-component (brows, bcols, 64) int32, quantized
     restart_interval = 0
+    saw_scan = False
     off = 2
     while off + 4 <= len(p):
         if p[off] != 0xFF:
@@ -1912,7 +1924,7 @@ def jpeg_decode(payload: bytes):
                     (ln, code): sym for sym, (code, ln) in codes.items()
                 }
                 i += 17 + nval
-        elif marker in (0xC1, 0xC0):  # SOF0/1: baseline + ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progr
             precision = seg[0]
             if precision != 8:
                 raise ValueError(f"unsupported precision {precision}")
@@ -1924,83 +1936,287 @@ def jpeg_decode(payload: bytes):
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG (SOF2) not supported")
+            frame = {
+                "w": w, "h": h, "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            frame["mcux"] = -(-w // (8 * hmax))
+            frame["mcuy"] = -(-h // (8 * vmax))
+            frame["hmax"], frame["vmax"] = hmax, vmax
+            coefs = [
+                np.zeros(
+                    (frame["mcuy"] * c["v"], frame["mcux"] * c["h"], 64),
+                    dtype=np.int32,
+                )
+                for c in comps
+            ]
+            # per-component DC predictors persist only within a scan;
+            # eobrun persists within a scan
         elif marker in (0xC9, 0xCA, 0xCB):
             raise ValueError("arithmetic-coded JPEG not supported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xDA:  # SOS: entropy data follows
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan_tbl = {}
+            scan_comps = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan_tbl[cs] = (tdta >> 4, tdta & 0xF)
-            data_pos = off + 2 + seg_len
-            return _decode_scan(
-                p, data_pos, frame, qt, huff, scan_tbl, restart_interval
+                ci = next(
+                    i for i, cc in enumerate(frame["comps"])
+                    if cc["id"] == cs
+                )
+                scan_comps.append((ci, tdta >> 4, tdta & 0xF))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahl = seg[3 + 2 * ns]
+            ah, al = ahl >> 4, ahl & 0xF
+            off = _decode_scan_into(
+                p, off + 2 + seg_len, frame, huff, scan_comps,
+                ss, se, ah, al, restart_interval, coefs,
             )
+            saw_scan = True
+            continue
         off += 2 + seg_len
-    raise ValueError("no SOS marker found")
+    if not saw_scan:
+        raise ValueError("no SOS marker found")
+    return _reconstruct(frame, qt, coefs)
 
 
-def _decode_scan(p, pos, frame, qt, huff, scan_tbl, restart_interval):
+def _decode_scan_into(
+    p, pos, frame, huff, scan_comps, ss, se, ah, al,
+    restart_interval, coefs,
+):
+    """Decode one scan's entropy data into the quantized-coefficient
+    buffers; returns the offset of the next marker. Handles interleaved
+    (ns > 1) and single-component scans, DC/AC first and refinement
+    passes, EOB runs, and restart markers."""
+    reader = _BitReader(p, pos)
+    pred = [0] * len(frame["comps"])
+    state = {"eobrun": 0}
+    units = 0  # MCUs (interleaved) or blocks (single-component)
+
+    def maybe_restart():
+        nonlocal pred
+        if restart_interval and units and units % restart_interval == 0:
+            marker = reader.align_to_marker()
+            if not (0xD0 <= marker <= 0xD7):
+                raise ValueError(f"expected RSTn, got {marker:#x}")
+            pred = [0] * len(frame["comps"])
+            state["eobrun"] = 0
+
+    try:
+        if len(scan_comps) > 1:  # interleaved (baseline, or progr. DC)
+            for my in range(frame["mcuy"]):
+                for mx in range(frame["mcux"]):
+                    maybe_restart()
+                    for ci, td, ta in scan_comps:
+                        c = frame["comps"][ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                _decode_block_into(
+                                    reader,
+                                    coefs[ci][
+                                        my * c["v"] + by,
+                                        mx * c["h"] + bx,
+                                    ],
+                                    huff.get((0, td)), huff.get((1, ta)),
+                                    pred, ci, ss, se, ah, al, state,
+                                )
+                    units += 1
+        else:  # single-component scan: the component's own block grid
+            ci, td, ta = scan_comps[0]
+            c = frame["comps"][ci]
+            cw = -(-frame["w"] * c["h"] // frame["hmax"])
+            ch = -(-frame["h"] * c["v"] // frame["vmax"])
+            for by in range(-(-ch // 8)):
+                for bx in range(-(-cw // 8)):
+                    maybe_restart()
+                    _decode_block_into(
+                        reader, coefs[ci][by, bx],
+                        huff.get((0, td)), huff.get((1, ta)),
+                        pred, ci, ss, se, ah, al, state,
+                    )
+                    units += 1
+    except _MarkerHit as e:
+        raise ValueError(
+            f"entropy stream truncated (marker {e.marker:#x})"
+        ) from e
+    # skip pad bits / stuffing to the next marker
+    i = reader.pos
+    while i + 1 < len(p) and not (p[i] == 0xFF and p[i + 1] != 0x00):
+        i += 1
+    return i
+
+
+def _decode_block_into(
+    reader, coef, dc_tbl, ac_tbl, pred, ci, ss, se, ah, al, state
+):
+    """One block's contribution for the current scan (T.81 F.2 / G.2):
+    sequential = DC + full AC band in one visit; progressive splits into
+    DC-first / DC-refine / AC-first / AC-refine scans."""
+    if ss == 0:
+        if ah == 0:  # DC first (baseline DC is the al=0 case)
+            t = _huff_decode(reader, dc_tbl)
+            diff = _extend(reader.bits(t), t) if t else 0
+            pred[ci] += diff
+            coef[0] = pred[ci] << al
+        else:  # DC refinement: one bit per block
+            if reader.bit():
+                coef[0] |= 1 << al
+        if se == 0:
+            return
+        k = 1
+    else:
+        k = ss
+    if ah == 0:  # AC first pass (baseline AC is the al=0, no-eobrun case)
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        while k <= se:
+            rs = _huff_decode(reader, ac_tbl)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run past end of band")
+            coef[_ZIGZAG[k]] = _extend(reader.bits(s), s) << al
+            k += 1
+    else:  # AC refinement pass (T.81 G.2.3; libjpeg-equivalent logic)
+        p1, m1 = 1 << al, -(1 << al)
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = _huff_decode(reader, ac_tbl)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r != 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += reader.bits(r)
+                        break
+                    newval = 0  # ZRL: pass 16 zero-history coefficients
+                else:
+                    newval = p1 if reader.bit() else m1
+                while k <= se:
+                    z = _ZIGZAG[k]
+                    if coef[z] != 0:
+                        if reader.bit() and (coef[z] & p1) == 0:
+                            coef[z] += p1 if coef[z] >= 0 else m1
+                    else:
+                        if r == 0:
+                            if newval:
+                                coef[z] = newval
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                z = _ZIGZAG[k]
+                if coef[z] != 0:
+                    if reader.bit() and (coef[z] & p1) == 0:
+                        coef[z] += p1 if coef[z] >= 0 else m1
+                k += 1
+            state["eobrun"] -= 1
+
+
+def _fancy_h2(plane):
+    """libjpeg h2v1 fancy (triangular) horizontal 2x upsample: out[2i] =
+    (3 in[i] + in[i-1] + 1) >> 2, out[2i+1] = (3 in[i] + in[i+1] + 2)
+    >> 2, edges replicate — the filter every production decoder uses
+    when do_fancy_upsampling is on."""
+    import numpy as np
+
+    if plane.shape[1] == 1:
+        return np.repeat(plane, 2, axis=1)
+    prev = np.concatenate([plane[:, :1], plane[:, :-1]], axis=1)
+    nxt = np.concatenate([plane[:, 1:], plane[:, -1:]], axis=1)
+    out = np.empty((plane.shape[0], 2 * plane.shape[1]), dtype=plane.dtype)
+    out[:, 0::2] = (3 * plane + prev + 1) >> 2
+    out[:, 1::2] = (3 * plane + nxt + 2) >> 2
+    return out
+
+
+def _fancy_h2v2(plane):
+    """libjpeg h2v2 fancy upsample, exact integer order: per output row,
+    colsum = 3*near_row + far_row, then out[2i] = (3 cs[i] + cs[i-1]
+    + 8) >> 4 and out[2i+1] = (3 cs[i] + cs[i+1] + 8) >> 4."""
+    import numpy as np
+
+    rows, cols = plane.shape
+    if rows == 1:
+        return _fancy_h2(np.repeat(plane, 2, axis=0))
+    up_rows = np.concatenate([plane[:1], plane[:-1]], axis=0)
+    dn_rows = np.concatenate([plane[1:], plane[-1:]], axis=0)
+    cs_top = 3 * plane + up_rows   # output rows 2r
+    cs_bot = 3 * plane + dn_rows   # output rows 2r+1
+    cs = np.empty((2 * rows, cols), dtype=plane.dtype)
+    cs[0::2] = cs_top
+    cs[1::2] = cs_bot
+    if cols == 1:
+        return (4 * cs + 8) >> 4
+    prev = np.concatenate([cs[:, :1], cs[:, :-1]], axis=1)
+    nxt = np.concatenate([cs[:, 1:], cs[:, -1:]], axis=1)
+    out = np.empty((2 * rows, 2 * cols), dtype=plane.dtype)
+    out[:, 0::2] = (3 * cs + prev + 8) >> 4
+    out[:, 1::2] = (3 * cs + nxt + 8) >> 4
+    return out
+
+
+def _reconstruct(frame, qt, coefs):
+    """Dequantize + vectorized 2-D IDCT over every block at once, clamp
+    samples, triangular-upsample chroma (libjpeg-identical integer
+    filters), and color-convert with the fixed-point integers."""
     import numpy as np
 
     m = _idct_matrix()
     w, h, comps = frame["w"], frame["h"], frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = []
-    for c in comps:
-        cw, ch = mcux * 8 * c["h"], mcuy * 8 * c["v"]
-        planes.append(np.zeros((ch, cw), dtype=np.int32))
-    reader = _BitReader(p, pos)
-    pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and (
-                mcu_count % restart_interval == 0
-            ):
-                marker = reader.align_to_marker()
-                if not (0xD0 <= marker <= 0xD7):
-                    raise ValueError(
-                        f"expected RSTn, got {marker:#x}"
-                    )
-                pred = [0] * len(comps)
-            for ci, c in enumerate(comps):
-                td, ta = scan_tbl[c["id"]]
-                qtbl = qt[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk = _decode_block(
-                            reader, huff[(0, td)], huff[(1, ta)],
-                            qtbl, pred, ci, m, np,
-                        )
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0: y0 + 8, x0: x0 + 8] = blk
-            mcu_count += 1
-    # Upsample each plane to full resolution (pixel replication — exact
-    # for the block-constant corpus; within spec tolerance elsewhere).
+    hmax, vmax = frame["hmax"], frame["vmax"]
     full = np.zeros((h, w, len(comps)), dtype=np.int32)
     for ci, c in enumerate(comps):
+        qtbl = qt[c["tq"]]
+        qnat = np.zeros(64, dtype=np.int64)
+        for k in range(64):
+            qnat[_ZIGZAG[k]] = qtbl[k]  # DQT is zigzag-ordered
+        br, bc, _ = coefs[ci].shape
+        deq = (coefs[ci].astype(np.int64) * qnat).reshape(br, bc, 8, 8)
+        spatial = np.einsum("ux,abuv,vy->abxy", m, deq.astype(np.float64), m)
+        plane = np.clip(
+            np.round(spatial).astype(np.int32) + 128, 0, 255
+        ).transpose(0, 2, 1, 3).reshape(br * 8, bc * 8)
+        # crop to the component's REAL sample grid before upsampling so
+        # edge replication never sees block padding
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        plane = plane[:ch, :cw]
         ry, rx = vmax // c["v"], hmax // c["h"]
-        up = np.repeat(np.repeat(planes[ci], ry, axis=0), rx, axis=1)
+        if (rx, ry) == (1, 1):
+            up = plane
+        elif (rx, ry) == (2, 2):
+            up = _fancy_h2v2(plane)
+        elif (rx, ry) == (2, 1):
+            up = _fancy_h2(plane)
+        elif (rx, ry) == (1, 2):
+            up = _fancy_h2(plane.T).T
+        else:
+            up = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         full[:, :, ci] = up[:h, :w]
     ycbcr = np.clip(full, 0, 255).astype(np.uint8)
     if len(comps) == 1:
         rgb = np.repeat(ycbcr, 3, axis=2)
     else:
-        yv = full[:, :, 0].astype(np.int64)
-        cb = full[:, :, 1].astype(np.int64) - 128
-        cr = full[:, :, 2].astype(np.int64) - 128
+        yv = np.clip(full[:, :, 0], 0, 255).astype(np.int64)
+        cb = np.clip(full[:, :, 1], 0, 255).astype(np.int64) - 128
+        cr = np.clip(full[:, :, 2], 0, 255).astype(np.int64) - 128
         r = yv + ((_FIX_R_CR * cr + 32768) >> 16)
         g = yv + ((-_FIX_G_CB * cb - _FIX_G_CR * cr + 32768) >> 16)
         b = yv + ((_FIX_B_CB * cb + 32768) >> 16)
@@ -2008,36 +2224,6 @@ def _decode_scan(p, pos, frame, qt, huff, scan_tbl, restart_interval):
             np.stack([r, g, b], axis=2), 0, 255
         ).astype(np.uint8)
     return {"w": w, "h": h, "ycbcr": ycbcr, "rgb": rgb}
-
-
-def _decode_block(reader, dc_tbl, ac_tbl, qtbl, pred, ci, m, np):
-    coefs = np.zeros(64, dtype=np.float64)
-    try:
-        t = _huff_decode(reader, dc_tbl)
-        diff = _extend(reader.bits(t), t) if t else 0
-        pred[ci] += diff
-        coefs[0] = pred[ci] * qtbl[0]
-        k = 1
-        while k < 64:
-            rs = _huff_decode(reader, ac_tbl)
-            r, s = rs >> 4, rs & 0xF
-            if rs == 0x00:  # EOB
-                break
-            if rs == 0xF0:  # ZRL
-                k += 16
-                continue
-            k += r
-            if k > 63:
-                raise ValueError("AC run past end of block")
-            coefs[_ZIGZAG[k]] = _extend(reader.bits(s), s) * qtbl[k]
-            k += 1
-    except _MarkerHit as e:
-        raise ValueError(
-            f"entropy stream truncated (marker {e.marker:#x})"
-        ) from e
-    smat = coefs.reshape(8, 8)
-    spatial = m.T @ smat @ m
-    return np.clip(np.round(spatial).astype(np.int32) + 128, 0, 255)
 
 
 def _jpeg_stats_batches(

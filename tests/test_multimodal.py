@@ -673,11 +673,11 @@ def test_jpeg_decoder_rejects_garbage_and_names_unsupported():
 
     assert jpeg_decode(b"not a jpeg") is None
     assert jpeg_decode(b"\x89PNG\r\n\x1a\n") is None
-    # progressive (SOF2) raises with a NAMED error, not a crash
-    sof2 = (b"\xff\xd8\xff\xc2" + struct.pack(">H", 11) + b"\x08"
+    # arithmetic coding (SOF9) raises with a NAMED error, not a crash
+    sof9 = (b"\xff\xd8\xff\xc9" + struct.pack(">H", 11) + b"\x08"
             + struct.pack(">HH", 8, 8) + b"\x01\x01\x11\x00")
-    with _pytest.raises(ValueError, match="progressive"):
-        jpeg_decode(sof2)
+    with _pytest.raises(ValueError, match="arithmetic"):
+        jpeg_decode(sof9)
     # truncated entropy stream raises, never hangs
     from hbase_hadoop_flightsearch_spark.functions.multimodal import (
         _synth_jpeg,
@@ -876,3 +876,91 @@ def test_avi_walker_honors_riff_even_padding():
         "<I", patched, 4, struct.unpack_from("<I", patched, 4)[0] + len(junk)
     )
     assert avi_frames(bytes(patched)) == baseline
+
+
+@pytest.mark.skipif(
+    __import__("shutil").which("javac") is None
+    or __import__("shutil").which("java") is None,
+    reason="JDK not on PATH",
+)
+def test_jpeg_progressive_decode_interops_with_imageio(tmp_path):
+    """PROGRESSIVE (SOF2) decode: ImageIO writes real multi-scan
+    progressive files (DC-first at Al=1, two AC-first bands at Al=2,
+    AC refinement to Al=1, DC refinement, AC refinement to Al=0 — the
+    standard libjpeg scan script) and our successive-approximation
+    decoder must land within 1/255 on grayscale (no chroma confound)
+    and 2/255 on a hard RGB gradient through 4:2:0 subsampling + the
+    libjpeg-identical triangular upsampler."""
+    import subprocess
+
+    from hbase_hadoop_flightsearch_spark.functions.multimodal import (
+        jpeg_decode,
+    )
+
+    java_src = """
+import java.awt.image.BufferedImage;
+import java.io.File;
+import javax.imageio.*;
+import javax.imageio.stream.FileImageOutputStream;
+public class ProgXCheck {
+  public static void main(String[] a) throws Exception {
+    int w = Integer.parseInt(a[1]), h = Integer.parseInt(a[2]);
+    boolean gray = a[0].equals("gray");
+    BufferedImage img = new BufferedImage(
+        w, h, gray ? BufferedImage.TYPE_BYTE_GRAY : BufferedImage.TYPE_INT_RGB);
+    for (int y = 0; y < h; y++) for (int x = 0; x < w; x++) {
+      if (gray) img.getRaster().setSample(x, y, 0, (x * 8 + y * 3) % 256);
+      else {
+        int r = (x * 4) % 256, g = (y * 5) % 256, b = ((x + y) * 3) % 256;
+        img.setRGB(x, y, (r << 16) | (g << 8) | b);
+      }
+    }
+    ImageWriter wr = ImageIO.getImageWritersByFormatName("jpg").next();
+    ImageWriteParam pp = wr.getDefaultWriteParam();
+    pp.setProgressiveMode(ImageWriteParam.MODE_DEFAULT);
+    wr.setOutput(new FileImageOutputStream(new File(a[3])));
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), pp);
+    wr.dispose();
+    BufferedImage back = ImageIO.read(new File(a[3]));
+    StringBuilder sb = new StringBuilder();
+    for (int y = 0; y < h; y++) {
+      for (int x = 0; x < w; x++) {
+        // TYPE_BYTE_GRAY getRGB applies a colorspace transform; read the
+        // raw sample instead so both modes compare codec output only.
+        if (gray) { int v = back.getRaster().getSample(x, y, 0);
+                    sb.append(v).append(',').append(v).append(',').append(v).append(' '); }
+        else { int p = back.getRGB(x, y);
+               sb.append((p>>16)&255).append(',').append((p>>8)&255).append(',').append(p&255).append(' '); }
+      }
+      sb.append('\\n');
+    }
+    System.out.print(sb);
+  }
+}
+"""
+    (tmp_path / "ProgXCheck.java").write_text(java_src)
+    subprocess.run(
+        ["javac", "ProgXCheck.java"], cwd=tmp_path, check=True,
+        capture_output=True,
+    )
+    for mode, w, h, tol in (("gray", 32, 16, 1), ("rgb", 64, 48, 2)):
+        f = tmp_path / f"{mode}.jpg"
+        ref_txt = subprocess.run(
+            ["java", "-cp", str(tmp_path), "ProgXCheck", mode,
+             str(w), str(h), str(f)],
+            check=True, capture_output=True, text=True,
+        ).stdout.splitlines()
+        data = f.read_bytes()
+        assert b"\xff\xc2" in data  # really progressive
+        out = jpeg_decode(data)
+        assert (out["w"], out["h"]) == (w, h)
+        worst = 0
+        for y in range(h):
+            cells = ref_txt[y].split()
+            for x in range(w):
+                rgb = tuple(map(int, cells[x].split(",")))
+                for c in range(3):
+                    worst = max(
+                        worst, abs(rgb[c] - int(out["rgb"][y, x, c]))
+                    )
+        assert worst <= tol, f"{mode}: max diff {worst}"
