@@ -321,3 +321,78 @@ def layout_partition_key_advisor(
         )
         .orderBy("candidate")
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema-on-read corrupt-record accounting (raw-feed ingestion DQ)
+# ---------------------------------------------------------------------------
+
+JSON_CORRUPT_MOD = 7  # event_id % 7 == 3 -> the line arrives truncated
+
+
+@register(
+    "source_json_corrupt_audit",
+    oracle=f"""
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CASE WHEN event_id % {JSON_CORRUPT_MOD} = 3
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+  CAST(SUM(CASE WHEN event_id % {JSON_CORRUPT_MOD} != 3
+                THEN CAST(round(value * 100) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS good_value_cents
+FROM events
+GROUP BY event_type ORDER BY event_type
+""",
+    doc="Schema-on-read ingestion audit (source surface x DQ): render "
+    "each event as the JSON line a raw feed would deliver (to_json), "
+    "deterministically truncate the lines whose event_id % 7 == 3 (the "
+    "corrupt-arrival law), then parse back with an EXPLICIT schema via "
+    "from_json — Spark's PERMISSIVE contract turns malformed lines "
+    "into null-field rows, never task failures — and account per "
+    "event type: line count, corrupt count, and cents-exact value sum "
+    "over the rows that survived parsing. One scan, JVM-side to_json/"
+    "from_json, no file I/O, no inference pass (the 100 TB rule: "
+    "schema inference is a full extra scan). The oracle replicates "
+    "the corruption law directly against the clean table.",
+)
+def source_json_corrupt_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    schema = (
+        "event_id bigint, user_id bigint, event_type string, value double"
+    )
+    lines = events.select(
+        "event_type",
+        F.to_json(
+            F.struct("event_id", "user_id", "event_type", "value")
+        ).alias("line"),
+        (F.col("event_id") % JSON_CORRUPT_MOD == 3).alias("chop"),
+    ).select(
+        "event_type",
+        F.when(
+            F.col("chop"),
+            F.substring(F.col("line"), 1, 10),  # truncated arrival
+        )
+        .otherwise(F.col("line"))
+        .alias("line"),
+    )
+    parsed = lines.select(
+        "event_type", F.from_json("line", schema).alias("p")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.when(F.col("p.event_id").isNull(), 1).otherwise(0)
+            ).alias("n_corrupt"),
+            F.sum(
+                F.when(
+                    F.col("p.event_id").isNotNull(),
+                    F.round(F.col("p.value") * 100).cast("bigint"),
+                ).otherwise(0)
+            ).alias("good_value_cents"),
+        )
+        .orderBy("event_type")
+    )
