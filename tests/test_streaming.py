@@ -1061,3 +1061,51 @@ def test_tws_timer_sessions_converge_to_batch(spark, sf_smoke, tmp_path):
         for q in spark.streams.active:
             if q.name == "tws_sessions_sink":
                 q.stop()
+
+
+def test_tws_map_state_converges_to_batch(spark, sf_smoke, tmp_path):
+    """MapState (with TTL plumbing active) through the real RocksDB
+    incremental path: last emitted row per (user, type) must equal the
+    batch twin."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state server requires protobuf",
+    )
+    from hbase_hadoop_flightsearch_spark.streaming.stateful import (
+        stream_tws_user_type_stats,
+        user_type_stats_tws,
+    )
+
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, provider)
+    try:
+        src = copy_events_to_dir(sf_smoke, str(tmp_path / "tws_map_src"))
+        stream = stream_from_dir(spark, src)
+        q = (
+            user_type_stats_tws(stream)
+            .writeStream.format("memory")
+            .queryName("tws_map_sink")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.user_id, r.event_type): (r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM tws_map_sink").collect()
+        }
+        want = {
+            (r.user_id, r.event_type): (r.n_events, r.total_value)
+            for r in stream_tws_user_type_stats(spark, sf_smoke).collect()
+        }
+        assert got == want
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
