@@ -1841,3 +1841,84 @@ def events_top_session_paths(
         .select("rnk", "path", "n_sessions")
         .orderBy("rnk")
     )
+
+
+@register(
+    "events_metric_contribution",
+    oracle="""
+WITH agg AS (
+  SELECT event_type,
+    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+         AS BIGINT) AS value_a_cents,
+    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+         AS BIGINT) AS value_b_cents
+  FROM events GROUP BY event_type
+),
+tot AS (
+  SELECT SUM(value_b_cents - value_a_cents) AS total_delta FROM agg
+)
+SELECT event_type, value_a_cents, value_b_cents,
+  CAST(value_b_cents - value_a_cents AS BIGINT) AS delta_cents,
+  ROUND((value_b_cents - value_a_cents) * 1.0 / total_delta, 6)
+    AS share_of_total_delta,
+  CAST(ROW_NUMBER() OVER (
+    ORDER BY ABS(value_b_cents - value_a_cents) DESC, event_type
+  ) AS INT) AS contribution_rank
+FROM agg, tot
+ORDER BY contribution_rank
+""",
+    doc="Metric contribution analysis (the 'why did the metric move' "
+    "drill-down every analytics stack ships): split the window into "
+    "period A (Jan 1-15) and period B (Jan 16+), compute the "
+    "cents-exact value delta per event_type, each segment's share of "
+    "the total movement, and a deterministic |delta| rank. One scan "
+    "with conditional partial aggregates (shuffle is O(segments)); "
+    "the share division is the only float and both engines round it "
+    "at 6 decimals. At 100 TB the same plan drills any dimension — "
+    "the segment column is the only thing that changes.",
+)
+def events_metric_contribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    agg = events.groupBy("event_type").agg(
+        F.sum(F.when(F.col("ts") < cut, cents).otherwise(0)).alias(
+            "value_a_cents"
+        ),
+        F.sum(F.when(F.col("ts") >= cut, cents).otherwise(0)).alias(
+            "value_b_cents"
+        ),
+    )
+    delta = F.col("value_b_cents") - F.col("value_a_cents")
+    total = agg.agg(
+        F.sum(delta).alias("total_delta")
+    )
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "value_a_cents",
+            "value_b_cents",
+            delta.alias("delta_cents"),
+            F.round(delta * 1.0 / F.col("total_delta"), 6).alias(
+                "share_of_total_delta"
+            ),
+        )
+        .withColumn(
+            "contribution_rank",
+            F.row_number()
+            .over(
+                W.orderBy(
+                    F.abs(F.col("delta_cents")).desc(), F.col("event_type")
+                )
+            )
+            .cast("int"),
+        )
+        .orderBy("contribution_rank")
+    )
