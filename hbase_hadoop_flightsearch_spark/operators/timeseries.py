@@ -1922,3 +1922,82 @@ def events_metric_contribution(
         )
         .orderBy("contribution_rank")
     )
+
+
+@register(
+    "events_ab_test_analysis",
+    oracle="""
+WITH assigned AS (
+  SELECT CASE WHEN ('0x' || substring(
+                      md5(CAST(user_id AS VARCHAR)), 1, 4))::INT % 2 = 0
+              THEN 'control' ELSE 'treatment' END AS arm,
+         user_id, value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events
+),
+per_user AS (
+  SELECT arm, user_id,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS user_value_cents,
+         MAX(conv) AS converted
+  FROM assigned GROUP BY arm, user_id
+)
+SELECT arm,
+  CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(user_value_cents) AS BIGINT) AS total_value_cents,
+  CAST(SUM(converted) AS BIGINT) AS n_converted,
+  ROUND(SUM(converted) * 1.0 / COUNT(*), 6) AS conversion_rate,
+  ROUND(AVG(user_value_cents), 6) AS avg_user_value_cents,
+  ROUND(STDDEV_SAMP(user_value_cents), 6) AS sd_user_value_cents
+FROM per_user GROUP BY arm ORDER BY arm
+""",
+    doc="A/B experiment analysis (the readout every growth team runs): "
+    "users assigned to control/treatment by an md5 hash of user_id — "
+    "the engine-portable deterministic split the sampling module "
+    "establishes, so assignment is reproducible across reruns, "
+    "engines, and cluster sizes (never rand()). Per-arm: user counts, "
+    "cents-exact value totals, purchase-conversion rate, and the "
+    "per-user value mean/stddev that feed a t-statistic. Two shuffles "
+    "(user grouping, then O(2)-row arm aggregate); assignment itself "
+    "is a pure projection. Rates/moments rounded at 6 decimals on "
+    "both engines.",
+)
+def events_ab_test_analysis(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")
+                                 .cast("binary")), 1, 4), 16, 10)
+        .cast("long") % 2
+    )
+    assigned = events.select(
+        F.when(bucket == 0, "control").otherwise("treatment").alias("arm"),
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "conv"
+        ),
+    )
+    per_user = assigned.groupBy("arm", "user_id").agg(
+        F.sum("cents").alias("user_value_cents"),
+        F.max("conv").alias("converted"),
+    )
+    return (
+        per_user.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("user_value_cents").alias("total_value_cents"),
+            F.sum("converted").alias("n_converted"),
+            F.round(F.sum("converted") * 1.0 / F.count(F.lit(1)), 6).alias(
+                "conversion_rate"
+            ),
+            F.round(F.avg("user_value_cents"), 6).alias(
+                "avg_user_value_cents"
+            ),
+            F.round(F.stddev_samp("user_value_cents"), 6).alias(
+                "sd_user_value_cents"
+            ),
+        )
+        .orderBy("arm")
+    )
