@@ -699,3 +699,52 @@ def dq_order_total_reconciliation(
         *bands,
         F.expr("percentile(dev_cents, 0.5)").alias("p50_dev_cents"),
     )
+
+
+K_ANON_THRESHOLD = 5
+
+
+@register(
+    "dq_k_anonymity_audit",
+    oracle=f"""
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS group_size
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST({K_ANON_THRESHOLD} AS INT) AS k,
+  CAST(COUNT(*) AS BIGINT) AS n_cells,
+  CAST(SUM(CASE WHEN group_size < {K_ANON_THRESHOLD}
+                THEN 1 ELSE 0 END) AS BIGINT) AS violating_cells,
+  CAST(SUM(CASE WHEN group_size < {K_ANON_THRESHOLD}
+                THEN group_size ELSE 0 END) AS BIGINT) AS exposed_rows,
+  CAST(MIN(group_size) AS BIGINT) AS min_group_size,
+  CAST(MAX(group_size) AS BIGINT) AS max_group_size
+FROM cells
+""",
+    doc="k-anonymity audit (privacy gate before any data release): "
+    "group the table by its quasi-identifier combination (nation x "
+    "market segment here), and report how many equivalence classes "
+    "fall below k=5 — each such cell's rows are re-identifiable and "
+    "must be suppressed or generalized before publishing. One "
+    "aggregation (shuffle O(cells)), then an O(cells) summary; the "
+    "same plan audits any QI set at 100 TB. The audit row carries "
+    "cell counts, violating cells, total exposed rows, and the "
+    "min/max class size (min >= k is the pass condition).",
+)
+def dq_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    cells = customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    small = F.col("group_size") < K_ANON_THRESHOLD
+    return cells.agg(
+        F.lit(K_ANON_THRESHOLD).cast("int").alias("k"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.when(small, 1).otherwise(0)).alias("violating_cells"),
+        F.sum(F.when(small, F.col("group_size")).otherwise(0)).alias(
+            "exposed_rows"
+        ),
+        F.min("group_size").alias("min_group_size"),
+        F.max("group_size").alias("max_group_size"),
+    )
