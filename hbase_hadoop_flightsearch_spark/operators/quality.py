@@ -748,3 +748,95 @@ def dq_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("group_size").alias("min_group_size"),
         F.max("group_size").alias("max_group_size"),
     )
+
+
+@register(
+    "dq_chisq_independence",
+    oracle="""
+WITH obs AS (
+  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+margins AS (
+  SELECT seg, pri, n,
+    SUM(n) OVER (PARTITION BY seg) AS row_tot,
+    SUM(n) OVER (PARTITION BY pri) AS col_tot,
+    SUM(n) OVER () AS grand_tot
+  FROM obs
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_cells,
+  CAST(MAX(grand_tot) AS BIGINT) AS n_rows,
+  CAST((COUNT(DISTINCT seg) - 1) * (COUNT(DISTINCT pri) - 1) AS BIGINT)
+    AS dof,
+  -- chi^2 = sum over cells of (O - E)^2 / E with E = rt*ct/N; scaled to
+  -- exact integers: sum (O*N - rt*ct)^2 / (rt*ct*N) — one float per
+  -- cell from an exact integer numerator and denominator.
+  ROUND(SUM(
+    CAST((n * grand_tot - row_tot * col_tot) AS DOUBLE)
+    * (n * grand_tot - row_tot * col_tot)
+    / (CAST(row_tot AS DOUBLE) * col_tot * grand_tot)
+  ), 6) AS chi_sq
+FROM margins
+""",
+    doc="Chi-square test of independence (segment x order priority): "
+    "the categorical-drift / segmentation-sanity test. Observed "
+    "counts come from one join+aggregate; expected counts are "
+    "margin products, and each cell's term is computed from EXACT "
+    "integer numerator (O*N - rt*ct)^2 and denominator rt*ct*N — "
+    "both engines feed identical integers into one float division "
+    "per cell, rounded at 6. Plan: fact-dim broadcast join, O(cells) "
+    "aggregate, window margins over O(cells) rows — nothing scales "
+    "with row count past the first aggregate.",
+)
+def dq_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    obs = (
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    margins = (
+        obs.withColumn("row_tot", F.sum("n").over(Window.partitionBy("seg")))
+        .withColumn("col_tot", F.sum("n").over(Window.partitionBy("pri")))
+        .withColumn(
+            "grand_tot",
+            F.sum("n").over(
+                Window.partitionBy()
+            ),
+        )
+    )
+    num = (
+        F.col("n") * F.col("grand_tot")
+        - F.col("row_tot") * F.col("col_tot")
+    )
+    return margins.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("grand_tot").alias("n_rows"),
+        (
+            (F.count_distinct("seg") - 1) * (F.count_distinct("pri") - 1)
+        ).alias("dof"),
+        F.round(
+            F.sum(
+                num.cast("double")
+                * num
+                / (
+                    F.col("row_tot").cast("double")
+                    * F.col("col_tot")
+                    * F.col("grand_tot")
+                )
+            ),
+            6,
+        ).alias("chi_sq"),
+    )

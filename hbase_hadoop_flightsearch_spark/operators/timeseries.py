@@ -2001,3 +2001,85 @@ def events_ab_test_analysis(
         )
         .orderBy("arm")
     )
+
+
+ROLL_CORR_WINDOW = 7  # trailing days
+
+
+@register(
+    "ts_rolling_corr_daily",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+    CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS x,
+    CAST(SUM(CASE WHEN event_type = 'click'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+win AS (
+  SELECT a.d, COUNT(*) AS n,
+    SUM(b.x) AS sx, SUM(b.y) AS sy, SUM(b.x * b.y) AS sxy,
+    SUM(b.x * b.x) AS sxx, SUM(b.y * b.y) AS syy
+  FROM daily a JOIN daily b
+    ON b.d BETWEEN a.d - {ROLL_CORR_WINDOW - 1} AND a.d
+  GROUP BY a.d
+)
+SELECT d,
+  CAST(n AS BIGINT) AS n_days,
+  ROUND((n * sxy - sx * sy) /
+        (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
+    AS roll_corr
+FROM win WHERE n >= {ROLL_CORR_WINDOW}
+ORDER BY d
+""",
+    doc=f"Rolling {ROLL_CORR_WINDOW}-day Pearson correlation between two "
+    "series (daily purchase vs click value) — the co-movement monitor "
+    "behind every metric-health dashboard. Exactness discipline: all "
+    "five sufficient statistics (sum x, y, xy, x^2, y^2) accumulate "
+    "as BIGINTs over cents, so both engines feed IDENTICAL integers "
+    "into the one closing float expression (rounded at 6). Spark "
+    "plan: daily pivot aggregate (O(days) rows) then ONE range-frame "
+    "window over the day series — no self-join; the oracle's O(W) "
+    "self-join is the SQL formulation only.",
+)
+def ts_rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = events.groupBy(
+        F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "click", cents).otherwise(0)
+        ).alias("y"),
+    )
+    w = (
+        Window.orderBy(F.col("d").cast("timestamp").cast("long"))
+        .rangeBetween(-(ROLL_CORR_WINDOW - 1) * 86400, 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    sx, sy = F.sum("x").over(w), F.sum("y").over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    syy = F.sum(F.col("y") * F.col("y")).over(w)
+    return (
+        daily.select(
+            "d",
+            n.alias("n_days"),
+            F.round(
+                (n * sxy - sx * sy)
+                / (
+                    F.sqrt(n * sxx - sx * sx)
+                    * F.sqrt(n * syy - sy * sy)
+                ),
+                6,
+            ).alias("roll_corr"),
+        )
+        .filter(F.col("n_days") >= ROLL_CORR_WINDOW)
+        .orderBy("d")
+    )
