@@ -201,3 +201,57 @@ def udf_grouped_agg_weighted_mean(
             "wmean_price"
         )
     )
+
+
+def _arrow_doc_stats(batches):
+    """pyarrow-NATIVE batch transform: no pandas materialization at all —
+    the Arrow RecordBatch coming off the JVM is processed with
+    pyarrow.compute kernels (C++-vectorized) and a new batch goes
+    straight back. This is the zero-copy fast path below even pandas
+    UDFs: no BlockManager, no object boxing."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        text = batch.column(batch.schema.get_field_index("text"))
+        words = pc.split_pattern(text, " ")
+        out = pa.RecordBatch.from_arrays(
+            [
+                batch.column(batch.schema.get_field_index("doc_id")),
+                pc.cast(pc.utf8_length(text), pa.int64()),
+                pc.cast(pc.list_value_length(words), pa.int64()),
+                pc.cast(
+                    pc.count_substring(text, "the"), pa.int64()
+                ),
+            ],
+            names=["doc_id", "n_chars_utf8", "n_words", "n_the"],
+        )
+        yield out
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_utf8,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+  CAST((length(text) - length(replace(text, 'the', ''))) // 3
+       AS BIGINT) AS n_the
+FROM documents
+""",
+    doc="mapInArrow (E15's Arrow-native tier, below even pandas UDFs): "
+    "the RecordBatch from the JVM is transformed entirely with "
+    "pyarrow.compute kernels — utf8_length, split counts, substring "
+    "counts — and returned without ever materializing pandas objects. "
+    "The right tool when the per-batch work is itself expressible as "
+    "Arrow kernels: zero object boxing, zero BlockManager cost, and "
+    "the same doc_id+text pruned scan / no shuffle plan shape as the "
+    "mapInPandas codecs.",
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        _arrow_doc_stats,
+        schema="doc_id bigint, n_chars_utf8 bigint, n_words bigint, "
+        "n_the bigint",
+    )
