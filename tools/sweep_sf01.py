@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Full-registry oracle sweep at sf0.1 with a per-chunk watchdog.
+
+Names are partitioned into chunks; each chunk runs in a FRESH subprocess
+(own SparkSession) under a hard timeout, so one pathological DuckDB
+oracle (the deliberately quadratic SQL formulations) costs its chunk a
+TIMEOUT record instead of hanging the sweep. Known-quadratic oracles are
+pre-skipped; anything newly slow surfaces as a named timeout.
+
+Usage: python tools/sweep_sf01.py [chunk_size] > sweep.log
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+# Oracles whose SQL formulation is deliberately all-pairs / correlated-
+# inequality: conclusive at sf <= 0.01 (the suite), impractical for
+# DuckDB at sf0.1. The SPARK side of each has sf0.1 evidence via bench
+# or the per-round sweeps.
+SKIP = {
+    "asof_join_events_orders", "asof_join_forward_next_purchase",
+    "asof_join_tolerance", "dedup_ngram_jaccard",
+    "dedup_containment_prefix", "dedup_simhash", "dedup_cc_clusters",
+    "dedup_embedding_cosine", "dedup_levenshtein_blocked",
+    "dedup_levenshtein_block_stats", "dedup_chaining_audit",
+    "dedup_minhash_lsh", "connected_components_star",
+    "similarity_mmr_rerank", "pipeline_chunk_dedup",
+    "pipeline_corpus_prep_neardup", "join_interval_overlap_sessions",
+}
+
+CHILD = r"""
+import sys, time
+sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/root/repo/tests")
+from pyspark.sql import SparkSession
+from hbase_hadoop_flightsearch_spark.plans.registry import load_all
+from oracle_utils import compare_query_to_oracle
+names = sys.argv[1].split(",")
+spark = (SparkSession.builder.master("local[16]")
+         .config("spark.sql.shuffle.partitions", "16")
+         .config("spark.ui.enabled", "false")
+         .config("spark.driver.memory", "8g")
+         .config("spark.sql.session.timeZone", "UTC").getOrCreate())
+reg = load_all()
+for name in names:
+    t0 = time.time()
+    try:
+        compare_query_to_oracle(spark, reg[name], "/root/testdata/sf0.1")
+        print(f"OK {name} {time.time()-t0:.1f}s", flush=True)
+    except Exception as ex:
+        print(f"FAIL {name} {str(ex)[:250]}", flush=True)
+spark.stop()
+"""
+
+
+def main() -> None:
+    sys.path.insert(0, "/root/repo")
+    from hbase_hadoop_flightsearch_spark.plans.registry import load_all
+
+    chunk_size = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    names = [n for n in sorted(load_all()) if n not in SKIP]
+    ok = fail = timeout = 0
+    for i in range(0, len(names), chunk_size):
+        chunk = names[i: i + chunk_size]
+        out = ""
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c", CHILD, ",".join(chunk)],
+                capture_output=True, text=True, timeout=1200,
+            )
+            out = p.stdout
+        except subprocess.TimeoutExpired as e:
+            raw = e.stdout or ""
+            out = raw.decode() if isinstance(raw, bytes) else raw
+            done = {
+                line.split()[1] for line in out.splitlines()
+                if line.startswith(("OK", "FAIL"))
+            }
+            for name in chunk:
+                if name not in done:
+                    print(f"TIMEOUT {name}", flush=True)
+                    timeout += 1
+        for line in out.splitlines():
+            if line.startswith(("OK", "FAIL")):
+                print(line, flush=True)
+                if line.startswith("OK"):
+                    ok += 1
+                else:
+                    fail += 1
+    print(
+        f"SWEEP DONE: ok={ok} fail={fail} timeout={timeout} "
+        f"skipped={len(SKIP)}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
