@@ -869,3 +869,179 @@ def similarity_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity_knn_bruteforce(spark, sf_dir),
         PQ_RECALL_FLOOR,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ composed: the FAISS IVFADC index layout
+# ---------------------------------------------------------------------------
+
+IVFPQ_SHORTLIST = 200  # ADC shortlist within probed cells only
+IVFPQ_RECALL_FLOOR = 0.6  # composed losses: cell probing (IVF tier) x
+# code quantization (PQ tier). Measured recall@5 at shortlist 200:
+# 0.96 / 1.0 / 0.64 at sf0.001/0.01/0.1 and 1.0 on the alternate-seed
+# corpus — the sf0.1 number is CAPPED by the untrained coarse
+# quantizer's cell recall (the plain-IVF tier alone measures 0.74
+# there; shortlist 300 reaches 0.72, saturating that cap), so the
+# composed floor sits below IVF's 0.7 convention by design.
+
+
+def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed exactly as a FAISS IVFADC index is laid out:
+    the corpus is partitioned into coarse cells (the IVF tier — probing
+    prunes partitions), and inside cells vectors exist only as 8 x 4-bit
+    PQ codes (the memory tier — 16x smaller than float32), scored by
+    asymmetric distance against broadcast query LUTs. This is the
+    `by_residual=False` flavor (scoring codes of the raw vectors, not of
+    cell residuals — the documented FAISS switch); the candidate flow is
+    cells -> ADC shortlist -> exact re-rank on the shortlist only.
+    Plan shape: ONE encode scan (Arrow-batched, codebook in closure),
+    broadcast cell assignment/probes, an equi-join on cell id whose
+    right side carries 8-byte codes instead of 256-byte vectors, a
+    WindowGroupLimit shortlist, and a broadcast exact re-rank."""
+    import numpy as np
+
+    emb = _embeddings(spark, sf_dir)
+    book = _pq_codebook(emb)  # (M, KS, sub), Lloyd-trained
+    sub = book.shape[2]
+    cnorm2 = (book * book).sum(axis=2)  # (M, KS)
+
+    cents = emb.filter(
+        F.col("vec_id") % IVF_CENTROID_STEP == 7
+    ).select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+
+    def nearest_cells(df: DataFrame, id_col: str, vcol: str, n: int):
+        scored = df.join(F.broadcast(cents)).withColumn(
+            "cdist",
+            _dot(F.col(vcol), F.col("cv"))
+            / (_norm(F.col(vcol)) * _norm(F.col("cv"))),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("cdist"), F.asc("cent_id")
+        )
+        return (
+            scored.withColumn("crn", F.row_number().over(w))
+            .filter(F.col("crn") <= n)
+            .drop("cv", "cdist", "crn")
+        )
+
+    def _encode(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vecs = np.array(list(pdf["v"]), dtype=np.float64)
+            xc = np.einsum(
+                "nmd,mcd->nmc", vecs.reshape(n, PQ_M, sub), book
+            )
+            codes = (cnorm2[None, :, :] - 2 * xc).argmin(axis=2)
+            out = pdf[["vec_id"]].copy()
+            out["codes"] = list(codes.astype("int32"))
+            yield out
+
+    encoded = emb.mapInPandas(
+        _encode, schema="vec_id bigint, codes array<int>"
+    )
+    assigned = nearest_cells(emb, "vec_id", "v", 1).select(
+        "vec_id", "cent_id"
+    )
+    index = encoded.join(assigned, "vec_id")  # (vec_id, codes, cell)
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    qrows = queries.collect()  # Q=10 bounded artifact
+    qids = np.array([r["vec_id"] for r in qrows])
+    qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    lut = np.einsum(
+        "qmd,mcd->qmc", qmat.reshape(len(qrows), PQ_M, sub), book
+    )
+    qindex = {int(q): i for i, q in enumerate(qids)}
+    probes = nearest_cells(
+        queries.select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        ),
+        "query_id",
+        "qv",
+        IVF_NPROBE,
+    ).select("query_id", "cent_id")
+
+    cand = index.join(probes, "cent_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+
+    def _adc(batches):
+        marange = np.arange(PQ_M)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            qi = np.array([qindex[int(q)] for q in pdf["query_id"]])
+            dot_est = lut[
+                qi[:, None], marange[None, :], codes
+            ].sum(axis=1)
+            norm_est = np.sqrt(cnorm2[marange, codes].sum(axis=1))
+            out = pdf[["query_id", "vec_id"]].copy()
+            out["approx_cos"] = dot_est / (qnorm[qi] * norm_est)
+            yield out
+
+    adc = cand.mapInPandas(
+        _adc, schema="query_id bigint, vec_id bigint, approx_cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cos"), F.asc("vec_id")
+    )
+    shortlist = (
+        adc.withColumn("arn", F.row_number().over(w))
+        .filter(F.col("arn") <= IVFPQ_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    rerank = (
+        F.broadcast(shortlist)
+        .join(emb, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cos",
+            _dot(F.col("qv"), F.col("v"))
+            / (_norm(F.col("qv")) * _norm(F.col("v"))),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    return (
+        rerank.withColumn("rn", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rn") <= KNN_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos", 6).alias("cosine"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "similarity_ann_ivfpq",
+    oracle=_ANN_ORACLE,
+    doc=f"IVF+PQ composed (E11's capstone — the FAISS IVFADC layout): "
+    "coarse cells prune which partitions a query touches, and inside "
+    f"cells vectors exist only as {PQ_M} 4-bit codes scored by ADC "
+    "LUTs, so BOTH the scan set and the bytes-per-vector shrink at "
+    "once; exact cosine re-ranks the shortlist. by_residual=False "
+    "flavor (the documented FAISS switch). Bound-flag oracle: "
+    f"recall@5 >= {IVFPQ_RECALL_FLOOR} vs the exact baseline as a "
+    "boolean the oracle expects TRUE (composed floor = IVF cell "
+    "recall x PQ shortlist recall; measured 0.96/1.0/0.64 across "
+    "SFs + 1.0 alt-seed, the sf0.1 value capped by the untrained "
+    "coarse quantizer exactly as the plain-IVF tier measures).",
+)
+def similarity_ann_ivfpq_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _recall_flag_query(
+        similarity_ann_ivfpq(spark, sf_dir),
+        similarity_knn_bruteforce(spark, sf_dir),
+        IVFPQ_RECALL_FLOOR,
+    )
