@@ -42,9 +42,16 @@ N_CUST, N_SUPP, N_PART, N_ORD, N_LINE = 1500, 100, 2000, 15000, 60000
 N_EVT, N_DOC, N_EMB, N_USERS, EMB_DIM = 10000, 500, 500, 150, 64
 
 
-def main(outdir: str, seed: int) -> None:
+def main(outdir: str, seed: int, scale: float = 1.0) -> None:
     import os
 
+    global N_CUST, N_SUPP, N_PART, N_ORD, N_LINE, N_EVT, N_DOC, N_EMB
+    if scale != 1.0:  # optional size multiplier (intermediate-SF sweeps)
+        N_CUST, N_PART = int(N_CUST * scale), int(N_PART * scale)
+        N_ORD, N_LINE = int(N_ORD * scale), int(N_LINE * scale)
+        N_EVT, N_DOC, N_EMB = (
+            int(N_EVT * scale), int(N_DOC * scale), int(N_EMB * scale),
+        )
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(seed)
 
@@ -179,4 +186,8 @@ def main(outdir: str, seed: int) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 1337)
+    main(
+        sys.argv[1],
+        int(sys.argv[2]) if len(sys.argv) > 2 else 1337,
+        float(sys.argv[3]) if len(sys.argv) > 3 else 1.0,
+    )

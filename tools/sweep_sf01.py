@@ -25,7 +25,7 @@ SKIP = {
     "dedup_containment_prefix", "dedup_simhash", "dedup_cc_clusters",
     "dedup_embedding_cosine", "dedup_levenshtein_blocked",
     "dedup_levenshtein_block_stats", "dedup_chaining_audit",
-    "dedup_minhash_lsh", "connected_components_star",
+    "dedup_minhash_lsh",
     "similarity_mmr_rerank", "pipeline_chunk_dedup",
     "pipeline_corpus_prep_neardup", "join_interval_overlap_sessions",
 }
