@@ -2083,3 +2083,112 @@ def ts_rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_days") >= ROLL_CORR_WINDOW)
         .orderBy("d")
     )
+
+
+ALERT_RAISE_RUN = 3  # consecutive breach hours to RAISE
+ALERT_CLEAR_RUN = 2  # consecutive normal hours to CLEAR
+ALERT_NUM, ALERT_DEN = 1, 4  # breach: error rate > 1/4 (integer compare)
+
+
+@register(
+    "events_alert_hysteresis",
+    oracle=f"""
+WITH hourly AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hr,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_errors
+  FROM events GROUP BY 1
+),
+flagged AS (
+  SELECT *, (n_errors * {ALERT_DEN} > n_events * {ALERT_NUM}) AS breach,
+    ROW_NUMBER() OVER (ORDER BY hr)
+      - ROW_NUMBER() OVER (PARTITION BY
+          (n_errors * {ALERT_DEN} > n_events * {ALERT_NUM}) ORDER BY hr)
+      AS grp
+  FROM hourly
+),
+runs AS (
+  SELECT breach, MIN(hr) AS start_hr, MAX(hr) AS end_hr,
+         CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM flagged GROUP BY breach, grp
+),
+eff AS (
+  SELECT *, CASE
+      WHEN breach AND run_len >= {ALERT_RAISE_RUN} THEN 'R'
+      WHEN NOT breach AND run_len >= {ALERT_CLEAR_RUN} THEN 'C'
+      ELSE NULL END AS transition
+  FROM runs
+)
+SELECT start_hr, end_hr, breach, run_len, transition,
+  COALESCE(LAST_VALUE(transition IGNORE NULLS) OVER (
+    ORDER BY start_hr ROWS UNBOUNDED PRECEDING), 'C') = 'R'
+    AS alert_active_after
+FROM eff ORDER BY start_hr
+""",
+    doc=f"Alert hysteresis / flap suppression (the SRE state machine "
+    f"every alerting stack needs): RAISE only after "
+    f"{ALERT_RAISE_RUN} consecutive breach hours (error rate > "
+    f"{ALERT_NUM}/{ALERT_DEN}, integer cross-product compare), CLEAR "
+    f"only after {ALERT_CLEAR_RUN} consecutive normal hours — short "
+    "flaps in either direction change nothing. The sequential state "
+    "machine is re-expressed DECLARATIVELY: breach/normal runs via "
+    "gaps-and-islands, runs long enough to matter become R/C "
+    "transition events, and the active flag is simply the LAST "
+    "non-null transition seen (last_value IGNORE NULLS) — no "
+    "recursion, no driver loop, one Window chain over O(hours) rows "
+    "after the first aggregate.",
+)
+def events_alert_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.floor(F.unix_micros("ts") / 3600000000.0)
+        .cast("bigint")
+        .alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_errors"),
+    )
+    breach = (
+        F.col("n_errors") * ALERT_DEN > F.col("n_events") * ALERT_NUM
+    )
+    flagged = hourly.withColumn("breach", breach).withColumn(
+        "grp",
+        F.row_number().over(Window.orderBy("hr"))
+        - F.row_number().over(
+            Window.partitionBy("breach").orderBy("hr")
+        ),
+    )
+    runs = flagged.groupBy("breach", "grp").agg(
+        F.min("hr").alias("start_hr"),
+        F.max("hr").alias("end_hr"),
+        F.count(F.lit(1)).alias("run_len"),
+    )
+    eff = runs.withColumn(
+        "transition",
+        F.when(
+            F.col("breach") & (F.col("run_len") >= ALERT_RAISE_RUN), "R"
+        ).when(
+            (~F.col("breach")) & (F.col("run_len") >= ALERT_CLEAR_RUN),
+            "C",
+        ),
+    )
+    w = Window.orderBy("start_hr").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        eff.withColumn(
+            "alert_active_after",
+            F.coalesce(
+                F.last("transition", ignorenulls=True).over(w), F.lit("C")
+            )
+            == "R",
+        )
+        .select(
+            "start_hr", "end_hr", "breach", "run_len", "transition",
+            "alert_active_after",
+        )
+        .orderBy("start_hr")
+    )
