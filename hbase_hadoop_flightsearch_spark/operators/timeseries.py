@@ -2192,3 +2192,125 @@ def events_alert_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("start_hr")
     )
+
+
+ATTR_WINDOW_US = 7 * 86400 * 1_000_000  # touches within 7 days credit
+ATTR_HALF_WEIGHT_STEP = 1  # each step back in recency halves the credit
+
+
+@register(
+    "events_multitouch_attribution",
+    oracle=f"""
+WITH purchases AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, event_id AS touch_id, event_type, epoch_us(ts) AS tts
+  FROM events WHERE event_type IN ('view', 'click')
+),
+credited AS (
+  SELECT p.purchase_id, p.cents, t.event_type,
+    ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                       ORDER BY t.tts DESC, t.touch_id) AS recency_rank
+  FROM purchases p JOIN touches t
+    ON t.user_id = p.user_id
+   AND t.tts < p.pts AND t.tts >= p.pts - {ATTR_WINDOW_US}
+),
+-- exponential time-decay credit: weight 2^-(rank-1), normalized by the
+-- purchase's total weight 2 - 2^-(n-1); kept EXACT by scaling every
+-- weight by 2^(n-1): w_scaled = 2^(n-rank), total_scaled = 2^n - 1.
+scaled AS (
+  SELECT purchase_id, cents, event_type,
+    CAST(POWER(2, MAX(recency_rank) OVER (PARTITION BY purchase_id)
+               - recency_rank) AS BIGINT) AS w_scaled,
+    CAST(POWER(2, MAX(recency_rank) OVER (PARTITION BY purchase_id))
+         AS BIGINT) - 1 AS total_scaled
+  FROM credited WHERE recency_rank <= 20
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_credited_touches,
+  ROUND(SUM(cents * w_scaled * 1.0 / total_scaled) / 100.0, 6)
+    AS attributed_revenue
+FROM scaled GROUP BY event_type ORDER BY event_type
+""",
+    doc="Multi-touch attribution with exponential time decay (the "
+    "marketing-analytics credit assignment): every purchase splits its "
+    "revenue over the view/click touches of the SAME user in the prior "
+    "7 days, most-recent touch getting weight 1/2, next 1/4, ... — "
+    "kept EXACT by scaling to integer weights 2^(n-rank) over total "
+    "2^n - 1 (capped at 20 touches so the BIGINT powers never "
+    "overflow), one float division per touch at the very end. Plan: "
+    "both sides partition on user_id (one Exchange each), the range "
+    "join is time-bounded so per-purchase candidates are bounded by "
+    "the window, and the final rollup is O(event types).",
+)
+def events_multitouch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("pts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    touches = events.filter(
+        F.col("event_type").isin("view", "click")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        "event_type",
+        F.unix_micros("ts").alias("tts"),
+    )
+    credited = (
+        purchases.join(touches, "user_id")
+        .filter(
+            (F.col("tts") < F.col("pts"))
+            & (F.col("tts") >= F.col("pts") - ATTR_WINDOW_US)
+        )
+        .withColumn(
+            "recency_rank",
+            F.row_number().over(
+                Window.partitionBy("purchase_id").orderBy(
+                    F.desc("tts"), F.asc("touch_id")
+                )
+            ),
+        )
+        .filter(F.col("recency_rank") <= 20)
+    )
+    wmax = Window.partitionBy("purchase_id")
+    scaled = credited.select(
+        "event_type",
+        "cents",
+        F.pow(
+            F.lit(2.0),
+            (F.max("recency_rank").over(wmax) - F.col("recency_rank")),
+        )
+        .cast("bigint")
+        .alias("w_scaled"),
+        (
+            F.pow(F.lit(2.0), F.max("recency_rank").over(wmax)).cast(
+                "bigint"
+            )
+            - 1
+        ).alias("total_scaled"),
+    )
+    return (
+        scaled.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_credited_touches"),
+            F.round(
+                F.sum(
+                    F.col("cents")
+                    * F.col("w_scaled")
+                    * 1.0
+                    / F.col("total_scaled")
+                )
+                / 100.0,
+                6,
+            ).alias("attributed_revenue"),
+        )
+        .orderBy("event_type")
+    )
