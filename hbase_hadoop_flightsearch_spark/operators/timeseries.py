@@ -2314,3 +2314,143 @@ def events_multitouch_attribution(
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_survival_repeat_purchase",
+    oracle="""
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS pts,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS k
+  FROM events WHERE event_type = 'purchase'
+),
+horizon AS (SELECT MAX(epoch_us(ts)) AS h FROM events),
+subjects AS (
+  SELECT a.user_id,
+    CASE WHEN b.pts IS NOT NULL
+         THEN (b.pts - a.pts) // 86400000000
+         ELSE ((SELECT h FROM horizon) - a.pts) // 86400000000
+    END AS t_days,
+    (b.pts IS NOT NULL) AS observed
+  FROM (SELECT * FROM p WHERE k = 1) a
+  LEFT JOIN (SELECT * FROM p WHERE k = 2) b USING (user_id)
+),
+risk AS (
+  SELECT t_days AS t,
+    CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM subjects GROUP BY t_days
+),
+curve AS (
+  SELECT r.t, r.d,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM subjects s
+     WHERE s.t_days >= r.t) AS n_at_risk
+  FROM risk r WHERE r.d > 0
+)
+SELECT CAST(t AS BIGINT) AS t_days, d AS n_events, n_at_risk,
+  -- the last event time can absorb the whole risk set (d = n): the
+  -- curve hits EXACT zero there and ln() is undefined — carry a
+  -- hit-zero flag instead of taking log of 0
+  CASE WHEN MAX(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END)
+            OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1 THEN 0.0
+       ELSE ROUND(EXP(SUM(LN(CASE WHEN d = n_at_risk THEN 1.0
+                              ELSE 1.0 - d * 1.0 / n_at_risk END))
+                      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6)
+  END AS survival
+FROM curve ORDER BY t_days
+""",
+    doc="Kaplan-Meier survival estimator over time-to-repeat-purchase "
+    "(the churn/retention statistic): each user's subject time is the "
+    "gap from first to second purchase, right-CENSORED at the data "
+    "horizon when no second purchase exists — the estimator's whole "
+    "point is that censored users still count in the at-risk "
+    "denominator until their censor time. S(t) = prod(1 - d_i/n_i) "
+    "over event days, computed as exp of a running sum of logs (one "
+    "cumulative window over O(distinct event days) rows; the product "
+    "re-expressed as a prefix sum is what makes it declarative). "
+    "Heavy lifting is one per-user aggregate; the curve itself is "
+    "days-sized. Per-row d and n_at_risk are exact BIGINTs the oracle "
+    "value-checks; survival is float, rounded at 6.",
+)
+def events_survival_repeat_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("pts"),
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        )
+        .alias("k"),
+    )
+    first = p.filter(F.col("k") == 1).select("user_id", "pts")
+    second = p.filter(F.col("k") == 2).select(
+        "user_id", F.col("pts").alias("pts2")
+    )
+    horizon = events.agg(F.max(F.unix_micros("ts")).alias("h"))
+    subjects = (
+        first.join(second, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("pts2").isNotNull(),
+                (F.col("pts2") - F.col("pts")),
+            )
+            .otherwise(F.col("h") - F.col("pts"))
+            .cast("bigint")
+            .alias("gap_us"),
+            F.col("pts2").isNotNull().alias("observed"),
+        )
+        .select(
+            (F.col("gap_us") / 86400000000).cast("bigint").alias("t_days"),
+            "observed",
+        )
+    )
+    risk = subjects.groupBy(F.col("t_days").alias("t")).agg(
+        F.sum(F.when(F.col("observed"), 1).otherwise(0)).alias("d"),
+        F.count(F.lit(1)).alias("ending_here"),
+    )
+    # at-risk = subjects with t_days >= t: suffix sum over the day axis
+    w_suffix = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = (
+        risk.withColumn("n_at_risk", F.sum("ending_here").over(w_suffix))
+        .filter(F.col("d") > 0)
+    )
+    w_prefix = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hit_zero = (
+        F.max(
+            F.when(F.col("d") == F.col("n_at_risk"), 1).otherwise(0)
+        ).over(w_prefix)
+        == 1
+    )
+    return curve.select(
+        F.col("t").alias("t_days"),
+        F.col("d").alias("n_events"),
+        "n_at_risk",
+        F.when(hit_zero, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(
+                            F.when(
+                                F.col("d") == F.col("n_at_risk"),
+                                F.lit(1.0),
+                            ).otherwise(
+                                1.0
+                                - F.col("d") * 1.0 / F.col("n_at_risk")
+                            )
+                        )
+                    ).over(w_prefix)
+                ),
+                6,
+            )
+        )
+        .alias("survival"),
+    ).orderBy("t_days")
