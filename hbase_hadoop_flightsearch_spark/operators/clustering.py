@@ -399,3 +399,125 @@ def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 4).alias("slope"),
         F.round((sy - slope * sx) / n, 4).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression by distributed gradient descent (propensity model)
+# ---------------------------------------------------------------------------
+
+LOGIT_ITERS = 4
+LOGIT_LR = 0.5
+LOGIT_SPLIT_US = 1_705_881_600_000_000  # 2024-01-22T00:00:00Z: features
+# from the first 3 weeks, label = "purchases in week 4+" — a true
+# forward-looking propensity target, never a feature leak.
+
+
+def _logit_features_sql() -> str:
+    return f"""
+feat AS (
+  SELECT user_id,
+    LN(1.0 + SUM(CASE WHEN epoch_us(ts) < {LOGIT_SPLIT_US}
+                      THEN 1 ELSE 0 END)) AS x1,
+    SUM(CASE WHEN epoch_us(ts) < {LOGIT_SPLIT_US}
+             THEN value ELSE 0 END) / 1000.0 AS x2,
+    MAX(CASE WHEN epoch_us(ts) >= {LOGIT_SPLIT_US}
+              AND event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+)"""
+
+
+def _logit_oracle() -> str:
+    """Unrolled GD: each iteration is one CTE computing the mean
+    gradient of the logistic loss at the previous weights (scalar
+    subqueries — exactly the bounded-driver-scalar structure the Spark
+    loop uses)."""
+    parts = ["WITH " + _logit_features_sql().lstrip(",\n ")]
+    parts.append(""",
+w_0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)""")
+    for k in range(1, LOGIT_ITERS + 1):
+        parts.append(f""",
+g_{k} AS (
+  SELECT
+    AVG(1.0/(1.0+EXP(-(w.w0 + w.w1*f.x1 + w.w2*f.x2))) - f.y) AS g0,
+    AVG((1.0/(1.0+EXP(-(w.w0 + w.w1*f.x1 + w.w2*f.x2))) - f.y)*f.x1)
+      AS g1,
+    AVG((1.0/(1.0+EXP(-(w.w0 + w.w1*f.x1 + w.w2*f.x2))) - f.y)*f.x2)
+      AS g2
+  FROM feat f, w_{k - 1} w
+),
+w_{k} AS (
+  SELECT w.w0 - {LOGIT_LR} * g.g0 AS w0,
+         w.w1 - {LOGIT_LR} * g.g1 AS w1,
+         w.w2 - {LOGIT_LR} * g.g2 AS w2
+  FROM w_{k - 1} w, g_{k} g
+)""")
+    selects = " UNION ALL ".join(
+        f"SELECT {k} AS iteration, w0, w1, w2 FROM w_{k}"
+        for k in range(1, LOGIT_ITERS + 1)
+    )
+    return "".join(parts) + f"""
+SELECT CAST(iteration AS INT) AS iteration,
+       ROUND(w0, 6) AS w0, ROUND(w1, 6) AS w1, ROUND(w2, 6) AS w2
+FROM ({selects}) ORDER BY iteration
+"""
+
+
+@register(
+    "ml_logistic_regression_gd",
+    oracle=_logit_oracle(),
+    doc=f"Logistic-regression training by distributed gradient descent "
+    "(the propensity-model trainer): features are each user's first-3-"
+    "weeks activity (log event count, value sum), the LABEL is whether "
+    "they purchase in week 4+ — a forward-looking target with no "
+    f"feature leak. {LOGIT_ITERS} full-batch GD steps; per step the "
+    "cluster computes ONE aggregate (three mean-gradient doubles — "
+    "the k-means bounded-driver-scalar pattern), weights live on the "
+    "driver, data is scanned once per step from a cached feature "
+    "table. The oracle unrolls the identical recurrence as CTEs; both "
+    "engines evaluate the same float formula on the same O(users) "
+    "rows, rounded at 6. Output is the full training trajectory, so "
+    "any divergence pinpoints the iteration that drifted.",
+)
+def ml_logistic_regression_gd(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    pre = F.unix_micros("ts") < LOGIT_SPLIT_US
+    feat = (
+        events.groupBy("user_id")
+        .agg(
+            F.log(
+                1.0 + F.sum(F.when(pre, 1).otherwise(0))
+            ).alias("x1"),
+            (
+                F.sum(F.when(pre, F.col("value")).otherwise(0.0)) / 1000.0
+            ).alias("x2"),
+            F.max(
+                F.when(
+                    (~pre) & (F.col("event_type") == "purchase"), 1
+                ).otherwise(0)
+            ).alias("y"),
+        )
+        .localCheckpoint(eager=True)  # features computed exactly once
+    )
+    w = [0.0, 0.0, 0.0]
+    rows = []
+    for it in range(1, LOGIT_ITERS + 1):
+        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        resid = 1.0 / (1.0 + F.exp(-z)) - F.col("y")
+        g = feat.agg(
+            F.avg(resid).alias("g0"),
+            F.avg(resid * F.col("x1")).alias("g1"),
+            F.avg(resid * F.col("x2")).alias("g2"),
+        ).collect()[0]  # three scalars per iteration
+        w = [
+            w[0] - LOGIT_LR * g["g0"],
+            w[1] - LOGIT_LR * g["g1"],
+            w[2] - LOGIT_LR * g["g2"],
+        ]
+        rows.append((it, round(w[0], 6), round(w[1], 6), round(w[2], 6)))
+    return spark.createDataFrame(
+        rows, "iteration int, w0 double, w1 double, w2 double"
+    )
