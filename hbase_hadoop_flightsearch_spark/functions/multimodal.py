@@ -824,6 +824,17 @@ def lzw_encode_gif(indices, min_code_size: int) -> bytes:
         buf = (px,)
     if buf:
         emit(table[buf])
+        # END-OF-STREAM WIDTH SYNC: the decoder still ADDS a table entry
+        # for this final data code (the encoder has nothing to add — the
+        # stream ends), and that add can push the decoder across the
+        # width boundary. Mirror the bookkeeping so END is written at
+        # the width the decoder will read it with; without this, a
+        # stream whose final code lands exactly on the boundary loses
+        # the END code's high bits (found by the hypothesis roundtrip
+        # property, 464-pixel example — invisible to fixed-law corpora).
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
     emit(end)
     if nbits:
         out.append(acc & 0xFF)
