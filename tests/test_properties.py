@@ -478,3 +478,84 @@ def test_png_filter_roundtrip_arbitrary_images(data, w, h):
     )
     rows = png_pixels(blob)
     assert [tuple(c) for r in rows for c in r] == px
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.data(),
+    bw=st.integers(min_value=1, max_value=4),
+    bh=st.integers(min_value=1, max_value=4),
+)
+def test_jpeg_block_constant_roundtrip_arbitrary_values(data, bw, bh):
+    """Property: ANY block-constant YCbCr image (all 256^3 values, not
+    just the registered law's range) survives the baseline JPEG encode +
+    full entropy/IDCT decode integer-exactly — the lossless class the
+    oracle relies on, pinned for arbitrary content including the 0/255
+    clamp edges. (The GIF twin of this property caught a real
+    end-of-stream encoder bug; codecs get fuzzed, not just law-tested.)"""
+    import struct as st_
+
+    import hbase_hadoop_flightsearch_spark.functions.multimodal as mm
+
+    blocks = [
+        [
+            (
+                data.draw(st.integers(0, 255)),
+                data.draw(st.integers(0, 255)),
+                data.draw(st.integers(0, 255)),
+            )
+            for _ in range(bw)
+        ]
+        for _ in range(bh)
+    ]
+    w, h = 8 * bw, 8 * bh
+    app0 = (b"\xff\xe0" + st_.pack(">H", 16) + b"JFIF\x00\x01\x01"
+            + b"\x00" + st_.pack(">HH", 1, 1) + b"\x00\x00")
+    dqt = b"".join(
+        b"\xff\xdb" + st_.pack(">H", 67) + bytes([tid]) + bytes([8] * 64)
+        for tid in (0, 1)
+    )
+    sof0 = (b"\xff\xc0" + st_.pack(">H", 17) + b"\x08"
+            + st_.pack(">HH", h, w) + b"\x03"
+            + b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01")
+    dht = (mm._dht_segment(0, 0, *mm._ENC_DC_LUMA)
+           + mm._dht_segment(0, 1, *mm._ENC_DC_CHROMA)
+           + mm._dht_segment(1, 0, *mm._ENC_AC_EOB)
+           + mm._dht_segment(1, 1, *mm._ENC_AC_EOB))
+    sos = (b"\xff\xda" + st_.pack(">H", 12) + b"\x03"
+           + b"\x01\x00" + b"\x02\x11" + b"\x03\x11" + b"\x00\x3f\x00")
+    dc_codes = (
+        mm._canonical_codes(*mm._ENC_DC_LUMA),
+        mm._canonical_codes(*mm._ENC_DC_CHROMA),
+        mm._canonical_codes(*mm._ENC_DC_CHROMA),
+    )
+    ac_codes = (mm._canonical_codes(*mm._ENC_AC_EOB),) * 3
+    bwr = mm._BitWriter()
+    pred = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            comps = blocks[by][bx]
+            for ci in range(3):
+                dc = comps[ci] - 128
+                diff = dc - pred[ci]
+                pred[ci] = dc
+                t = abs(diff).bit_length()
+                code, ln = dc_codes[ci][t]
+                bwr.put(code, ln)
+                if t:
+                    bwr.put(
+                        diff if diff >= 0 else diff + (1 << t) - 1, t
+                    )
+                code, ln = ac_codes[ci][0x00]
+                bwr.put(code, ln)
+    payload = (b"\xff\xd8" + app0 + dqt + sof0 + dht + sos
+               + bwr.flush() + b"\xff\xd9")
+    out = mm.jpeg_decode(payload)
+    assert (out["w"], out["h"]) == (w, h)
+    for by in range(bh):
+        for bx in range(bw):
+            yv, cb, cr = blocks[by][bx]
+            blk = out["ycbcr"][8 * by: 8 * by + 8, 8 * bx: 8 * bx + 8]
+            assert (blk[:, :, 0] == yv).all()
+            assert (blk[:, :, 1] == cb).all()
+            assert (blk[:, :, 2] == cr).all()
