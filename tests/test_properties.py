@@ -559,3 +559,127 @@ def test_jpeg_block_constant_roundtrip_arbitrary_values(data, bw, bh):
             assert (blk[:, :, 0] == yv).all()
             assert (blk[:, :, 1] == cb).all()
             assert (blk[:, :, 2] == cr).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.data(),
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+)
+def test_png_roundtrip_arbitrary_images(data, w, h):
+    """Property: ANY RGB image survives the all-five-filters PNG encode
+    + CRC-verified inflate decode byte-exactly."""
+    import struct
+    import zlib
+
+    from hbase_hadoop_flightsearch_spark.functions.multimodal import (
+        _paeth,
+        png_pixels,
+    )
+
+    px = [
+        [
+            (
+                data.draw(st.integers(0, 255)),
+                data.draw(st.integers(0, 255)),
+                data.draw(st.integers(0, 255)),
+            )
+            for _ in range(w)
+        ]
+        for _ in range(h)
+    ]
+    raw = bytearray()
+    prev = bytes(3 * w)
+    for y in range(h):
+        row = bytes(b for x in range(w) for b in px[y][x])
+        f = y % 5
+        raw.append(f)
+        out = bytearray()
+        for i, v in enumerate(row):
+            left = row[i - 3] if i >= 3 else 0
+            up = prev[i]
+            ul = prev[i - 3] if i >= 3 else 0
+            if f == 0:
+                out.append(v)
+            elif f == 1:
+                out.append((v - left) & 0xFF)
+            elif f == 2:
+                out.append((v - up) & 0xFF)
+            elif f == 3:
+                out.append((v - (left + up) // 2) & 0xFF)
+            else:
+                out.append((v - _paeth(left, up, ul)) & 0xFF)
+        raw += out
+        prev = row
+
+    def chunk(t, d):
+        crc = zlib.crc32(t + d) & 0xFFFFFFFF
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", crc)
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    rows = png_pixels(payload)
+    assert [[tuple(c) for c in r] for r in rows] == px
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=1,
+        max_size=1200,
+    )
+)
+def test_wav_roundtrip_arbitrary_pcm(samples):
+    """Property: ANY int16 PCM stream survives the WAV chunk walk
+    sample-exactly (incl. full-scale negative edges)."""
+    import struct
+
+    from hbase_hadoop_flightsearch_spark.functions.multimodal import (
+        wav_pcm_samples,
+    )
+
+    n = len(samples)
+    pcm = struct.pack(f"<{n}h", *samples)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    assert list(wav_pcm_samples(wav)) == samples
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.data(), doc_id=st.integers(min_value=0, max_value=5000))
+def test_avi_roundtrip_arbitrary_frame_content(data, doc_id):
+    """Property: ANY per-pixel frame content survives the AVI container
+    + DIB decode exactly (pixel law swapped for arbitrary draws)."""
+    import hbase_hadoop_flightsearch_spark.functions.multimodal as mm
+
+    table: dict = {}
+
+    def law(d, f, x, y):
+        k = (d, f, x, y)
+        if k not in table:
+            table[k] = (
+                data.draw(st.integers(0, 255)),
+                data.draw(st.integers(0, 255)),
+                data.draw(st.integers(0, 255)),
+            )
+        return table[k]
+
+    orig = mm._avi_pixel_law
+    mm._avi_pixel_law = law
+    try:
+        frames = mm.avi_frames(mm._synth_avi(doc_id))
+    finally:
+        mm._avi_pixel_law = orig
+    for f, fr in enumerate(frames):
+        for y, row in enumerate(fr):
+            for x, px in enumerate(row):
+                assert px == table[(doc_id, f, x, y)]
