@@ -2454,3 +2454,128 @@ def events_survival_repeat_purchase(
         )
         .alias("survival"),
     ).orderBy("t_days")
+
+
+HOLT_W = 8  # finite EWMA frame for each smoothing stage
+HOLT_NUM, HOLT_DEN = 3, 4  # decay (1-alpha) = 3/4 -> alpha/(1-alpha) = 1/3
+_HOLT_WEIGHTS = [
+    HOLT_NUM**i * HOLT_DEN ** (HOLT_W - 1 - i) for i in range(HOLT_W)
+]
+_HOLT_D = sum(_HOLT_WEIGHTS)
+
+
+@register(
+    "ts_forecast_brown_double",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+    ROW_NUMBER() OVER (ORDER BY CAST(ts AS DATE)) AS rn
+  FROM events GROUP BY 1
+),
+s1 AS (
+  SELECT a.d, a.rn,
+    SUM(b.cents
+        * CAST(POWER({HOLT_NUM}, a.rn - b.rn) AS BIGINT)
+        * CAST(POWER({HOLT_DEN},
+                     {HOLT_W - 1} - (a.rn - b.rn)) AS BIGINT))
+      AS s1_num
+  FROM daily a JOIN daily b
+    ON b.rn BETWEEN a.rn - {HOLT_W - 1} AND a.rn
+  GROUP BY a.d, a.rn HAVING COUNT(*) = {HOLT_W}
+),
+s2 AS (
+  SELECT a.d, a.rn,
+    MAX(x.s1_num) AS s1_num,
+    SUM(b.s1_num
+        * CAST(POWER({HOLT_NUM}, a.rn - b.rn) AS BIGINT)
+        * CAST(POWER({HOLT_DEN},
+                     {HOLT_W - 1} - (a.rn - b.rn)) AS BIGINT))
+      AS s2_num
+  FROM s1 a JOIN s1 b
+    ON b.rn BETWEEN a.rn - {HOLT_W - 1} AND a.rn
+  JOIN s1 x ON x.rn = a.rn
+  GROUP BY a.d, a.rn HAVING COUNT(DISTINCT b.rn) = {HOLT_W}
+)
+SELECT d,
+  ROUND(s1_num / ({_HOLT_D} * 100.0), 6) AS s1_dollars,
+  ROUND(s2_num / ({_HOLT_D}::DOUBLE * {_HOLT_D} * 100.0), 6)
+    AS s2_dollars,
+  -- Brown: level = 2*S1 - S2; trend = (alpha/(1-alpha)) * (S1 - S2)
+  ROUND((2 * s1_num * {_HOLT_D} - s2_num)
+        / ({_HOLT_D}::DOUBLE * {_HOLT_D} * 100.0), 6) AS level_dollars,
+  ROUND((s1_num * {_HOLT_D} - s2_num)
+        / (3.0 * {_HOLT_D} * {_HOLT_D} * 100.0), 6) AS trend_dollars,
+  ROUND(((2 * s1_num * {_HOLT_D} - s2_num) * 3
+         + (s1_num * {_HOLT_D} - s2_num))
+        / (3.0 * {_HOLT_D} * {_HOLT_D} * 100.0), 6)
+    AS forecast_next_dollars
+FROM s2 ORDER BY d
+""",
+    doc=f"Brown's double exponential smoothing (linear-trend "
+    "forecaster, the step beyond the snaive baseline): cascade TWO "
+    f"finite-window integer EWMAs (decay {HOLT_NUM}/{HOLT_DEN}, "
+    f"window {HOLT_W}) over daily revenue — S1 smooths the series, S2 "
+    "smooths S1, and level/trend/one-step forecast derive as exact "
+    "rationals (2S1-S2, (S1-S2)/3). EVERY intermediate is a BIGINT "
+    "numerator over the constant denominator D or D^2 — cents x "
+    "3^i*4^(W-1-i) weights — so both engines divide identical "
+    "integers once at the end (rounded at 6). Spark plan: one daily "
+    "aggregate, then two chained trailing windows (collect_list + "
+    "codegen array ops, no UDF, no self-join — the oracle's O(W) "
+    "self-joins are the SQL formulation only).",
+)
+def ts_forecast_brown_double(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+    )
+    w_order = Window.orderBy("d")
+    daily = daily.withColumn("rn", F.row_number().over(w_order))
+
+    def ewma_num(col: str, out: str, df: DataFrame) -> DataFrame:
+        wtrail = w_order.rowsBetween(-(HOLT_W - 1), 0)
+        xs = F.collect_list(col).over(wtrail)
+        weights = F.array(
+            *[F.lit(int(wt)) for wt in reversed(_HOLT_WEIGHTS)]
+        )  # xs is oldest->current; weight for lag L = _HOLT_WEIGHTS[L]
+        num = F.aggregate(
+            F.zip_with(xs, weights, lambda x, wt: x * wt),
+            F.lit(0).cast("bigint"),
+            lambda s, x: s + x,
+        )
+        return df.withColumn("n_in", F.size(xs)).withColumn(out, num)
+
+    s1 = (
+        ewma_num("cents", "s1_num", daily)
+        .filter(F.col("n_in") == HOLT_W)
+        .select("d", "rn", "s1_num")
+    )
+    s2 = (
+        ewma_num("s1_num", "s2_num", s1)
+        .filter(F.col("n_in") == HOLT_W)
+        .select("d", "s1_num", "s2_num")
+    )
+    D = _HOLT_D
+    lvl_num = 2 * F.col("s1_num") * D - F.col("s2_num")
+    trd_num = F.col("s1_num") * D - F.col("s2_num")
+    return s2.select(
+        "d",
+        F.round(F.col("s1_num") / (D * 100.0), 6).alias("s1_dollars"),
+        F.round(F.col("s2_num") / (float(D) * D * 100.0), 6).alias(
+            "s2_dollars"
+        ),
+        F.round(lvl_num / (float(D) * D * 100.0), 6).alias(
+            "level_dollars"
+        ),
+        F.round(trd_num / (3.0 * D * D * 100.0), 6).alias(
+            "trend_dollars"
+        ),
+        F.round(
+            (lvl_num * 3 + trd_num) / (3.0 * D * D * 100.0), 6
+        ).alias("forecast_next_dollars"),
+    ).orderBy("d")
