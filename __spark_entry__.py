@@ -82,6 +82,20 @@ def _driver_failed_names() -> set[str]:
     return _driver_history()[1]
 
 
+def _r6_manifest_names() -> set[str]:
+    """Registry names that existed at the end of round 6 (frozen manifest);
+    used to age-prioritize the never-driver-checked queue."""
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "tools", "registry_names_r6.txt")
+    try:
+        with open(path) as f:
+            return {line.strip() for line in f if line.strip()}
+    except OSError:
+        return set()
+
+
 def _family_interleaved() -> dict[str, object]:
     """Registry reordered round-robin across source modules (operator
     families), so that ANY prefix of ~35+ queries exercises at least one
@@ -101,6 +115,8 @@ def _family_interleaved() -> dict[str, object]:
     checked = _driver_checked_names()
 
     def interleave(queries: list) -> list:
+        if not queries:
+            return []
         by_module: "OrderedDict[str, list]" = OrderedDict()
         for q in queries:
             by_module.setdefault(q.fn.__module__, []).append(q)
@@ -120,7 +136,14 @@ def _family_interleaved() -> dict[str, object]:
     allq = list(load_all().values())
     never = [q for q in allq if q.name not in checked]
     seen = [q for q in allq if q.name in checked]
-    ordered = interleave(never) + interleave(seen)
+    # Within the never-checked group, queries that already existed at the
+    # end of round 6 (tools/registry_names_r6.txt manifest) drain FIRST so
+    # newly added queries cannot push the long-standing unchecked tail
+    # past the driver's ~50-query prefix (VERDICT r6 #1).
+    legacy = _r6_manifest_names()
+    never_old = [q for q in never if q.name in legacy]
+    never_new = [q for q in never if q.name not in legacy]
+    ordered = interleave(never_old) + interleave(never_new) + interleave(seen)
     # Queries that FAILED their latest driver check lead the whole list so
     # the fix is re-verified even by the smallest driver prefix.
     failed_first = sorted(
