@@ -380,3 +380,23 @@ def test_embedding_ann_pairs_precision_exact_and_recall(spark, sf_smoke):
     assert pairs <= exact  # precision 1.0: every pair is a true pair
     assert len(pairs & exact) / len(exact) >= 0.95  # measured 1.0
     assert all(r.cosine >= EMB_DEDUP_THRESH for r in got)
+
+
+def test_embedding_ann_audit_sample_is_count_bounded(spark, sf_smoke):
+    """The in-query recall audit must be O(K^2) CONSTANT, not quadratic
+    in the corpus: its sample side is capped at EMB_DEDUP_AUDIT_K rows
+    (VERDICT r6 #2 — the old %3 modulo subsample grew as (n/3)^2)."""
+    from hbase_hadoop_flightsearch_spark.operators.dedup import (
+        EMB_DEDUP_AUDIT_K,
+        dedup_embedding_ann,
+        embedding_ann_audit_sample,
+    )
+
+    sample = embedding_ann_audit_sample(spark, sf_smoke)
+    assert sample.count() <= EMB_DEDUP_AUDIT_K
+    # limit is structural, not data-dependent: the plan carries the cap
+    assert f"limit={EMB_DEDUP_AUDIT_K}" in sample._jdf.queryExecution().simpleString() or \
+        str(EMB_DEDUP_AUDIT_K) in sample._jdf.queryExecution().executedPlan().toString()
+    row = dedup_embedding_ann(spark, sf_smoke).collect()[0]
+    assert row.pairs_nonempty and row.thresh_bounded
+    assert row.pairs_ordered_distinct and row.sample_recall_ok

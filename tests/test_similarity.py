@@ -42,8 +42,9 @@ def test_ivf_recall_vs_bruteforce(spark, sf_correctness):
     }
     assert exact, "brute-force baseline returned nothing"
     recall = len(exact & ivf) / len(exact)
-    # nprobe=8: measured recall@5 is 1.0 / 1.0 / 0.74 at
-    # sf0.001/0.01/0.1. Floor matches the registered oracle.
+    # nprobe=8, trained 32-cell quantizer: measured recall@5 is
+    # 0.96 / 0.84 / 0.82 at sf0.001/0.01/0.1 with real 75% pruning.
+    # Floor matches the registered oracle.
     from hbase_hadoop_flightsearch_spark.operators.similarity import (
         IVF_RECALL_FLOOR,
     )
@@ -158,3 +159,68 @@ def test_pq_adc_recall_and_code_size(spark, sf_correctness):
     book = _pq_codebook(_embeddings(spark, sf_correctness))
     assert book.shape[:2] == (PQ_M, PQ_KS)
     assert PQ_KS <= 16  # 4-bit codes: the 16x-vs-float32 claim
+
+
+def test_ivf_centroid_tier_is_count_bounded(spark, sf_correctness):
+    """The coarse quantizer must be a CONSTANT-size artifact: exactly
+    IVF_N_CELLS centroids regardless of corpus size, trained from a
+    sample capped at IVF_TRAIN_SAMPLE rows (VERDICT r6 #3 — the old
+    vec_id % 100 tier grew n/100 centroids, a scale-killer broadcast
+    and an O(n^2/100) assignment at 10^9 vectors)."""
+    from hbase_hadoop_flightsearch_spark.operators.similarity import (
+        IVF_N_CELLS,
+        IVF_TRAIN_SAMPLE,
+        _embeddings,
+        _ivf_centroids,
+    )
+
+    emb = _embeddings(spark, sf_correctness)
+    cents = _ivf_centroids(spark, emb)
+    assert cents.count() == IVF_N_CELLS
+    assert IVF_N_CELLS <= 256  # a broadcastable constant, not a fraction
+    assert IVF_TRAIN_SAMPLE <= 4096
+    # determinism: retraining from the same corpus is bit-identical
+    again = _ivf_centroids(spark, emb)
+    assert sorted(map(tuple, cents.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+
+
+def test_mmr_rerank_partitioning_invariance(spark, sf_smoke):
+    """VERDICT r6 #7: the distributed MMR greedy's determinism argument
+    (BIGINT micro-cosines, vec_id tiebreaks) is load-bearing — assert
+    the full result is BIT-IDENTICAL between this session (local[8],
+    shuffle=8) and a fresh local[3]/shuffle=3 session, where group-to-
+    task placement and intra-group row order both differ."""
+    import subprocess
+    import sys
+
+    from hbase_hadoop_flightsearch_spark.operators.similarity import (
+        similarity_mmr_rerank,
+    )
+
+    here = sorted(map(tuple, similarity_mmr_rerank(spark, sf_smoke).collect()))
+    child = (
+        "import sys\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from pyspark.sql import SparkSession\n"
+        "from hbase_hadoop_flightsearch_spark.operators.similarity import "
+        "similarity_mmr_rerank\n"
+        "spark = (SparkSession.builder.master('local[3]')"
+        ".config('spark.sql.shuffle.partitions', '3')"
+        ".config('spark.ui.enabled', 'false')"
+        ".config('spark.sql.session.timeZone', 'UTC').getOrCreate())\n"
+        f"rows = sorted(map(tuple, similarity_mmr_rerank(spark, {sf_smoke!r})"
+        ".collect()))\n"
+        "print(repr(rows))\n"
+        "spark.stop()\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", child],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        check=True,
+    )
+    there = eval(out.stdout.strip().splitlines()[-1])  # repr of row tuples
+    assert here == there
