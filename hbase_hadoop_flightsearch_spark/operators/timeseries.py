@@ -1857,11 +1857,15 @@ WITH agg AS (
   FROM events GROUP BY event_type
 ),
 tot AS (
-  SELECT SUM(value_b_cents - value_a_cents) AS total_delta FROM agg
+  SELECT SUM(value_b_cents - value_a_cents) AS total_delta,
+         SUM(ABS(value_b_cents - value_a_cents)) AS total_abs_delta
+  FROM agg
 )
 SELECT event_type, value_a_cents, value_b_cents,
   CAST(value_b_cents - value_a_cents AS BIGINT) AS delta_cents,
-  ROUND((value_b_cents - value_a_cents) * 1.0 / total_delta, 6)
+  ROUND((value_b_cents - value_a_cents) * 1.0 /
+    CASE WHEN total_delta <> 0 THEN total_delta
+         ELSE NULLIF(total_abs_delta, 0) END, 6)
     AS share_of_total_delta,
   CAST(ROW_NUMBER() OVER (
     ORDER BY ABS(value_b_cents - value_a_cents) DESC, event_type
@@ -1876,7 +1880,11 @@ ORDER BY contribution_rank
     "the total movement, and a deterministic |delta| rank. One scan "
     "with conditional partial aggregates (shuffle is O(segments)); "
     "the share division is the only float and both engines round it "
-    "at 6 decimals. At 100 TB the same plan drills any dimension — "
+    "at 6 decimals. Zero-guard contract (ADVICE r6): if period deltas "
+    "exactly cancel (net total_delta = 0) the share denominator falls "
+    "back to SUM(|delta|) — shares then measure contribution to gross "
+    "movement; only when every delta is zero (no movement at all) is "
+    "share NULL. At 100 TB the same plan drills any dimension — "
     "the segment column is the only thing that changes.",
 )
 def events_metric_contribution(
@@ -1897,8 +1905,14 @@ def events_metric_contribution(
     )
     delta = F.col("value_b_cents") - F.col("value_a_cents")
     total = agg.agg(
-        F.sum(delta).alias("total_delta")
+        F.sum(delta).alias("total_delta"),
+        F.sum(F.abs(delta)).alias("total_abs_delta"),
     )
+    # Zero-guard (ADVICE r6): when period deltas exactly cancel, fall
+    # back to gross-movement normalization; NULL only if nothing moved.
+    denom = F.when(
+        F.col("total_delta") != 0, F.col("total_delta")
+    ).otherwise(F.nullif(F.col("total_abs_delta"), F.lit(0)))
     return (
         agg.crossJoin(F.broadcast(total))
         .select(
@@ -1906,7 +1920,7 @@ def events_metric_contribution(
             "value_a_cents",
             "value_b_cents",
             delta.alias("delta_cents"),
-            F.round(delta * 1.0 / F.col("total_delta"), 6).alias(
+            F.round(delta * 1.0 / denom, 6).alias(
                 "share_of_total_delta"
             ),
         )

@@ -31,6 +31,23 @@ except ImportError:
         # rejects older-runtime-than-gencode. Protobuf's own documented
         # escape hatch covers exactly this adjacent-version case; scoped
         # to the test env only (conftest), never set by engine code.
+        # ADVICE r6: an older runtime driving newer gencode can mask
+        # wire-format drift, so the shim is allowed ONLY for a runtime
+        # exactly one minor behind the gencode — anything wider fails
+        # loudly here instead of silently running unsupported pairs.
+        import google.protobuf as _pb  # now importable via the shim path
+
+        _runtime = tuple(
+            int(x) for x in _pb.__version__.split(".")[:2] if x.isdigit()
+        )
+        _GENCODE = (6, 33)  # pyspark 4.1.2's StateMessage_pb2 gencode
+        assert _runtime[0] == _GENCODE[0] and (
+            0 <= _GENCODE[1] - _runtime[1] <= 1
+        ), (
+            f"protobuf shim: SDK runtime {_pb.__version__} is more than "
+            f"one minor behind the {'.'.join(map(str, _GENCODE))} gencode "
+            "— pip install protobuf instead of relying on the shim"
+        )
         os.environ.setdefault(
             "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
         )

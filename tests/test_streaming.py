@@ -1097,10 +1097,15 @@ def test_tws_map_state_converges_to_batch(spark, sf_smoke, tmp_path):
             .start()
         )
         q.awaitTermination(120)
-        got = {
-            (r.user_id, r.event_type): (r.n_events, r.total_value)
-            for r in spark.sql("SELECT * FROM tws_map_sink").collect()
-        }
+        # Update mode emits one cumulative row per touched key per
+        # microbatch; collect() order across batches is NOT a contract
+        # (ADVICE r6). n_events is a monotone cumulative counter, so the
+        # final state per key is the row with MAX n_events — order-free.
+        got: dict = {}
+        for r in spark.sql("SELECT * FROM tws_map_sink").collect():
+            k = (r.user_id, r.event_type)
+            if k not in got or r.n_events > got[k][0]:
+                got[k] = (r.n_events, r.total_value)
         want = {
             (r.user_id, r.event_type): (r.n_events, r.total_value)
             for r in stream_tws_user_type_stats(spark, sf_smoke).collect()

@@ -261,3 +261,38 @@ def test_ewma_bounded_and_warm_start(spark, sf_smoke):
         assert r.wmin - 1e-6 <= r.ewma <= r.wmax + 1e-6, r
         if r.rn == 1:  # warm start: ewma == the value itself (cents-exact)
             assert abs(r.ewma - round(r.value * 100) / 100) < 1e-9, r
+
+
+def test_metric_contribution_zero_net_delta_fallback(spark, tmp_path):
+    """ADVICE r6: when period deltas exactly cancel (net total_delta = 0)
+    the share denominator must fall back to SUM(|delta|) — gross-movement
+    shares — instead of degrading every share to NULL. NULL remains only
+    when nothing moved at all."""
+    import datetime as dt
+
+    from hbase_hadoop_flightsearch_spark.operators.timeseries import (
+        events_metric_contribution,
+    )
+
+    a = dt.datetime(2024, 1, 10)
+    b = dt.datetime(2024, 1, 20)
+    rows = [
+        # type 'up': A=100, B=200 -> delta +100_00 cents
+        (1, a, 1, "up", 100.0, "{}"),
+        (2, b, 1, "up", 200.0, "{}"),
+        # type 'down': A=200, B=100 -> delta -100_00 cents (net cancels)
+        (3, a, 2, "down", 200.0, "{}"),
+        (4, b, 2, "down", 100.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.event_type: r.share_of_total_delta
+        for r in events_metric_contribution(spark, str(tmp_path)).collect()
+    }
+    # gross movement = 200_00 cents; shares are +-0.5, not NULL
+    assert got == {"up": 0.5, "down": -0.5}
