@@ -1511,3 +1511,266 @@ def text_bpe_apply_compression(
             F.sum("n_char").alias("char_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval: ranked top-k per query term
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ["join", "spark", "filter"]  # fixed benchmark query terms
+BM25_TOPK = 5
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dlen FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dlen) * 1.0 / COUNT(*) AS avgdl FROM dl
+),
+terms AS (SELECT unnest(['join', 'spark', 'filter']) AS term),
+tf AS (
+  SELECT t.doc_id, t.token AS term, COUNT(*) AS tf
+  FROM tok t JOIN terms q ON q.term = t.token
+  GROUP BY 1, 2
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.term, tf.doc_id,
+    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      * (tf * ({BM25_K1} + 1.0))
+      / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dlen / avgdl))
+      AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+)
+SELECT term, CAST(rnk AS INT) AS rnk, doc_id, ROUND(score, 6) AS score
+FROM (
+  SELECT term, doc_id, score,
+    ROW_NUMBER() OVER (PARTITION BY term
+                       ORDER BY ROUND(score, 6) DESC, doc_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {BM25_TOPK}
+ORDER BY term, rnk
+""",
+    doc="BM25 ranked retrieval (E12; Robertson-Sparck Jones with the "
+    "Lucene idf flavor): top-5 documents per benchmark query term, "
+    f"k1={BM25_K1} b={BM25_B}. Per-row scalar scoring — idf and the "
+    "length normalization are single fixed-shape double expressions "
+    "over exact integer counts (identical in both engines), ranked on "
+    "the 6dp-rounded score with doc_id tiebreak so ordering never "
+    "rides float noise. Plan: one tokenize scan; tf shuffles only "
+    "rows matching the (broadcast) term list — O(matching tokens), "
+    "not O(corpus); df/avgdl ride tiny broadcasts; WindowGroupLimit "
+    "prunes to k per term before the final sort. At 100 TB the term "
+    "list is the query side of an inverted-index probe; the full "
+    "index build is text_inverted_index.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dlen") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    terms = spark.createDataFrame(
+        [(t,) for t in BM25_TERMS], "term string"
+    )
+    tf = (
+        tok.join(
+            F.broadcast(terms), tok["token"] == terms["term"]
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            + 1.0
+        )
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("dlen") / F.col("avgdl"))
+        )
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("doc_id")
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("score", score)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= BM25_TOPK)
+        .select("term", "rnk", "doc_id", F.round("score", 6).alias("score"))
+        .orderBy("term", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial naive Bayes language classifier (closed-form, no iterations)
+# ---------------------------------------------------------------------------
+
+NB_MICRO = 1000000  # log-prob quantization: FLOOR(ln(p)*1e6) per (lang,tok)
+
+
+@register(
+    "ml_naive_bayes_lang_confusion",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+langs AS (SELECT lang, COUNT(*) AS nd FROM documents GROUP BY lang),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+vocab AS (SELECT COUNT(DISTINCT token) AS v FROM tok),
+cnt AS (
+  SELECT d.lang, t.token, COUNT(*) AS c
+  FROM tok t JOIN documents d USING (doc_id) GROUP BY 1, 2
+),
+tot AS (SELECT lang, SUM(c) AS tot FROM cnt GROUP BY lang),
+prior AS (
+  SELECT lang, CAST(FLOOR(ln(nd * 1.0 / n_docs) * {NB_MICRO}) AS BIGINT)
+    AS prior_micro
+  FROM langs, n
+),
+tokll AS (
+  SELECT t.lang, c.token,
+    CAST(FLOOR(ln((c.c + 1.0) / (t.tot + v.v)) * {NB_MICRO}) AS BIGINT)
+      AS ll_micro,
+    CAST(FLOOR(ln(1.0 / (t.tot + v.v)) * {NB_MICRO}) AS BIGINT)
+      AS unseen_micro
+  FROM tot t LEFT JOIN cnt c ON c.lang = t.lang, vocab v
+),
+unseen AS (SELECT DISTINCT lang, unseen_micro FROM tokll),
+scored AS (
+  SELECT tf.doc_id, u.lang,
+    MAX(p.prior_micro)
+      + SUM(tf.tf * COALESCE(k.ll_micro, u.unseen_micro)) AS score_micro
+  FROM tf
+  CROSS JOIN unseen u
+  LEFT JOIN tokll k ON k.lang = u.lang AND k.token = tf.token
+  JOIN prior p ON p.lang = u.lang
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT doc_id, lang AS predicted,
+    ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY score_micro DESC, lang) AS rn
+  FROM scored
+)
+SELECT d.lang AS actual, p.predicted, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents d JOIN pred p ON p.doc_id = d.doc_id AND p.rn = 1
+GROUP BY 1, 2
+ORDER BY actual, predicted
+""",
+    doc="Multinomial naive Bayes language classifier, trained and "
+    "evaluated closed-form in one plan (E12 x ML: the classical "
+    "generative text classifier, complementing the n-gram heuristic "
+    "ml_eval_langid_confusion and the discriminative "
+    "ml_logistic_regression_gd): add-1-smoothed per-(lang,token) "
+    "log-likelihoods + log priors, argmax per doc, confusion matrix "
+    "out. Every log is applied to exact integer-count rationals and "
+    "quantized to FLOOR(ln*1e6) BIGINT BEFORE summation, so scores "
+    "are integer-exact and the argmax can never flip on float "
+    "summation order in either engine. Plan: training is two "
+    "token-keyed partial aggs (the same shuffles the unigram LM "
+    "pays); scoring joins tf against the broadcast (lang,token) "
+    "model — model size is vocab x langs, a bounded artifact at any "
+    "corpus size; no iteration, no driver loop.",
+)
+def ml_naive_bayes_lang_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    langs = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    vocab = tok.agg(F.count_distinct("token").alias("v"))
+    cnt = (
+        tok.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy("lang").agg(F.sum("c").alias("tot"))
+    prior = (
+        langs.crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            F.floor(
+                F.log(F.col("nd") * 1.0 / F.col("n_docs")) * NB_MICRO
+            )
+            .cast("bigint")
+            .alias("prior_micro"),
+        )
+    )
+    tokll = (
+        cnt.join(tot, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "token",
+            F.floor(
+                F.log((F.col("c") + 1.0) / (F.col("tot") + F.col("v")))
+                * NB_MICRO
+            )
+            .cast("bigint")
+            .alias("ll_micro"),
+        )
+    )
+    unseen = (
+        tot.crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            F.floor(
+                F.log(1.0 / (F.col("tot") + F.col("v"))) * NB_MICRO
+            )
+            .cast("bigint")
+            .alias("unseen_micro"),
+        )
+    )
+    scored = (
+        tf.crossJoin(F.broadcast(unseen))
+        .join(F.broadcast(tokll), ["lang", "token"], "left")
+        .join(F.broadcast(prior), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            (
+                F.max("prior_micro")
+                + F.sum(
+                    F.col("tf")
+                    * F.coalesce(F.col("ll_micro"), F.col("unseen_micro"))
+                )
+            ).alias("score_micro")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("lang")
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("predicted"))
+    )
+    return (
+        docs.select("doc_id", F.col("lang").alias("actual"))
+        .join(pred, "doc_id")
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("actual", "predicted")
+    )

@@ -359,3 +359,108 @@ def mining_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
         F.count_distinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: neighbor-set Jaccard over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+LINKPRED_HUB_CAP = 256  # parts with degree > cap don't serve as the wedge
+# center z: a hub of degree d generates d^2 candidate wedges, so one
+# mega-hub would dominate the whole stage at scale. The cap is the same
+# observable-bound pattern as BASKET_CAP; capped centers merely stop
+# *introducing* pairs (their edges still count toward degrees/unions).
+LINKPRED_TOPK = 20
+
+
+@register(
+    "graph_link_prediction_jaccard",
+    oracle=f"""
+WITH {_ITEMS_DUCK},
+edges AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM it a JOIN it b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+neigh AS (
+  SELECT a AS v, b AS n FROM edges
+  UNION ALL SELECT b AS v, a AS n FROM edges
+),
+deg AS (SELECT v, COUNT(*) AS d FROM neigh GROUP BY v),
+centers AS (SELECT v FROM deg WHERE d <= {LINKPRED_HUB_CAP}),
+wedges AS (
+  SELECT n1.n AS u, n2.n AS w, COUNT(*) AS common
+  FROM neigh n1
+  JOIN centers c ON c.v = n1.v
+  JOIN neigh n2 ON n2.v = n1.v AND n1.n < n2.n
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT w.* FROM wedges w
+  LEFT JOIN edges e ON e.a = w.u AND e.b = w.w
+  WHERE e.a IS NULL
+)
+SELECT cand.u AS part_a, cand.w AS part_b,
+  CAST(cand.common AS BIGINT) AS common_neighbors,
+  CAST((cand.common * 1000000) // (da.d + dw.d - cand.common) AS BIGINT)
+    AS jaccard_micro
+FROM cand JOIN deg da ON da.v = cand.u JOIN deg dw ON dw.v = cand.w
+ORDER BY jaccard_micro DESC, part_a, part_b
+LIMIT {LINKPRED_TOPK}
+""",
+    doc="Link prediction on the co-purchase graph (the 'customers who "
+    "bought X also bought Y' candidate generator): for part pairs NOT "
+    "yet co-purchased but sharing >= 1 common co-purchase neighbor, "
+    "score by neighbor-set Jaccard |N(a) n N(b)| / |N(a) u N(b)| and "
+    "emit the top-20 predicted edges. Jaccard is computed in EXACT "
+    "integer micro-units (bigint div) so ranking never rides float "
+    "rounding. Plan: wedge enumeration through each common neighbor "
+    "(one shuffle on the center vertex, centers degree-capped at "
+    f"{LINKPRED_HUB_CAP} so no hub emits a quadratic wedge set), "
+    "anti-join against existing edges, broadcast-joined degrees. At "
+    "100 TB the same cap bounds every task; raising it trades recall "
+    "for wedge volume observably.",
+)
+def graph_link_prediction_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    neigh = edges.select(
+        F.col("a").alias("v"), F.col("b").alias("n")
+    ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("n")))
+    deg = neigh.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    centers = deg.filter(F.col("d") <= LINKPRED_HUB_CAP).select("v")
+    n1, n2 = neigh.alias("n1"), neigh.alias("n2")
+    wedges = (
+        n1.join(centers.alias("c"), F.col("n1.v") == F.col("c.v"))
+        .join(
+            n2,
+            (F.col("n2.v") == F.col("n1.v"))
+            & (F.col("n1.n") < F.col("n2.n")),
+        )
+        .groupBy(
+            F.col("n1.n").alias("u"), F.col("n2.n").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cand = wedges.join(
+        edges,
+        (F.col("u") == F.col("a")) & (F.col("w") == F.col("b")),
+        "left_anti",
+    )
+    da = deg.select(F.col("v").alias("u"), F.col("d").alias("da"))
+    dw = deg.select(F.col("v").alias("w"), F.col("d").alias("dw"))
+    return (
+        cand.join(F.broadcast(da), "u")
+        .join(F.broadcast(dw), "w")
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("w").alias("part_b"),
+            F.col("common").cast("bigint").alias("common_neighbors"),
+            F.expr(
+                "CAST((common * 1000000) div (da + dw - common) AS BIGINT)"
+            ).alias("jaccard_micro"),
+        )
+        .orderBy(F.desc("jaccard_micro"), "part_a", "part_b")
+        .limit(LINKPRED_TOPK)
+    )

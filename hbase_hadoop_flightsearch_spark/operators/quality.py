@@ -840,3 +840,78 @@ def dq_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi_sq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private release: seeded-Laplace noisy counts
+# ---------------------------------------------------------------------------
+
+DP_EPSILON = 1.0  # per-release privacy budget; sensitivity of a count is 1
+DP_HASH_MOD = 1000003  # prime; hash -> uniform grid of 1/MOD steps
+
+
+@register(
+    "dq_dp_noisy_counts",
+    oracle="""
+WITH counts AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type
+),
+seeded AS (
+  SELECT event_type, n,
+    (list_aggregate(
+       [(ascii(event_type[i]) * 31 + i) % 1000003
+        for i in range(1, length(event_type) + 1)], 'sum')
+     % 1000003) / 1000003.0 AS u
+  FROM counts
+)
+SELECT event_type,
+  CAST(ROUND(n + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+                 * ln(1.0 - 2.0 * abs(u - 0.5)) / 1.0, 4)
+       AS DOUBLE) AS noisy_count,
+  CAST(ROUND(2.0 / 1.0, 4) AS DOUBLE) AS expected_l1_error
+FROM seeded
+ORDER BY event_type
+""",
+    doc="Differentially-private count release (the privacy gate a "
+    "100 TB analytics publisher runs before exporting group counts): "
+    "per-event_type counts plus Laplace(sensitivity/epsilon = 1/1.0) "
+    "noise via the inverse-CDF transform. The uniform draw is a "
+    "SEEDED deterministic hash of the group key (polynomial ascii "
+    "hash mod a prime — the engine-portable PRNG used throughout this "
+    "repo), so the release is reproducible and oracle-checkable while "
+    "having the exact Laplace shape across keys; in production the "
+    "seed input would be key||release_nonce. True counts are NOT in "
+    "the output — only the noisy release and the expected L1 error "
+    "2*scale of the mechanism. One partial-agg scan, O(groups) rows.",
+)
+def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    et = F.col("event_type")
+    poly = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length(et)),
+            lambda i: (F.ascii(F.substring(et, 1, 1000000).substr(i, F.lit(1))) * 31 + i)
+            % DP_HASH_MOD,
+        ),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    u = (poly % DP_HASH_MOD) / F.lit(float(DP_HASH_MOD))
+    scale = 1.0 / DP_EPSILON  # sensitivity 1 count
+    noise = (
+        F.when(u < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(F.lit(1.0) - 2.0 * F.abs(u - 0.5))
+        / F.lit(1.0 / scale)
+    )
+    return (
+        counts.select(
+            "event_type",
+            F.round(F.col("n") + noise, 4).alias("noisy_count"),
+            F.round(F.lit(2.0 * scale), 4).alias("expected_l1_error"),
+        )
+        .orderBy("event_type")
+    )
