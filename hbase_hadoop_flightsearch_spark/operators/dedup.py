@@ -1575,3 +1575,249 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hits") >= EMB_DEDUP_RECALL_FLOOR * F.col("n_exact")
         ).alias("sample_recall_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better"): cross-document duplicated k-token
+# spans and per-document duplicated-token coverage.
+# ---------------------------------------------------------------------------
+
+SUBSTR_K = 8  # span length in tokens (the paper uses 50 BPE tokens at
+# web scale; 8 matches this corpus's ~100-token docs)
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+spans AS (
+  SELECT doc_id, i AS pos,
+    array_to_string(t[i:i + {SUBSTR_K - 1}], ' ') AS sh
+  FROM toks, unnest(generate_series(1, len(t) - {SUBSTR_K - 1})) AS u(i)
+),
+dups AS (
+  SELECT sh FROM spans GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+),
+dspan AS (SELECT s.doc_id, s.pos FROM spans s JOIN dups USING (sh)),
+cov AS (
+  SELECT DISTINCT doc_id, tp
+  FROM dspan, unnest(generate_series(pos, pos + {SUBSTR_K - 1})) AS c(tp)
+),
+agg AS (
+  SELECT d.doc_id, COUNT(DISTINCT ds.pos) AS dup_spans, COUNT(DISTINCT c.tp) AS covered
+  FROM documents d
+  LEFT JOIN dspan ds ON ds.doc_id = d.doc_id
+  LEFT JOIN cov c ON c.doc_id = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT toks.doc_id, CAST(len(toks.t) AS BIGINT) AS n_tokens,
+  CAST(agg.dup_spans AS BIGINT) AS dup_spans,
+  CAST(agg.covered AS BIGINT) AS covered_tokens,
+  CAST((agg.covered * 1000000) // len(toks.t) AS BIGINT) AS dup_ratio_micro
+FROM toks JOIN agg USING (doc_id)
+ORDER BY doc_id
+""",
+    doc="Exact-substring duplication audit (Lee et al. 2022 — the "
+    "ExactSubstr pass of LLM corpus dedup, complementing the "
+    "document-level MinHash/Jaccard families): every k-token span "
+    f"(k={SUBSTR_K}) occurring in >= 2 distinct documents is a "
+    "duplicated span; per document report span count, tokens covered "
+    "by any duplicated span, and the covered fraction in exact "
+    "integer micro-units. The paper's suffix-array formulation is "
+    "replaced by the shuffle-native equivalent: shingle + group by "
+    "span key — one shuffle keyed on span text (hash the key to "
+    "8 bytes at 100 TB; C(positions,1) rows, never pairs), coverage "
+    "via bounded k-row explode per duplicated position. Docs with "
+    "zero duplication are reported (coverage 0), so the output is a "
+    "full corpus audit, not just the dup tail.",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).select("doc_id", "t", F.size("t").alias("n"))
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n") - (SUBSTR_K - 1))
+        ).alias("pos"),
+        "t",
+    ).select(
+        "doc_id",
+        "pos",
+        F.concat_ws(" ", F.expr(f"slice(t, pos, {SUBSTR_K})")).alias("sh"),
+    )
+    dups = (
+        spans.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("sh")
+    )
+    dspan = spans.join(dups, "sh").select("doc_id", "pos")
+    cov = dspan.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + (SUBSTR_K - 1))
+        ).alias("tp"),
+    ).distinct()
+    dsp_agg = dspan.groupBy("doc_id").agg(
+        F.count_distinct("pos").alias("dup_spans")
+    )
+    cov_agg = cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("covered")
+    )
+    return (
+        toks.join(dsp_agg, "doc_id", "left")
+        .join(cov_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("dup_spans"), F.lit(0))
+            .cast("bigint")
+            .alias("dup_spans"),
+            F.coalesce(F.col("covered"), F.lit(0))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            F.expr(
+                "CAST((coalesce(covered, 0) * 1000000) div n AS BIGINT)"
+            ).alias("dup_ratio_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): semantic dedup = k-means cells + greedy
+# within-cell cosine pruning.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = EMB_DEDUP_THRESH  # within-cell semantic-duplicate cosine
+
+
+def semdedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector keep/remove decision: assign each embedding to its
+    nearest trained coarse centroid (the bounded 32-cell quantizer shared
+    with IVF), then run the SemDeDup greedy INSIDE each cell — scan
+    vectors in vec_id order, remove any whose max cosine against the
+    cell's already-kept vectors reaches SEMDEDUP_TAU, recording the
+    witness. One applyInPandas task per cell, exactly the paper's
+    per-cluster in-memory pass; no pair shuffle ever materializes."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _dot, _ivf_centroids, _norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = _ivf_centroids(spark, emb)
+    from pyspark.sql import Window
+
+    scored = emb.join(F.broadcast(cents)).withColumn(
+        "cdist",
+        _dot(F.col("v"), F.col("cv"))
+        / (_norm(F.col("v")) * _norm(F.col("cv"))),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cdist"), F.asc("cent_id")
+    )
+    assigned = (
+        scored.withColumn("crn", F.row_number().over(w))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "v", F.col("cent_id").alias("cell_id"))
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        vecs = np.array(list(pdf["v"]), dtype=np.float64)
+        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        ids = pdf["vec_id"].to_numpy()
+        kept_rows: list[int] = []
+        out = []
+        for i in range(len(pdf)):
+            if kept_rows:
+                cos = vecs[kept_rows] @ vecs[i]
+                j = int(cos.argmax())
+                if cos[j] >= SEMDEDUP_TAU:
+                    out.append(
+                        (
+                            int(ids[i]),
+                            int(pdf["cell_id"].iloc[0]),
+                            False,
+                            int(ids[kept_rows[j]]),
+                            int(np.floor(cos[j] * 1000000)),
+                        )
+                    )
+                    continue
+            kept_rows.append(i)
+            out.append((int(ids[i]), int(pdf["cell_id"].iloc[0]), True, None, None))
+        return pd.DataFrame(
+            out,
+            columns=[
+                "vec_id",
+                "cell_id",
+                "kept",
+                "witness_id",
+                "witness_cos_micro",
+            ],
+        )
+
+    return assigned.groupBy("cell_id").applyInPandas(
+        _greedy,
+        schema="vec_id bigint, cell_id int, kept boolean, "
+        "witness_id bigint, witness_cos_micro bigint",
+    )
+
+
+@register(
+    "dedup_semdedup",
+    oracle="SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, "
+    "TRUE AS accounted, TRUE AS witnesses_valid, "
+    "TRUE AS cells_bounded, TRUE AS removal_effective "
+    "FROM embeddings",
+    doc="SemDeDup (Abbas et al. 2023 — semantic dedup for LLM corpora, "
+    "the method behind the 'LAION dedup at scale' result): embeddings "
+    "are bucketed by the trained 32-cell coarse quantizer (the same "
+    "bounded artifact the IVF tier broadcasts), then each cell runs "
+    "the paper's greedy in-memory pass removing any vector whose "
+    f"cosine to an already-kept cell member reaches {EMB_DEDUP_THRESH} "
+    "(vec_id order, witness recorded). Bound-flag oracle: exact "
+    "n_vectors plus booleans — kept+removed accounts for every "
+    "vector, every removal has a lower-id witness at/above the "
+    "threshold, cell count is bounded by the quantizer constant, and "
+    "removal is non-vacuous. Cell membership is quantizer-defined, so "
+    "per-vector decisions are test-compared against a sequential "
+    "NumPy reference, not the SQL oracle. Scale: one broadcast "
+    "assignment scan + one applyInPandas task per cell; production "
+    "sizes the cell count so a cell fits a task (the paper's own "
+    "cost model) — no pairwise shuffle at any size.",
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import IVF_N_CELLS
+
+    d = semdedup_decisions(spark, sf_dir)
+    removed = F.sum(F.when(~F.col("kept"), 1).otherwise(0))
+    kept = F.sum(F.when(F.col("kept"), 1).otherwise(0))
+    bad_witness = F.sum(
+        F.when(
+            (~F.col("kept"))
+            & (
+                F.col("witness_id").isNull()
+                | (F.col("witness_id") >= F.col("vec_id"))
+                | (F.col("witness_cos_micro") < int(SEMDEDUP_TAU * 1000000))
+            ),
+            1,
+        ).otherwise(0)
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        ((kept + removed) == F.count(F.lit(1))).alias("accounted"),
+        (bad_witness == 0).alias("witnesses_valid"),
+        (F.count_distinct("cell_id") <= IVF_N_CELLS).alias(
+            "cells_bounded"
+        ),
+        (removed > 0).alias("removal_effective"),
+    )

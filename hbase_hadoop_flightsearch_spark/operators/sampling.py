@@ -326,3 +326,150 @@ def sample_class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", F.lit(0).alias("label"))
     )
     return pos.unionByName(neg).orderBy("label", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (hashed-feature weights)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256  # hashed-unigram feature space (DSIR hashes n-grams
+# into a fixed bucket count so the two LMs are bounded artifacts —
+# 256 counts each — regardless of vocabulary or corpus size)
+DSIR_TARGET_SOURCE = "src0"  # proxy target domain (the 'wiki side')
+DSIR_MICRO = 1000000
+DSIR_TOPK = 50
+
+
+@register(
+    "sample_importance_dsir",
+    oracle=f"""
+WITH tok AS (
+  SELECT d.doc_id, d.source,
+    (list_aggregate(
+       [(ascii(t.token[i]) * 31 + i) % 1000003
+        for i in range(1, length(t.token) + 1)], 'sum')
+     % {DSIR_BUCKETS}) AS b
+  FROM documents d,
+    (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+     FROM documents) t
+  WHERE t.doc_id = d.doc_id
+),
+tgt AS (
+  SELECT b, COUNT(*) AS c FROM tok
+  WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY b
+),
+raw AS (SELECT b, COUNT(*) AS c FROM tok GROUP BY b),
+tgt_tot AS (SELECT SUM(c) AS t FROM tgt),
+raw_tot AS (SELECT SUM(c) AS t FROM raw),
+llr AS (
+  SELECT raw.b,
+    CAST(FLOOR(ln((COALESCE(tgt.c, 0) + 1.0)
+                  / ((SELECT t FROM tgt_tot) + {DSIR_BUCKETS}))
+               * {DSIR_MICRO}) AS BIGINT)
+    - CAST(FLOOR(ln((raw.c + 1.0)
+                    / ((SELECT t FROM raw_tot) + {DSIR_BUCKETS}))
+                 * {DSIR_MICRO}) AS BIGINT) AS llr_micro
+  FROM raw LEFT JOIN tgt USING (b)
+),
+docw AS (
+  SELECT tok.doc_id,
+    CAST(SUM(llr.llr_micro) AS BIGINT) AS logweight_micro,
+    CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM tok JOIN llr USING (b)
+  WHERE tok.source != '{DSIR_TARGET_SOURCE}'
+  GROUP BY tok.doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (
+         ORDER BY logweight_micro * 1.0 / n_tokens DESC, doc_id)
+       AS INT) AS rnk,
+  doc_id, n_tokens, logweight_micro
+FROM docw
+QUALIFY rnk <= {DSIR_TOPK}
+ORDER BY rnk
+""",
+    doc="Data Selection via Importance Resampling (the DSIR pipeline "
+    "stage of Xie et al. 2023): train two hashed-unigram bag-of-words "
+    f"LMs — target = source '{DSIR_TARGET_SOURCE}' docs, raw = whole "
+    f"corpus — over a FIXED {DSIR_BUCKETS}-bucket hashed feature "
+    "space, weight every non-target document by its target/raw "
+    "log-likelihood ratio, and emit the top-50 per-token-normalized "
+    "candidates for resampling into the training mixture. Both LMs "
+    "are 256-count bounded artifacts at any corpus size; per-bucket "
+    "log-ratios are quantized to BIGINT micro-units before the "
+    "per-doc integer sum, so ranking is engine-exact (normalized "
+    "float used only as the sort key over exact ints, doc_id "
+    "tiebreak). Plan: one tokenize scan, two 256-row partial aggs, "
+    "a broadcast 256-row model join, one doc-keyed agg.",
+)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tkn = F.col("token")
+    poly = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length(tkn)),
+            lambda i: (
+                F.ascii(F.substring(tkn, 1, 1000000).substr(i, F.lit(1)))
+                * 31
+                + i
+            )
+            % 1000003,
+        ),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    tok = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.col("text"), " ")).alias("token"),
+        )
+        .select("doc_id", "source", (poly % DSIR_BUCKETS).alias("b"))
+    )
+    tgt = (
+        tok.filter(F.col("source") == DSIR_TARGET_SOURCE)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    raw = tok.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tgt_tot = tgt.agg(F.sum("tc").alias("tt"))
+    raw_tot = raw.agg(F.sum("rc").alias("rt"))
+    llr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tgt_tot))
+        .crossJoin(F.broadcast(raw_tot))
+        .select(
+            "b",
+            (
+                F.floor(
+                    F.log(
+                        (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                        / (F.col("tt") + DSIR_BUCKETS)
+                    )
+                    * DSIR_MICRO
+                ).cast("bigint")
+                - F.floor(
+                    F.log((F.col("rc") + 1.0) / (F.col("rt") + DSIR_BUCKETS))
+                    * DSIR_MICRO
+                ).cast("bigint")
+            ).alias("llr_micro"),
+        )
+    )
+    docw = (
+        tok.filter(F.col("source") != DSIR_TARGET_SOURCE)
+        .join(F.broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("llr_micro").cast("bigint").alias("logweight_micro"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+    )
+    w = Window.orderBy(
+        F.desc(F.col("logweight_micro") * 1.0 / F.col("n_tokens")),
+        F.asc("doc_id"),
+    )
+    return (
+        docw.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= DSIR_TOPK)
+        .select("rnk", "doc_id", "n_tokens", "logweight_micro")
+        .orderBy("rnk")
+    )

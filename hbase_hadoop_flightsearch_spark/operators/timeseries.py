@@ -2593,3 +2593,131 @@ def ts_forecast_brown_double(
             (lvl_num * 3 + trd_num) / (3.0 * D * D * 100.0), 6
         ).alias("forecast_next_dollars"),
     ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change detection (Page 1954) — one-sided cumulative-sum alarms
+# ---------------------------------------------------------------------------
+
+CUSUM_H_MULT = 5  # alarm threshold = 5x mean |deviation| (per series)
+
+
+@register(
+    "ts_changepoint_cusum",
+    oracle=f"""
+WITH x AS (
+  SELECT event_type, ts, event_id,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+m AS (
+  SELECT event_type,
+    CAST(SUM(cents) * 1000000 // COUNT(*) AS BIGINT) AS mean_micro,
+    CAST(SUM(ABS(cents * 1000000 - (SELECT SUM(cents) * 1000000 // COUNT(*)
+                                    FROM x x2
+                                    WHERE x2.event_type = x.event_type)))
+         // COUNT(*) AS BIGINT) AS mad_micro
+  FROM x GROUP BY event_type
+),
+d AS (
+  SELECT x.event_type, x.ts, x.event_id,
+    x.cents * 1000000 - m.mean_micro AS dev,
+    m.mad_micro
+  FROM x JOIN m USING (event_type)
+),
+p0 AS (
+  SELECT event_type, ts, event_id, mad_micro,
+    SUM(dev) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS pref
+  FROM d
+),
+p AS (
+  SELECT event_type, ts, event_id, mad_micro, pref,
+    MIN(pref) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS minpref
+  FROM p0
+),
+s AS (
+  SELECT event_type, ts, event_id,
+    pref - LEAST(minpref, 0) AS cusum,
+    {CUSUM_H_MULT} * mad_micro AS h
+  FROM p
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_points,
+  CAST(SUM(CASE WHEN cusum > h THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+  CAST(MIN(CASE WHEN cusum > h THEN event_id END) AS BIGINT)
+    AS first_alarm_event_id,
+  CAST(MAX(cusum) AS BIGINT) AS max_cusum_micro
+FROM s GROUP BY event_type ORDER BY event_type
+""",
+    doc="CUSUM changepoint detection (Page 1954 — the classical "
+    "sequential change detector, complementing the z-score/MAD "
+    "outlier family which flags POINTS, not LEVEL SHIFTS): one-sided "
+    "cumulative sum of per-event cents deviations from the series "
+    "mean, alarm when the statistic exceeds 5x the series' mean "
+    "absolute deviation. The textbook recursion S_i = max(0, S_{{i-1}} "
+    "+ d_i) is NOT a prefix sum, but the identity S_i = P_i - "
+    "min(0, min_{{j<=i}} P_j) (P = running sum) turns it into two "
+    "stacked window frames — pure JVM window execution, no UDF, no "
+    "iteration. All arithmetic in BIGINT micro-cents (integer-div "
+    "means), so both engines agree bit-exactly. One shuffle on "
+    "event_type; per-series work is linear and frame-local — at "
+    "100 TB each series windows independently.",
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    x = events.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    m = x.groupBy("event_type").agg(
+        F.expr("CAST(SUM(cents) * 1000000 div COUNT(*) AS BIGINT)").alias(
+            "mean_micro"
+        ),
+        F.sum("cents").alias("tot"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    d = (
+        x.join(F.broadcast(m), "event_type")
+        .withColumn(
+            "dev", F.col("cents") * 1000000 - F.col("mean_micro")
+        )
+    )
+    mad = d.groupBy("event_type").agg(
+        F.expr("CAST(SUM(ABS(dev)) div COUNT(*) AS BIGINT)").alias(
+            "mad_micro"
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    p = (
+        d.join(F.broadcast(mad), "event_type")
+        .withColumn("pref", F.sum("dev").over(w))
+        .withColumn("minpref", F.min("pref").over(w))
+    )
+    s = p.withColumn(
+        "cusum", F.col("pref") - F.least(F.col("minpref"), F.lit(0))
+    ).withColumn("h", F.lit(CUSUM_H_MULT) * F.col("mad_micro"))
+    alarm = F.col("cusum") > F.col("h")
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.sum(alarm.cast("int")).cast("bigint").alias("n_alarms"),
+            F.min(F.when(alarm, F.col("event_id")))
+            .cast("bigint")
+            .alias("first_alarm_event_id"),
+            F.max("cusum").cast("bigint").alias("max_cusum_micro"),
+        )
+        .orderBy("event_type")
+    )

@@ -396,3 +396,115 @@ def source_json_corrupt_audit(
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) sharding: minimal-movement resharding
+# ---------------------------------------------------------------------------
+
+HRW_SHARDS = 10  # current shard count; the audit also evaluates +1
+
+
+def _hrw_score(key_col, shard: int):
+    """Portable polynomial hash of 'doc:<id>:<shard>' — the per-(key,
+    shard) rendezvous weight, identical expression in DuckDB."""
+    s = F.concat(
+        F.lit("doc:"), key_col.cast("string"), F.lit(f":{shard}")
+    )
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: (
+                F.ascii(F.substring(s, 1, 1000000).substr(i, F.lit(1)))
+                * 31
+                + i
+            )
+            % 1000003,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 131 + x) % 1000000007,
+    )
+
+
+def _hrw_score_sql(shard: int) -> str:
+    return f"""(
+      list_reduce(
+        [(ascii(('doc:' || CAST(doc_id AS VARCHAR) || ':{shard}')[i]) * 31 + i) % 1000003
+         for i in range(1, length('doc:' || CAST(doc_id AS VARCHAR) || ':{shard}') + 1)],
+        (l, x) -> (l * 131 + x) % 1000000007)
+    )"""
+
+
+@register(
+    "layout_rendezvous_sharding",
+    oracle=f"""
+WITH scores AS (
+  SELECT doc_id,
+    {', '.join(f'{_hrw_score_sql(s)} AS s{s}' for s in range(HRW_SHARDS + 1))}
+  FROM documents
+),
+assign AS (
+  SELECT doc_id,
+    list_indexof([{', '.join(f's{s}' for s in range(HRW_SHARDS))}],
+      list_max([{', '.join(f's{s}' for s in range(HRW_SHARDS))}])) - 1
+      AS shard_old,
+    list_indexof([{', '.join(f's{s}' for s in range(HRW_SHARDS + 1))}],
+      list_max([{', '.join(f's{s}' for s in range(HRW_SHARDS + 1))}])) - 1
+      AS shard_new
+  FROM scores
+)
+SELECT CAST(shard_old AS INT) AS shard,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN shard_new != shard_old THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_moved,
+  bool_and(shard_new = shard_old OR shard_new = {HRW_SHARDS})
+    AS moves_only_to_new
+FROM assign GROUP BY shard_old ORDER BY shard
+""",
+    doc="Rendezvous / highest-random-weight sharding audit (Thaler & "
+    "Ravishankar 1996 — how a 100 TB layout assigns keys to shards so "
+    "that RESHARDING moves the theoretical minimum): each doc goes to "
+    "the shard with the highest deterministic (key, shard) hash "
+    "weight; the audit evaluates the same assignment with one shard "
+    "ADDED and reports, per current shard, how many docs move — HRW "
+    "guarantees every move targets ONLY the new shard (bool-flagged "
+    "per shard) and expected movement is n/(N+1). The hash is the "
+    "repo's portable polynomial (a Horner cascade mod 1e9+7), so "
+    "both engines assign identically. Per-doc work is O(N_shards), "
+    "embarrassingly parallel in the scan; no shuffle until the "
+    "O(shards) aggregate.",
+)
+def layout_rendezvous_sharding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    scored = docs.select(
+        "doc_id",
+        *[
+            _hrw_score(F.col("doc_id"), s).alias(f"s{s}")
+            for s in range(HRW_SHARDS + 1)
+        ],
+    )
+    old_arr = F.array(*[F.col(f"s{s}") for s in range(HRW_SHARDS)])
+    new_arr = F.array(*[F.col(f"s{s}") for s in range(HRW_SHARDS + 1)])
+    assign = scored.select(
+        "doc_id",
+        (F.array_position(old_arr, F.array_max(old_arr)) - 1)
+        .cast("int")
+        .alias("shard_old"),
+        (F.array_position(new_arr, F.array_max(new_arr)) - 1)
+        .cast("int")
+        .alias("shard_new"),
+    )
+    moved = F.col("shard_new") != F.col("shard_old")
+    return (
+        assign.groupBy(F.col("shard_old").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(moved.cast("int")).cast("bigint").alias("n_moved"),
+            F.bool_and(
+                ~moved | (F.col("shard_new") == HRW_SHARDS)
+            ).alias("moves_only_to_new"),
+        )
+        .orderBy("shard")
+    )

@@ -400,3 +400,50 @@ def test_embedding_ann_audit_sample_is_count_bounded(spark, sf_smoke):
     row = dedup_embedding_ann(spark, sf_smoke).collect()[0]
     assert row.pairs_nonempty and row.thresh_bounded
     assert row.pairs_ordered_distinct and row.sample_recall_ok
+
+
+def test_semdedup_matches_sequential_reference(spark, sf_smoke):
+    """SemDeDup's per-vector keep/remove decisions (cell assignment via
+    the trained quantizer + in-cell greedy) must exactly match a
+    sequential NumPy reference implementing the same definition."""
+    import numpy as np
+
+    from hbase_hadoop_flightsearch_spark.operators.dedup import (
+        SEMDEDUP_TAU,
+        semdedup_decisions,
+    )
+    from hbase_hadoop_flightsearch_spark.operators.similarity import (
+        _embeddings,
+        _ivf_centroids,
+    )
+
+    emb = _embeddings(spark, sf_smoke)
+    cents = np.array(
+        [r.cv for r in _ivf_centroids(spark, emb).orderBy("cent_id").collect()]
+    )
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    V = np.array([r.v for r in rows])
+    ids = np.array([r.vec_id for r in rows])
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = vn @ cn.T
+    # tie-break lowest cent_id on equal cosine, like the Spark window
+    cell = sims.argmax(axis=1)
+    want_removed = set()
+    for c in np.unique(cell):
+        mask = cell == c
+        sub, sid = vn[mask], ids[mask]
+        kept: list[int] = []
+        for i in range(len(sid)):
+            if kept and (vn[kept] @ sub[i]).max() >= SEMDEDUP_TAU:
+                want_removed.add(int(sid[i]))
+            else:
+                kept.append(int(np.where(ids == sid[i])[0][0]))
+    got = semdedup_decisions(spark, sf_smoke).collect()
+    got_removed = {r.vec_id for r in got if not r.kept}
+    assert {r.vec_id for r in got} == set(map(int, ids))
+    assert got_removed == want_removed
+    for r in got:
+        if not r.kept:
+            assert r.witness_id < r.vec_id
+            assert r.witness_cos_micro >= int(SEMDEDUP_TAU * 1000000)
