@@ -1774,3 +1774,93 @@ def ml_naive_bayes_lang_confusion(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("actual", "predicted")
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: statistically-bound adjacent token pairs
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 20
+
+
+@register(
+    "text_collocations_pmi",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+big AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+),
+uni AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM big) AS tb, (SELECT COUNT(*) FROM uni) AS tu
+)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS pair_count,
+  CAST(FLOOR(ln((c12 * tu * tu) * 1.0 / (tb * u1.c * u2.c)) * 1000000)
+       AS BIGINT) AS pmi_micro
+FROM bc JOIN uc u1 ON u1.w = bc.w1 JOIN uc u2 ON u2.w = bc.w2, tot
+WHERE c12 >= {PMI_MIN_COUNT}
+ORDER BY pmi_micro DESC, w1, w2
+LIMIT {PMI_TOPK}
+""",
+    doc="Pointwise-mutual-information collocations (E12; the classical "
+    "Church & Hanks 1990 association measure): adjacent-token bigrams "
+    f"occurring >= {PMI_MIN_COUNT} times, scored by PMI = "
+    "ln(p(xy)/(p(x)p(y))) computed on the exact integer count ratio "
+    "and quantized to FLOOR(ln*1e6) BIGINT, so ranking is engine-"
+    "exact. Plan: one tokenize scan feeding both the bigram and "
+    "unigram partial aggs (token-keyed shuffles), unigram table "
+    "joined back broadcast (vocabulary-sized); top-k via one final "
+    "sort of the >= min-count survivors.",
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.col("text"), " ").alias("t"))
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(t[i - 1] AS w1, t[i] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    uni = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = big.agg(F.count(F.lit(1)).alias("tb")).crossJoin(
+        uni.agg(F.count(F.lit(1)).alias("tu"))
+    )
+    u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bc.filter(F.col("c12") >= PMI_MIN_COUNT)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("pair_count"),
+            F.floor(
+                F.log(
+                    (F.col("c12") * F.col("tu") * F.col("tu"))
+                    * 1.0
+                    / (F.col("tb") * F.col("c1") * F.col("c2"))
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("pmi_micro"),
+        )
+        .orderBy(F.desc("pmi_micro"), "w1", "w2")
+        .limit(PMI_TOPK)
+    )

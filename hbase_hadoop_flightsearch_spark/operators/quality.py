@@ -915,3 +915,66 @@ def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-space gap islands: ingestion-completeness audit on sparse keys
+# ---------------------------------------------------------------------------
+
+GAP_TOPK = 10
+
+
+@register(
+    "dq_id_gap_islands",
+    oracle=f"""
+WITH k AS (
+  SELECT o_orderkey AS id,
+    LEAD(o_orderkey) OVER (ORDER BY o_orderkey) AS next_id
+  FROM orders
+),
+gaps AS (
+  SELECT id AS gap_after, next_id - id - 1 AS missing
+  FROM k WHERE next_id - id > 1
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY missing DESC, gap_after) AS INT)
+    AS rnk,
+  CAST(gap_after AS BIGINT) AS gap_after,
+  CAST(gap_after + 1 AS BIGINT) AS first_missing,
+  CAST(missing AS BIGINT) AS n_missing
+FROM gaps
+QUALIFY rnk <= {GAP_TOPK}
+ORDER BY rnk
+""",
+    doc="Key-space gap-island audit (DQ family; the 'did ingestion drop "
+    "a range' check every CDC/backfill pipeline runs): orderkeys are "
+    "deliberately sparse, and the audit reports the top-10 largest "
+    "contiguous missing ranges via one LEAD over the sorted key — "
+    "gap-and-island analysis with no self-join. Exact integers "
+    "throughout. The global sort is the only exchange; at 100 TB run "
+    "it per partition-key range first (same expression) and merge the "
+    "per-range top-k, which range-partitioned storage gives for free.",
+)
+def dq_id_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("id")
+    gaps = (
+        orders.select(F.col("o_orderkey").alias("id"))
+        .withColumn("next_id", F.lead("id").over(w))
+        .filter(F.col("next_id") - F.col("id") > 1)
+        .select(
+            F.col("id").alias("gap_after"),
+            (F.col("next_id") - F.col("id") - 1).alias("missing"),
+        )
+    )
+    wr = Window.orderBy(F.desc("missing"), F.asc("gap_after"))
+    return (
+        gaps.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= GAP_TOPK)
+        .select(
+            "rnk",
+            F.col("gap_after").cast("bigint").alias("gap_after"),
+            (F.col("gap_after") + 1).cast("bigint").alias("first_missing"),
+            F.col("missing").cast("bigint").alias("n_missing"),
+        )
+        .orderBy("rnk")
+    )

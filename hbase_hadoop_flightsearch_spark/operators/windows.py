@@ -491,3 +491,97 @@ def window_yoy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yoy_pct"
         ),
     ).orderBy("yr", "mth")
+
+
+# ---------------------------------------------------------------------------
+# Rolling regression: per-customer OLS slope over a trailing order window
+# ---------------------------------------------------------------------------
+
+ROLL_OLS_WIN = 8  # trailing orders per slope
+ROLL_OLS_CUST_MOD = 50  # report customers with custkey % 50 == 7
+
+
+@register(
+    "window_rolling_regression_slope",
+    oracle=f"""
+WITH seq AS (
+  SELECT o_custkey, o_orderkey,
+    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS x,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+),
+sums AS (
+  SELECT o_custkey, x,
+    COUNT(*) OVER w AS n, SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+    SUM(x * y) OVER w AS sxy, SUM(x * x) OVER w AS sxx,
+    MAX(x) OVER (PARTITION BY o_custkey) AS max_x
+  FROM seq
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY x
+               ROWS BETWEEN {ROLL_OLS_WIN - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT o_custkey, CAST(n AS BIGINT) AS n_window,
+  CAST(CASE WHEN n * sxx - sx * sx != 0
+       THEN (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+       END AS BIGINT) AS slope_micro_cents
+FROM sums
+WHERE x = max_x AND o_custkey % {ROLL_OLS_CUST_MOD} = 7
+ORDER BY o_custkey
+""",
+    doc="Rolling ordinary-least-squares trend (E6 window family, the "
+    "'is this customer's spend trending up' primitive): per customer, "
+    "OLS slope of order value (cents) against order sequence over the "
+    f"trailing {ROLL_OLS_WIN} orders, evaluated at the latest order. "
+    "All five sufficient statistics (n, Sx, Sy, Sxy, Sxx) are BIGINT "
+    "window sums over one frame, and the slope is exact integer "
+    "micro-cents via bigint div — no float enters until never. Same "
+    "closed-form-from-sufficient-stats pattern as ml_linear_regression "
+    "but windowed: one shuffle on customer, one frame pass; at 100 TB "
+    "each customer's history windows independently.",
+)
+def window_rolling_regression_slope(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    wseq = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = orders.select(
+        "o_custkey",
+        F.row_number().over(wseq).cast("bigint").alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("x")
+        .rowsBetween(-(ROLL_OLS_WIN - 1), Window.currentRow)
+    )
+    wall = Window.partitionBy("o_custkey")
+    sums = seq.select(
+        "o_custkey",
+        "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.max("x").over(wall).alias("max_x"),
+    )
+    return (
+        sums.filter(
+            (F.col("x") == F.col("max_x"))
+            & (F.col("o_custkey") % ROLL_OLS_CUST_MOD == 7)
+        )
+        .select(
+            "o_custkey",
+            F.col("n").cast("bigint").alias("n_window"),
+            F.expr(
+                "CAST(CASE WHEN n * sxx - sx * sx != 0 "
+                "THEN (n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx) "
+                "END AS BIGINT)"
+            ).alias("slope_micro_cents"),
+        )
+        .orderBy("o_custkey")
+    )

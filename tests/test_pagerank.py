@@ -70,3 +70,60 @@ def test_pagerank_registry_invariant_flags(spark):
     rows = load_all()["graph_pagerank_suppliers"].fn(spark, SF).collect()
     assert rows
     assert all(r.rank_positive and r.mass_conserved for r in rows)
+
+
+def test_kcore_matches_sequential_peeling(spark, sf_smoke):
+    """graph_kcore's distributed peel must produce EXACTLY the unique
+    k-core a sequential reference peel computes on the same support-2
+    co-purchase edges."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from hbase_hadoop_flightsearch_spark.operators.graph import (
+        KCORE_K,
+        kcore_vertices,
+    )
+    from hbase_hadoop_flightsearch_spark.operators.mining import (
+        LINKPRED_MIN_SUPPORT,
+        copurchase_pairs,
+    )
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    edges_df = (
+        copurchase_pairs(load_table(spark, sf_smoke, "lineitem"))
+        .filter(F.col("pair_count") >= LINKPRED_MIN_SUPPORT)
+        .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
+    )
+    edges = [(r.a, r.b) for r in edges_df.collect()]
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < KCORE_K:
+                for u in adj[v]:
+                    adj[u].discard(v)
+                del adj[v]
+                changed = True
+    want = set(adj)
+    got = {r.v for r in kcore_vertices(edges_df, KCORE_K).collect()}
+    assert got == want and want
+
+
+def test_kcore_closes_cascades(spark):
+    """A tail chain hanging off a triangle: peeling must cascade down
+    the whole chain (multi-round), leaving exactly the triangle as the
+    2-core."""
+    from hbase_hadoop_flightsearch_spark.operators.graph import (
+        kcore_vertices,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)], ["a", "b"]
+    )
+    got = {r.v for r in kcore_vertices(edges, 2).collect()}
+    assert got == {1, 2, 3}
