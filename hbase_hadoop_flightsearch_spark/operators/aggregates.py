@@ -1252,3 +1252,78 @@ def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "agg_skew_kurtosis_exact",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(9,2))
+                  * CAST(l_quantity AS DECIMAL(9,2)) AS DECIMAL(15,4)))
+         AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(9,2))
+                  * CAST(l_quantity AS DECIMAL(9,2)) AS DECIMAL(15,4))
+             * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sxxx,
+    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(9,2))
+                  * CAST(l_quantity AS DECIMAL(9,2)) AS DECIMAL(15,4))
+             * CAST(CAST(l_quantity AS DECIMAL(9,2))
+                    * CAST(l_quantity AS DECIMAL(9,2)) AS DECIMAL(15,4)))
+         AS DOUBLE) AS sxxxx
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+  ROUND((sxxx / n - 3 * (sx / n) * (sxx / n) + 2 * (sx / n) * (sx / n) * (sx / n))
+        / POW(sxx / n - (sx / n) * (sx / n), 1.5), 6) AS skewness,
+  ROUND((sxxxx / n - 4 * (sx / n) * (sxxx / n)
+         + 6 * (sx / n) * (sx / n) * (sxx / n)
+         - 3 * (sx / n) * (sx / n) * (sx / n) * (sx / n))
+        / POW(sxx / n - (sx / n) * (sx / n), 2) - 3, 6) AS kurtosis_excess
+FROM s ORDER BY l_returnflag
+""",
+    doc="Population skewness + excess kurtosis from exact-DECIMAL power "
+    "sums (E4, extending agg_corr_moments_exact to 3rd/4th moments): "
+    "Sx..Sx^4 accumulate in DECIMAL — associative and exact, so every "
+    "partitioning and both engines produce bit-identical doubles when "
+    "the closed-form central-moment arithmetic runs on the final "
+    "per-group scalars (builtin skewness/kurtosis merge partition-"
+    "local central moments and are partition-order-dependent in the "
+    "last ulps). DECIMAL widths chosen so no product or sum can "
+    "round: q^2 fits (15,4), q^2*q^2 fits (31,8), sums stay under "
+    "precision 38. One partial-agg shuffle of five sums per group.",
+)
+def agg_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(9,2)")
+    q2 = (q * q).cast("decimal(15,4)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(q2).cast("double").alias("sxx"),
+        F.sum(q2 * q).cast("double").alias("sxxx"),
+        F.sum(q2 * q2).cast("double").alias("sxxxx"),
+    )
+    n, sx, sxx, sxxx, sxxxx = (
+        F.col("n"),
+        F.col("sx"),
+        F.col("sxx"),
+        F.col("sxxx"),
+        F.col("sxxxx"),
+    )
+    m1 = sx / n
+    m2 = sxx / n - m1 * m1
+    m3 = sxxx / n - 3 * m1 * (sxx / n) + 2 * m1 * m1 * m1
+    m4 = (
+        sxxxx / n
+        - 4 * m1 * (sxxx / n)
+        + 6 * m1 * m1 * (sxx / n)
+        - 3 * m1 * m1 * m1 * m1
+    )
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
+        F.round(m4 / F.pow(m2, 2) - 3, 6).alias("kurtosis_excess"),
+    ).orderBy("l_returnflag")

@@ -1589,6 +1589,9 @@ SUBSTR_K = 8  # span length in tokens (the paper uses 50 BPE tokens at
 
 @register(
     "dedup_substring_spans",
+    headline=True,  # benches the span-keyed shuffle + coverage-explode
+    # plan — the ExactSubstr pass, a different hot path from the
+    # posting-list Jaccard seat
     oracle=f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents

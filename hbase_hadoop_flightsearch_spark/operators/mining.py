@@ -481,3 +481,124 @@ def graph_link_prediction_jaccard(
         .orderBy(F.desc("jaccard_micro"), "part_a", "part_b")
         .limit(LINKPRED_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Item-based collaborative filtering: top-N recommendations per customer
+# ---------------------------------------------------------------------------
+
+CF_CUST_MOD = 100  # recommend for customers with custkey % 100 == 1
+CF_TOPN = 3
+
+
+@register(
+    "ml_item_cf_recommendations",
+    oracle=f"""
+WITH {_ITEMS_DUCK},
+cust_items AS (
+  SELECT DISTINCT o.o_custkey, it.l_partkey
+  FROM it JOIN orders o ON o.o_orderkey = it.l_orderkey
+),
+sim AS (
+  SELECT a.l_partkey AS i, b.l_partkey AS j, COUNT(*) AS s
+  FROM it a JOIN it b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+scored AS (
+  SELECT ci.o_custkey, sim.j AS part, SUM(sim.s) AS score
+  FROM cust_items ci
+  JOIN sim ON sim.i = ci.l_partkey
+  WHERE ci.o_custkey % {CF_CUST_MOD} = 1
+  GROUP BY 1, 2
+),
+novel AS (
+  SELECT s.* FROM scored s
+  LEFT JOIN cust_items o
+    ON o.o_custkey = s.o_custkey AND o.l_partkey = s.part
+  WHERE o.o_custkey IS NULL
+)
+SELECT o_custkey, CAST(rnk AS INT) AS rnk,
+  CAST(part AS BIGINT) AS part, CAST(score AS BIGINT) AS score
+FROM (
+  SELECT o_custkey, part, score,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY score DESC, part) AS rnk
+  FROM novel
+)
+WHERE rnk <= {CF_TOPN}
+ORDER BY o_custkey, rnk
+""",
+    doc="Item-based collaborative filtering (Sarwar et al. 2001 — the "
+    "'customers who bought this also bought' recommender): item-item "
+    "affinity = co-purchase count >= 2 (the support-thresholded "
+    "similarity matrix, a SPARSE bounded artifact); each audited "
+    "customer's basket pulls its items' affinity rows, sums scores "
+    "per candidate, anti-joins out already-purchased items, and "
+    "keeps the integer-exact top-3. Plan: the similarity matrix "
+    "shuffles once on item; scoring is a basket-to-matrix equi-join "
+    "+ per-customer agg; WindowGroupLimit prunes to N before the "
+    "final sort. At 100 TB the matrix stays sparse by the same "
+    "support threshold and the per-customer work is O(basket x "
+    "avg item degree).",
+)
+def ml_item_cf_recommendations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    it = (
+        order_baskets(li)
+        .select(
+            "l_orderkey", F.explode(F.col("parts")).alias("l_partkey")
+        )
+    )
+    cust_items = (
+        it.join(
+            orders.select("o_orderkey", "o_custkey"),
+            it["l_orderkey"] == orders["o_orderkey"],
+        )
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    # similarity matrix from the module's joinless basket expansion
+    # (the oracle uses the textbook self-join formulation)
+    und = copurchase_pairs(li).filter(F.col("pair_count") >= 2)
+    sim = und.select(
+        F.col("part_a").alias("i"),
+        F.col("part_b").alias("j"),
+        F.col("pair_count").alias("s"),
+    ).unionAll(
+        und.select(
+            F.col("part_b").alias("i"),
+            F.col("part_a").alias("j"),
+            F.col("pair_count").alias("s"),
+        )
+    )
+    scored = (
+        cust_items.filter(F.col("o_custkey") % CF_CUST_MOD == 1)
+        .join(sim, cust_items["l_partkey"] == sim["i"])
+        .groupBy("o_custkey", F.col("j").alias("part"))
+        .agg(F.sum("s").alias("score"))
+    )
+    novel = scored.join(
+        cust_items.select(
+            "o_custkey", F.col("l_partkey").alias("part")
+        ),
+        ["o_custkey", "part"],
+        "left_anti",
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("score"), F.asc("part")
+    )
+    return (
+        novel.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= CF_TOPN)
+        .select(
+            "o_custkey",
+            "rnk",
+            F.col("part").cast("bigint").alias("part"),
+            F.col("score").cast("bigint").alias("score"),
+        )
+        .orderBy("o_custkey", "rnk")
+    )

@@ -43,12 +43,22 @@ def test_query_order_drains_unchecked_tail_first():
     if len(unchecked) >= 50:
         n_new = sum(1 for n in prefix if n not in checked)
         assert n_new == 50, f"only {n_new}/50 prefix slots are unchecked"
-        # The unchecked portion still interleaves across ITS families.
-        unchecked_modules = {reg[n].fn.__module__ for n in unchecked}
+        # Age priority (r7): unchecked queries that existed at the r6
+        # manifest drain BEFORE this round's additions, so the prefix
+        # draws from the LEGACY pool while it lasts; the family-spread
+        # invariant applies to whichever pool feeds the prefix.
+        legacy = entrymod._r6_manifest_names()
+        pool = [n for n in unchecked if n in legacy] or unchecked
+        if len(pool) >= 50:
+            assert all(n in legacy for n in prefix) or pool is unchecked, (
+                "prefix admitted new-round names while >= 50 legacy "
+                "unchecked names remain"
+            )
+        pool_modules = {reg[n].fn.__module__ for n in pool[:50] or pool}
         prefix_modules = {reg[n].fn.__module__ for n in prefix}
-        n_fam = len(unchecked_modules)
-        assert len(prefix_modules) >= min(n_fam, 20), (
-            f"prefix spans {len(prefix_modules)} of {n_fam} unchecked "
+        n_fam = len({reg[n].fn.__module__ for n in pool})
+        assert len(prefix_modules) >= min(n_fam, 20, len(pool_modules)), (
+            f"prefix spans {len(prefix_modules)} of {n_fam} pool "
             "families — interleave broken"
         )
     else:
