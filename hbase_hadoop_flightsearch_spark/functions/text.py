@@ -1720,7 +1720,7 @@ def ml_naive_bayes_lang_confusion(
         )
     )
     tokll = (
-        cnt.join(tot, "lang")
+        cnt.join(F.broadcast(tot), "lang")
         .crossJoin(F.broadcast(vocab))
         .select(
             "lang",

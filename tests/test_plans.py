@@ -644,3 +644,54 @@ def test_bpe_apply_join_not_per_row_retokenize(spark):
     plan = _plan(spark, "text_bpe_apply_compression")
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_r7_retrieval_and_model_joins_broadcast(spark):
+    """BM25 / naive-Bayes / DSIR join bounded model artifacts (term
+    list, (lang,token) log-prob table, 256-bucket LLR table) — those
+    joins must be broadcast, never a corpus-wide SortMergeJoin."""
+    for name in (
+        "text_bm25_topk",
+        "ml_naive_bayes_lang_confusion",
+        "sample_importance_dsir",
+    ):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_r7_topk_queries_use_window_group_limit(spark):
+    """Top-k per group in the new retrieval/recommender queries must
+    prune via WindowGroupLimit partials before the exchange, not sort
+    whole groups."""
+    for name in ("text_bm25_topk", "ml_item_cf_recommendations"):
+        assert "WindowGroupLimit" in _plan(spark, name), name
+
+
+def test_substring_spans_no_pair_join(spark):
+    """The ExactSubstr audit must stay a span-keyed aggregate: no
+    cartesian/nested-loop join anywhere (the all-pairs formulation is
+    the oracle's job)."""
+    plan = _plan(spark, "dedup_substring_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scene_change_reads_doc_id_only(spark):
+    """The scene-change decode fans out from doc_id alone — the scan
+    must not read text/payload columns."""
+    plan = _plan(spark, "multimodal_scene_change")
+    import re
+
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m and "doc_id" in m.group(1) and "text" not in m.group(1), (
+        m.group(1) if m else plan
+    )
+
+
+def test_rendezvous_sharding_single_agg_no_join(spark):
+    """HRW assignment is per-row scalar work: the whole plan must be
+    scan -> project -> one partial/final aggregate, with no join."""
+    plan = _plan(spark, "layout_rendezvous_sharding")
+    for bad in ("Join", "CartesianProduct"):
+        assert bad not in plan, plan[:2000]
