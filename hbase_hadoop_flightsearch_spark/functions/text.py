@@ -1864,3 +1864,139 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_micro"), "w1", "w2")
         .limit(PMI_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-N evaluation: multiset n-gram overlap between paired documents
+# ---------------------------------------------------------------------------
+
+ROUGE_PAIR_MOD = 2  # candidate = even doc, reference = doc_id + 1
+
+
+@register(
+    "ml_eval_rouge_pairs",
+    oracle="""
+WITH pairs AS (
+  SELECT c.doc_id AS cand_id, r.doc_id AS ref_id,
+         c.text AS ctext, r.text AS rtext
+  FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+  WHERE c.doc_id % 2 = 0
+),
+u1 AS (
+  SELECT cand_id, tok, COUNT(*) AS c
+  FROM (SELECT cand_id, unnest(string_split(ctext, ' ')) AS tok FROM pairs)
+  GROUP BY 1, 2
+),
+r1 AS (
+  SELECT cand_id, tok, COUNT(*) AS c
+  FROM (SELECT cand_id, unnest(string_split(rtext, ' ')) AS tok FROM pairs)
+  GROUP BY 1, 2
+),
+o1 AS (
+  SELECT u1.cand_id, SUM(LEAST(u1.c, r1.c)) AS ov
+  FROM u1 JOIN r1 ON r1.cand_id = u1.cand_id AND r1.tok = u1.tok
+  GROUP BY 1
+),
+t1 AS (SELECT cand_id, SUM(c) AS ct FROM u1 GROUP BY 1),
+s1 AS (SELECT cand_id, SUM(c) AS rt FROM r1 GROUP BY 1),
+cb AS (SELECT cand_id, string_split(ctext, ' ') AS t FROM pairs),
+rb AS (SELECT cand_id, string_split(rtext, ' ') AS t FROM pairs),
+u2 AS (
+  SELECT cand_id, t[i] || ' ' || t[i + 1] AS tok, COUNT(*) AS c
+  FROM cb, unnest(generate_series(1, len(t) - 1)) AS g(i)
+  GROUP BY 1, 2
+),
+r2 AS (
+  SELECT cand_id, t[i] || ' ' || t[i + 1] AS tok, COUNT(*) AS c
+  FROM rb, unnest(generate_series(1, len(t) - 1)) AS g(i)
+  GROUP BY 1, 2
+),
+o2 AS (
+  SELECT u2.cand_id, SUM(LEAST(u2.c, r2.c)) AS ov
+  FROM u2 JOIN r2 ON r2.cand_id = u2.cand_id AND r2.tok = u2.tok
+  GROUP BY 1
+),
+t2 AS (SELECT cand_id, SUM(c) AS ct FROM u2 GROUP BY 1),
+s2 AS (SELECT cand_id, SUM(c) AS rt FROM r2 GROUP BY 1)
+SELECT p.cand_id, p.ref_id,
+  CAST(COALESCE(o1.ov, 0) * 1000000 // t1.ct AS BIGINT) AS rouge1_p_micro,
+  CAST(COALESCE(o1.ov, 0) * 1000000 // s1.rt AS BIGINT) AS rouge1_r_micro,
+  CAST(COALESCE(o2.ov, 0) * 1000000 // t2.ct AS BIGINT) AS rouge2_p_micro,
+  CAST(COALESCE(o2.ov, 0) * 1000000 // s2.rt AS BIGINT) AS rouge2_r_micro
+FROM pairs p
+JOIN t1 USING (cand_id) JOIN s1 USING (cand_id)
+JOIN t2 USING (cand_id) JOIN s2 USING (cand_id)
+LEFT JOIN o1 USING (cand_id) LEFT JOIN o2 USING (cand_id)
+ORDER BY cand_id
+""",
+    doc="ROUGE-1/ROUGE-2 evaluation (Lin 2004 — the summarization/"
+    "generation eval metric, completing the eval family next to "
+    "perplexity and the langid/next-event baselines): each even doc "
+    "is scored as a candidate against doc_id+1 as reference, with "
+    "MULTISET n-gram overlap sum(min(count_cand, count_ref)) — the "
+    "clipped-count definition, not set intersection. Precision and "
+    "recall in exact integer micro-units. Plan: two tokenize scans "
+    "feeding (pair, gram) partial aggs, overlap equi-join keyed on "
+    "(pair, gram) — work is O(tokens), candidate pairing is a "
+    "1-row-offset self-join on the doc key; at 100 TB pairs come "
+    "from the upstream retrieval/generation stage instead and "
+    "nothing else changes.",
+)
+def ml_eval_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cand = docs.filter(F.col("doc_id") % ROUGE_PAIR_MOD == 0).select(
+        F.col("doc_id").alias("cand_id"), F.col("text").alias("ctext")
+    )
+    ref = docs.select(
+        (F.col("doc_id") - 1).alias("cand_id"),
+        F.col("doc_id").alias("ref_id"),
+        F.col("text").alias("rtext"),
+    )
+    pairs = cand.join(ref, "cand_id")
+
+    def grams(col: str, n: int):
+        if n == 1:
+            return F.explode(F.split(F.col(col), " "))
+        return F.explode(
+            F.expr(
+                f"transform(sequence(1, size(split({col}, ' ')) - 1), "
+                f"i -> concat_ws(' ', slice(split({col}, ' '), i, 2)))"
+            )
+        )
+
+    out = pairs.select("cand_id", "ref_id")
+    for n, tag in ((1, "1"), (2, "2")):
+        u = (
+            pairs.select("cand_id", grams("ctext", n).alias("tok"))
+            .groupBy("cand_id", "tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        r = (
+            pairs.select("cand_id", grams("rtext", n).alias("tok"))
+            .groupBy("cand_id", "tok")
+            .agg(F.count(F.lit(1)).alias("c2"))
+        )
+        ov = (
+            u.join(r, ["cand_id", "tok"])
+            .groupBy("cand_id")
+            .agg(F.sum(F.least("c", "c2")).alias("ov"))
+        )
+        ct = u.groupBy("cand_id").agg(F.sum("c").alias("ct"))
+        rt = r.groupBy("cand_id").agg(F.sum("c2").alias("rt"))
+        out = (
+            out.join(ct, "cand_id")
+            .join(rt, "cand_id")
+            .join(ov, "cand_id", "left")
+            .select(
+                "cand_id",
+                "ref_id",
+                *[c for c in out.columns if c.endswith("_micro")],
+                F.expr(
+                    "CAST(coalesce(ov, 0) * 1000000 div ct AS BIGINT)"
+                ).alias(f"rouge{tag}_p_micro"),
+                F.expr(
+                    "CAST(coalesce(ov, 0) * 1000000 div rt AS BIGINT)"
+                ).alias(f"rouge{tag}_r_micro"),
+            )
+        )
+    return out.orderBy("cand_id")

@@ -2721,3 +2721,92 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bot / automation detection: inter-arrival regularity heuristic
+# ---------------------------------------------------------------------------
+
+BOT_MIN_EVENTS = 10
+BOT_USER_MOD = 20  # audit users with user_id % 20 == 3 (bounded output)
+
+
+@register(
+    "events_bot_detection",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, epoch(ts)::BIGINT AS t,
+    LAG(epoch(ts)::BIGINT) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS pt
+  FROM events WHERE user_id % {BOT_USER_MOD} = 3
+),
+g AS (
+  SELECT user_id, t - pt AS gap FROM seq WHERE pt IS NOT NULL
+),
+s AS (
+  SELECT user_id, COUNT(*) AS n, SUM(gap) AS sg, SUM(gap * gap) AS qg
+  FROM g GROUP BY user_id
+)
+SELECT user_id, CAST(n + 1 AS BIGINT) AS n_events,
+  CAST(sg // n AS BIGINT) AS mean_gap_s,
+  CAST(CASE WHEN sg != 0 THEN ((n * qg - sg * sg) * 100) // (sg * sg)
+       END AS BIGINT) AS cv2_centi,
+  (n + 1 >= {BOT_MIN_EVENTS} AND sg != 0
+   AND 4 * (n * qg - sg * sg) < sg * sg) AS bot_flag
+FROM s ORDER BY user_id
+""",
+    doc="Bot/automation detection by inter-arrival regularity (the "
+    "trust-and-safety screen every event pipeline runs: humans are "
+    "bursty, schedulers are metronomic): per audited user, gap count, "
+    "mean gap, and the squared coefficient of variation of "
+    "second-granularity gaps — all from BIGINT sufficient statistics "
+    "(n, sum g, sum g^2), with the bot threshold CV^2 < 0.25 tested "
+    "as the integer cross-product 4*(n*Q - S^2) < S^2, so no float "
+    "threshold can flip a flag in either engine. One window pass for "
+    "gaps + one agg, both on the same Exchange(user_id); the audit "
+    "mod bounds output, not work — at 100 TB drop it and the plan is "
+    "unchanged.",
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        events.filter(F.col("user_id") % BOT_USER_MOD == 3)
+        .select(
+            "user_id",
+            F.unix_timestamp("ts").cast("bigint").alias("t"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("pt", F.lag("t").over(w))
+    )
+    g = seq.filter(F.col("pt").isNotNull()).select(
+        "user_id", (F.col("t") - F.col("pt")).alias("gap")
+    )
+    s = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gap").alias("sg"),
+        F.sum(F.col("gap") * F.col("gap")).alias("qg"),
+    )
+    return (
+        s.select(
+            "user_id",
+            (F.col("n") + 1).cast("bigint").alias("n_events"),
+            F.expr("CAST(sg div n AS BIGINT)").alias("mean_gap_s"),
+            F.expr(
+                "CAST(CASE WHEN sg != 0 THEN "
+                "((n * qg - sg * sg) * 100) div (sg * sg) END AS BIGINT)"
+            ).alias("cv2_centi"),
+            (
+                (F.col("n") + 1 >= BOT_MIN_EVENTS)
+                & (F.col("sg") != 0)
+                & (
+                    4 * (F.col("n") * F.col("qg") - F.col("sg") * F.col("sg"))
+                    < F.col("sg") * F.col("sg")
+                )
+            ).alias("bot_flag"),
+        )
+        .orderBy("user_id")
+    )
