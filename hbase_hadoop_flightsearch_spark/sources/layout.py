@@ -408,9 +408,21 @@ HRW_SHARDS = 10  # current shard count; the audit also evaluates +1
 def _hrw_score(key_col, shard: int):
     """Portable polynomial hash of 'doc:<id>:<shard>' — the per-(key,
     shard) rendezvous weight, identical expression in DuckDB."""
+    # shard token FIRST: each later Horner step diffuses it, so the
+    # per-shard scores are pseudo-independent (appending it last made
+    # the final +x step dominate and one shard always won)
     s = F.concat(
-        F.lit("doc:"), key_col.cast("string"), F.lit(f":{shard}")
+        F.lit(f"s{shard}:doc:"), key_col.cast("string")
     )
+    # Nonlinear (squaring) mixing step: an affine Horner cascade makes
+    # cross-shard score differences CONSTANT within a key-length class
+    # (diff = (x1_s - x1_t) * 131^(L-1) mod p), so whole length classes
+    # landed on one shard. t = l*131 + x; l' = (t^2 + x) mod 1000003 —
+    # t <= 1.4e8 so t^2 fits BIGINT in both engines.
+    def step(acc, x):
+        t = acc * 131 + x
+        return (t * t + x) % 1000003
+
     return F.aggregate(
         F.transform(
             F.sequence(F.lit(1), F.length(s)),
@@ -422,16 +434,20 @@ def _hrw_score(key_col, shard: int):
             % 1000003,
         ),
         F.lit(0).cast("long"),
-        lambda acc, x: (acc * 131 + x) % 1000000007,
+        step,
     )
 
 
 def _hrw_score_sql(shard: int) -> str:
+    # list_prepend(0, ...): DuckDB's list_reduce seeds with the FIRST
+    # element (Spark's aggregate seeds with 0) — prepend the 0 so both
+    # engines run the identical squaring cascade.
     return f"""(
       list_reduce(
-        [(ascii(('doc:' || CAST(doc_id AS VARCHAR) || ':{shard}')[i]) * 31 + i) % 1000003
-         for i in range(1, length('doc:' || CAST(doc_id AS VARCHAR) || ':{shard}') + 1)],
-        (l, x) -> (l * 131 + x) % 1000000007)
+        list_prepend(0,
+          [(ascii(('s{shard}:doc:' || CAST(doc_id AS VARCHAR))[i]) * 31 + i) % 1000003
+           for i in range(1, length('s{shard}:doc:' || CAST(doc_id AS VARCHAR)) + 1)]),
+        (l, x) -> ((l * 131 + x) * (l * 131 + x) + x) % 1000003)
     )"""
 
 

@@ -76,6 +76,9 @@ _LINT_AUDITED_OK = {
     "pipeline_corpus_prep_neardup",  # same lang-id score in WHERE
     "ml_eval_langid_confusion",  # same lang-id score inside CASE; the
     # output ratios are ROUND(x * 1.0 / y, 6) — float by construction
+    "agg_skew_kurtosis_exact",  # every operand (n, sx..sxxxx) is CAST
+    # AS DOUBLE in the CTE; the central-moment arithmetic is float by
+    # construction and both outputs are ROUND(..., 6)
 }
 
 

@@ -1,0 +1,190 @@
+"""Fixture and property tests for the round-7 operators, beyond the
+oracle-differential corpus: hand-built inputs with known answers, and
+identity checks for the rewrites the implementations rely on."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def test_cusum_prefix_min_identity_matches_recursion():
+    """The window rewrite S_i = P_i - min(0, min_{j<=i} P_j) must equal
+    the textbook recursion S_i = max(0, S_{i-1} + d_i) on arbitrary
+    integer series (pure-python check of the load-bearing identity)."""
+    import random
+
+    rng = random.Random(7)
+    for _ in range(200):
+        devs = [rng.randint(-50, 50) for _ in range(rng.randint(1, 60))]
+        s_rec, out_rec = 0, []
+        for d in devs:
+            s_rec = max(0, s_rec + d)
+            out_rec.append(s_rec)
+        pref, minpref, out_win = 0, 0, []
+        for d in devs:
+            pref += d
+            minpref = min(minpref, pref)
+            out_win.append(pref - min(minpref, 0))
+        assert out_rec == out_win
+
+
+def test_cusum_flags_level_shift_not_baseline(spark, tmp_path):
+    """A flat series with a late level shift must alarm after the shift
+    and never before (CUSUM's defining behavior vs point outliers)."""
+    from hbase_hadoop_flightsearch_spark.operators.timeseries import (
+        ts_changepoint_cusum,
+    )
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for i in range(60):
+        val = 10.0 if i < 40 else 30.0  # level shift at i=40
+        rows.append((i, base + dt.timedelta(hours=i), 1, "shift", val, "{}"))
+        rows.append((1000 + i, base + dt.timedelta(hours=i), 1, "flat", 10.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.event_type: r for r in ts_changepoint_cusum(spark, str(tmp_path)).collect()
+    }
+    assert got["flat"].n_alarms == 0
+    assert got["shift"].n_alarms > 0
+    assert got["shift"].first_alarm_event_id >= 40  # only after the shift
+
+
+def test_rendezvous_moves_equal_new_shard_population(spark, sf_correctness):
+    """Global HRW property: total moved docs == docs assigned to the new
+    shard under N+1 (every move targets the new shard and nothing else
+    moves), and expected movement ~ n/(N+1)."""
+    from hbase_hadoop_flightsearch_spark.sources.layout import (
+        HRW_SHARDS,
+        layout_rendezvous_sharding,
+    )
+
+    rows = layout_rendezvous_sharding(spark, sf_correctness).collect()
+    n = sum(r.n_docs for r in rows)
+    moved = sum(r.n_moved for r in rows)
+    assert all(r.moves_only_to_new for r in rows)
+    # expected n/(N+1); allow wide statistical slack
+    exp = n / (HRW_SHARDS + 1)
+    assert 0.4 * exp <= moved <= 1.8 * exp, (moved, exp)
+
+
+def test_substring_spans_known_duplicate(spark, tmp_path):
+    """Two docs sharing one exact 8-token span (and nothing else shared
+    as an 8-gram) must each report exactly the shared span covered."""
+    from hbase_hadoop_flightsearch_spark.operators.dedup import (
+        SUBSTR_K,
+        dedup_substring_spans,
+    )
+
+    shared = " ".join(f"dup{i}" for i in range(SUBSTR_K))
+    a = "a0 a1 a2 " + shared + " a3 a4"
+    b = "b0 " + shared + " b1 b2 b3"
+    c = "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"
+    spark.createDataFrame(
+        [(0, a, "en", "s", len(a)), (1, b, "en", "s", len(b)),
+         (2, c, "en", "s", len(c))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in dedup_substring_spans(spark, str(tmp_path)).collect()}
+    assert got[0].dup_spans == 1 and got[0].covered_tokens == SUBSTR_K
+    assert got[1].dup_spans == 1 and got[1].covered_tokens == SUBSTR_K
+    assert got[2].dup_spans == 0 and got[2].covered_tokens == 0
+    assert got[2].dup_ratio_micro == 0
+
+
+def test_bot_detection_metronome_vs_bursty(spark, tmp_path):
+    """A perfectly periodic user must flag as a bot; a bursty user with
+    the same event count must not."""
+    from hbase_hadoop_flightsearch_spark.operators.timeseries import (
+        BOT_USER_MOD,
+        events_bot_detection,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    bot_uid, human_uid = 3, 23  # both % 20 == 3
+    for i in range(30):
+        rows.append((i, base + dt.timedelta(seconds=60 * i), bot_uid,
+                     "t", 1.0, "{}"))
+    # bursty: alternating 5 s and 3600 s gaps
+    t = base
+    for i in range(30):
+        t += dt.timedelta(seconds=5 if i % 2 else 3600)
+        rows.append((100 + i, t, human_uid, "t", 1.0, "{}"))
+    assert bot_uid % BOT_USER_MOD == 3 and human_uid % BOT_USER_MOD == 3
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r.user_id: r for r in events_bot_detection(spark, str(tmp_path)).collect()}
+    assert got[bot_uid].bot_flag is True
+    assert got[human_uid].bot_flag is False
+
+
+def test_rouge_identical_pair_is_perfect(spark, tmp_path):
+    """A candidate identical to its reference must score 1.0 (1e6 micro)
+    on every ROUGE column; a disjoint pair must score 0."""
+    from hbase_hadoop_flightsearch_spark.functions.text import (
+        ml_eval_rouge_pairs,
+    )
+
+    same = "x0 x1 x2 x3 x4 x5"
+    spark.createDataFrame(
+        [(0, same, "en", "s", 1), (1, same, "en", "s", 1),
+         (2, "y0 y1 y2 y3", "en", "s", 1), (3, "z0 z1 z2 z3", "en", "s", 1)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.cand_id: r for r in ml_eval_rouge_pairs(spark, str(tmp_path)).collect()}
+    r0 = got[0]
+    assert (r0.rouge1_p_micro, r0.rouge1_r_micro) == (1000000, 1000000)
+    assert (r0.rouge2_p_micro, r0.rouge2_r_micro) == (1000000, 1000000)
+    r2 = got[2]
+    assert r2.rouge1_p_micro == 0 and r2.rouge2_r_micro == 0
+
+
+def test_bm25_top_hit_contains_term(spark, sf_correctness):
+    """Every BM25 top hit must actually contain its query term (scores
+    come only from tf > 0 rows) and ranks must be 1..k dense."""
+    from hbase_hadoop_flightsearch_spark.functions.text import text_bm25_topk
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    rows = text_bm25_topk(spark, sf_correctness).collect()
+    docs = {
+        r.doc_id: set(r.text.split(" "))
+        for r in load_table(spark, sf_correctness, "documents").collect()
+    }
+    by_term: dict = {}
+    for r in rows:
+        assert r.term in docs[r.doc_id]
+        by_term.setdefault(r.term, []).append(r.rnk)
+    for term, rnks in by_term.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), term
+
+
+def test_item_cf_never_recommends_owned_items(spark, sf_correctness):
+    """Novelty contract: no recommended part may already be in the
+    customer's purchase history."""
+    from hbase_hadoop_flightsearch_spark.operators.mining import (
+        ml_item_cf_recommendations,
+    )
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    recs = ml_item_cf_recommendations(spark, sf_correctness).collect()
+    li = load_table(spark, sf_correctness, "lineitem")
+    orders = load_table(spark, sf_correctness, "orders")
+    owned = {
+        (r.o_custkey, r.l_partkey)
+        for r in li.join(
+            orders, li["l_orderkey"] == orders["o_orderkey"]
+        ).select("o_custkey", "l_partkey").distinct().collect()
+    }
+    assert recs
+    for r in recs:
+        assert (r.o_custkey, r.part) not in owned
