@@ -1327,3 +1327,90 @@ def agg_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
         F.round(m4 / F.pow(m2, 2) - 3, 6).alias("kurtosis_excess"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "agg_ks_two_sample",
+    oracle="""
+WITH a AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+),
+b AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+),
+na AS (SELECT COUNT(*) AS na FROM a),
+nb AS (SELECT COUNT(*) AS nb FROM b),
+merged AS (
+  SELECT v, 1 AS ca, 0 AS cb FROM a
+  UNION ALL SELECT v, 0, 1 FROM b
+),
+cum AS (
+  SELECT v,
+    SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS fa,
+    SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS fb
+  FROM merged
+),
+atv AS (SELECT v, fa, fb FROM (SELECT v, MAX(fa) AS fa, MAX(fb) AS fb
+                               FROM cum GROUP BY v))
+SELECT CAST(na.na AS BIGINT) AS n_a, CAST(nb.nb AS BIGINT) AS n_b,
+  CAST(MAX(ABS(fa * nb.nb - fb * na.na)) AS BIGINT) AS d_cross,
+  CAST((MAX(ABS(fa * nb.nb - fb * na.na)) * 1000000)
+       // (na.na * nb.nb) AS BIGINT) AS d_micro
+FROM atv, na, nb GROUP BY na.na, nb.nb
+""",
+    doc="Two-sample Kolmogorov-Smirnov statistic, exact (E4 statistics "
+    "family; the distribution-shift test behind drift monitors that "
+    "PSI approximates): D = max_v |F_a(v) - F_b(v)| between urgent- "
+    "and normal-priority order values, computed WITHOUT floats — the "
+    "ECDF difference is held as the integer cross-product "
+    "|cum_a * n_b - cum_b * n_a| (exact), maxed, and reported both "
+    "raw and as micro-units via bigint div. ECDFs evaluated at each "
+    "distinct value's last tied row (the sup over the right-"
+    "continuous step function). Plan: one union scan, one global-"
+    "order window (range-partitioned sort at scale), one max — the "
+    "same one-sort shape as any exact quantile.",
+)
+def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    merged = orders.select(
+        cents.alias("v"),
+        F.when(urgent, 1).otherwise(0).alias("ca"),
+        F.when(urgent, 0).otherwise(1).alias("cb"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = merged.select(
+        "v",
+        F.sum("ca").over(w).alias("fa"),
+        F.sum("cb").over(w).alias("fb"),
+    )
+    atv = cum.groupBy("v").agg(
+        F.max("fa").alias("fa"), F.max("fb").alias("fb")
+    )
+    na = merged.agg(F.sum("ca").alias("na"))
+    nb = merged.agg(F.sum("cb").alias("nb"))
+    return (
+        atv.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .groupBy("na", "nb")
+        .agg(
+            F.max(
+                F.abs(F.col("fa") * F.col("nb") - F.col("fb") * F.col("na"))
+            ).alias("d_cross")
+        )
+        .select(
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            F.col("d_cross").cast("bigint").alias("d_cross"),
+            F.expr(
+                "CAST((d_cross * 1000000) div (na * nb) AS BIGINT)"
+            ).alias("d_micro"),
+        )
+    )
