@@ -2735,9 +2735,9 @@ BOT_USER_MOD = 20  # audit users with user_id % 20 == 3 (bounded output)
     "events_bot_detection",
     oracle=f"""
 WITH seq AS (
-  SELECT user_id, epoch(ts)::BIGINT AS t,
-    LAG(epoch(ts)::BIGINT) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id) AS pt
+  SELECT user_id, epoch_us(ts) // 1000000 AS t,
+    LAG(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS pt
   FROM events WHERE user_id % {BOT_USER_MOD} = 3
 ),
 g AS (
@@ -2776,7 +2776,11 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(F.col("user_id") % BOT_USER_MOD == 3)
         .select(
             "user_id",
-            F.unix_timestamp("ts").cast("bigint").alias("t"),
+            # floor-to-second from microseconds: DuckDB's
+            # epoch(ts)::BIGINT ROUNDS half-even on fractional seconds
+            # while unix_timestamp truncates — epoch_us // 1e6 floors
+            # identically in both engines
+            F.expr("unix_micros(ts) div 1000000").alias("t"),
             "ts",
             "event_id",
         )
