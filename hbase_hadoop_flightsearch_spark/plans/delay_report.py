@@ -206,3 +206,61 @@ def flight_cancellation_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("cancel_rate"),
     )
+
+
+OTP_THRESHOLD_MIN = 15  # DOT definition: on time = arrival delay <= 15 min
+
+
+@register(
+    "flight_otp_ranking",
+    oracle=FLIGHTS_CTE
+    + f"""
+SELECT carrier,
+  CAST(COUNT(*) AS BIGINT) AS n_flights,
+  CAST(SUM(CASE WHEN arr_delay_minutes <= {OTP_THRESHOLD_MIN}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time,
+  CAST((SUM(CASE WHEN arr_delay_minutes <= {OTP_THRESHOLD_MIN}
+                 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT)
+    AS otp_micro,
+  CAST(RANK() OVER (
+    ORDER BY (SUM(CASE WHEN arr_delay_minutes <= {OTP_THRESHOLD_MIN}
+                       THEN 1 ELSE 0 END) * 1000000) // COUNT(*) DESC,
+             carrier) AS INT) AS otp_rank
+FROM flights
+WHERE {_ORACLE_FILTER}
+GROUP BY carrier
+ORDER BY otp_rank
+""",
+    doc="On-time-performance league table over the reference's own "
+    "domain (the DOT metric the BTS dataset exists to publish: "
+    f"on time = arrival delay <= {OTP_THRESHOLD_MIN} min): per "
+    "carrier, completed-2008 flight count, on-time count, the OTP "
+    "share in exact integer micro-units (bigint div — no float "
+    "enters the RANK), and the resulting rank with carrier tiebreak. "
+    "Same scan+filter+partial-agg shape as the flagship; the rank "
+    "window is O(carriers).",
+)
+def flight_otp_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    fl = _completed_2008(flights(spark, sf_dir))
+    on_time = F.sum(
+        F.when(F.col("arr_delay_minutes") <= OTP_THRESHOLD_MIN, 1).otherwise(0)
+    )
+    agg = fl.groupBy("carrier").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_flights"),
+        on_time.cast("bigint").alias("n_on_time"),
+    )
+    agg = agg.withColumn(
+        "otp_micro",
+        F.expr("CAST((n_on_time * 1000000) div n_flights AS BIGINT)"),
+    )
+    return (
+        agg.withColumn(
+            "otp_rank",
+            F.rank()
+            .over(W.orderBy(F.desc("otp_micro"), F.asc("carrier")))
+            .cast("int"),
+        )
+        .orderBy("otp_rank")
+    )
