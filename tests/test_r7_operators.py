@@ -188,3 +188,87 @@ def test_item_cf_never_recommends_owned_items(spark, sf_correctness):
     assert recs
     for r in recs:
         assert (r.o_custkey, r.part) not in owned
+
+
+def test_semdedup_partitioning_invariance(spark, sf_smoke):
+    """dedup_semdedup is driver-value-hashed, so its per-vector decisions
+    must be bit-identical under different parallelism: the in-cell greedy
+    sorts by vec_id before any numpy math, making row arrival order
+    irrelevant — assert against a fresh local[3]/shuffle=3 session."""
+    import subprocess
+    import sys
+
+    from hbase_hadoop_flightsearch_spark.operators.dedup import (
+        semdedup_decisions,
+    )
+
+    here = sorted(map(tuple, semdedup_decisions(spark, sf_smoke).collect()))
+    child = (
+        "import sys\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from pyspark.sql import SparkSession\n"
+        "from hbase_hadoop_flightsearch_spark.operators.dedup import "
+        "semdedup_decisions\n"
+        "spark = (SparkSession.builder.master('local[3]')"
+        ".config('spark.sql.shuffle.partitions', '3')"
+        ".config('spark.ui.enabled', 'false')"
+        ".config('spark.sql.session.timeZone', 'UTC').getOrCreate())\n"
+        f"rows = sorted(map(tuple, semdedup_decisions(spark, {sf_smoke!r})"
+        ".collect()))\n"
+        "print(repr(rows))\n"
+        "spark.stop()\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", child],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        check=True,
+    )
+    there = eval(out.stdout.strip().splitlines()[-1])
+    assert here == there
+
+
+def test_ks_matches_sequential_reference(spark):
+    """agg_ks_two_sample's windowed formulation must equal the direct
+    two-sample KS computed sequentially on a synthetic orders table."""
+    import datetime as dt
+    import random
+
+    from hbase_hadoop_flightsearch_spark.operators.aggregates import (
+        agg_ks_two_sample,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(400):
+        pri = "1-URGENT" if i % 3 == 0 else "3-NORMAL"
+        # urgent skews higher so D is nonzero
+        price = rng.randint(100, 500) + (200 if pri == "1-URGENT" else 0)
+        rows.append(
+            (i, i % 40, "O", float(price), dt.date(2024, 1, 1), pri)
+        )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    got = agg_ks_two_sample(spark, d).collect()[0]
+    a = sorted(
+        round(r[3] * 100) for r in rows if r[5] in ("1-URGENT", "2-HIGH")
+    )
+    b = sorted(round(r[3] * 100) for r in rows if r[5] not in ("1-URGENT", "2-HIGH"))
+    na, nb = len(a), len(b)
+    values = sorted(set(a) | set(b))
+    import bisect
+
+    d_cross = max(
+        abs(bisect.bisect_right(a, v) * nb - bisect.bisect_right(b, v) * na)
+        for v in values
+    )
+    assert (got.n_a, got.n_b) == (na, nb)
+    assert got.d_cross == d_cross
+    assert got.d_micro == (d_cross * 1000000) // (na * nb)
