@@ -2729,3 +2729,123 @@ def multimodal_scene_change(
         schema="doc_id bigint, n_frames bigint, n_cuts bigint, "
         "cut_delta_total bigint, pixel_checksum bigint",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Voice-activity (silence-run) segmentation on really-decoded PCM
+# ---------------------------------------------------------------------------
+
+VAD_FRAME = 16  # samples per analysis frame
+VAD_SIL_PERIOD = 2  # every other frame is silenced in the synth law
+
+
+def _synth_wav_vad(doc_id: int, n_chars: int) -> bytes:
+    """PCM16 WAV where odd analysis frames are muted: sample_i = 0 when
+    (i // VAD_FRAME) % 2 == 1, else the integer amplitude law. Gives
+    every file a known speech/silence alternation to segment."""
+    import struct
+
+    n = n_chars % 64 + PCM_MIN_SAMPLES
+    samples = [
+        0
+        if (i // VAD_FRAME) % VAD_SIL_PERIOD == 1
+        else ((doc_id * 31 + i * 7) % 65536) - 32768
+        for i in range(n)
+    ]
+    data = struct.pack("<%dh" % n, *samples)
+    fmt = (
+        b"fmt "
+        + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _wav_vad_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            a = np.asarray(
+                wav_pcm_samples(_synth_wav_vad(int(doc_id), int(n_chars))),
+                dtype=np.int64,
+            )
+            nf = (len(a) + VAD_FRAME - 1) // VAD_FRAME
+            pad = np.zeros(nf * VAD_FRAME, dtype=np.int64)
+            pad[: len(a)] = a
+            energy = (pad.reshape(nf, VAD_FRAME) ** 2).sum(axis=1)
+            speech = energy > 0
+            segs = int(
+                (speech & ~np.concatenate(([False], speech[:-1]))).sum()
+            )
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "n_frames": nf,
+                    "n_silence_frames": int((~speech).sum()),
+                    "n_speech_segments": segs,
+                    "speech_energy": int(energy.sum()),
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "multimodal_audio_vad",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, i, i // {VAD_FRAME} AS f,
+    CASE WHEN (i // {VAD_FRAME}) % {VAD_SIL_PERIOD} = 1 THEN 0
+         ELSE ((doc_id * 31 + i * 7) % 65536) - 32768 END AS amp
+  FROM documents, LATERAL (
+    SELECT unnest(generate_series(
+      0, n_chars % 64 + {PCM_MIN_SAMPLES} - 1)) AS i
+  )
+),
+fr AS (
+  SELECT doc_id, f, SUM(amp * amp) AS energy FROM s GROUP BY 1, 2
+),
+cls AS (
+  SELECT doc_id, f, energy, (energy > 0) AS speech,
+    LAG(energy > 0, 1, FALSE) OVER (PARTITION BY doc_id ORDER BY f)
+      AS prev_speech
+  FROM fr
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_frames,
+  CAST(SUM(CASE WHEN speech THEN 0 ELSE 1 END) AS BIGINT)
+    AS n_silence_frames,
+  CAST(SUM(CASE WHEN speech AND NOT prev_speech THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_speech_segments,
+  CAST(SUM(energy) AS BIGINT) AS speech_energy
+FROM cls GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="Voice-activity segmentation on REALLY-decoded audio (E13 "
+    "analytics on the WAV PCM leg, the curation primitive that trims "
+    "silence before ASR/training): WAVs synthesized with muted "
+    f"alternate {VAD_FRAME}-sample frames, struct-unpacked back from "
+    "the actual data-chunk bytes, framed, and classified by exact "
+    "integer frame energy; speech segments counted as "
+    "energy-run starts (gaps-and-islands over frames). The oracle "
+    "replays the law + the identical energy/segment definitions in "
+    "SQL. Arrow-batched mapInPandas over (doc_id, n_chars); zero "
+    "shuffle, per-row CPU.",
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return docs.mapInPandas(
+        _wav_vad_batches,
+        schema="doc_id bigint, n_frames bigint, n_silence_frames bigint, "
+        "n_speech_segments bigint, speech_energy bigint",
+    ).orderBy("doc_id")

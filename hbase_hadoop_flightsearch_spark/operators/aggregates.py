@@ -1414,3 +1414,74 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d_micro"),
         )
     )
+
+
+@register(
+    "agg_mann_whitney_u",
+    oracle="""
+WITH m AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         THEN 1 ELSE 0 END AS grp_a
+  FROM orders
+),
+ranked AS (
+  SELECT grp_a,
+    -- doubled midrank = 2*min_rank + (ties - 1): stays integer under ties
+    2 * RANK() OVER (ORDER BY v)
+      + COUNT(*) OVER (PARTITION BY v) - 1 AS r2
+  FROM m
+)
+SELECT
+  CAST(SUM(grp_a) AS BIGINT) AS n_a,
+  CAST(SUM(1 - grp_a) AS BIGINT) AS n_b,
+  CAST((SUM(CASE WHEN grp_a = 1 THEN r2 ELSE 0 END)
+        - SUM(grp_a) * (SUM(grp_a) + 1)) AS BIGINT) AS u_a_x2,
+  CAST((SUM(CASE WHEN grp_a = 0 THEN r2 ELSE 0 END)
+        - SUM(1 - grp_a) * (SUM(1 - grp_a) + 1)) AS BIGINT) AS u_b_x2,
+  ((SUM(CASE WHEN grp_a = 1 THEN r2 ELSE 0 END)
+    - SUM(grp_a) * (SUM(grp_a) + 1))
+   + (SUM(CASE WHEN grp_a = 0 THEN r2 ELSE 0 END)
+      - SUM(1 - grp_a) * (SUM(1 - grp_a) + 1))
+   = 2 * SUM(grp_a) * SUM(1 - grp_a)) AS u_sum_identity_ok
+FROM ranked
+""",
+    doc="Mann-Whitney U rank-sum statistic, exact and tie-aware (E4 "
+    "statistics family, the nonparametric location test next to the "
+    "KS shape test): urgent- vs normal-priority order values ranked "
+    "once globally with DOUBLED midranks (2*min_rank + ties - 1 — an "
+    "integer even when ties make the midrank a half), U for each side "
+    "in the same 2x units, plus the U_a + U_b = n_a*n_b identity as "
+    "an in-query invariant flag. No float anywhere. One global-order "
+    "window (range-partitioned sort at scale) + one aggregate.",
+)
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    m = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+        F.when(urgent, 1).otherwise(0).alias("grp_a"),
+    )
+    ranked = m.select(
+        "grp_a",
+        (
+            2 * F.rank().over(W.orderBy("v"))
+            + F.count(F.lit(1)).over(W.partitionBy("v"))
+            - 1
+        ).alias("r2"),
+    )
+    na = F.sum("grp_a")
+    nb = F.sum(1 - F.col("grp_a"))
+    ra = F.sum(F.when(F.col("grp_a") == 1, F.col("r2")).otherwise(0))
+    rb = F.sum(F.when(F.col("grp_a") == 0, F.col("r2")).otherwise(0))
+    ua = ra - na * (na + 1)
+    ub = rb - nb * (nb + 1)
+    return ranked.agg(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        ua.cast("bigint").alias("u_a_x2"),
+        ub.cast("bigint").alias("u_b_x2"),
+        ((ua + ub) == 2 * na * nb).alias("u_sum_identity_ok"),
+    )
