@@ -473,3 +473,110 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rnk", "doc_id", "n_tokens", "logweight_micro")
         .orderBy("rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap: deterministic streaming bootstrap replicates
+# ---------------------------------------------------------------------------
+
+BOOT_REPS = 8
+# Poisson(1) CDF cut points as fixed 9-dp literals (identical doubles in
+# both engines): P(X<=k) for k = 0..3; k capped at 4.
+BOOT_CDF = (0.367879441, 0.735758882, 0.919698603, 0.981011843)
+
+
+def _boot_multiplier_expr(u):
+    """Inverse-CDF Poisson(1) draw from a uniform, capped at 4."""
+    expr = F.lit(4)
+    for k in range(len(BOOT_CDF) - 1, -1, -1):
+        expr = F.when(u < BOOT_CDF[k], F.lit(k)).otherwise(expr)
+    return expr
+
+
+def _boot_multiplier_sql(u_sql: str) -> str:
+    cases = " ".join(
+        f"WHEN {u_sql} < {c} THEN {k}" for k, c in enumerate(BOOT_CDF)
+    )
+    return f"(CASE {cases} ELSE 4 END)"
+
+
+@register(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+WITH draws AS (
+  SELECT b.b,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+    (list_reduce(
+       list_prepend(0,
+         [(ascii(('r' || CAST(b.b AS VARCHAR) || ':' ||
+                  CAST(o_orderkey AS VARCHAR))[i]) * 31 + i) % 1000003
+          for i in range(1, length('r' || CAST(b.b AS VARCHAR) || ':' ||
+                                   CAST(o_orderkey AS VARCHAR)) + 1)]),
+       (l, x) -> ((l * 131 + x) * (l * 131 + x) + x) % 1000003)
+     ) / 1000003.0 AS u
+  FROM orders, (SELECT unnest(generate_series(0, {BOOT_REPS - 1})) AS b) b
+)
+SELECT CAST(b AS INT) AS replicate,
+  CAST(SUM({_boot_multiplier_sql('u')} * cents) AS BIGINT)
+    AS replicate_cents,
+  CAST(SUM({_boot_multiplier_sql('u')}) AS BIGINT) AS n_resampled
+FROM draws GROUP BY b ORDER BY replicate
+""",
+    doc="Poisson bootstrap (Chamandy et al., the streaming bootstrap "
+    "big-data systems use because true resampling needs global "
+    "coordination): each row enters replicate b with multiplicity ~ "
+    "Poisson(1), drawn DETERMINISTICALLY by inverse-CDF on a seeded "
+    "per-(row, replicate) hash uniform (the repo's nonlinear squaring "
+    f"cascade), {BOOT_REPS} replicates in ONE scan — replicate totals "
+    "in exact cents; the spread across replicates is the CI. The CDF "
+    "cut points are fixed 9-dp literals so both engines compare "
+    "identical doubles against an exact rational uniform. Plan: scan "
+    "x B map-side fan-out, one partial-agg shuffle of O(B) rows — "
+    "no per-replicate rescan, no global sampling coordination, the "
+    "100 TB bootstrap shape.",
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    reps = spark.range(BOOT_REPS).select(F.col("id").cast("int").alias("b"))
+    s = F.concat(
+        F.lit("r"),
+        F.col("b").cast("string"),
+        F.lit(":"),
+        F.col("o_orderkey").cast("string"),
+    )
+
+    def step(acc, x):
+        t = acc * 131 + x
+        return (t * t + x) % 1000003
+
+    poly = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: (
+                F.ascii(F.substring(s, 1, 1000000).substr(i, F.lit(1)))
+                * 31
+                + i
+            )
+            % 1000003,
+        ),
+        F.lit(0).cast("long"),
+        step,
+    )
+    u = poly / F.lit(1000003.0)
+    mult = _boot_multiplier_expr(u)
+    return (
+        orders.select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .crossJoin(F.broadcast(reps))
+        .select("b", "cents", mult.alias("m"))
+        .groupBy(F.col("b").alias("replicate"))
+        .agg(
+            F.sum(F.col("m") * F.col("cents"))
+            .cast("bigint")
+            .alias("replicate_cents"),
+            F.sum("m").cast("bigint").alias("n_resampled"),
+        )
+        .orderBy("replicate")
+    )

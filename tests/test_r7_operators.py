@@ -272,3 +272,24 @@ def test_ks_matches_sequential_reference(spark):
     assert (got.n_a, got.n_b) == (na, nb)
     assert got.d_cross == d_cross
     assert got.d_micro == (d_cross * 1000000) // (na * nb)
+
+
+def test_poisson_bootstrap_multiplier_distribution(spark, sf_correctness):
+    """The deterministic Poisson(1) draws must actually look Poisson:
+    across replicates, resampled-row total stays within 3 sigma of n
+    (Poisson(1) mean 1), and replicate totals vary (the CI is nonzero)."""
+    from hbase_hadoop_flightsearch_spark.operators.sampling import (
+        BOOT_REPS,
+        sample_poisson_bootstrap,
+    )
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    rows = sample_poisson_bootstrap(spark, sf_correctness).collect()
+    n = load_table(spark, sf_correctness, "orders").count()
+    assert len(rows) == BOOT_REPS
+    for r in rows:
+        # sum of n Poisson(1) draws: mean n, sd sqrt(n); capped at 4
+        # shaves a hair off the upper tail
+        assert abs(r.n_resampled - n) < 4 * (n ** 0.5) + 10, r
+    totals = {r.replicate_cents for r in rows}
+    assert len(totals) > 1  # replicates genuinely differ
