@@ -12,7 +12,7 @@ from hbase_hadoop_flightsearch_spark.operators.dedup import (
 
 
 def test_simhash_pairs_are_true_near_dups(spark, sf_correctness):
-    """Hamming <= 3 on 64-bit 3-gram SimHash is a STRICTER notion of
+    """Hamming <= 7 on 64-bit 3-gram SimHash is a STRICTER notion of
     near-duplicate than 3-gram Jaccard >= 0.5: every SimHash pair must be
     a Jaccard pair (perfect precision w.r.t. the exact operator), and it
     must find a meaningful share of them."""
@@ -99,6 +99,7 @@ def test_simhash_banding_theorem_and_packed_sig_consistency(
     packed-bigint signature path it uses must produce the same pair set as
     the array-bits production path (simhash_pairs)."""
     from hbase_hadoop_flightsearch_spark.operators.dedup import (
+        SIMHASH_HAMMING_MAX,
         _simhash_sig_long,
         simhash_banding_theorem_check,
     )
@@ -115,7 +116,7 @@ def test_simhash_banding_theorem_and_packed_sig_consistency(
         )
         .filter(F.col("d1") < F.col("d2"))
         .withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
     )
     packed = {(r.d1, r.d2, r.hamming) for r in bf.collect()}
     arr = {
