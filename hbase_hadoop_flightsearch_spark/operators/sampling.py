@@ -402,6 +402,23 @@ ORDER BY rnk
     "a broadcast 256-row model join, one doc-keyed agg.",
 )
 def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docw = dsir_doc_weights(spark, sf_dir)
+    w = Window.orderBy(
+        F.desc(F.col("logweight_micro") * 1.0 / F.col("n_tokens")),
+        F.asc("doc_id"),
+    )
+    return (
+        docw.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= DSIR_TOPK)
+        .select("rnk", "doc_id", "n_tokens", "logweight_micro")
+        .orderBy("rnk")
+    )
+
+
+def dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, logweight_micro) for every non-target doc —
+    the DSIR importance-weight core, shared by the registered top-k
+    query and the targeted-curation composite."""
     docs = load_table(spark, sf_dir, "documents")
     tkn = F.col("token")
     poly = F.aggregate(
@@ -463,16 +480,7 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         )
     )
-    w = Window.orderBy(
-        F.desc(F.col("logweight_micro") * 1.0 / F.col("n_tokens")),
-        F.asc("doc_id"),
-    )
-    return (
-        docw.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= DSIR_TOPK)
-        .select("rnk", "doc_id", "n_tokens", "logweight_micro")
-        .orderBy("rnk")
-    )
+    return docw
 
 
 # ---------------------------------------------------------------------------

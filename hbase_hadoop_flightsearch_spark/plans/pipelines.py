@@ -638,3 +638,104 @@ def pipeline_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_dupes_removed"),
     )
     return totals.join(cstats)
+
+
+# ---------------------------------------------------------------------------
+# Targeted curation: DSIR-weighted selection under per-source quotas
+# ---------------------------------------------------------------------------
+
+CURATION_PER_SOURCE = 30  # keep the top-30 DSIR-weighted docs per source
+
+
+@register(
+    "pipeline_targeted_curation",
+    oracle=f"""
+WITH tok AS (
+  SELECT d.doc_id, d.source,
+    (list_aggregate(
+       [(ascii(t.token[i]) * 31 + i) % 1000003
+        for i in range(1, length(t.token) + 1)], 'sum')
+     % 256) AS b
+  FROM documents d,
+    (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+     FROM documents) t
+  WHERE t.doc_id = d.doc_id
+),
+tgt AS (
+  SELECT b, COUNT(*) AS c FROM tok WHERE source = 'src0' GROUP BY b
+),
+raw AS (SELECT b, COUNT(*) AS c FROM tok GROUP BY b),
+tgt_tot AS (SELECT SUM(c) AS t FROM tgt),
+raw_tot AS (SELECT SUM(c) AS t FROM raw),
+llr AS (
+  SELECT raw.b,
+    CAST(FLOOR(ln((COALESCE(tgt.c, 0) + 1.0)
+                  / ((SELECT t FROM tgt_tot) + 256)) * 1000000) AS BIGINT)
+    - CAST(FLOOR(ln((raw.c + 1.0)
+                    / ((SELECT t FROM raw_tot) + 256)) * 1000000) AS BIGINT)
+      AS llr_micro
+  FROM raw LEFT JOIN tgt USING (b)
+),
+docw AS (
+  SELECT tok.doc_id, ANY_VALUE(tok.source) AS source,
+    CAST(SUM(llr.llr_micro) AS BIGINT) AS lw,
+    CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM tok JOIN llr USING (b)
+  WHERE tok.source != 'src0'
+  GROUP BY tok.doc_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY lw * 1.0 / n_tokens DESC, doc_id)
+    AS rnk
+  FROM docw
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_kept,
+  CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+  CAST(MIN(doc_id) AS BIGINT) AS first_kept_doc,
+  CAST(MAX(lw) AS BIGINT) AS best_logweight_micro
+FROM ranked WHERE rnk <= {CURATION_PER_SOURCE}
+GROUP BY source ORDER BY source
+""",
+    doc="Targeted-curation composite (the DoReMi/DSIR-style mixture "
+    "builder): DSIR target/raw importance weights (bounded 256-bucket "
+    "LMs, integer micro-quantized) rank every non-target document, a "
+    f"per-source quota keeps the top {CURATION_PER_SOURCE} (domain "
+    "balance — one source cannot monopolize the budget no matter how "
+    "target-like it scores), and the output is the curation card: "
+    "kept docs, kept token budget, best weight per source. One fused "
+    "plan: tokenize scan -> two 256-row model aggs -> broadcast model "
+    "join -> doc agg -> per-source WindowGroupLimit -> O(sources) "
+    "rows. The quota window partitions by source, so at 100 TB each "
+    "source ranks independently.",
+)
+def pipeline_targeted_curation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.sampling import dsir_doc_weights
+    from ..sources.catalog import load_table
+
+    docw = dsir_doc_weights(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = W.partitionBy("source").orderBy(
+        F.desc(F.col("logweight_micro") * 1.0 / F.col("n_tokens")),
+        F.asc("doc_id"),
+    )
+    return (
+        docw.join(src, "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= CURATION_PER_SOURCE)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_kept_doc"),
+            F.max("logweight_micro")
+            .cast("bigint")
+            .alias("best_logweight_micro"),
+        )
+        .orderBy("source")
+    )
