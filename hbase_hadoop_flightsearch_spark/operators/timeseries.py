@@ -2814,3 +2814,258 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (Anderl et al. 2014)
+# ---------------------------------------------------------------------------
+
+MARKOV_STEPS = 24  # fixed-point iterations; transient mass decays
+# geometrically and BOTH engines run the identical truncated iteration,
+# so the step count is part of the definition, not an accuracy knob
+MARKOV_MICRO = 1000000
+
+
+def _markov_oracle() -> str:
+    """DuckDB oracle: the SAME integer fixed-point chain iteration,
+    unrolled MARKOV_STEPS times as chained MATERIALIZED CTEs (standard
+    SQL forbids aggregation inside a recursive CTE, and without the
+    MATERIALIZED hint DuckDB inlines each step into the next — the plan
+    grows multiplicatively and the optimizer never returns). All
+    arithmetic is BIGINT:
+    probabilities are micro-units, each step is an integer
+    sum-of-products followed by one div — order-free and engine-exact."""
+    m = MARKOV_MICRO
+    steps = []
+    prev = "w0"
+    for k in range(1, MARKOV_STEPS + 1):
+        steps.append(
+            f"""w{k} AS MATERIALIZED (
+  SELECT {prev}.removed, e.dst AS state,
+    CAST(SUM({prev}.p * e.t_micro) // {m} AS BIGINT) AS p
+  FROM {prev} JOIN edges e
+    ON e.removed = {prev}.removed AND e.src = {prev}.state
+  GROUP BY 1, 2
+)"""
+        )
+        prev = f"w{k}"
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+fp AS (
+  SELECT user_id, MIN(rn) AS prn FROM seq
+  WHERE event_type = 'purchase' GROUP BY user_id
+),
+j AS (
+  SELECT s.user_id, s.rn, s.event_type
+  FROM seq s LEFT JOIN fp USING (user_id)
+  WHERE fp.prn IS NULL OR s.rn <= fp.prn
+),
+hops AS (
+  SELECT user_id, rn,
+    COALESCE(LAG(event_type) OVER (PARTITION BY user_id ORDER BY rn),
+             'START') AS src,
+    CASE WHEN event_type = 'purchase' THEN 'CONV'
+         ELSE event_type END AS dst
+  FROM j
+),
+lastrow AS (SELECT user_id, MAX(rn) AS lrn FROM j GROUP BY user_id),
+term AS (
+  SELECT j.event_type AS src, 'NULL' AS dst
+  FROM j JOIN lastrow l ON l.user_id = j.user_id AND j.rn = l.lrn
+  LEFT JOIN fp ON fp.user_id = j.user_id
+  WHERE fp.prn IS NULL
+),
+alltrans AS (
+  SELECT src, dst FROM hops UNION ALL SELECT src, dst FROM term
+),
+cnt AS (SELECT src, dst, COUNT(*) AS c FROM alltrans GROUP BY 1, 2),
+rowsum AS (SELECT src, SUM(c) AS rs FROM cnt GROUP BY src),
+tmicro AS (
+  SELECT cnt.src, cnt.dst,
+    CAST(cnt.c * {m} // rowsum.rs AS BIGINT) AS t_micro
+  FROM cnt JOIN rowsum USING (src)
+),
+channels AS (
+  SELECT DISTINCT event_type AS ch FROM events
+  WHERE event_type != 'purchase'
+),
+scen AS (SELECT 'none' AS removed UNION ALL SELECT ch FROM channels),
+redirected AS (
+  SELECT sc.removed, t.src,
+    CASE WHEN t.dst = sc.removed THEN 'NULL' ELSE t.dst END AS dst,
+    t.t_micro
+  FROM tmicro t CROSS JOIN scen sc
+  WHERE t.src != sc.removed
+),
+merged AS (
+  SELECT removed, src, dst, CAST(SUM(t_micro) AS BIGINT) AS t_micro
+  FROM redirected GROUP BY 1, 2, 3
+),
+absorb AS (
+  SELECT removed, s.s AS src, s.s AS dst, CAST({m} AS BIGINT) AS t_micro
+  FROM scen, (SELECT unnest(['CONV', 'NULL']) AS s) s
+),
+edges AS MATERIALIZED (
+  SELECT * FROM merged UNION ALL SELECT * FROM absorb),
+w0 AS MATERIALIZED (
+  SELECT removed, 'START' AS state, CAST({m} AS BIGINT) AS p FROM scen
+),
+{steps_sql},
+conv AS (
+  SELECT removed, COALESCE(MAX(CASE WHEN state = 'CONV' THEN p END), 0)
+    AS conv_micro
+  FROM {prev} GROUP BY removed
+),
+base AS (SELECT conv_micro AS base_micro FROM conv WHERE removed = 'none'),
+eff AS (
+  SELECT c.removed AS channel,
+    CAST(base.base_micro AS BIGINT) AS conv_base_micro,
+    CAST(c.conv_micro AS BIGINT) AS conv_removed_micro,
+    CAST(base.base_micro - c.conv_micro AS BIGINT) AS removal_effect_micro
+  FROM conv c, base WHERE c.removed != 'none'
+),
+tot AS (
+  SELECT SUM(CASE WHEN removal_effect_micro > 0
+             THEN removal_effect_micro ELSE 0 END) AS te
+  FROM eff
+),
+touch AS (
+  SELECT dst AS channel, CAST(SUM(c) AS BIGINT) AS n_touch_transitions
+  FROM cnt JOIN channels ON channels.ch = cnt.dst GROUP BY dst
+)
+SELECT eff.channel, touch.n_touch_transitions,
+  eff.conv_base_micro, eff.conv_removed_micro, eff.removal_effect_micro,
+  CAST(CASE WHEN tot.te > 0 AND eff.removal_effect_micro > 0
+       THEN eff.removal_effect_micro * {m} // tot.te ELSE 0 END AS BIGINT)
+    AS attribution_share_micro
+FROM eff JOIN touch USING (channel), tot
+ORDER BY eff.channel
+"""
+
+
+@register(
+    "events_attribution_markov",
+    oracle=_markov_oracle(),
+    doc="Markov-chain removal-effect attribution (Anderl et al. 2014 — "
+    "the data-driven alternative to last-touch/time-decay credit): "
+    "user journeys (truncated at first purchase) define a first-order "
+    "chain over START / touch channels / CONV / NULL; each channel's "
+    "credit is the drop in absorption probability into CONV when "
+    "transitions into that channel are redirected to NULL. The "
+    "absorbing-chain solve is replaced by a "
+    f"{MARKOV_STEPS}-step INTEGER fixed-point iteration in micro-units "
+    "(each step: BIGINT sum-of-products, one div — order-free), run "
+    "identically by the Spark side (driver arithmetic on the collected "
+    "O(states^2) transition matrix, the same bounded-artifact class as "
+    "PCA's Gram matrix) and by the oracle (the iteration unrolled as "
+    "chained CTEs), so even the matrix math is value-exact. Transition "
+    "counts stay fully distributed: two window passes + one count "
+    "shuffle; only the tiny matrix is collected.",
+)
+def events_attribution_markov(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    m = MARKOV_MICRO
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    fp = (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    j = seq.join(fp, "user_id", "left").filter(
+        F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))
+    )
+    wj = W.partitionBy("user_id").orderBy("rn")
+    hops = j.select(
+        F.coalesce(F.lag("event_type").over(wj), F.lit("START")).alias(
+            "src"
+        ),
+        F.when(F.col("event_type") == "purchase", "CONV")
+        .otherwise(F.col("event_type"))
+        .alias("dst"),
+        "user_id",
+        "rn",
+        "prn",
+    )
+    last = j.groupBy("user_id").agg(
+        F.max("rn").alias("lrn"), F.first("prn").alias("prn2")
+    )
+    term = (
+        j.join(last, "user_id")
+        .filter((F.col("rn") == F.col("lrn")) & F.col("prn2").isNull())
+        .select(F.col("event_type").alias("src"), F.lit("NULL").alias("dst"))
+    )
+    alltrans = hops.select("src", "dst").unionAll(term)
+    cnt_rows = (
+        alltrans.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )  # O(states^2) bounded artifact
+    counts: dict = {}
+    for r in cnt_rows:
+        counts[(r.src, r.dst)] = r.c
+    channels = sorted(
+        {d for (_, d) in counts if d not in ("CONV", "NULL")}
+        | {s for (s, _) in counts if s not in ("START",)}
+        - {"CONV", "NULL"}
+    )
+    states = ["START"] + channels + ["CONV", "NULL"]
+    rowsum = {s: sum(c for (a, _), c in counts.items() if a == s) for s in states}
+    tmicro = {
+        (a, b): (c * m) // rowsum[a] for (a, b), c in counts.items()
+    }
+
+    def converge(removed: str | None) -> int:
+        # redirected edges + absorbing self-loops, integer iteration
+        edges: dict = {}
+        for (a, b), t in tmicro.items():
+            if a == removed:
+                continue
+            b2 = "NULL" if b == removed else b
+            edges[(a, b2)] = edges.get((a, b2), 0) + t
+        edges[("CONV", "CONV")] = m
+        edges[("NULL", "NULL")] = m
+        p = {"START": m}
+        for _ in range(MARKOV_STEPS):
+            nxt: dict = {}
+            for (a, b), t in edges.items():
+                if a in p:
+                    nxt[b] = nxt.get(b, 0) + p[a] * t
+            p = {b: v // m for b, v in nxt.items()}
+        return p.get("CONV", 0)
+
+    base = converge(None)
+    effects = {c: base - converge(c) for c in channels}
+    tot = sum(e for e in effects.values() if e > 0)
+    touch = {
+        c: sum(v for (a, b), v in counts.items() if b == c)
+        for c in channels
+    }
+    rows = [
+        (
+            c,
+            int(touch[c]),
+            int(base),
+            int(base - effects[c]),
+            int(effects[c]),
+            int((effects[c] * m) // tot) if tot > 0 and effects[c] > 0 else 0,
+        )
+        for c in channels
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, n_touch_transitions bigint, "
+        "conv_base_micro bigint, conv_removed_micro bigint, "
+        "removal_effect_micro bigint, attribution_share_micro bigint",
+    ).orderBy("channel")
