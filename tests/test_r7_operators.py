@@ -293,3 +293,46 @@ def test_poisson_bootstrap_multiplier_distribution(spark, sf_correctness):
         assert abs(r.n_resampled - n) < 4 * (n ** 0.5) + 10, r
     totals = {r.replicate_cents for r in rows}
     assert len(totals) > 1  # replicates genuinely differ
+
+
+def test_markov_attribution_critical_channel(spark, tmp_path):
+    """A channel on EVERY converting path must absorb ~all removal
+    effect; a channel appearing only on non-converting paths must get
+    zero credit."""
+    from hbase_hadoop_flightsearch_spark.operators.timeseries import (
+        events_attribution_markov,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def ev(uid, i, et):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, base + dt.timedelta(minutes=i), uid, et, 1.0, "{}"))
+
+    # 10 converting users: view -> critical -> purchase
+    for u in range(10):
+        ev(u, 0, "view")
+        ev(u, 1, "critical")
+        ev(u, 2, "purchase")
+    # 5 non-converting users: view -> deadend (journey ends, no purchase)
+    for u in range(100, 105):
+        ev(u, 0, "view")
+        ev(u, 1, "deadend")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.channel: r
+        for r in events_attribution_markov(spark, str(tmp_path)).collect()
+    }
+    assert got["critical"].conv_removed_micro == 0  # removal kills all conv
+    assert got["critical"].removal_effect_micro == got["critical"].conv_base_micro
+    assert got["deadend"].removal_effect_micro == 0
+    assert got["deadend"].attribution_share_micro == 0
+    # base conversion = 10/15 of journeys, truncation-exact in micro units
+    assert abs(got["critical"].conv_base_micro - 666666) <= 2
