@@ -96,23 +96,25 @@ def _r6_manifest_names() -> set[str]:
         return set()
 
 
-def _family_interleaved() -> dict[str, object]:
-    """Registry reordered round-robin across source modules (operator
-    families), so that ANY prefix of ~35+ queries exercises at least one
-    query from every SURVEY.md §2 family — joins, aggregates, windows,
-    set ops, dedup, graph, sampling, timeseries, similarity, sketches,
-    clustering, quality, mining, CDC, scalar/text functions, multimodal,
-    UDFs, and streaming — instead of front-loading a few families.
+def _ordered_queries(
+    allq: list,
+    checked: set[str],
+    failed: set[str],
+    legacy: set[str],
+    seed: int,
+) -> list:
+    """Pure ordering core (injectable state, so tests can synthesize any
+    CORRECTNESS-artifact regime — 0, <50, or >=50 unchecked — without
+    touching real artifacts; VERDICT r7 #1/#8).
 
-    Queries the driver has NEVER value-hashed (absent from every
-    CORRECTNESS_r*.json) are interleaved FIRST so the unchecked tail
-    drains in ~1-2 rounds (VERDICT r4 #4); already-checked queries follow
-    in a second interleave pass. Module order and member order still
-    rotate by the round seed so repeat passes vary which member leads."""
+    Order: latest-check-FAILED names first (alphabetical, so even the
+    smallest driver prefix re-verifies a fix), then never-value-hashed
+    names (round-6-manifest legacy before newer additions, each group
+    round-robin interleaved across source modules/families), then the
+    already-green names in a final family interleave. Module order and
+    member order rotate by the round seed so repeat passes vary which
+    member of each family leads."""
     from collections import OrderedDict
-
-    seed = _round_seed()
-    checked = _driver_checked_names()
 
     def interleave(queries: list) -> list:
         if not queries:
@@ -133,25 +135,35 @@ def _family_interleaved() -> dict[str, object]:
                     out.append(by_module[mod].pop(0))
         return out
 
-    allq = list(load_all().values())
     never = [q for q in allq if q.name not in checked]
     seen = [q for q in allq if q.name in checked]
     # Within the never-checked group, queries that already existed at the
     # end of round 6 (tools/registry_names_r6.txt manifest) drain FIRST so
     # newly added queries cannot push the long-standing unchecked tail
     # past the driver's ~50-query prefix (VERDICT r6 #1).
-    legacy = _r6_manifest_names()
     never_old = [q for q in never if q.name in legacy]
     never_new = [q for q in never if q.name not in legacy]
     ordered = interleave(never_old) + interleave(never_new) + interleave(seen)
-    # Queries that FAILED their latest driver check lead the whole list so
-    # the fix is re-verified even by the smallest driver prefix.
     failed_first = sorted(
-        (q for q in ordered if q.name in _driver_failed_names()),
-        key=lambda q: q.name,
+        (q for q in ordered if q.name in failed), key=lambda q: q.name
     )
-    rest = [q for q in ordered if q.name not in _driver_failed_names()]
-    return {q.name: q for q in failed_first + rest}
+    rest = [q for q in ordered if q.name not in failed]
+    return failed_first + rest
+
+
+def _family_interleaved() -> dict[str, object]:
+    """Registry reordered so the driver's ~50-query prefix is maximally
+    informative: failed-last-check names lead, never-checked names drain
+    next, and the remaining slots round-robin across operator families.
+    See _ordered_queries for the full policy."""
+    ordered = _ordered_queries(
+        list(load_all().values()),
+        _driver_checked_names(),
+        _driver_failed_names(),
+        _r6_manifest_names(),
+        _round_seed(),
+    )
+    return {q.name: q for q in ordered}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -29,43 +29,137 @@ def test_contract_shape(spark):
 def test_query_order_drains_unchecked_tail_first():
     """The driver samples a ~50-query prefix of queries(); while queries
     exist that the driver has never value-hashed green (VERDICT r4 #4),
-    the prefix must be PACKED with them — never-checked/failed members
-    lead, interleaved across their families — so the unchecked tail
-    drains in ~1-2 rounds. Once the tail empties, the ordering reverts to
-    the pure family interleave and the every-family-in-50 invariant below
-    takes over."""
+    the prefix must be PACKED with them — never-checked members lead —
+    so the unchecked tail drains in ~1-2 rounds. Family coverage is only
+    demanded of the slots the unchecked tail does not consume (the tail
+    rightly monopolizes the head; VERDICT r7 #1 — the old every-family
+    invariant was unsatisfiable for 0 < tail < 50)."""
     from hbase_hadoop_flightsearch_spark.plans.registry import load_all
 
     reg = load_all()
     checked = entrymod._driver_checked_names()
-    unchecked = [n for n in reg if n not in checked]
+    unchecked = {n for n in reg if n not in checked}
     prefix = list(entrymod.queries())[:50]
+
+    # Invariant 1 (every regime): ALL unchecked names that fit must be in
+    # the prefix — min(len(unchecked), 50) of the 50 slots go to them.
+    want_unchecked = min(len(unchecked), 50)
+    got_unchecked = sum(1 for n in prefix if n in unchecked)
+    assert got_unchecked == want_unchecked, (
+        f"only {got_unchecked}/{want_unchecked} unchecked names in prefix"
+    )
+    # ... and they lead: no checked name may appear before an unchecked one.
+    first_checked = next(
+        (i for i, n in enumerate(prefix) if n in checked), len(prefix)
+    )
+    assert first_checked >= want_unchecked, (
+        "a checked name precedes an unchecked one in the prefix"
+    )
+
+    # Invariant 2: family spread, scoped to whichever pool fills the slots.
     if len(unchecked) >= 50:
-        n_new = sum(1 for n in prefix if n not in checked)
-        assert n_new == 50, f"only {n_new}/50 prefix slots are unchecked"
-        # Age priority (r7): unchecked queries that existed at the r6
-        # manifest drain BEFORE this round's additions, so the prefix
-        # draws from the LEGACY pool while it lasts; the family-spread
-        # invariant applies to whichever pool feeds the prefix.
         legacy = entrymod._r6_manifest_names()
-        pool = [n for n in unchecked if n in legacy] or unchecked
-        if len(pool) >= 50:
-            assert all(n in legacy for n in prefix) or pool is unchecked, (
-                "prefix admitted new-round names while >= 50 legacy "
-                "unchecked names remain"
-            )
-        pool_modules = {reg[n].fn.__module__ for n in pool[:50] or pool}
-        prefix_modules = {reg[n].fn.__module__ for n in prefix}
+        pool = [n for n in unchecked if n in legacy] or list(unchecked)
         n_fam = len({reg[n].fn.__module__ for n in pool})
-        assert len(prefix_modules) >= min(n_fam, 20, len(pool_modules)), (
-            f"prefix spans {len(prefix_modules)} of {n_fam} pool "
-            "families — interleave broken"
+        prefix_modules = {reg[n].fn.__module__ for n in prefix}
+        assert len(prefix_modules) >= min(n_fam, 20), (
+            f"prefix spans {len(prefix_modules)} of {n_fam} pool families"
         )
     else:
-        # Tail (nearly) drained: every family must appear in the 50.
-        all_modules = {q.fn.__module__ for q in reg.values()}
-        missing = all_modules - {reg[n].fn.__module__ for n in prefix}
-        assert not missing, f"families missing from driver prefix: {missing}"
+        # Checked-fill slots (50 - tail) must round-robin the families of
+        # the checked pool: expect min(n_checked_families, fill) distinct.
+        fill = 50 - want_unchecked
+        checked_fill = [n for n in prefix if n in checked]
+        assert len(checked_fill) == fill
+        if fill:
+            n_fam = len({reg[n].fn.__module__ for n in checked})
+            got_fam = len({reg[n].fn.__module__ for n in checked_fill})
+            assert got_fam >= min(n_fam, fill), (
+                f"checked fill spans {got_fam} families, "
+                f"expected min({n_fam}, {fill})"
+            )
+
+
+class _FakeFn:
+    def __init__(self, module):
+        self.__module__ = module
+
+
+class _FakeQuery:
+    def __init__(self, name, module):
+        self.name = name
+        self.fn = _FakeFn(module)
+
+
+def _synthetic_pool(n_modules=6, per_module=20):
+    return [
+        _FakeQuery(f"q{m}_{i}", f"fam.mod{m}")
+        for m in range(n_modules)
+        for i in range(per_module)
+    ]
+
+
+def test_ordering_synthetic_regimes():
+    """_ordered_queries must satisfy the drain invariants in EVERY
+    artifact regime — 0, <50, and >=50 unchecked — so committing a new
+    CORRECTNESS artifact can never redden the suite again (VERDICT r7 #1).
+    """
+    allq = _synthetic_pool()  # 120 names, 6 families
+    names = [q.name for q in allq]
+    for n_unchecked in (0, 1, 13, 37, 49, 50, 80, 120):
+        unchecked = set(names[:n_unchecked])
+        checked = set(names) - unchecked
+        for seed in (0, 3, 8):
+            order = entrymod._ordered_queries(
+                allq, checked, set(), set(), seed
+            )
+            got = [q.name for q in order]
+            assert sorted(got) == sorted(names)  # permutation, no loss
+            prefix = got[:50]
+            want = min(n_unchecked, 50)
+            assert sum(1 for n in prefix if n in unchecked) == want
+            first_checked = next(
+                (i for i, n in enumerate(prefix) if n in checked), 50
+            )
+            assert first_checked >= want
+            # Checked fill round-robins families.
+            fill = [n for n in prefix if n in checked]
+            if fill:
+                fams = {q.fn.__module__ for q in order if q.name in checked}
+                got_fams = len(
+                    {q.fn.__module__ for q in order[:50]
+                     if q.name in fill and q.name in checked}
+                )
+                assert got_fams >= min(len(fams), len(fill))
+
+
+def test_ordering_synthetic_failed_first():
+    """A name whose latest driver check FAILED must lead the whole
+    ordering, ahead even of never-checked names, so the smallest driver
+    prefix re-verifies the fix (VERDICT r7 #8 — exercises the
+    failed-first path that no real artifact has ever triggered)."""
+    allq = _synthetic_pool(n_modules=4, per_module=10)
+    names = [q.name for q in allq]
+    failed = {"q2_5", "q0_7"}
+    checked = set(names[:20]) - failed
+    order = [
+        q.name
+        for q in entrymod._ordered_queries(allq, checked, failed, set(), 5)
+    ]
+    assert order[: len(failed)] == sorted(failed)
+
+
+def test_ordering_synthetic_legacy_age_priority():
+    """Never-checked names present in the r6 manifest drain before
+    never-checked names added later (VERDICT r6 #1)."""
+    allq = _synthetic_pool(n_modules=3, per_module=10)
+    names = [q.name for q in allq]
+    legacy = set(names[:15])
+    order = [
+        q.name
+        for q in entrymod._ordered_queries(allq, set(), set(), legacy, 2)
+    ]
+    assert set(order[:15]) == legacy
 
 
 def test_failed_queries_lead_the_ordering():
