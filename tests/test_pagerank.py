@@ -127,3 +127,23 @@ def test_kcore_closes_cascades(spark):
     )
     got = {r.v for r in kcore_vertices(edges, 2).collect()}
     assert got == {1, 2, 3}
+
+
+def test_kcore_converged_flag_is_load_bearing(spark):
+    """VERDICT r7 #3: the converged flag must come from the actual loop
+    exit. A 3-deep cascade under max_rounds=2 exhausts the bound without
+    ever observing an empty removal set -> converged=False and the
+    non-fixpoint residue is returned; the true bound sees True."""
+    from hbase_hadoop_flightsearch_spark.operators.graph import kcore_peel
+
+    # chain 4-5-6 off triangle 1-2-3: rounds remove {6},{5},{4} -> 3
+    # removal rounds, fixpoint observed on the 4th check.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)], ["a", "b"]
+    )
+    core, rounds, converged = kcore_peel(edges, 2, max_rounds=2)
+    assert not converged and rounds == 2
+    assert {r.v for r in core.collect()} == {1, 2, 3, 4}  # residue
+    core, rounds, converged = kcore_peel(edges, 2, max_rounds=10)
+    assert converged and rounds == 3
+    assert {r.v for r in core.collect()} == {1, 2, 3}
