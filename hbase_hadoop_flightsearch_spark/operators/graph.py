@@ -611,6 +611,7 @@ def graph_modularity_strong(spark: SparkSession, sf_dir: str) -> DataFrame:
 KCORE_K = 2
 KCORE_MAX_ROUNDS = 100  # safety bound; peel rounds = longest chain of
 # cascading removals, observed <= ~10 on every shipped corpus
+KCORE_EDGES_PER_PARTITION = 1_000_000  # iterate partition sizing target
 
 
 def kcore_peel(
@@ -625,13 +626,26 @@ def kcore_peel(
     connected_components: each round is one degree agg + two anti-joins,
     localCheckpoint truncates the iterated lineage.
 
-    Returns (core_vertices, peel_rounds, converged): peel_rounds counts
-    rounds that removed >= 1 vertex; converged is True ONLY if the loop
-    actually observed the empty removal set within max_rounds (VERDICT
-    r7 #3 — the flag is computed from the real loop exit, never
-    assumed). If the cascade exhausts the bound, the non-fixpoint
-    residue is returned with converged=False."""
-    cur = edges.localCheckpoint()
+    Returns (core_vertices, core_edges, peel_rounds, converged):
+    core_edges is the loop's final (materialized) edge set — the
+    subgraph induced by the core, handed back so callers need not
+    re-derive it with semi-joins; peel_rounds counts rounds that removed
+    >= 1 vertex; converged is True ONLY if the loop actually observed
+    the empty removal set within max_rounds (VERDICT r7 #3 — the flag
+    is computed from the real loop exit, never assumed). If the cascade
+    exhausts the bound, the non-fixpoint residue is returned with
+    converged=False."""
+    prev_cnt = edges.count()
+    # Right-size the iterate's partitioning to the DATA (~1M edges per
+    # partition, capped): every peel round schedules O(partitions) tasks
+    # per job, and the support-filtered edge set is typically orders of
+    # magnitude smaller than the fact table it came from — inheriting
+    # the scan's partitioning would pay 32+ near-empty tasks per round
+    # at bench scale while the row-based target still fans out to
+    # thousands of partitions at 100 TB. coalesce (no shuffle) only ever
+    # reduces partition count.
+    target = min(max(1, -(-prev_cnt // KCORE_EDGES_PER_PARTITION)), 4096)
+    cur = edges.coalesce(target).localCheckpoint()
     rounds = 0
     converged = False
     for _ in range(max_rounds):
@@ -640,21 +654,28 @@ def kcore_peel(
         )
         deg = neigh.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
         bad = deg.filter(F.col("d") < k).select("v")
-        if bad.isEmpty():
-            converged = True
-            break
-        rounds += 1
-        cur = (
+        # One materialization per round: the anti-join both applies the
+        # removal AND reveals convergence via the edge-count delta (a
+        # sub-k vertex always owns >= 1 edge, so "no edges removed" <=>
+        # "removal set empty"), instead of a separate isEmpty() action
+        # that would evaluate the degree aggregate a second time.
+        nxt = (
             cur.join(bad, cur["a"] == bad["v"], "left_anti")
             .join(bad, cur["b"] == bad["v"], "left_anti")
             .localCheckpoint()
         )
+        cnt = nxt.count()
+        if cnt == prev_cnt:
+            converged = True
+            break
+        cur, prev_cnt = nxt, cnt
+        rounds += 1
     core = (
         cur.select(F.col("a").alias("v"))
         .unionAll(cur.select(F.col("b").alias("v")))
         .distinct()
     )
-    return core, rounds, converged
+    return core, cur, rounds, converged
 
 
 def kcore_vertices(edges: DataFrame, k: int = KCORE_K) -> DataFrame:
@@ -664,6 +685,10 @@ def kcore_vertices(edges: DataFrame, k: int = KCORE_K) -> DataFrame:
 
 @register(
     "graph_kcore",
+    headline=True,  # bench seat for the iterative driver-loop plan class
+    # (bounded rounds + localCheckpoint) — VERDICT r7 #6: the one family
+    # with no bench representation, and the likeliest to regress from a
+    # lineage/checkpoint change.
     oracle=f"""
 WITH RECURSIVE {_ITEMS_DUCK},
 edges AS (
@@ -756,11 +781,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
     )
     edges = edges.localCheckpoint()
-    core, rounds, converged = kcore_peel(edges, KCORE_K)
-    core = core.localCheckpoint()
-    core_edges = edges.join(
-        core.select(F.col("v").alias("a")), "a", "left_semi"
-    ).join(core.select(F.col("v").alias("b")), "b", "left_semi")
+    core, core_edges, rounds, converged = kcore_peel(edges, KCORE_K)
     core_deg = (
         core_edges.select(F.col("a").alias("v"))
         .unionAll(core_edges.select(F.col("b").alias("v")))

@@ -141,9 +141,12 @@ def test_kcore_converged_flag_is_load_bearing(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)], ["a", "b"]
     )
-    core, rounds, converged = kcore_peel(edges, 2, max_rounds=2)
+    core, _, rounds, converged = kcore_peel(edges, 2, max_rounds=2)
     assert not converged and rounds == 2
     assert {r.v for r in core.collect()} == {1, 2, 3, 4}  # residue
-    core, rounds, converged = kcore_peel(edges, 2, max_rounds=10)
+    core, core_edges, rounds, converged = kcore_peel(edges, 2, max_rounds=10)
     assert converged and rounds == 3
     assert {r.v for r in core.collect()} == {1, 2, 3}
+    assert {tuple(r) for r in core_edges.collect()} == {
+        (1, 2), (2, 3), (1, 3)
+    }
