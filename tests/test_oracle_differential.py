@@ -70,7 +70,6 @@ def lint_oracle_sql(sql: str) -> list[str]:
 # (the DESCRIBE type-class assertion in oracle_utils covers outputs anyway).
 _LINT_AUDITED_OK = {
     "join_q2_min_cost_supplier",   # l_extendedprice / l_quantity: DOUBLE cols
-    "sketch_misra_gries_heavy",    # WHERE exact_count > n / 13: compare-only
     "text_lang_id_ngram",          # trigram-count scores compared, not output
     "pipeline_corpus_prep",        # same lang-id score in WHERE
     "pipeline_corpus_prep_neardup",  # same lang-id score in WHERE
