@@ -2000,3 +2000,97 @@ def ml_eval_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out.orderBy("cand_id")
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty curve: does the tail of the corpus still add new content?
+# ---------------------------------------------------------------------------
+
+NOVELTY_DECILES = 10
+
+
+@register(
+    "text_ngram_novelty_curve",
+    oracle=f"""
+WITH dec AS (
+  SELECT doc_id,
+         NTILE({NOVELTY_DECILES}) OVER (ORDER BY doc_id) AS decile
+  FROM documents
+),
+sh AS (
+  SELECT d.decile, s.shingle
+  FROM (
+    SELECT doc_id, unnest(list_distinct(
+      [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+    )) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    WHERE len(toks) >= 3
+  ) s JOIN dec d USING (doc_id)
+),
+firsts AS (
+  SELECT shingle, MIN(decile) AS first_decile FROM sh GROUP BY shingle
+),
+per_dec AS (
+  SELECT s.decile,
+    COUNT(DISTINCT s.shingle) AS distinct_shingles,
+    COUNT(DISTINCT CASE WHEN f.first_decile = s.decile
+                        THEN s.shingle END) AS novel_shingles
+  FROM sh s JOIN firsts f USING (shingle)
+  GROUP BY s.decile
+)
+SELECT CAST(decile AS INT) AS decile,
+  CAST(distinct_shingles AS BIGINT) AS distinct_shingles,
+  CAST(novel_shingles AS BIGINT) AS novel_shingles,
+  CAST((1000000 * novel_shingles) // distinct_shingles AS BIGINT)
+    AS novelty_ppm
+FROM per_dec
+""",
+    doc="n-gram novelty curve: corpus deciles (NTILE over doc_id) scored "
+    "by how many of their distinct word-3-gram shingles appear for the "
+    "FIRST time in that decile — the is-new-data-still-novel diagnostic "
+    "that drives crawl-stopping and dedup-aggressiveness decisions "
+    "(complement of text_vocab_growth_curve, which tracks single-token "
+    "vocabulary; 3-grams keep discriminating long after unigrams "
+    "saturate). Scalable via the shared first-seen rewrite: one "
+    "shingle shuffle -> min(decile), one grouped distinct count; "
+    "novelty rate is an exact integer ppm cross-product.",
+)
+def text_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    dec = docs.select(
+        "doc_id",
+        F.ntile(NOVELTY_DECILES).over(W.orderBy("doc_id")).alias("decile"),
+    )
+    sh = (
+        doc_shingles(spark, sf_dir)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .join(dec, "doc_id")
+        .select("decile", "shingle")
+    )
+    firsts = sh.groupBy("shingle").agg(F.min("decile").alias("first_decile"))
+    per_dec = (
+        sh.join(firsts, "shingle")
+        .groupBy("decile")
+        .agg(
+            F.countDistinct("shingle").alias("distinct_shingles"),
+            F.countDistinct(
+                F.when(
+                    F.col("first_decile") == F.col("decile"),
+                    F.col("shingle"),
+                )
+            ).alias("novel_shingles"),
+        )
+    )
+    return per_dec.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("distinct_shingles").cast("bigint").alias("distinct_shingles"),
+        F.col("novel_shingles").cast("bigint").alias("novel_shingles"),
+        F.expr(
+            "CAST((1000000 * novel_shingles) div distinct_shingles"
+            " AS BIGINT)"
+        ).alias("novelty_ppm"),
+    )

@@ -886,3 +886,101 @@ def graph_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (community detection): synchronous argmax-label rounds
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 4  # fixed synchronous rounds -> deterministic, SQL-unrollable
+
+
+def _lpa_oracle() -> str:
+    """Unrolled-CTE DuckDB replay of LPA_ROUNDS synchronous label
+    updates (new label = most frequent neighbor label, ties to the
+    smallest label) over the support-2 co-purchase graph."""
+    sql = f"""
+WITH {_ITEMS_DUCK},
+edges AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM it a JOIN it b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+sym AS (
+  SELECT a AS v, b AS u FROM edges UNION ALL SELECT b, a FROM edges
+),
+l0 AS (SELECT DISTINCT v, v AS label FROM sym)"""
+    prev = "l0"
+    for i in range(1, LPA_ROUNDS + 1):
+        sql += f""",
+n{i} AS (
+  SELECT s.v, l.label, COUNT(*) AS c
+  FROM sym s JOIN {prev} l ON s.u = l.v GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT v, label FROM (
+    SELECT v, label,
+      ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn
+    FROM n{i}) WHERE rn = 1
+)"""
+        prev = f"l{i}"
+    sql += f"""
+SELECT l.v, l.label AS community,
+       CAST(COUNT(*) OVER (PARTITION BY l.label) AS BIGINT)
+         AS community_size
+FROM {prev} l
+"""
+    return sql
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    doc=f"Label-propagation community detection (Raghavan et al. 2007), "
+    f"made DETERMINISTIC for cross-engine replay: {LPA_ROUNDS} fixed "
+    "SYNCHRONOUS rounds (the async variant is order-dependent), new "
+    "label = most frequent neighbor label with ties to the smallest "
+    "label. Each round is one join + one count shuffle + one per-vertex "
+    "argmax window, labels localCheckpoint'ed between rounds — the "
+    "third member of the iterative-graph family next to CC and k-core. "
+    "FULL value oracle: the unrolled recursive replay checks exact "
+    "per-vertex community assignment and community sizes.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .mining import LINKPRED_MIN_SUPPORT, copurchase_pairs
+
+    edges = (
+        copurchase_pairs(load_table(spark, sf_dir, "lineitem"))
+        .filter(F.col("pair_count") >= LINKPRED_MIN_SUPPORT)
+        .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
+    )
+    sym = (
+        edges.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("u")))
+        .localCheckpoint()
+    )
+    labels = sym.select("v").distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    for _ in range(LPA_ROUNDS):
+        counts = (
+            sym.join(
+                labels.select(F.col("v").alias("u"), "label"), "u"
+            )
+            .groupBy("v", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("label"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "label")
+            .localCheckpoint()
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        "v", F.col("label").alias("community"), "community_size"
+    )

@@ -588,3 +588,78 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("replicate")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing (the multilingual/multi-source data-mix
+# recipe: sample source s proportionally to n_s^(1/T), T=2 -> sqrt)
+# ---------------------------------------------------------------------------
+
+MIX_BUDGET = 100_000  # tokens (chars here) to allocate across sources
+MIX_W_SCALE = 1_000_000
+
+
+@register(
+    "sample_temperature_mixing",
+    oracle=f"""
+WITH src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT *, CAST(FLOOR({MIX_W_SCALE} * SQRT(chars)) AS BIGINT) AS w_micro
+  FROM src
+),
+tot AS (
+  SELECT CAST(SUM(w_micro) AS BIGINT) AS w_tot,
+         CAST(SUM(chars) AS BIGINT) AS chars_tot
+  FROM w
+)
+SELECT w.source, w.n_docs, w.chars, w.w_micro,
+  CAST((1000000 * w.w_micro) // t.w_tot AS BIGINT) AS share_ppm,
+  CAST((1000000 * w.chars) // t.chars_tot AS BIGINT) AS natural_ppm,
+  CAST(({MIX_BUDGET} * w.w_micro) // t.w_tot AS BIGINT) AS quota_chars
+FROM w, tot t
+""",
+    doc="Temperature-scaled source mixing (the data-mix recipe of "
+    "multilingual LM training — upsample small sources, downsample "
+    "dominant ones): per-source sampling weight proportional to "
+    "n_chars^(1/2) (temperature T=2). Engine-exact by construction: "
+    "SQRT is IEEE correctly-rounded so both engines produce the "
+    "identical double, then FLOOR to integer micro-units makes every "
+    "downstream share and quota an exact integer division — the "
+    "flattened share_ppm sits between uniform and the natural_ppm "
+    "proportional share, and quota_chars allocates a fixed budget with "
+    "floor rounding. One grouped aggregate over the corpus + an "
+    "O(sources) broadcast total.",
+)
+def sample_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+    w = src.withColumn(
+        "w_micro",
+        F.floor(MIX_W_SCALE * F.sqrt(F.col("chars"))).cast("bigint"),
+    )
+    tot = w.agg(
+        F.sum("w_micro").cast("bigint").alias("w_tot"),
+        F.sum("chars").cast("bigint").alias("chars_tot"),
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "chars",
+        "w_micro",
+        F.expr("CAST((1000000 * w_micro) div w_tot AS BIGINT)").alias(
+            "share_ppm"
+        ),
+        F.expr("CAST((1000000 * chars) div chars_tot AS BIGINT)").alias(
+            "natural_ppm"
+        ),
+        F.expr(
+            f"CAST(({MIX_BUDGET} * w_micro) div w_tot AS BIGINT)"
+        ).alias("quota_chars"),
+    )

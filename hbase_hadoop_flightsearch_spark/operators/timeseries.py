@@ -3069,3 +3069,125 @@ def events_attribution_markov(
         "conv_base_micro bigint, conv_removed_micro bigint, "
         "removal_effect_micro bigint, attribution_share_micro bigint",
     ).orderBy("channel")
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function: the seasonality detector behind every forecaster
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 7
+
+
+@register(
+    "ts_acf_lags",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(
+    (SELECT MIN(day) FROM daily),
+    (SELECT MAX(day) FROM daily),
+    INTERVAL 1 DAY)) AS DATE) AS day
+),
+series AS (
+  SELECT spine.day, COALESCE(daily.x, 0) AS x,
+         ROW_NUMBER() OVER (ORDER BY spine.day) AS t
+  FROM spine LEFT JOIN daily USING (day)
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+  FROM series
+),
+-- centered deviations scaled by n (n*x_t - S): stays integer, no mean float
+dev AS (
+  SELECT t, (st.n * x - st.s) AS d FROM series, stats st
+),
+lags AS (
+  SELECT CAST(k AS INT) AS lag FROM (
+    SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS k)
+),
+num AS (
+  SELECT l.lag, CAST(SUM(a.d * b.d) AS BIGINT) AS acf_num
+  FROM lags l
+  JOIN dev a ON TRUE
+  JOIN dev b ON b.t = a.t + l.lag
+  GROUP BY l.lag
+),
+den AS (SELECT CAST(SUM(d * d) AS BIGINT) AS acf_den FROM dev)
+SELECT n.lag, n.acf_num, d.acf_den,
+       ROUND(CAST(n.acf_num AS DOUBLE) / d.acf_den, 6) AS acf_r6
+FROM num n, den d
+""",
+    doc=f"Exact autocorrelation of the daily event-count series at lags "
+    f"1..{ACF_MAX_LAG} — the seasonality detector that justifies (or "
+    "refutes) the weekly seasonal-naive forecaster (ts_forecast_snaive_"
+    "eval). Integer-exact core: deviations are scaled by n (n*x_t - S) "
+    "so numerator and denominator are exact BIGINT cross-products with "
+    "no mean subtraction in float; the single closing division is one "
+    "IEEE op, identical in both engines, rounded to 6dp. Spark plan: "
+    "one day rollup + zero-filled spine, one 7-wide LEAD window pass "
+    "(one sort), then a 7-row aggregate via stack unpivot — never a "
+    "self-join over the series.",
+)
+def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    spine = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias(
+                "day"
+            )
+        )
+    )
+    series = spine.join(daily, "day", "left").select(
+        "day", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    stats = series.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    dev = series.crossJoin(F.broadcast(stats)).select(
+        "day", (F.col("n") * F.col("x") - F.col("s")).alias("d")
+    )
+    w = Window.orderBy("day")
+    leads = dev.select(
+        "d",
+        *[
+            F.lead("d", k).over(w).alias(f"d{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    stacked = leads.select(
+        F.expr(
+            "stack("
+            + str(ACF_MAX_LAG)
+            + ", "
+            + ", ".join(
+                f"{k}, d * d{k}" for k in range(1, ACF_MAX_LAG + 1)
+            )
+            + ") AS (lag, prod)"
+        ),
+        (F.col("d") * F.col("d")).alias("dd"),
+    )
+    den = stacked.filter(F.col("lag") == 1).agg(
+        F.sum("dd").cast("bigint").alias("acf_den")
+    )
+    return (
+        stacked.groupBy(F.col("lag").cast("int").alias("lag"))
+        .agg(F.sum("prod").cast("bigint").alias("acf_num"))
+        .crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "acf_num",
+            "acf_den",
+            F.round(
+                F.col("acf_num").cast("double") / F.col("acf_den"), 6
+            ).alias("acf_r6"),
+        )
+    )

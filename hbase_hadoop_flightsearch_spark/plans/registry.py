@@ -56,6 +56,7 @@ _QUERY_MODULES = [
     "hbase_hadoop_flightsearch_spark.operators.similarity",
     "hbase_hadoop_flightsearch_spark.operators.sketches",
     "hbase_hadoop_flightsearch_spark.operators.clustering",
+    "hbase_hadoop_flightsearch_spark.operators.evaluation",
     "hbase_hadoop_flightsearch_spark.operators.quality",
     "hbase_hadoop_flightsearch_spark.operators.mining",
     "hbase_hadoop_flightsearch_spark.operators.cdc",
