@@ -1079,3 +1079,162 @@ def similarity_ann_ivfpq_recall(
         similarity_knn_bruteforce(spark, sf_dir),
         IVFPQ_RECALL_FLOOR,
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of lexical + semantic rankings
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard Cormack et al. 2009 rank-smoothing constant
+RRF_QUERIES = 5  # query docs: doc_id/vec_id < 5 (the corpora are id-aligned)
+RRF_ARM_TOPK = 10
+RRF_TOPK = 5
+
+
+def _rrf_oracle() -> str:
+    from .dedup import _SHINGLE_SQL_DUCK
+
+    return f"""
+WITH sh AS ({_SHINGLE_SQL_DUCK}),
+lex_scored AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+    CAST((1000000 * len(list_intersect(q.shingles, c.shingles)))
+         // (len(q.shingles) + len(c.shingles)
+             - len(list_intersect(q.shingles, c.shingles))) AS BIGINT)
+      AS jac_micro
+  FROM sh q JOIN sh c ON q.doc_id < {RRF_QUERIES}
+                     AND c.doc_id != q.doc_id
+  WHERE len(list_intersect(q.shingles, c.shingles)) > 0
+),
+lex AS (
+  SELECT query_id, cand_id, rn AS rank_lex FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY jac_micro DESC, cand_id) AS rn
+    FROM lex_scored) WHERE rn <= {RRF_ARM_TOPK}
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sem_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+    list_cosine_similarity(q.v, c.v) AS cos
+  FROM e q JOIN e c ON q.vec_id < {RRF_QUERIES} AND c.vec_id != q.vec_id
+),
+sem AS (
+  SELECT query_id, cand_id, rn AS rank_sem FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cos DESC, cand_id) AS rn
+    FROM sem_scored) WHERE rn <= {RRF_ARM_TOPK}
+),
+fused AS (
+  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         COALESCE(l.cand_id, s.cand_id) AS doc_id,
+         CAST(COALESCE(1000000000 // ({RRF_K} + l.rank_lex), 0)
+            + COALESCE(1000000000 // ({RRF_K} + s.rank_sem), 0)
+           AS BIGINT) AS rrf_nano
+  FROM lex l FULL OUTER JOIN sem s
+    ON l.query_id = s.query_id AND l.cand_id = s.cand_id
+)
+SELECT query_id, doc_id, rrf_nano, CAST(rn AS INT) AS fused_rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY rrf_nano DESC, doc_id) AS rn
+  FROM fused) WHERE rn <= {RRF_TOPK}
+"""
+
+
+@register(
+    "similarity_rrf_fusion",
+    oracle=_rrf_oracle(),
+    doc="Hybrid retrieval via Reciprocal-Rank Fusion (Cormack et al. "
+    "2009): a lexical arm (word-3-gram Jaccard in exact integer "
+    "micro-units, candidates via the shared shingle posting lists — "
+    "never all-pairs at scale) and a semantic arm (exact cosine top-10, "
+    "the proven similarity_knn ranking), fused per query-doc by "
+    "sum of floor(1e9/(60+rank)) — integer RRF contributions so the "
+    "fused ordering is engine-exact. Missing-arm docs contribute 0 from "
+    "that arm (the standard RRF convention). The documents and "
+    "embeddings corpora are id-aligned, which is what makes hybrid "
+    "fusion well-defined. One shingle shuffle + one broadcast-query "
+    "corpus scan + two windowed top-k + a top-k-bounded outer join.",
+)
+def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import doc_shingles
+
+    sh = doc_shingles(spark, sf_dir).withColumn(
+        "n_sh", F.size("shingles")
+    )
+    ex = sh.select(
+        "doc_id", "n_sh", F.explode("shingles").alias("shingle")
+    )
+    qex = ex.filter(F.col("doc_id") < RRF_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("n_sh").alias("q_sh"),
+        "shingle",
+    )
+    inter = (
+        ex.join(F.broadcast(qex), "shingle")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "q_sh", F.col("doc_id").alias("cand_id"), "n_sh")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    lex_scored = inter.select(
+        "query_id",
+        "cand_id",
+        F.expr(
+            "CAST((1000000 * inter) div (q_sh + n_sh - inter) AS BIGINT)"
+        ).alias("jac_micro"),
+    )
+    wlex = Window.partitionBy("query_id").orderBy(
+        F.desc("jac_micro"), F.asc("cand_id")
+    )
+    lex = (
+        lex_scored.withColumn("rank_lex", F.row_number().over(wlex))
+        .filter(F.col("rank_lex") <= RRF_ARM_TOPK)
+        .select("query_id", "cand_id", "rank_lex")
+    )
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < RRF_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    sem_scored = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            _dot(F.col("qv"), F.col("v"))
+            / (_norm(F.col("qv")) * _norm(F.col("v"))),
+        )
+        .select("query_id", F.col("vec_id").alias("cand_id"), "cos")
+    )
+    wsem = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("cand_id")
+    )
+    sem = (
+        sem_scored.withColumn("rank_sem", F.row_number().over(wsem))
+        .filter(F.col("rank_sem") <= RRF_ARM_TOPK)
+        .select("query_id", "cand_id", "rank_sem")
+    )
+    fused = (
+        lex.join(sem, ["query_id", "cand_id"], "full_outer")
+        .select(
+            "query_id",
+            F.col("cand_id").alias("doc_id"),
+            (
+                F.coalesce(
+                    F.expr(f"1000000000 div ({RRF_K} + rank_lex)"),
+                    F.lit(0),
+                )
+                + F.coalesce(
+                    F.expr(f"1000000000 div ({RRF_K} + rank_sem)"),
+                    F.lit(0),
+                )
+            )
+            .cast("bigint")
+            .alias("rrf_nano"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_nano"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("fused_rank") <= RRF_TOPK)
+        .select("query_id", "doc_id", "rrf_nano", "fused_rank")
+    )

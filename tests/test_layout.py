@@ -85,3 +85,34 @@ def test_zorder_skips_files_on_both_dimensions(spark, tmp_path):
         spark.read.parquet(zpath).drop("price_bucket").count()
         == orders.count()
     )
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """The bucketed-pair layout must let the custkey equi-join run with
+    ZERO Exchange nodes even when broadcast is disabled — the pre-
+    shuffled-on-disk contract that amortizes the fact-table shuffle at
+    100 TB. Also: re-writing is idempotent (overwrite) and the bucketed
+    result matches the plain parquet join exactly."""
+    from hbase_hadoop_flightsearch_spark.sources.layout import (
+        write_bucketed_pair,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t_orders, t_cust = write_bucketed_pair(spark, SF)
+        t_orders2, _ = write_bucketed_pair(spark, SF)  # idempotent
+        assert t_orders2 == t_orders
+        o, c = spark.table(t_orders), spark.table(t_cust)
+        joined = o.join(c, o["o_custkey"] == c["c_custkey"])
+        plan = (
+            joined._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
+        plain = load_table(spark, SF, "orders").join(
+            load_table(spark, SF, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
