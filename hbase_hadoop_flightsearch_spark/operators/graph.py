@@ -984,3 +984,88 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(sizes, "label").select(
         "v", F.col("label").alias("community"), "community_size"
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-hop reach: friend-of-friend audience size per vertex
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_2hop_reach",
+    oracle=f"""
+WITH {_ITEMS_DUCK},
+edges AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM it a JOIN it b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+sym AS (
+  SELECT a AS v, b AS u FROM edges UNION ALL SELECT b, a FROM edges
+),
+two AS (
+  SELECT DISTINCT s1.v, s2.u AS w
+  FROM sym s1 JOIN sym s2 ON s1.u = s2.v
+  WHERE s2.u != s1.v
+),
+strict2 AS (
+  SELECT t.v, t.w FROM two t
+  LEFT JOIN sym d ON t.v = d.v AND t.w = d.u
+  WHERE d.v IS NULL
+),
+deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n_1hop FROM sym GROUP BY v)
+SELECT d.v, d.n_1hop,
+  CAST(COALESCE(s.n_2hop, 0) AS BIGINT) AS n_2hop
+FROM deg d LEFT JOIN (
+  SELECT v, COUNT(*) AS n_2hop FROM strict2 GROUP BY v
+) s ON d.v = s.v
+""",
+    doc="Two-hop reach (friend-of-friend audience): per vertex, the "
+    "count of distinct vertices exactly 2 hops away — reachable "
+    "through a neighbor but neither self nor a direct neighbor. The "
+    "influence/recommendation-candidate size metric. One wedge "
+    "self-join on the symmetric edge list + distinct + an anti-join "
+    "against direct edges; wedge fan-out is sum(deg^2), which the "
+    "degree-capped variant (cf. graph_link_prediction_jaccard) bounds "
+    "on power-law graphs at 100 TB. Exact value oracle.",
+)
+def graph_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .mining import LINKPRED_MIN_SUPPORT, copurchase_pairs
+
+    edges = (
+        copurchase_pairs(load_table(spark, sf_dir, "lineitem"))
+        .filter(F.col("pair_count") >= LINKPRED_MIN_SUPPORT)
+        .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
+    )
+    sym = edges.select(
+        F.col("a").alias("v"), F.col("b").alias("u")
+    ).unionAll(
+        edges.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    ).localCheckpoint()
+    two = (
+        sym.alias("s1")
+        .join(
+            sym.select(
+                F.col("v").alias("u"), F.col("u").alias("w")
+            ).alias("s2"),
+            "u",
+        )
+        .filter(F.col("w") != F.col("v"))
+        .select("v", "w")
+        .distinct()
+    )
+    strict2 = two.join(
+        sym.select("v", F.col("u").alias("w")), ["v", "w"], "left_anti"
+    )
+    deg = sym.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_1hop")
+    )
+    reach = strict2.groupBy("v").agg(
+        F.count(F.lit(1)).alias("n_2hop")
+    )
+    return deg.join(reach, "v", "left").select(
+        "v",
+        "n_1hop",
+        F.coalesce("n_2hop", F.lit(0)).cast("bigint").alias("n_2hop"),
+    )

@@ -3191,3 +3191,111 @@ def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("acf_r6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Additive seasonal decomposition: trend + weekday seasonal + remainder
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_seasonal_decompose",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(
+    (SELECT MIN(day) FROM daily),
+    (SELECT MAX(day) FROM daily),
+    INTERVAL 1 DAY)) AS DATE) AS day
+),
+series AS (
+  SELECT spine.day, COALESCE(daily.x, 0) AS x
+  FROM spine LEFT JOIN daily USING (day)
+),
+tr AS (
+  SELECT day, x,
+    CASE WHEN COUNT(*) OVER w = 7
+         THEN CAST(SUM(x) OVER w AS BIGINT) END AS trend7
+  FROM series
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+dev AS (
+  SELECT day, x, trend7,
+    CASE WHEN trend7 IS NOT NULL THEN 7 * x - trend7 END AS dev7,
+    CAST(dayofweek(day) + 1 AS INT) AS weekday  -- Spark: 1=Sun
+  FROM tr
+),
+seas AS (
+  SELECT weekday,
+    CAST((1000000 * SUM(dev7)) // (7 * COUNT(dev7)) AS BIGINT)
+      AS seasonal_micro
+  FROM dev WHERE dev7 IS NOT NULL GROUP BY weekday
+)
+SELECT d.day, d.x, d.trend7, d.dev7, d.weekday, s.seasonal_micro
+FROM dev d JOIN seas s USING (weekday)
+""",
+    doc="Additive seasonal decomposition of the daily event-count "
+    "series, kept EXACT: trend7 = the centered 7-day window SUM (the "
+    "x7-scaled moving average, NULL at the edges where the window is "
+    "incomplete), dev7 = 7*x - trend7 (the x7-scaled detrended "
+    "residual, integer), and the per-weekday seasonal index as the "
+    "micro-unit integer floor of mean(dev7)/7 — every division that "
+    "could round differently across engines is an integer floor "
+    "division. One window pass + one O(7) grouped aggregate + a "
+    "broadcast re-join; the decomposition STL approximates, with the "
+    "weekly period the ACF (ts_acf_lags) detects.",
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    spine = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias(
+                "day"
+            )
+        )
+    )
+    series = spine.join(daily, "day", "left").select(
+        "day", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = series.select(
+        "day",
+        "x",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7, F.sum("x").over(w)
+        )
+        .cast("bigint")
+        .alias("trend7"),
+    )
+    dev = tr.select(
+        "day",
+        "x",
+        "trend7",
+        (7 * F.col("x") - F.col("trend7")).alias("dev7"),
+        F.dayofweek("day").cast("int").alias("weekday"),
+    )
+    seas = (
+        dev.filter(F.col("dev7").isNotNull())
+        .groupBy("weekday")
+        .agg(
+            F.sum("dev7").alias("sdev"),
+            F.count("dev7").alias("cdev"),
+        )
+        .select(
+            "weekday",
+            F.expr(
+                "CAST((1000000 * sdev) div (7 * cdev) AS BIGINT)"
+            ).alias("seasonal_micro"),
+        )
+    )
+    return dev.join(F.broadcast(seas), "weekday").select(
+        "day", "x", "trend7", "dev7", "weekday", "seasonal_micro"
+    )

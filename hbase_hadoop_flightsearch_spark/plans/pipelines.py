@@ -739,3 +739,123 @@ def pipeline_targeted_curation(
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: the concat-and-chunk manifest LLM training batches use
+# ---------------------------------------------------------------------------
+
+PACK_SEQ_LEN = 256  # tokens per packed training sequence
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+off AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off0
+  FROM d
+),
+spans AS (
+  SELECT doc_id, n_tokens, off0,
+    CAST(off0 // {PACK_SEQ_LEN} AS BIGINT) AS seq_first,
+    CAST((off0 + n_tokens - 1) // {PACK_SEQ_LEN} AS BIGINT) AS seq_last
+  FROM off
+),
+touch AS (
+  SELECT CAST(unnest(generate_series(seq_first, seq_last)) AS BIGINT)
+           AS seq_id,
+         doc_id, seq_first, seq_last
+  FROM spans
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM d)
+SELECT t.seq_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs_touching,
+  CAST(SUM(CASE WHEN t.seq_id = t.seq_first THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_docs_starting,
+  CAST(SUM(CASE WHEN t.seq_id = t.seq_first AND t.seq_last > t.seq_first
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_split,
+  CAST(LEAST({PACK_SEQ_LEN},
+             tot.total_tokens - t.seq_id * {PACK_SEQ_LEN}) AS BIGINT)
+    AS filled_tokens
+FROM touch t, tot
+GROUP BY t.seq_id, tot.total_tokens
+""",
+    doc=f"Training-sequence packing manifest (the concat-and-chunk "
+    f"batching every LLM pretraining pipeline runs): docs in "
+    "deterministic doc_id order are laid head-to-tail on a global token "
+    f"axis and cut into {PACK_SEQ_LEN}-token sequences; each sequence "
+    "reports how many documents touch it, start in it, and are SPLIT "
+    "across its boundary (the attention-contamination metric that "
+    "motivates doc-boundary masking), plus its fill (only the tail "
+    "sequence is partial). All integer arithmetic off one prefix-sum "
+    "window and a bounded per-doc span explode (a doc fans out to "
+    "ceil(tokens/len)+1 rows at most) — at 100 TB the prefix sum runs "
+    "per shard with shard offsets composed broadcast-side.",
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    off = d.select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("off0"),
+    )
+    spans = off.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"off0 div {PACK_SEQ_LEN}").alias("seq_first"),
+        F.expr(f"(off0 + n_tokens - 1) div {PACK_SEQ_LEN}").alias(
+            "seq_last"
+        ),
+    )
+    touch = spans.select(
+        F.explode(
+            F.sequence(F.col("seq_first"), F.col("seq_last"))
+        ).alias("seq_id"),
+        "seq_first",
+        "seq_last",
+    )
+    tot = d.agg(F.sum("n_tokens").cast("bigint").alias("total_tokens"))
+    return (
+        touch.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_touching"),
+            F.sum(
+                F.when(F.col("seq_id") == F.col("seq_first"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_docs_starting"),
+            F.sum(
+                F.when(
+                    (F.col("seq_id") == F.col("seq_first"))
+                    & (F.col("seq_last") > F.col("seq_first")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_docs_split"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("seq_id").cast("bigint").alias("seq_id"),
+            "n_docs_touching",
+            "n_docs_starting",
+            "n_docs_split",
+            F.least(
+                F.lit(PACK_SEQ_LEN),
+                F.col("total_tokens") - F.col("seq_id") * PACK_SEQ_LEN,
+            )
+            .cast("bigint")
+            .alias("filled_tokens"),
+        )
+    )
