@@ -2094,3 +2094,126 @@ def text_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("novelty_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CC-Net perplexity bucketing: head / middle / tail tertiles per language
+# ---------------------------------------------------------------------------
+
+CCNET_BUCKETS = 3
+_LOG_MICRO = 1_000_000
+
+
+@register(
+    "text_perplexity_buckets",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, token
+),
+lm AS (
+  SELECT token,
+    CAST(FLOOR({_LOG_MICRO} * log2(COUNT(*))) AS BIGINT) AS l_c
+  FROM tok GROUP BY token
+),
+total AS (
+  SELECT CAST(FLOOR({_LOG_MICRO} * log2(COUNT(*))) AS BIGINT) AS l_t
+  FROM tok
+),
+doc AS (
+  SELECT tf.doc_id,
+    CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+    CAST(SUM(tf.tf * (t.l_t - lm.l_c)) AS BIGINT) AS nll_micro_sum
+  FROM tf JOIN lm USING (token), total t
+  GROUP BY tf.doc_id, t.l_t
+),
+scored AS (
+  SELECT d.doc_id, doc2.lang, d.n_tokens,
+    CAST(d.nll_micro_sum // d.n_tokens AS BIGINT) AS mean_nll_micro
+  FROM doc d JOIN documents doc2 USING (doc_id)
+),
+bucketed AS (
+  SELECT *,
+    NTILE({CCNET_BUCKETS}) OVER (PARTITION BY lang
+      ORDER BY mean_nll_micro, doc_id) AS b
+  FROM scored
+)
+SELECT lang,
+  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+    AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+  CAST(MIN(mean_nll_micro) AS BIGINT) AS min_nll_micro,
+  CAST(MAX(mean_nll_micro) AS BIGINT) AS max_nll_micro
+FROM bucketed GROUP BY lang, b
+""",
+    doc="CC-Net perplexity bucketing (Wenzek et al. 2020): per language, "
+    "documents split into head/middle/tail tertiles by LM score — the "
+    "published recipe that keeps 'head' for training and routes 'tail' "
+    "to inspection. Scoring reuses the unigram-LM surprisal but "
+    "QUANTIZED before any summation (per-token FLOOR(1e6*log2(count)), "
+    "the ml_naive_bayes device), so the per-doc score and the NTILE "
+    "ordering are pure integer arithmetic that cannot diverge across "
+    "engines; mean is an integer floor division. Two token-keyed "
+    "shuffles + a broadcast vocabulary join + one partitioned NTILE.",
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    lm = tok.groupBy("token").agg(
+        F.floor(_LOG_MICRO * F.log2(F.count(F.lit(1))))
+        .cast("bigint")
+        .alias("l_c")
+    )
+    total = tok.agg(
+        F.floor(_LOG_MICRO * F.log2(F.count(F.lit(1))))
+        .cast("bigint")
+        .alias("l_t")
+    )
+    doc = (
+        tf.join(F.broadcast(lm), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * (F.col("l_t") - F.col("l_c")))
+            .cast("bigint")
+            .alias("nll_micro_sum"),
+        )
+    )
+    scored = doc.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr("CAST(nll_micro_sum div n_tokens AS BIGINT)").alias(
+            "mean_nll_micro"
+        ),
+    )
+    bucketed = scored.withColumn(
+        "b",
+        F.ntile(CCNET_BUCKETS).over(
+            W.partitionBy("lang").orderBy("mean_nll_micro", "doc_id")
+        ),
+    )
+    return bucketed.groupBy(
+        "lang",
+        F.when(F.col("b") == 1, "head")
+        .when(F.col("b") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.min("mean_nll_micro").cast("bigint").alias("min_nll_micro"),
+        F.max("mean_nll_micro").cast("bigint").alias("max_nll_micro"),
+    )

@@ -1238,3 +1238,138 @@ def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fused_rank") <= RRF_TOPK)
         .select("query_id", "doc_id", "rrf_nano", "fused_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for retrieval training: semantically close,
+# lexically distant
+# ---------------------------------------------------------------------------
+
+HARDNEG_TOPK = 3
+HARDNEG_POOL = 20  # semantic candidates considered per query
+HARDNEG_JAC_MAX = 200_000  # micro-Jaccard ceiling: < 0.2 lexical overlap
+
+
+def _hardneg_oracle() -> str:
+    from .dedup import _SHINGLE_SQL_DUCK
+
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sem AS (
+  SELECT query_id, cand_id, cos, rn AS rank_sem FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      list_cosine_similarity(q.v, c.v) AS cos,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rn
+    FROM e q JOIN e c ON q.vec_id < {RRF_QUERIES}
+                     AND c.vec_id != q.vec_id
+  ) WHERE rn <= {HARDNEG_POOL}
+),
+sh AS ({_SHINGLE_SQL_DUCK}),
+jac AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+    CAST((1000000 * len(list_intersect(q.shingles, c.shingles)))
+         // (len(q.shingles) + len(c.shingles)
+             - len(list_intersect(q.shingles, c.shingles))) AS BIGINT)
+      AS jac_micro
+  FROM sh q JOIN sh c ON q.doc_id < {RRF_QUERIES}
+                     AND c.doc_id != q.doc_id
+),
+hard AS (
+  SELECT s.query_id, s.cand_id, s.cos,
+         COALESCE(j.jac_micro, 0) AS jac_micro
+  FROM sem s LEFT JOIN jac j
+    ON s.query_id = j.query_id AND s.cand_id = j.cand_id
+  WHERE COALESCE(j.jac_micro, 0) < {HARDNEG_JAC_MAX}
+)
+SELECT query_id, cand_id AS negative_id, ROUND(cos, 6) AS cosine,
+       jac_micro, CAST(rn AS INT) AS neg_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY cos DESC, cand_id) AS rn
+  FROM hard) WHERE rn <= {HARDNEG_TOPK}
+"""
+
+
+@register(
+    "sample_hard_negatives",
+    oracle=_hardneg_oracle(),
+    doc="Hard-negative mining for retrieval/embedding training (the "
+    "ANCE/Contriever recipe): per query, the top candidates by SEMANTIC "
+    "cosine that are lexically DISTANT (word-3-gram micro-Jaccard < "
+    "0.2) — near-misses that teach a model more than random negatives. "
+    "Composes the two proven arms: exact-cosine top-20 pool (broadcast "
+    "queries, one corpus scan) filtered by the posting-list Jaccard in "
+    "exact integer micro-units; final rank by (cosine desc, id). At "
+    "100 TB the semantic pool comes from the ANN index "
+    "(similarity_ann_ivfpq) instead of brute force — same downstream "
+    "plan.",
+)
+def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import doc_shingles
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < RRF_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    wsem = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("cand_id")
+    )
+    sem = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            _dot(F.col("qv"), F.col("v"))
+            / (_norm(F.col("qv")) * _norm(F.col("v"))),
+        )
+        .select("query_id", F.col("vec_id").alias("cand_id"), "cos")
+        .withColumn("rank_sem", F.row_number().over(wsem))
+        .filter(F.col("rank_sem") <= HARDNEG_POOL)
+    )
+    sh = doc_shingles(spark, sf_dir).withColumn("n_sh", F.size("shingles"))
+    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    qex = ex.filter(F.col("doc_id") < RRF_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("n_sh").alias("q_sh"),
+        "shingle",
+    )
+    jac = (
+        ex.join(F.broadcast(qex), "shingle")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy(
+            "query_id", "q_sh", F.col("doc_id").alias("cand_id"), "n_sh"
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(
+                "CAST((1000000 * inter) div (q_sh + n_sh - inter)"
+                " AS BIGINT)"
+            ).alias("jac_micro"),
+        )
+    )
+    hard = (
+        sem.join(jac, ["query_id", "cand_id"], "left")
+        .select(
+            "query_id",
+            "cand_id",
+            "cos",
+            F.coalesce("jac_micro", F.lit(0)).alias("jac_micro"),
+        )
+        .filter(F.col("jac_micro") < HARDNEG_JAC_MAX)
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("cand_id")
+    )
+    return (
+        hard.withColumn("neg_rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("neg_rank") <= HARDNEG_TOPK)
+        .select(
+            "query_id",
+            F.col("cand_id").alias("negative_id"),
+            F.round("cos", 6).alias("cosine"),
+            "jac_micro",
+            "neg_rank",
+        )
+    )
