@@ -978,3 +978,82 @@ def dq_id_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency audit: does X -> Y actually hold in the data?
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_functional_dependency",
+    oracle="""
+WITH wide AS (
+  SELECT l.l_orderkey, l.l_partkey, l.l_suppkey, o.o_custkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+cands AS (
+  SELECT 'l_orderkey->o_custkey' AS fd, l_orderkey AS k,
+         COUNT(DISTINCT o_custkey) AS nd FROM wide GROUP BY 2
+  UNION ALL
+  SELECT 'l_orderkey->l_suppkey', l_orderkey,
+         COUNT(DISTINCT l_suppkey) FROM wide GROUP BY 2
+  UNION ALL
+  SELECT 'l_partkey->l_suppkey', l_partkey,
+         COUNT(DISTINCT l_suppkey) FROM wide GROUP BY 2
+)
+SELECT fd,
+  CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS violating_keys,
+  CAST(MAX(nd) AS BIGINT) AS max_distinct_rhs,
+  CAST((1000000 * SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)) // COUNT(*)
+    AS BIGINT) AS violation_ppm
+FROM cands GROUP BY fd
+""",
+    doc="Functional-dependency audit (the schema-inference/normalization "
+    "DQ check): for candidate FDs X -> Y, count determinant keys whose "
+    "Y is not unique. Candidates exercised: l_orderkey -> o_custkey "
+    "(holds by construction through the FK join — the audit proves it "
+    "from the DATA), l_orderkey -> l_suppkey and l_partkey -> "
+    "l_suppkey (genuinely violated — multi-supplier orders/parts; "
+    "honest nonzero counts). One distinct-count aggregate per "
+    "candidate, violation rate as an exact integer ppm.",
+)
+def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    wide = li.join(orders, "l_orderkey")
+
+    def fd(name: str, k: str, y: str) -> DataFrame:
+        return (
+            wide.groupBy(F.col(k).alias("k"))
+            .agg(F.countDistinct(y).alias("nd"))
+            .select(F.lit(name).alias("fd"), "k", "nd")
+        )
+
+    cands = (
+        fd("l_orderkey->o_custkey", "l_orderkey", "o_custkey")
+        .unionByName(fd("l_orderkey->l_suppkey", "l_orderkey", "l_suppkey"))
+        .unionByName(fd("l_partkey->l_suppkey", "l_partkey", "l_suppkey"))
+    )
+    agg = cands.groupBy("fd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("violating_keys"),
+        F.max("nd").cast("bigint").alias("max_distinct_rhs"),
+    )
+    return agg.select(
+        "fd",
+        "n_keys",
+        "violating_keys",
+        "max_distinct_rhs",
+        F.expr(
+            "CAST((1000000 * violating_keys) div n_keys AS BIGINT)"
+        ).alias("violation_ppm"),
+    )

@@ -663,3 +663,61 @@ def sample_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(({MIX_BUDGET} * w_micro) div w_tot AS BIGINT)"
         ).alias("quota_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-fold cross-validation assignment
+# ---------------------------------------------------------------------------
+
+KFOLD_K = 5
+
+
+@register(
+    "sample_kfold_assignments",
+    oracle=f"""
+WITH folds AS (
+  SELECT doc_id, lang,
+    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+      % {KFOLD_K} AS fold
+  FROM documents
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM folds)
+SELECT fold, lang,
+  CAST(COUNT(*) AS BIGINT) AS n_val,
+  CAST(t.n - COUNT(*) AS BIGINT) AS n_train_if_held_out
+FROM folds, tot t
+GROUP BY fold, lang, t.n
+""",
+    doc="Deterministic k-fold cross-validation assignment: fold = "
+    "md5(doc_id) bucket — append-stable like sample_hash_split (new "
+    "docs never reassign existing ones, so CV results are comparable "
+    "across corpus versions), engine-portable, and leakage-free when "
+    "combined with the group-split rule for user-keyed data. Output: "
+    "per (fold, lang) validation counts + the complementary train "
+    "size — the fold-balance audit run before any CV experiment.",
+)
+def sample_kfold_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    folds = docs.select(
+        "lang",
+        (
+            F.conv(F.substring(_md5_of("doc_id"), 1, 4), 16, 10).cast(
+                "int"
+            )
+            % KFOLD_K
+        ).alias("fold"),
+    )
+    tot = folds.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        folds.groupBy("fold", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_val"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            "lang",
+            "n_val",
+            (F.col("n") - F.col("n_val"))
+            .cast("bigint")
+            .alias("n_train_if_held_out"),
+        )
+    )

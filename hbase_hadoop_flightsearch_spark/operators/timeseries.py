@@ -3299,3 +3299,87 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dev.join(F.broadcast(seas), "weekday").select(
         "day", "x", "trend7", "dev7", "weekday", "seasonal_micro"
     )
+
+
+# ---------------------------------------------------------------------------
+# Process-mining conformance: observed transitions vs the allowed model
+# ---------------------------------------------------------------------------
+
+# The reference process model: signup starts a journey; browsing loops
+# view<->click; purchase only from click; error may follow anything but
+# must return to view. Everything else is a conformance violation.
+CONFORMANCE_ALLOWED = [
+    ("signup", "view"),
+    ("view", "view"),
+    ("view", "click"),
+    ("click", "view"),
+    ("click", "click"),
+    ("click", "purchase"),
+    ("purchase", "view"),
+    ("view", "error"),
+    ("click", "error"),
+    ("purchase", "error"),
+    ("error", "view"),
+]
+
+
+@register(
+    "events_process_conformance",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type AS src,
+    LEAD(event_type) OVER (PARTITION BY user_id
+      ORDER BY ts, event_id) AS dst
+  FROM events
+),
+allowed(src, dst) AS (VALUES {", ".join(f"('{a}', '{b}')" for a, b in CONFORMANCE_ALLOWED)}),
+trans AS (
+  SELECT s.src, s.dst, COUNT(*) AS n,
+    CASE WHEN a.src IS NOT NULL THEN TRUE ELSE FALSE END AS is_allowed
+  FROM seq s LEFT JOIN allowed a ON s.src = a.src AND s.dst = a.dst
+  WHERE s.dst IS NOT NULL
+  GROUP BY s.src, s.dst, 4
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM trans)
+SELECT trans.src, trans.dst, CAST(n AS BIGINT) AS n_observed,
+  is_allowed,
+  CAST((1000000 * n) // t AS BIGINT) AS share_ppm
+FROM trans, tot
+""",
+    doc="Process-mining conformance checking: per-user event sequences "
+    "(one LEAD window over the shared Exchange(user_id)) rolled into "
+    "an observed transition matrix and checked against an explicit "
+    "allowed-transition model — the deviation half of process mining "
+    "(events_markov_transitions is the discovery half). is_allowed "
+    "here is a broadcast MODEL-table join result computed identically "
+    "on both engines, not a self-asserted flag; shares are integer "
+    "ppm. Violations (e.g. purchase without a preceding click) "
+    "surface as is_allowed=false rows with honest counts.",
+)
+def events_process_conformance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    allowed = spark.createDataFrame(
+        CONFORMANCE_ALLOWED, "src string, dst string"
+    ).withColumn("ok", F.lit(True))
+    trans = (
+        seq.join(F.broadcast(allowed), ["src", "dst"], "left")
+        .groupBy("src", "dst", F.coalesce("ok", F.lit(False)).alias(
+            "is_allowed"
+        ))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = trans.agg(F.sum("n").cast("bigint").alias("t"))
+    return trans.crossJoin(F.broadcast(tot)).select(
+        "src",
+        "dst",
+        F.col("n").cast("bigint").alias("n_observed"),
+        "is_allowed",
+        F.expr("CAST((1000000 * n) div t AS BIGINT)").alias("share_ppm"),
+    )
