@@ -859,3 +859,118 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("filled_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mix materialization: temperature quotas -> deterministic
+# per-source document selection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_training_mix",
+    oracle="""
+WITH src AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT *, CAST(FLOOR(1000000 * SQRT(chars)) AS BIGINT) AS w_micro
+  FROM src
+),
+tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_tot FROM w),
+quota AS (
+  SELECT w.source, CAST((100000 * w.w_micro) // t.w_tot AS BIGINT)
+    AS quota_chars
+  FROM w, tot t
+),
+ranked AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+    SUM(d.n_chars) OVER (PARTITION BY d.source
+      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS cum_chars
+  FROM documents d
+),
+sel AS (
+  SELECT r.source, q.quota_chars, r.n_chars,
+    CASE WHEN r.cum_chars <= q.quota_chars THEN 1 ELSE 0 END AS keep
+  FROM ranked r JOIN quota q USING (source)
+)
+SELECT source, quota_chars,
+  CAST(SUM(keep) AS BIGINT) AS n_selected,
+  CAST(SUM(keep * n_chars) AS BIGINT) AS chars_selected,
+  CAST(CASE WHEN quota_chars > 0
+       THEN (1000000 * SUM(keep * n_chars)) // quota_chars
+       ELSE 0 END AS BIGINT) AS utilization_ppm
+FROM sel GROUP BY source, quota_chars
+""",
+    doc="Training-mix MATERIALIZATION — the step after the mixing-weight "
+    "math (sample_temperature_mixing): each source's sqrt-temperature "
+    "quota (of a 100k-char budget) is filled by documents in "
+    "md5(doc_id) order (unbiased, append-stable) via one per-source "
+    "cumulative-sum window, selecting docs whose inclusive running "
+    "total fits the quota. Output: per-source selection counts, chars, "
+    "and quota utilization in exact integer ppm (greedy fill "
+    "undershoots by at most one document — the utilization column "
+    "shows it honestly). One grouped aggregate + one window pass; at "
+    "100 TB the window is per-source (hash-partitioned) and the quota "
+    "table broadcasts.",
+)
+def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.sampling import _md5_of
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("chars")
+    )
+    w = src.withColumn(
+        "w_micro",
+        F.floor(1_000_000 * F.sqrt(F.col("chars"))).cast("bigint"),
+    )
+    tot = w.agg(F.sum("w_micro").cast("bigint").alias("w_tot"))
+    quota = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr("CAST((100000 * w_micro) div w_tot AS BIGINT)").alias(
+            "quota_chars"
+        ),
+    )
+    win = (
+        W.partitionBy("source")
+        .orderBy(_md5_of("doc_id"), "doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.sum("n_chars").over(win).alias("cum_chars"),
+    )
+    sel = ranked.join(F.broadcast(quota), "source").select(
+        "source",
+        "quota_chars",
+        "n_chars",
+        F.when(F.col("cum_chars") <= F.col("quota_chars"), 1)
+        .otherwise(0)
+        .alias("keep"),
+    )
+    return sel.groupBy("source", "quota_chars").agg(
+        F.sum("keep").cast("bigint").alias("n_selected"),
+        F.sum(F.col("keep") * F.col("n_chars"))
+        .cast("bigint")
+        .alias("chars_selected"),
+    ).select(
+        "source",
+        "quota_chars",
+        "n_selected",
+        "chars_selected",
+        F.when(
+            F.col("quota_chars") > 0,
+            F.expr(
+                "CAST((1000000 * chars_selected) div quota_chars"
+                " AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("utilization_ppm"),
+    )
