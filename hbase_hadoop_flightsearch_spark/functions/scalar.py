@@ -312,3 +312,62 @@ def scalar_bitwise_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
         ).cast("bigint").alias("n_bit4_set"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 collation surface: case-insensitive semantics as a COLUMN TYPE
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_collation_surface",
+    oracle="""
+SELECT lower(o_orderpriority) AS priority_ci,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+   WHERE lower(o_orderpriority) = '1-urgent') AS n_urgent_ci_global
+FROM orders
+GROUP BY lower(o_orderpriority)
+""",
+    doc="Spark 4 COLLATION surface (SPARK-46830): UTF8_LCASE collation "
+    "makes case-insensitivity a property of the COLUMN TYPE — "
+    "grouping, equality, and joins honor it without sprinkling "
+    "lower() through every predicate. The query groups a "
+    "case-mangled priority column under UTF8_LCASE; the oracle "
+    "expresses the same semantics through explicit lower() (DuckDB "
+    "collations differ in surface syntax — the semantics are what is "
+    "checked; output is canonicalized through lower() on both sides "
+    "so the hash compares equal).",
+)
+def scalar_collation_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # Deterministically mangle case (odd orderkeys upper, even lower),
+    # then let the COLLATED column re-unify the groups.
+    mangled = orders.select(
+        F.when(
+            F.col("o_orderkey") % 2 == 1, F.upper("o_orderpriority")
+        )
+        .otherwise(F.lower("o_orderpriority"))
+        .alias("pri_raw")
+    )
+    collated = mangled.select(
+        F.expr("pri_raw COLLATE UTF8_LCASE").alias("pri_ci")
+    )
+    urgent_total = F.sum(
+        F.when(F.col("pri_ci") == F.lit("1-URGENT"), 1).otherwise(0)
+    )  # collated equality: matches any case
+    out = collated.groupBy("pri_ci").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    n_urgent = collated.agg(urgent_total.cast("bigint").alias("u"))
+    return out.crossJoin(F.broadcast(n_urgent)).select(
+        # canonicalize for the cross-engine hash: LCASE collation keeps
+        # the first-seen casing (engine-arbitrary), and the collated
+        # string TYPE itself must be reset to binary collation or the
+        # driver's schema class check sees a non-plain string
+        F.expr("collate(lower(pri_ci), 'UTF8_BINARY')").alias(
+            "priority_ci"
+        ),
+        "n",
+        F.col("u").alias("n_urgent_ci_global"),
+    )

@@ -1485,3 +1485,40 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         ub.cast("bigint").alias("u_b_x2"),
         ((ua + ub) == 2 * na * nb).alias("u_sum_identity_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 listagg: ordered string aggregation (the SQL:2016 surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_listagg_surface",
+    oracle="""
+WITH ds AS (
+  SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders
+)
+SELECT o_orderpriority,
+  string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+  CAST(COUNT(*) AS BIGINT) AS n_statuses
+FROM ds GROUP BY o_orderpriority
+""",
+    doc="Spark 4 listagg (SPARK-42746, the SQL:2016 LISTAGG ... WITHIN "
+    "GROUP surface): ordered string aggregation of each priority's "
+    "distinct statuses — deterministic because the WITHIN GROUP "
+    "ordering is total after the distinct. DuckDB oracle uses its "
+    "string_agg ORDER BY equivalent; same values byte-for-byte.",
+)
+def agg_listagg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    ds = orders.select("o_orderpriority", "o_orderstatus").distinct()
+    ds.createOrReplaceTempView("_listagg_ds")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+          listagg(o_orderstatus, ',')
+            WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+          CAST(COUNT(*) AS BIGINT) AS n_statuses
+        FROM _listagg_ds GROUP BY o_orderpriority
+        """
+    )

@@ -197,3 +197,46 @@ FROM orders GROUP BY o_orderpriority
 def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_PIVOT_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL pipe syntax (|>): the composable FROM-first dialect
+# ---------------------------------------------------------------------------
+
+# The pipe form Spark executes; the oracle is the equivalent ANSI SQL
+# (DuckDB has no pipe syntax — the point of the pair is that the NEW
+# dialect lowers to the SAME relational algebra).
+_PIPE_SQL = """
+FROM orders
+|> WHERE o_orderstatus = 'F'
+|> EXTEND CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+|> AGGREGATE COUNT(*) AS n_orders, SUM(cents) AS revenue_cents
+   GROUP BY o_orderpriority
+|> WHERE n_orders > 10
+"""
+
+_PIPE_ORACLE = """
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS revenue_cents
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+HAVING COUNT(*) > 10
+"""
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle=_PIPE_ORACLE,
+    doc="Spark 4 SQL PIPE syntax (|>, SPARK-49555): the FROM-first "
+    "composable dialect — WHERE / EXTEND / AGGREGATE ... GROUP BY / "
+    "post-aggregation WHERE stages lower to the exact relational plan "
+    "of the classic SELECT (the oracle runs that classic form in "
+    "DuckDB). Money in exact cents; proves the new front door hits the "
+    "same Catalyst plans as everything else.",
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_PIPE_SQL)
