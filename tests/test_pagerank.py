@@ -64,12 +64,34 @@ def test_pagerank_top_suppliers_output(spark):
     assert ranks == sorted(ranks, reverse=True)
 
 
-def test_pagerank_registry_invariant_flags(spark):
+def test_pagerank_fixed_point_tracks_float(spark):
+    """The registered integer fixed-point PageRank must agree with the
+    float power iteration within quantization error: each floor costs
+    < 1 pico-unit per term, compounded over 5 damped rounds the drift
+    stays far below the rank magnitudes (~1e12/N)."""
+    from hbase_hadoop_flightsearch_spark.operators.graph import (
+        PR_SCALE,
+        _customer_supplier_edges,
+        _SUPP_OFFSET,
+        pagerank,
+    )
     from hbase_hadoop_flightsearch_spark.plans.registry import load_all
 
     rows = load_all()["graph_pagerank_suppliers"].fn(spark, SF).collect()
     assert rows
-    assert all(r.rank_positive and r.mass_conserved for r in rows)
+    got = {r.suppkey: r.rank_pico for r in rows}
+    assert all(v > 0 for v in got.values())
+    fl = {
+        r.node - _SUPP_OFFSET: r.rank
+        for r in pagerank(_customer_supplier_edges(spark, SF)).collect()
+        if r.node >= _SUPP_OFFSET
+    }
+    assert set(got) == set(fl)
+    # max in-degree bounds the per-round floor loss; 1e6 pico = 1e-6
+    # relative to full mass — generous yet tight enough to catch a
+    # broken damping or degree division.
+    for k, v in got.items():
+        assert abs(v - fl[k] * PR_SCALE) <= 1e6, (k, v, fl[k])
 
 
 def test_kcore_matches_sequential_peeling(spark, sf_smoke):
