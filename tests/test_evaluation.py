@@ -160,3 +160,79 @@ def test_2hop_reach_path_graph(spark):
         ).collect()
     }
     assert got == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
+
+
+def test_conformance_fixture(spark):
+    """One user: signup->view->click->purchase->signup. The last hop is
+    a violation (purchase->signup not in the model)."""
+    import datetime as dt
+
+    from hbase_hadoop_flightsearch_spark.operators.timeseries import (
+        CONFORMANCE_ALLOWED,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, et, 0.0, "{}")
+        for i, et in enumerate(
+            ["signup", "view", "click", "purchase", "signup"]
+        )
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    allowed = set(CONFORMANCE_ALLOWED)
+    got = [((r.src, r.dst), (r.src, r.dst) in allowed)
+           for r in seq.collect()]
+    assert (("purchase", "signup"), False) in got
+    assert (("signup", "view"), True) in got
+    assert sum(1 for _, ok in got if not ok) == 1
+
+
+def test_lcc_triangle_with_tail(spark):
+    """Triangle 1-2-3 with tail 3-4: lcc(1)=lcc(2)=1, lcc(3)=1/3,
+    lcc(4)=0 (degree 1)."""
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "a long, b long"
+    )
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    tv = {
+        r.v: r.n
+        for r in tri.select(F.col("x").alias("v"))
+        .unionAll(tri.select(F.col("y").alias("v")))
+        .unionAll(tri.select(F.col("z").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert tv == {1: 1, 2: 1, 3: 1}
+    # lcc denominators: deg(1)=2, deg(2)=2, deg(3)=3, deg(4)=1
+    # -> micro lcc: 2e6*1/2 = 1e6 for 1,2; 2e6*1/6 = 333333 for 3
+    assert 2_000_000 * tv[3] // (3 * 2) == 333_333
+
+
+def test_training_mix_respects_quota(spark):
+    from hbase_hadoop_flightsearch_spark.plans.registry import load_all
+
+    rows = load_all()["pipeline_training_mix"].fn(spark, SF).collect()
+    assert len(rows) == 20  # one per source
+    for r in rows:
+        assert r.chars_selected <= r.quota_chars
+        assert 0 <= r.utilization_ppm <= 1_000_000
+    # the greedy fill should be close to full: median utilization > 90%
+    utils = sorted(r.utilization_ppm for r in rows)
+    assert utils[len(utils) // 2] > 900_000
