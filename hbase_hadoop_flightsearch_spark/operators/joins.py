@@ -930,3 +930,179 @@ def spatial_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cy", "cx", "n", "hood_total", "hood_cells")
         .orderBy("cy", "cx")
     )
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN: density-based clustering composed from the grid join + CC
+# ---------------------------------------------------------------------------
+
+DBSCAN_MINPTS = 3  # |N_eps(p)| including p itself
+DBSCAN_EPS = 2_000_000  # 2 degrees in microdegrees — tuned so the fixture
+# graph exhibits ALL THREE roles (sf0.01: 1001 core / 486 border / 13
+# noise); the 5-degree neighbor-join radius makes every point core
+
+
+@register(
+    "spatial_dbscan",
+    oracle=f"""
+WITH RECURSIVE {_GEO_PTS_DUCK},
+pairs AS (
+  SELECT a.id AS i1, b.id AS i2
+  FROM pts a JOIN pts b ON a.id != b.id
+  WHERE (a.lat - b.lat) * (a.lat - b.lat)
+          + (a.lon - b.lon) * (a.lon - b.lon)
+        <= {DBSCAN_EPS}::BIGINT * {DBSCAN_EPS}
+),
+nbr AS (
+  SELECT i1 AS id, CAST(COUNT(*) AS BIGINT) AS n_nbr
+  FROM pairs GROUP BY i1
+),
+core AS (
+  SELECT p.id FROM pts p LEFT JOIN nbr ON p.id = nbr.id
+  WHERE COALESCE(nbr.n_nbr, 0) + 1 >= {DBSCAN_MINPTS}
+),
+ce AS (
+  SELECT p.i1, p.i2 FROM pairs p
+  JOIN core c1 ON p.i1 = c1.id JOIN core c2 ON p.i2 = c2.id
+),
+reach(src, dst) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT r.src, e.i2 FROM reach r JOIN ce e ON r.dst = e.i1
+),
+comp AS (
+  SELECT src AS id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY src
+),
+border AS (
+  SELECT p.i1 AS id, CAST(MIN(comp.cluster_id) AS BIGINT) AS cluster_id
+  FROM pairs p
+  JOIN comp ON p.i2 = comp.id
+  WHERE p.i1 NOT IN (SELECT id FROM core)
+  GROUP BY p.i1
+)
+SELECT p.id,
+  CASE WHEN comp.id IS NOT NULL THEN 'core'
+       WHEN border.id IS NOT NULL THEN 'border'
+       ELSE 'noise' END AS role,
+  COALESCE(comp.cluster_id, border.cluster_id) AS cluster_id,
+  CAST(COALESCE(nbr.n_nbr, 0) AS BIGINT) AS n_nbr
+FROM pts p
+LEFT JOIN comp ON p.id = comp.id
+LEFT JOIN border ON p.id = border.id
+LEFT JOIN nbr ON p.id = nbr.id
+""",
+    doc=f"DBSCAN (Ester et al. 1996) composed Spark-first from two "
+    "operators this engine already proves: eps-neighbor candidate "
+    "pairs come from the GRID-BINNED spatial join (radius-sized "
+    "cells, 3x3 one-sided replication, exact integer distance verify "
+    "— never all-pairs), and cluster formation is connected "
+    f"components over the core-core graph (minPts={DBSCAN_MINPTS}, "
+    "counting self). Border points attach to their minimum core "
+    "neighbor's cluster; everything else is noise. cluster_id = min "
+    "core id in the component — deterministic. The oracle is the "
+    "all-pairs + recursive-CTE formulation; every distance is BIGINT "
+    "microdegrees so no float flips a membership.",
+)
+def spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    R = DBSCAN_EPS
+
+    # density clusters can be long spatial CHAINS (diameter >> log n),
+    # exactly the case the large-star/small-star variant exists for
+    from ..operators.graph import connected_components_star
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * F.lit(2654435761)) % 180000000
+         - 90000000).alias("lat"),
+        ((F.col("c_custkey") * F.lit(40503).cast("long")
+          * F.lit(65537).cast("long")) % 360000000
+         - 180000000).alias("lon"),
+    )
+    cell = pts.select(
+        "id", "lat", "lon",
+        F.floor(F.col("lat") / R).cast("long").alias("cy"),
+        F.floor(F.col("lon") / R).cast("long").alias("cx"),
+    )
+    probe = cell.select(
+        F.col("id").alias("i1"),
+        F.col("lat").alias("lat1"),
+        F.col("lon").alias("lon1"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cy") + dy).alias("cy"),
+                        (F.col("cx") + dx).alias("cx"),
+                    )
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                ]
+            )
+        ).alias("nc"),
+    ).select("i1", "lat1", "lon1", "nc.cy", "nc.cx")
+    build = cell.select(
+        F.col("id").alias("i2"),
+        F.col("lat").alias("lat2"),
+        F.col("lon").alias("lon2"),
+        "cy",
+        "cx",
+    )
+    d2 = (F.col("lat1") - F.col("lat2")) * (
+        F.col("lat1") - F.col("lat2")
+    ) + (F.col("lon1") - F.col("lon2")) * (F.col("lon1") - F.col("lon2"))
+    pairs = (
+        probe.join(build, ["cy", "cx"])
+        .filter(F.col("i1") != F.col("i2"))
+        .filter(d2 <= F.lit(R).cast("long") * F.lit(R))
+        .select("i1", "i2")
+        .localCheckpoint()
+    )
+    nbr = pairs.groupBy(F.col("i1").alias("id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nbr")
+    )
+    core = (
+        pts.join(nbr, "id", "left")
+        .filter(F.coalesce("n_nbr", F.lit(0)) + 1 >= DBSCAN_MINPTS)
+        .select("id")
+        .localCheckpoint()
+    )
+    ce = (
+        pairs.join(core.select(F.col("id").alias("i1")), "i1", "left_semi")
+        .join(core.select(F.col("id").alias("i2")), "i2", "left_semi")
+        .filter(F.col("i1") < F.col("i2"))
+        .select(F.col("i1").alias("d1"), F.col("i2").alias("d2"))
+    )
+    comp = connected_components_star(
+        core.select(F.col("id").alias("doc_id")), ce
+    ).select(
+        F.col("doc_id").alias("id"),
+        F.col("component_id").cast("bigint").alias("cluster_id"),
+    )
+    border = (
+        pairs.join(core.select(F.col("id").alias("i1")), "i1", "left_anti")
+        .join(
+            comp.select(
+                F.col("id").alias("i2"), F.col("cluster_id").alias("cc")
+            ),
+            "i2",
+        )
+        .groupBy(F.col("i1").alias("id"))
+        .agg(F.min("cc").cast("bigint").alias("b_cluster"))
+    )
+    return (
+        pts.select("id")
+        .join(comp.withColumnRenamed("cluster_id", "c_cluster"), "id", "left")
+        .join(border, "id", "left")
+        .join(nbr, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("c_cluster").isNotNull(), "core")
+            .when(F.col("b_cluster").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce("c_cluster", "b_cluster").alias("cluster_id"),
+            F.coalesce("n_nbr", F.lit(0)).cast("bigint").alias("n_nbr"),
+        )
+    )
