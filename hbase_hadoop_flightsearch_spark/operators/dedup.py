@@ -1853,3 +1853,99 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (removed > 0).alias("removal_effective"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash with ENGINE-PORTABLE hashes: the estimate itself value-oracled
+# ---------------------------------------------------------------------------
+
+MINHASH_MD5_K = 16  # signature length; est error ~ 1/sqrt(K)
+
+
+def _minhash_md5_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, m0..m15): per-doc minimum of md5(i || '|' || shingle)
+    for 16 salted hash functions — md5 hex is byte-identical across
+    Spark and DuckDB, so unlike the xxhash64-based production LSH tier
+    the SIGNATURE ITSELF replays in the oracle. One explode + one
+    grouped 16-way min aggregate."""
+    ex = doc_shingles(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    )
+    return ex.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(
+                    F.concat(
+                        F.lit(str(i)), F.lit("|"), F.col("sh")
+                    ).cast("binary")
+                )
+            ).alias(f"m{i}")
+            for i in range(MINHASH_MD5_K)
+        ]
+    )
+
+
+@register(
+    "dedup_minhash_md5_estimate",
+    oracle=f"""
+WITH sh AS ({_SHINGLE_SQL_DUCK}),
+ex AS (
+  SELECT doc_id, unnest(shingles) AS sh FROM sh
+),
+sig AS (
+  SELECT doc_id,
+    {", ".join(f"MIN(md5(CAST({i} AS VARCHAR) || '|' || sh)) AS m{i}" for i in range(MINHASH_MD5_K))}
+  FROM ex GROUP BY doc_id
+),
+jp AS ({_JACCARD_PAIRS_DUCK})
+SELECT jp.d1, jp.d2, jp.jaccard,
+  CAST({" + ".join(f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(MINHASH_MD5_K))}
+    AS BIGINT) AS n_matches,
+  CAST((1000000 * ({" + ".join(f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(MINHASH_MD5_K))}))
+       // {MINHASH_MD5_K} AS BIGINT) AS est_jaccard_ppm
+FROM jp JOIN sig a ON jp.d1 = a.doc_id JOIN sig b ON jp.d2 = b.doc_id
+""",
+    doc=f"MinHash similarity ESTIMATION with engine-portable hashes: "
+    f"{MINHASH_MD5_K} salted md5 min-hashes per document (md5 hex is "
+    "byte-identical in Spark and DuckDB, unlike the xxhash64 "
+    "production tier), so for every exact >= 0.5 Jaccard pair the "
+    "estimate — matching-signature-component fraction, the Broder "
+    "1997 unbiased estimator — is itself a value-checked integer "
+    "column next to the exact Jaccard. The sketch-accuracy story "
+    "stops being a self-asserted flag: a broken signature changes "
+    "n_matches and the hash diverges. One explode + one 16-way "
+    "grouped min; signatures join only the verified candidate pairs.",
+)
+def dedup_minhash_md5_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sigs = _minhash_md5_sigs(spark, sf_dir)
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        "d1", "d2", "jaccard"
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(MINHASH_MD5_K)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(MINHASH_MD5_K)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(MINHASH_MD5_K)
+    )
+    return (
+        pairs.join(a, "d1")
+        .join(b, "d2")
+        .select(
+            "d1",
+            "d2",
+            "jaccard",
+            matches.cast("bigint").alias("n_matches"),
+            F.expr(
+                f"CAST((1000000 * ({' + '.join(f'CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END' for i in range(MINHASH_MD5_K))}))"
+                f" div {MINHASH_MD5_K} AS BIGINT)"
+            ).alias("est_jaccard_ppm"),
+        )
+    )
