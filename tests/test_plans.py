@@ -695,3 +695,38 @@ def test_rendezvous_sharding_single_agg_no_join(spark):
     plan = _plan(spark, "layout_rendezvous_sharding")
     for bad in ("Join", "CartesianProduct"):
         assert bad not in plan, plan[:2000]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "spatial_dbscan",
+        "similarity_rrf_fusion",
+        "sample_hard_negatives",
+        "text_ngram_novelty_curve",
+        "pipeline_pack_sequences",
+        "graph_2hop_reach",
+        "dedup_minhash_md5_estimate",
+    ],
+)
+def test_r8_queries_no_cartesian(spark, name):
+    """Round-8 additions: every candidate-generation path must be a
+    bucketed/equi/posting-list join — the quadratic formulation belongs
+    to the DuckDB oracle only."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_pack_sequences_single_window(spark):
+    """The packing manifest is ONE prefix-sum window (one global sort)
+    plus bounded explode — a second Sort node would mean the window is
+    being recomputed."""
+    plan = _plan(spark, "pipeline_pack_sequences")
+    assert plan.count("WindowExec") <= 1 or plan.count("Window") <= 2, plan[:2000]
+
+
+def test_auc_single_global_sort(spark):
+    """Exact AUC = one global-order rank window + one aggregate; no
+    join should appear anywhere in the plan."""
+    plan = _plan(spark, "ml_eval_auc_exact")
+    assert "Join" not in plan, plan[:1500]
