@@ -363,3 +363,99 @@ def incremental_bitmap_distinct_merge(
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable MinHash state: slice signatures fold to the corpus signature
+# ---------------------------------------------------------------------------
+
+MINHASH_SLICES = 4  # doc_id-range slices standing in for ingest batches
+
+
+@register(
+    "incremental_minhash_merge",
+    oracle="""
+WITH ex AS (
+  SELECT doc_id, unnest(list_distinct(
+    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+  )) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+slice_sigs AS (
+  SELECT doc_id % 4 AS slice,
+    """
+    + ",\n    ".join(
+        f"MIN(md5(CAST({i} AS VARCHAR) || '|' || sh)) AS m{i}"
+        for i in range(8)
+    )
+    + """
+  FROM ex GROUP BY 1
+),
+merged AS (
+  SELECT """
+    + ", ".join(f"MIN(m{i}) AS m{i}" for i in range(8))
+    + """
+  FROM slice_sigs
+),
+direct AS (
+  SELECT """
+    + ", ".join(
+        f"MIN(md5(CAST({i} AS VARCHAR) || '|' || sh)) AS m{i}"
+        for i in range(8)
+    )
+    + """
+  FROM ex
+)
+SELECT CAST(4 AS BIGINT) AS n_slices,
+  """
+    + ", ".join(f"m.m{i} AS m{i}" for i in range(8))
+    + """,
+  ("""
+    + " AND ".join(f"m.m{i} = d.m{i}" for i in range(8))
+    + """) AS merge_equals_direct
+FROM merged m, direct d
+""",
+    doc="Incremental-maintenance leg of the MinHash family: per-slice "
+    "corpus signatures (8 salted md5 min-hashes over each doc_id%4 "
+    "ingest slice) MERGE by element-wise MIN into the full-corpus "
+    "signature — min is associative/commutative/idempotent, so slice "
+    "states fold in any order and replays are free, the same "
+    "mergeable-summary contract as the bitmap and OHLC states. The "
+    "oracle recomputes both the folded and the direct signature and "
+    "the equality is itself a checked column (md5 makes every hash "
+    "engine-portable). At 100 TB each ingest batch ships an 8-hash "
+    "state row; the corpus signature never rescans history.",
+)
+def incremental_minhash_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import doc_shingles
+
+    ex = doc_shingles(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    )
+    hashes = [
+        F.md5(
+            F.concat(F.lit(str(i)), F.lit("|"), F.col("sh")).cast("binary")
+        )
+        for i in range(8)
+    ]
+    slice_sigs = ex.groupBy((F.col("doc_id") % MINHASH_SLICES).alias(
+        "slice"
+    )).agg(*[F.min(h).alias(f"m{i}") for i, h in enumerate(hashes)])
+    merged = slice_sigs.agg(
+        *[F.min(f"m{i}").alias(f"m{i}") for i in range(8)]
+    )
+    direct = ex.agg(
+        *[F.min(h).alias(f"d{i}") for i, h in enumerate(hashes)]
+    )
+    eq = None
+    for i in range(8):
+        cond = F.col(f"m{i}") == F.col(f"d{i}")
+        eq = cond if eq is None else (eq & cond)
+    return merged.crossJoin(F.broadcast(direct)).select(
+        F.lit(MINHASH_SLICES).cast("bigint").alias("n_slices"),
+        *[F.col(f"m{i}") for i in range(8)],
+        eq.alias("merge_equals_direct"),
+    )
