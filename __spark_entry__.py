@@ -85,15 +85,28 @@ def _driver_failed_names() -> set[str]:
 def _r6_manifest_names() -> set[str]:
     """Registry names that existed at the end of round 6 (frozen manifest);
     used to age-prioritize the never-driver-checked queue."""
+    return _manifest_tiers()[0] if _manifest_tiers() else set()
+
+
+def _manifest_tiers() -> list[set[str]]:
+    """Frozen end-of-round registry manifests (tools/registry_names_r*.txt),
+    oldest round first. The never-driver-checked queue drains by manifest
+    age: a name frozen in an older manifest always precedes one first seen
+    in a newer manifest (or never frozen), so each round's additions queue
+    BEHIND every earlier round's unchecked tail and the oldest debt clears
+    first (VERDICT r6 #1, generalized for round 8+)."""
+    import glob
     import os
 
     here = os.path.dirname(os.path.abspath(__file__))
-    path = os.path.join(here, "tools", "registry_names_r6.txt")
-    try:
-        with open(path) as f:
-            return {line.strip() for line in f if line.strip()}
-    except OSError:
-        return set()
+    tiers: list[set[str]] = []
+    for path in sorted(glob.glob(os.path.join(here, "tools", "registry_names_r*.txt"))):
+        try:
+            with open(path) as f:
+                tiers.append({line.strip() for line in f if line.strip()})
+        except OSError:
+            continue
+    return tiers
 
 
 def _ordered_queries(
@@ -109,11 +122,15 @@ def _ordered_queries(
 
     Order: latest-check-FAILED names first (alphabetical, so even the
     smallest driver prefix re-verifies a fix), then never-value-hashed
-    names (round-6-manifest legacy before newer additions, each group
+    names by manifest age (oldest frozen-manifest tier first, each tier
     round-robin interleaved across source modules/families), then the
     already-green names in a final family interleave. Module order and
     member order rotate by the round seed so repeat passes vary which
-    member of each family leads."""
+    member of each family leads.
+
+    `legacy` is either a single set (one legacy tier — the pre-r8 shape,
+    kept for the synthetic regime tests) or a list of sets ordered oldest
+    round first (tools/registry_names_r*.txt manifests)."""
     from collections import OrderedDict
 
     def interleave(queries: list) -> list:
@@ -137,13 +154,22 @@ def _ordered_queries(
 
     never = [q for q in allq if q.name not in checked]
     seen = [q for q in allq if q.name in checked]
-    # Within the never-checked group, queries that already existed at the
-    # end of round 6 (tools/registry_names_r6.txt manifest) drain FIRST so
-    # newly added queries cannot push the long-standing unchecked tail
-    # past the driver's ~50-query prefix (VERDICT r6 #1).
-    never_old = [q for q in never if q.name in legacy]
-    never_new = [q for q in never if q.name not in legacy]
-    ordered = interleave(never_old) + interleave(never_new) + interleave(seen)
+    # Within the never-checked group, queries drain in manifest-age order
+    # (oldest frozen manifest first) so newly added queries cannot push a
+    # long-standing unchecked tail past the driver's ~50-query prefix
+    # (VERDICT r6 #1; tiered for r8+ so the r7 tail outranks r8 additions).
+    tiers = list(legacy) if isinstance(legacy, (list, tuple)) else [legacy]
+
+    def tier_of(name: str) -> int:
+        for i, t in enumerate(tiers):
+            if name in t:
+                return i
+        return len(tiers)
+
+    ordered: list = []
+    for i in range(len(tiers) + 1):
+        ordered.extend(interleave([q for q in never if tier_of(q.name) == i]))
+    ordered.extend(interleave(seen))
     failed_first = sorted(
         (q for q in ordered if q.name in failed), key=lambda q: q.name
     )
@@ -160,7 +186,7 @@ def _family_interleaved() -> dict[str, object]:
         list(load_all().values()),
         _driver_checked_names(),
         _driver_failed_names(),
-        _r6_manifest_names(),
+        _manifest_tiers(),
         _round_seed(),
     )
     return {q.name: q for q in ordered}

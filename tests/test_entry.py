@@ -162,6 +162,57 @@ def test_ordering_synthetic_legacy_age_priority():
     assert set(order[:15]) == legacy
 
 
+def test_ordering_synthetic_tiered_manifest_age():
+    """With MULTIPLE frozen manifests (r6, r7, ...), the never-checked
+    queue drains strictly by manifest age: every unchecked r6-era name
+    precedes every unchecked r7-era name, which precedes every name never
+    frozen in any manifest (round-8 generalization of VERDICT r6 #1 —
+    without it, 6 r7-tail names fell out of the 50-prefix behind newer
+    r8 additions)."""
+    allq = _synthetic_pool(n_modules=4, per_module=10)
+    names = [q.name for q in allq]
+    tier_r6 = set(names[:8])
+    tier_r7 = tier_r6 | set(names[8:25])  # manifests are cumulative
+    for seed in (0, 2, 7):
+        order = [
+            q.name
+            for q in entrymod._ordered_queries(
+                allq, set(), set(), [tier_r6, tier_r7], seed
+            )
+        ]
+        assert set(order[:8]) == tier_r6
+        assert set(order[8:25]) == tier_r7 - tier_r6
+        # Checked names still sort behind ALL unchecked, tier or not.
+        checked = set(names[:5]) | set(names[30:35])
+        order2 = [
+            q.name
+            for q in entrymod._ordered_queries(
+                allq, checked, set(), [tier_r6, tier_r7], seed
+            )
+        ]
+        unchecked_r6 = tier_r6 - checked
+        assert set(order2[: len(unchecked_r6)]) == unchecked_r6
+        first_checked = next(i for i, n in enumerate(order2) if n in checked)
+        assert first_checked == len(names) - len(checked)
+
+
+def test_r7_manifest_frozen_and_prioritized():
+    """tools/registry_names_r7.txt freezes the 293-name end-of-r7
+    registry; every unchecked r7-era name must occupy the driver prefix
+    ahead of any r8 addition so the r7 tail drains this round."""
+    tiers = entrymod._manifest_tiers()
+    assert len(tiers) >= 2
+    assert len(tiers[1]) == 293
+    assert tiers[0] <= tiers[1]  # manifests are cumulative
+    checked = entrymod._driver_checked_names()
+    unchecked_r7 = tiers[1] - checked
+    prefix = list(entrymod.queries())[: 50]
+    missing = {
+        n for n in unchecked_r7 if n not in prefix
+    } if len(unchecked_r7) <= 50 else set()
+    assert not missing, f"r7-era unchecked names outside prefix: {missing}"
+
+
 def test_failed_queries_lead_the_ordering():
     """A query that failed its most recent driver check must sit at the
     very front so even the smallest driver prefix re-verifies the fix."""
