@@ -708,3 +708,128 @@ def ml_logistic_regression_gd(
     return spark.createDataFrame(
         rows, "iteration int, w0 double, w1 double, w2 double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision stump: exact best single-threshold split by Gini impurity
+# ---------------------------------------------------------------------------
+
+STUMP_COST_SCALE = 1000  # per-mille scaling of the weighted Gini cost
+STUMP_TOPK = 5
+
+
+@register(
+    "ml_decision_stump_gini",
+    oracle=f"""
+WITH pts AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x_cents,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+grp AS (
+  SELECT x_cents, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(y) AS BIGINT) AS pos
+  FROM pts GROUP BY x_cents
+),
+pre AS (
+  SELECT x_cents,
+    SUM(cnt) OVER (ORDER BY x_cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS n_left,
+    SUM(pos) OVER (ORDER BY x_cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS pos_left,
+    SUM(cnt) OVER () AS n, SUM(pos) OVER () AS pos_tot
+  FROM grp
+),
+cost AS (
+  SELECT x_cents AS threshold_cents,
+    CAST(n_left AS BIGINT) AS n_left,
+    CAST(pos_left AS BIGINT) AS pos_left,
+    CAST(n - n_left AS BIGINT) AS n_right,
+    CAST(pos_tot - pos_left AS BIGINT) AS pos_right,
+    -- weighted binary Gini, common-denominator integer form:
+    --   cost = 2*(posL*negL/nL + posR*negR/nR)
+    -- scaled per-mille and floored; all terms positive BIGINTs
+    CAST(({STUMP_COST_SCALE} * 2 *
+          (pos_left * (n_left - pos_left) * (n - n_left)
+           + (pos_tot - pos_left) * ((n - n_left) - (pos_tot - pos_left))
+             * n_left))
+         // (n_left * (n - n_left) * n) AS BIGINT) AS gini_cost_scaled,
+    CAST((1000000 *
+          (GREATEST(pos_left, n_left - pos_left)
+           + GREATEST(pos_tot - pos_left,
+                      (n - n_left) - (pos_tot - pos_left))))
+         // n AS BIGINT) AS stump_accuracy_ppm
+  FROM pre WHERE n_left < n
+)
+SELECT * FROM cost
+ORDER BY gini_cost_scaled ASC, threshold_cents ASC
+LIMIT {STUMP_TOPK}
+""",
+    doc="Decision-stump training (1-level CART; Breiman et al. 1984): "
+    "the exact best threshold on o_totalprice for predicting URGENT "
+    "priority, by minimum weighted binary Gini impurity over ALL "
+    "distinct feature values. The classic sort-and-scan algorithm "
+    "becomes one grouped aggregate + one global-order cumulative "
+    "window (range-partitioned sort at cluster scale, same class as "
+    "the exact-AUC plan) — never a per-threshold pass. The cost is "
+    "put over the common denominator nL*nR*n so the per-mille scaled "
+    "floor is pure BIGINT (fits through sf0.1; beyond that the same "
+    "expression lifts to DECIMAL(38,0)); ties break on the smaller "
+    "threshold. Top-{STUMP_TOPK} rows value-checked, with each "
+    "split's majority-vote accuracy in exact ppm.",
+)
+def ml_decision_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x_cents"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    grp = pts.groupBy("x_cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    w_cum = Window.orderBy("x_cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    pre = grp.select(
+        "x_cents",
+        F.sum("cnt").over(w_cum).alias("n_left"),
+        F.sum("pos").over(w_cum).alias("pos_left"),
+        F.sum("cnt").over(w_all).alias("n"),
+        F.sum("pos").over(w_all).alias("pos_tot"),
+    )
+    cost = pre.filter(F.col("n_left") < F.col("n")).select(
+        F.col("x_cents").alias("threshold_cents"),
+        F.col("n_left").cast("bigint").alias("n_left"),
+        F.col("pos_left").cast("bigint").alias("pos_left"),
+        (F.col("n") - F.col("n_left")).cast("bigint").alias("n_right"),
+        (F.col("pos_tot") - F.col("pos_left"))
+        .cast("bigint")
+        .alias("pos_right"),
+        F.expr(
+            f"CAST(({STUMP_COST_SCALE} * 2 * "
+            "(pos_left * (n_left - pos_left) * (n - n_left) "
+            " + (pos_tot - pos_left) * ((n - n_left) - (pos_tot - pos_left))"
+            "   * n_left)) "
+            "div (n_left * (n - n_left) * n) AS BIGINT)"
+        ).alias("gini_cost_scaled"),
+        F.expr(
+            "CAST((1000000 * "
+            "(GREATEST(pos_left, n_left - pos_left) "
+            " + GREATEST(pos_tot - pos_left, "
+            "            (n - n_left) - (pos_tot - pos_left)))) "
+            "div n AS BIGINT)"
+        ).alias("stump_accuracy_ppm"),
+    )
+    return cost.orderBy(
+        F.asc("gini_cost_scaled"), F.asc("threshold_cents")
+    ).limit(STUMP_TOPK)

@@ -721,3 +721,162 @@ def sample_kfold_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_train_if_held_out"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman optimal stratified allocation (Neyman 1934)
+# ---------------------------------------------------------------------------
+
+NEYMAN_BUDGET = 1000  # total sample size to allocate across strata
+NEYMAN_W_SCALE = 1_000_000  # micro-units for the N_h * S_h weights
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle=f"""
+WITH cust AS (
+  SELECT c_mktsegment AS segment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+m AS (
+  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_h,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM cust GROUP BY segment
+),
+-- two-pass exact sum of squared deviations around the FLOORED integer
+-- mean: dev <= ~1e6 cents so ssd fits BIGINT far beyond sf1, unlike the
+-- one-pass N*S2 - S^2 form which overflows at sf0.1 scale.
+ssd AS (
+  SELECT c.segment,
+    CAST(SUM((c.cents - m.sum_cents // m.n_h)
+             * (c.cents - m.sum_cents // m.n_h)) AS BIGINT) AS ssd_cents2
+  FROM cust c JOIN m ON c.segment = m.segment
+  GROUP BY c.segment
+),
+w AS (
+  SELECT m.segment, m.n_h, m.sum_cents // m.n_h AS mean_cents_floor,
+    s.ssd_cents2,
+    -- S_h = sqrt(ssd/N_h): IEEE-correctly-rounded double on both
+    -- engines; weight N_h*S_h floored to integer micro-units.
+    CAST(FLOOR(m.n_h * SQRT(CAST(s.ssd_cents2 AS DOUBLE) / m.n_h)
+               * {NEYMAN_W_SCALE} / 100.0) AS BIGINT) AS w_micro
+  FROM m JOIN ssd s ON m.segment = s.segment
+),
+tot AS (
+  SELECT CAST(SUM(w_micro) AS BIGINT) AS w_tot,
+         CAST(SUM(n_h) AS BIGINT) AS n_tot
+  FROM w
+),
+base AS (
+  SELECT w.segment, w.n_h, w.mean_cents_floor, w.ssd_cents2, w.w_micro,
+    CAST(({NEYMAN_BUDGET} * w.w_micro) // t.w_tot AS BIGINT) AS alloc_floor,
+    CAST(({NEYMAN_BUDGET} * w.w_micro) % t.w_tot AS BIGINT) AS rem,
+    CAST(({NEYMAN_BUDGET} * w.n_h) // t.n_tot AS BIGINT)
+      AS alloc_proportional,
+    CAST({NEYMAN_BUDGET}
+         - SUM(({NEYMAN_BUDGET} * w.w_micro) // t.w_tot) OVER ()
+         AS BIGINT) AS deficit
+  FROM w, tot t
+)
+SELECT segment, n_h, mean_cents_floor, ssd_cents2, w_micro,
+  alloc_floor, alloc_proportional,
+  CAST(alloc_floor
+       + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, segment)
+                   <= deficit THEN 1 ELSE 0 END AS BIGINT) AS alloc_neyman
+FROM base
+""",
+    doc="Neyman optimal stratified-sample allocation (Neyman 1934): "
+    "sample-size budget split across c_mktsegment strata proportional "
+    "to N_h * S_h (stratum size x stddev of acctbal) — the allocation "
+    "that minimizes estimator variance at fixed budget. Engine-exact "
+    "end to end: two-pass integer sum-of-squared-deviations around the "
+    "floored mean (the one-pass N*S2-S^2 form would overflow BIGINT "
+    "near sf0.1), S_h via IEEE-correctly-rounded SQRT floored to micro "
+    "units, then pure-integer largest-remainder apportionment so the "
+    "allocations sum EXACTLY to the budget. Plan: two grouped "
+    "aggregates over customer (second joins the broadcast 5-row means "
+    "back), a broadcast totals join, and an O(strata) window — at "
+    "100 TB the strata table is tiny, so everything after the two "
+    "scans is driver-trivial. Contrast column alloc_proportional shows "
+    "what naive size-proportional allocation would do.",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    m = cust.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+    # Floored integer mean (DuckDB // floors; sums here are positive so
+    # Spark's truncating `div` agrees — asserted by the oracle match).
+    m = m.withColumn(
+        "mean_cents_floor", F.expr("sum_cents div n_h").cast("bigint")
+    )
+    ssd = (
+        cust.join(F.broadcast(m), "segment")
+        .groupBy("segment")
+        .agg(
+            F.sum(
+                (F.col("cents") - F.col("mean_cents_floor"))
+                * (F.col("cents") - F.col("mean_cents_floor"))
+            )
+            .cast("bigint")
+            .alias("ssd_cents2")
+        )
+    )
+    w = m.join(ssd, "segment").withColumn(
+        "w_micro",
+        F.floor(
+            F.col("n_h")
+            * F.sqrt(F.col("ssd_cents2").cast("double") / F.col("n_h"))
+            * NEYMAN_W_SCALE
+            / 100.0
+        ).cast("bigint"),
+    )
+    tot = w.agg(
+        F.sum("w_micro").cast("bigint").alias("w_tot"),
+        F.sum("n_h").cast("bigint").alias("n_tot"),
+    )
+    base = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "alloc_floor",
+            F.expr(f"CAST(({NEYMAN_BUDGET} * w_micro) div w_tot AS BIGINT)"),
+        )
+        .withColumn(
+            "rem",
+            F.expr(f"CAST(({NEYMAN_BUDGET} * w_micro) % w_tot AS BIGINT)"),
+        )
+        .withColumn(
+            "alloc_proportional",
+            F.expr(f"CAST(({NEYMAN_BUDGET} * n_h) div n_tot AS BIGINT)"),
+        )
+        .withColumn(
+            "deficit",
+            (
+                F.lit(NEYMAN_BUDGET)
+                - F.sum("alloc_floor").over(
+                    Window.partitionBy()
+                )
+            ).cast("bigint"),
+        )
+    )
+    rank = F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("segment")))
+    return base.select(
+        "segment",
+        "n_h",
+        "mean_cents_floor",
+        "ssd_cents2",
+        "w_micro",
+        "alloc_floor",
+        "alloc_proportional",
+        (
+            F.col("alloc_floor")
+            + F.when(rank <= F.col("deficit"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_neyman"),
+    )

@@ -3383,3 +3383,132 @@ def events_process_conformance(
         "is_allowed",
         F.expr("CAST((1000000 * n) div t AS BIGINT)").alias("share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences lift estimate (Card & Krueger 1994 design)
+# ---------------------------------------------------------------------------
+
+DID_CUTOVER = "2024-01-16"  # post-period start (fixture spans Jan 1-30)
+
+
+@register(
+    "events_did_lift",
+    oracle=f"""
+WITH p AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,
+         CASE WHEN ts >= TIMESTAMP '{DID_CUTOVER}' THEN 1 ELSE 0 END
+           AS post,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN treated=1 AND post=0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_t_pre,
+    CAST(SUM(CASE WHEN treated=1 AND post=1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_t_post,
+    CAST(SUM(CASE WHEN treated=0 AND post=0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_c_pre,
+    CAST(SUM(CASE WHEN treated=0 AND post=1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_c_post,
+    SUM(CASE WHEN treated=1 AND post=0 THEN cents ELSE 0 END) AS s_t_pre,
+    SUM(CASE WHEN treated=1 AND post=1 THEN cents ELSE 0 END) AS s_t_post,
+    SUM(CASE WHEN treated=0 AND post=0 THEN cents ELSE 0 END) AS s_c_pre,
+    SUM(CASE WHEN treated=0 AND post=1 THEN cents ELSE 0 END) AS s_c_post
+  FROM p
+),
+means AS (
+  SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+    (1000000 * s_t_pre)  // n_t_pre  AS mean_t_pre_micro,
+    (1000000 * s_t_post) // n_t_post AS mean_t_post_micro,
+    (1000000 * s_c_pre)  // n_c_pre  AS mean_c_pre_micro,
+    (1000000 * s_c_post) // n_c_post AS mean_c_post_micro
+  FROM cells
+)
+SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+  CAST(mean_t_pre_micro AS BIGINT) AS mean_t_pre_micro,
+  CAST(mean_t_post_micro AS BIGINT) AS mean_t_post_micro,
+  CAST(mean_c_pre_micro AS BIGINT) AS mean_c_pre_micro,
+  CAST(mean_c_post_micro AS BIGINT) AS mean_c_post_micro,
+  CAST((mean_t_post_micro - mean_t_pre_micro)
+       - (mean_c_post_micro - mean_c_pre_micro) AS BIGINT) AS did_micro,
+  -- relative lift vs the control-pre mean; floor division on a possibly
+  -- NEGATIVE numerator, spelled identically on both engines
+  CAST((1000000 * ((mean_t_post_micro - mean_t_pre_micro)
+                   - (mean_c_post_micro - mean_c_pre_micro)))
+       // mean_c_pre_micro AS BIGINT) AS did_rel_ppm
+FROM means
+""",
+    doc="Difference-in-differences lift (the Card-Krueger 1994 "
+    "quasi-experiment design): treated = even user_id, post = events "
+    "on/after Jan 16; DiD = (treated post-pre delta) - (control "
+    "post-pre delta) on purchase value. Cell means are exact integer "
+    "micro-units (floored once per cell), so the DiD and its "
+    "relative-lift ppm are pure integer arithmetic — the ppm division "
+    "has a possibly-negative numerator — safe because Spark's div and "
+    "DuckDB's integer // both truncate toward zero. Plan: one "
+    "conditional aggregate over a single filtered scan — fully "
+    "partial-aggregable, no shuffle beyond the 1-row combine; the 2x2 "
+    "design generalizes to per-cohort DiD by adding group-by keys.",
+)
+def events_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("treated"),
+        F.when(F.col("ts") >= F.lit(DID_CUTOVER).cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("post"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+
+    def cell(t: int, po: int, what):  # conditional-aggregation cell
+        cond = (F.col("treated") == t) & (F.col("post") == po)
+        return F.sum(F.when(cond, what).otherwise(0))
+
+    cells = p.agg(
+        cell(1, 0, 1).cast("bigint").alias("n_t_pre"),
+        cell(1, 1, 1).cast("bigint").alias("n_t_post"),
+        cell(0, 0, 1).cast("bigint").alias("n_c_pre"),
+        cell(0, 1, 1).cast("bigint").alias("n_c_post"),
+        cell(1, 0, F.col("cents")).alias("s_t_pre"),
+        cell(1, 1, F.col("cents")).alias("s_t_post"),
+        cell(0, 0, F.col("cents")).alias("s_c_pre"),
+        cell(0, 1, F.col("cents")).alias("s_c_post"),
+    )
+    means = cells.select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        F.expr("(1000000 * s_t_pre)  div n_t_pre").alias("mean_t_pre_micro"),
+        F.expr("(1000000 * s_t_post) div n_t_post").alias(
+            "mean_t_post_micro"
+        ),
+        F.expr("(1000000 * s_c_pre)  div n_c_pre").alias("mean_c_pre_micro"),
+        F.expr("(1000000 * s_c_post) div n_c_post").alias(
+            "mean_c_post_micro"
+        ),
+    )
+    did = (
+        (F.col("mean_t_post_micro") - F.col("mean_t_pre_micro"))
+        - (F.col("mean_c_post_micro") - F.col("mean_c_pre_micro"))
+    ).cast("bigint")
+    staged = means.withColumn("did_micro", did)
+    return staged.select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        F.col("mean_t_pre_micro").cast("bigint").alias("mean_t_pre_micro"),
+        F.col("mean_t_post_micro").cast("bigint").alias("mean_t_post_micro"),
+        F.col("mean_c_pre_micro").cast("bigint").alias("mean_c_pre_micro"),
+        F.col("mean_c_post_micro").cast("bigint").alias("mean_c_post_micro"),
+        "did_micro",
+        # Signed integral division: Spark's `div` and DuckDB's integer
+        # `//` BOTH truncate toward zero (-7//2 == -3 on each), so the
+        # possibly-negative ppm matches with no floor/trunc adjustment.
+        F.expr(
+            "CAST((1000000 * did_micro) div mean_c_pre_micro AS BIGINT)"
+        ).alias("did_rel_ppm"),
+    )

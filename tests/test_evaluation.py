@@ -236,3 +236,107 @@ def test_training_mix_respects_quota(spark):
     # the greedy fill should be close to full: median utilization > 90%
     utils = sorted(r.utilization_ppm for r in rows)
     assert utils[len(utils) // 2] > 900_000
+
+
+def test_neyman_allocation_favors_high_variance_stratum(spark, tmp_path):
+    """Two equal-size strata, one with 10x the acctbal spread: Neyman
+    allocation must give the volatile stratum strictly more than the
+    proportional split would, and the allocations must sum EXACTLY to
+    the budget (largest-remainder apportionment)."""
+    from hbase_hadoop_flightsearch_spark.operators.sampling import (
+        NEYMAN_BUDGET,
+        sample_neyman_allocation,
+    )
+
+    rows = []
+    for i in range(200):
+        # CALM: acctbal oscillates +/-1 around 100; WILD: +/-500
+        rows.append((i, f"c{i}", 1, 100.0 + (i % 2), "CALM"))
+        rows.append(
+            (1000 + i, f"c{1000+i}", 1, 100.0 + (i % 2) * 1000.0, "WILD")
+        )
+    spark.createDataFrame(
+        rows,
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    got = {
+        r.segment: r
+        for r in sample_neyman_allocation(spark, str(tmp_path)).collect()
+    }
+    assert got["WILD"].alloc_neyman > got["WILD"].alloc_proportional
+    assert got["CALM"].alloc_neyman < got["CALM"].alloc_proportional
+    assert (
+        got["WILD"].alloc_neyman + got["CALM"].alloc_neyman == NEYMAN_BUDGET
+    )
+
+
+def test_did_recovers_planted_lift(spark, tmp_path):
+    """Planted effect: everyone purchases 10.00; treated users jump to
+    15.00 in the post period. DiD must read exactly +5.00 (5e8 micro-
+    cents) and the parallel-trends cells must be flat."""
+    import datetime as dt
+
+    from hbase_hadoop_flightsearch_spark.operators.timeseries import (
+        events_did_lift,
+    )
+
+    rows = []
+    eid = 0
+    for day in range(1, 31):
+        post = day >= 16
+        for uid in (2, 4, 7, 9):  # two treated (even), two control
+            treated = uid % 2 == 0
+            val = 15.0 if (treated and post) else 10.0
+            rows.append(
+                (
+                    eid,
+                    dt.datetime(2024, 1, day, 12, 0, 0),
+                    uid,
+                    "purchase",
+                    val,
+                    "{}",
+                )
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    row = events_did_lift(spark, str(tmp_path)).collect()[0]
+    assert row.mean_c_pre_micro == row.mean_c_post_micro == 10_00 * 1_000_000
+    assert row.mean_t_pre_micro == 10_00 * 1_000_000
+    assert row.mean_t_post_micro == 15_00 * 1_000_000
+    assert row.did_micro == 5_00 * 1_000_000
+    assert row.did_rel_ppm == 500_000  # +50% of the control-pre mean
+
+
+def test_stump_finds_separating_threshold(spark, tmp_path):
+    """Perfectly separable labels (URGENT iff totalprice < 500): the
+    best stump must have Gini cost 0, accuracy 1.0, and its threshold
+    must sit exactly at the largest positive-class feature value."""
+    import datetime as dt
+
+    from hbase_hadoop_flightsearch_spark.operators.clustering import (
+        ml_decision_stump_gini,
+    )
+
+    rows = []
+    for i in range(300):
+        price = 100.0 + i * 10.0  # 100 .. 3090
+        prio = "1-URGENT" if price < 500.0 else "5-LOW"
+        rows.append(
+            (i, i % 50, "O", price, dt.datetime(2024, 1, 1), prio)
+        )
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    best = ml_decision_stump_gini(spark, str(tmp_path)).collect()[0]
+    assert best.gini_cost_scaled == 0
+    assert best.stump_accuracy_ppm == 1_000_000
+    assert best.threshold_cents == 49_000  # largest price below 500.00
+    assert best.pos_left == best.n_left and best.pos_right == 0
