@@ -3512,3 +3512,197 @@ def events_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * did_micro) div mean_c_pre_micro AS BIGINT)"
         ).alias("did_rel_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive triple exponential smoothing (Winters 1960)
+# ---------------------------------------------------------------------------
+
+HW_L = 7  # season length (weekly) — fixture spans 30 days = 4+ seasons
+HW_AD, HW_DEN = 1, 4  # alpha = beta = gamma = 1/4, as exact rationals
+HW_MICRO = 1_000_000
+
+
+def _hw_tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — matches BOTH Spark's
+    `div` and DuckDB's integer `//` on signed operands (each truncates:
+    -7//2 == -3), so the Python recursion replays the oracle exactly."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+@register(
+    "ts_holt_winters_additive",
+    oracle=f"""
+WITH RECURSIVE days AS (
+  SELECT (SELECT MIN(CAST(ts AS DATE)) FROM events) AS d
+  UNION ALL
+  SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM days
+  WHERE d < (SELECT MAX(CAST(ts AS DATE)) FROM events)
+),
+spine AS (
+  SELECT e.event_type, days.d,
+    ROW_NUMBER() OVER (PARTITION BY e.event_type ORDER BY days.d) AS rn
+  FROM (SELECT DISTINCT event_type FROM events) e, days
+),
+cnt AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+daily AS (
+  SELECT s.event_type, s.d, s.rn,
+         COALESCE(c.y, 0) AS y,
+         {HW_MICRO} * COALESCE(c.y, 0) AS y_micro
+  FROM spine s LEFT JOIN cnt c
+    ON s.event_type = c.event_type AND s.d = c.d
+),
+init AS (
+  SELECT event_type,
+    SUM(CASE WHEN rn <= {HW_L} THEN y_micro ELSE 0 END) // {HW_L} AS l0,
+    (SUM(CASE WHEN rn BETWEEN {HW_L + 1} AND {2 * HW_L}
+              THEN y_micro ELSE 0 END)
+     - SUM(CASE WHEN rn <= {HW_L} THEN y_micro ELSE 0 END))
+      // {HW_L * HW_L} AS b0,
+    MAX(CASE WHEN rn = 1 THEN y_micro END) AS y1,
+    MAX(CASE WHEN rn = 2 THEN y_micro END) AS y2,
+    MAX(CASE WHEN rn = 3 THEN y_micro END) AS y3,
+    MAX(CASE WHEN rn = 4 THEN y_micro END) AS y4,
+    MAX(CASE WHEN rn = 5 THEN y_micro END) AS y5,
+    MAX(CASE WHEN rn = 6 THEN y_micro END) AS y6,
+    MAX(CASE WHEN rn = 7 THEN y_micro END) AS y7
+  FROM daily GROUP BY event_type
+),
+hw AS (
+  SELECT event_type, CAST({HW_L} AS BIGINT) AS rn,
+    l0 AS l, b0 AS b,
+    y1 - l0 AS s1, y2 - l0 AS s2, y3 - l0 AS s3, y4 - l0 AS s4,
+    y5 - l0 AS s5, y6 - l0 AS s6, y7 - l0 AS s7,
+    CAST(NULL AS BIGINT) AS y_micro,
+    CAST(NULL AS BIGINT) AS fitted_micro
+  FROM init
+  UNION ALL
+  SELECT h.event_type, h.rn + 1,
+    -- l' = trunc-div: (alpha*(y - s_head) + (4-alpha)*(l+b)) // 4
+    ({HW_AD} * (d.y_micro - h.s1)
+     + {HW_DEN - HW_AD} * (h.l + h.b)) // {HW_DEN} AS l,
+    -- b' = trunc-div: (beta*(l' - l) + (4-beta)*b) // 4, l' inlined
+    ({HW_AD} * ((({HW_AD} * (d.y_micro - h.s1)
+                  + {HW_DEN - HW_AD} * (h.l + h.b)) // {HW_DEN}) - h.l)
+     + {HW_DEN - HW_AD} * h.b) // {HW_DEN} AS b,
+    h.s2, h.s3, h.s4, h.s5, h.s6, h.s7,
+    -- s_new = trunc-div: (gamma*(y - l') + (4-gamma)*s_head) // 4
+    ({HW_AD} * (d.y_micro
+                - (({HW_AD} * (d.y_micro - h.s1)
+                    + {HW_DEN - HW_AD} * (h.l + h.b)) // {HW_DEN}))
+     + {HW_DEN - HW_AD} * h.s1) // {HW_DEN} AS s7,
+    d.y_micro,
+    h.l + h.b + h.s1 AS fitted_micro
+  FROM hw h JOIN daily d
+    ON d.event_type = h.event_type AND d.rn = h.rn + 1
+)
+SELECT h.event_type, d.d,
+  CAST(h.y_micro // {HW_MICRO} AS BIGINT) AS y,
+  CAST(h.fitted_micro AS BIGINT) AS fitted_micro,
+  CAST(h.l AS BIGINT) AS level_micro,
+  CAST(h.b AS BIGINT) AS trend_micro,
+  CAST(h.y_micro - h.fitted_micro AS BIGINT) AS resid_micro
+FROM hw h JOIN daily d
+  ON d.event_type = h.event_type AND d.rn = h.rn
+WHERE h.rn > {HW_L}
+""",
+    doc="Holt-Winters ADDITIVE triple exponential smoothing (Winters "
+    "1960) per event-type series: level + trend + weekly seasonal "
+    "state, alpha=beta=gamma=1/4 as exact rationals, every state "
+    "variable an integer micro-unit and every update a truncating "
+    "integer division — Spark's div and DuckDB's // both truncate, so "
+    "the DuckDB RECURSIVE-CTE replay (seasonal ring carried as 7 "
+    "BIGINT columns, rotated each step) is value-exact against the "
+    "Python recursion. Init: level = week-1 mean, trend = "
+    "(week2-week1)/49, seasonals = first-week deviations. Spark plan: "
+    "day-spine x type left join (zero-filled), then ONE applyInPandas "
+    "over the series key — the inherently sequential recursion is "
+    "per-series, so a 100 TB corpus with millions of keyed series "
+    "(per-SKU, per-user, per-region) runs embarrassingly parallel "
+    "across series with O(days) state per task; only the within-series "
+    "scan is sequential, which no engine can avoid. Emits the full "
+    "fitted/level/trend/residual trajectory from day L+1 on.",
+)
+def ts_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1")).alias("d"),
+    )
+    cnt = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    daily = (
+        spine.join(cnt, ["event_type", "d"], "left")
+        .withColumn("y", F.coalesce(F.col("y"), F.lit(0)).cast("bigint"))
+    )
+
+    out_schema = (
+        "event_type string, d date, y bigint, fitted_micro bigint, "
+        "level_micro bigint, trend_micro bigint, resid_micro bigint"
+    )
+
+    def hw_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2 * HW_L + 1:
+            return pd.DataFrame(
+                columns=[
+                    "event_type", "d", "y", "fitted_micro",
+                    "level_micro", "trend_micro", "resid_micro",
+                ]
+            )
+        y = [int(v) * HW_MICRO for v in pdf["y"]]
+        l = _hw_tdiv(sum(y[:HW_L]), HW_L)
+        b = _hw_tdiv(sum(y[HW_L: 2 * HW_L]) - sum(y[:HW_L]), HW_L * HW_L)
+        season = [y[i] - l for i in range(HW_L)]
+        rows = []
+        for t in range(HW_L, n):
+            s_head = season.pop(0)
+            fitted = l + b + s_head
+            l_new = _hw_tdiv(
+                HW_AD * (y[t] - s_head) + (HW_DEN - HW_AD) * (l + b),
+                HW_DEN,
+            )
+            b_new = _hw_tdiv(
+                HW_AD * (l_new - l) + (HW_DEN - HW_AD) * b, HW_DEN
+            )
+            season.append(
+                _hw_tdiv(
+                    HW_AD * (y[t] - l_new) + (HW_DEN - HW_AD) * s_head,
+                    HW_DEN,
+                )
+            )
+            l, b = l_new, b_new
+            rows.append(
+                (
+                    pdf["event_type"].iloc[0],
+                    pdf["d"].iloc[t],
+                    y[t] // HW_MICRO,
+                    fitted,
+                    l,
+                    b,
+                    y[t] - fitted,
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "event_type", "d", "y", "fitted_micro",
+                "level_micro", "trend_micro", "resid_micro",
+            ],
+        )
+
+    return daily.groupBy("event_type").applyInPandas(hw_series, out_schema)
