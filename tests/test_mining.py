@@ -139,3 +139,30 @@ def test_triple_expansion_matches_itertools(spark, sf_smoke):
         for r in frequent_triples(li).collect()
     }
     assert got == want
+
+
+def test_textrank_hub_word_ranks_first(spark, tmp_path):
+    """A word adjacent to every other word (the hub of a star-shaped
+    co-occurrence graph) must out-rank the spokes, and every returned
+    token must clear the vocabulary frequency floor."""
+    from hbase_hadoop_flightsearch_spark.operators.mining import (
+        TR_MIN_FREQ,
+        text_textrank_keywords,
+    )
+
+    spokes = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = []
+    for i, sp in enumerate(spokes * 6):  # every spoke seen 12x next to hub
+        rows.append((i, f"hub {sp} hub", "en", "t", 10))
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = text_textrank_keywords(spark, str(tmp_path)).collect()
+    assert out[0].token == "hub"
+    assert out[0].rank_pico > out[1].rank_pico
+    got = {r.token for r in out}
+    assert got == {"hub", *spokes}
+    # spokes are symmetric: identical ranks
+    spoke_ranks = {r.rank_pico for r in out if r.token != "hub"}
+    assert len(spoke_ranks) == 1
