@@ -730,3 +730,38 @@ def test_auc_single_global_sort(spark):
     join should appear anywhere in the plan."""
     plan = _plan(spark, "ml_eval_auc_exact")
     assert "Join" not in plan, plan[:1500]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "sample_neyman_allocation",
+        "events_did_lift",
+        "ml_decision_stump_gini",
+        "text_textrank_keywords",
+    ],
+)
+def test_r8_batch3_no_cartesian(spark, name):
+    """Round-8 third batch: totals joins must be broadcast singletons
+    and candidate generation equi-joins — never a cartesian plan."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_decision_stump_single_sort_no_join(spark):
+    """The stump's sort-and-scan plan is one grouped aggregate plus ONE
+    global-order cumulative window; the per-threshold cost is window
+    arithmetic, not a join — a Join node would mean the O(thresholds x
+    rows) formulation leaked in from the oracle."""
+    plan = _plan(spark, "ml_decision_stump_gini")
+    assert "Join" not in plan, plan[:1500]
+
+
+def test_did_lift_single_aggregate_no_shuffle_fanout(spark):
+    """DiD is ONE conditional aggregate over one filtered scan: no
+    joins, no windows, exactly one scan of events."""
+    plan = _plan(spark, "events_did_lift")
+    assert "Join" not in plan, plan[:1500]
+    # extended explain prints logical sections too — count the physical
+    # scan node only: exactly one pass over events
+    assert plan.count("FileScan parquet") == 1, plan[-1500:]
