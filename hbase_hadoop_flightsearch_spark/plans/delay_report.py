@@ -264,3 +264,120 @@ def flight_otp_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("otp_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# One-stop connection search — the reference repo's namesake "FlightSearch"
+# capability, generalized: feasible itineraries A -> via -> B.
+# ---------------------------------------------------------------------------
+
+MIN_LAYOVER_MIN = 45
+MAX_LAYOVER_MIN = 240
+
+
+@register(
+    "flight_connection_search",
+    oracle=f"""
+WITH flights_ext AS (
+  SELECT
+    (['ATL','BOS','CLT','DEN','DFW','DTW','EWR','IAH','JFK','LAS',
+      'LAX','MCO','MIA','MSP','ORD','PHL','PHX','SEA','SFO','SLC'])
+      [CAST(l_suppkey % 20 AS INT) + 1] AS origin,
+    (['ATL','BOS','CLT','DEN','DFW','DTW','EWR','IAH','JFK','LAS',
+      'LAX','MCO','MIA','MSP','ORD','PHL','PHX','SEA','SFO','SLC'])
+      [CAST((l_suppkey + 1 + l_partkey % 19) % 20 AS INT) + 1] AS dest,
+    CAST(epoch_us(l_shipdate) // 60000000
+         + (l_orderkey * 11 + l_linenumber * 17) % 1440 AS BIGINT)
+      AS dep_min,
+    CAST(epoch_us(l_shipdate) // 60000000
+         + (l_orderkey * 11 + l_linenumber * 17) % 1440
+         + 60 + (l_partkey * 3 % 7) * 30 AS BIGINT) AS arr_min
+  FROM lineitem
+  WHERE l_orderkey % 50 <> 0 AND l_orderkey % 97 <> 3
+),
+a AS (
+  SELECT f.*, unnest(list_distinct(
+    [(arr_min + {MIN_LAYOVER_MIN}) // 1440,
+     (arr_min + {MAX_LAYOVER_MIN}) // 1440])) AS day
+  FROM flights_ext f
+),
+pairs AS (
+  SELECT a.origin, a.dest AS via, b.dest AS final_dest,
+         b.dep_min - a.arr_min AS layover_min,
+         b.arr_min - a.dep_min AS total_min
+  FROM a JOIN flights_ext b
+    ON a.dest = b.origin
+   AND b.dep_min // 1440 = a.day
+   AND b.dep_min BETWEEN a.arr_min + {MIN_LAYOVER_MIN}
+                     AND a.arr_min + {MAX_LAYOVER_MIN}
+   AND b.dest <> a.origin
+)
+SELECT origin, via, final_dest,
+  CAST(COUNT(*) AS BIGINT) AS n_itineraries,
+  CAST(MIN(layover_min) AS BIGINT) AS min_layover_min,
+  CAST(MIN(total_min) AS BIGINT) AS min_total_min
+FROM pairs GROUP BY origin, via, final_dest
+""",
+    doc="One-stop connection search — the reference repo's namesake "
+    "capability (HBase-Hadoop-FlightSearch), generalized from its "
+    "single delay report: all feasible A->via->B itineraries where the "
+    f"second leg departs {MIN_LAYOVER_MIN}-{MAX_LAYOVER_MIN} minutes "
+    "after the first arrives, both legs completed, no round trips. "
+    "The time window makes a naive self-join a theta join "
+    "(BroadcastNestedLoopJoin death at scale); Spark instead plans a "
+    "DAY-BANDED equi join: each arriving leg explodes into the <=2 day "
+    "buckets its layover window can touch, departures key by their own "
+    "day, pairs meet on (airport, day) and the BETWEEN is a residual — "
+    "each pair meets exactly once (a departure has one day bucket), so "
+    "no dedup pass. Shuffle partners are bounded per (airport, day); "
+    "hub-airport skew is the knob (narrow to (airport, hour) bands at "
+    "100 TB). Aggregated to per-route itinerary counts + min layover/"
+    "total travel, all exact integer minutes.",
+)
+def flight_connection_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.flights import flights_extended
+
+    legs = (
+        flights_extended(spark, sf_dir)
+        .filter((F.col("cancelled") == 0.0) & (F.col("diverted") == 0.0))
+        .drop("cancelled", "diverted")
+    )
+    a = legs.withColumn(
+        "day",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(f"(arr_min + {MIN_LAYOVER_MIN}) div 1440"),
+                    F.expr(f"(arr_min + {MAX_LAYOVER_MIN}) div 1440"),
+                )
+            )
+        ),
+    )
+    b = legs.select(
+        F.col("origin").alias("b_origin"),
+        F.col("dest").alias("b_dest"),
+        F.col("dep_min").alias("b_dep_min"),
+        F.col("arr_min").alias("b_arr_min"),
+        F.expr("dep_min div 1440").alias("b_day"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("dest") == F.col("b_origin"))
+        & (F.col("day") == F.col("b_day"))
+        & (F.col("b_dep_min") >= F.col("arr_min") + MIN_LAYOVER_MIN)
+        & (F.col("b_dep_min") <= F.col("arr_min") + MAX_LAYOVER_MIN)
+        & (F.col("b_dest") != F.col("origin")),
+    )
+    return pairs.groupBy(
+        "origin",
+        F.col("dest").alias("via"),
+        F.col("b_dest").alias("final_dest"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_itineraries"),
+        F.min(F.col("b_dep_min") - F.col("arr_min"))
+        .cast("bigint")
+        .alias("min_layover_min"),
+        F.min(F.col("b_arr_min") - F.col("dep_min"))
+        .cast("bigint")
+        .alias("min_total_min"),
+    )
