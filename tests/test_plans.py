@@ -765,3 +765,15 @@ def test_did_lift_single_aggregate_no_shuffle_fanout(spark):
     # extended explain prints logical sections too — count the physical
     # scan node only: exactly one pass over events
     assert plan.count("FileScan parquet") == 1, plan[-1500:]
+
+
+def test_connection_search_smj_on_band_key_no_nested_loop(spark):
+    """The namesake connection search must plan the day-banded self-join
+    as a SortMergeJoin on (airport, day) — both sides are fact-sized so
+    a broadcast build is wrong at every scale (locally measured 4x
+    slower; at 100 TB impossible) and a BroadcastNestedLoopJoin would
+    mean the range predicate leaked out of the band rewrite."""
+    plan = _plan(spark, "flight_connection_search")
+    assert "SortMergeJoin" in plan, plan[-2000:]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
