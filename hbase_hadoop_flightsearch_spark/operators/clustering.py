@@ -833,3 +833,187 @@ def ml_decision_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cost.orderBy(
         F.asc("gini_cost_scaled"), F.asc("threshold_cents")
     ).limit(STUMP_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Depth-2 decision tree: recursive exact Gini splits (CART, 2 levels)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_decision_tree_depth2",
+    oracle=f"""
+WITH pts AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x_cents,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+grp AS (
+  SELECT x_cents, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(y) AS BIGINT) AS pos
+  FROM pts GROUP BY x_cents
+),
+pre AS (
+  SELECT x_cents,
+    SUM(cnt) OVER (ORDER BY x_cents ROWS UNBOUNDED PRECEDING) AS n_left,
+    SUM(pos) OVER (ORDER BY x_cents ROWS UNBOUNDED PRECEDING) AS pos_left,
+    SUM(cnt) OVER () AS n, SUM(pos) OVER () AS pos_tot
+  FROM grp
+),
+rootcost AS (
+  SELECT x_cents, n_left, pos_left, n, pos_tot,
+    ({STUMP_COST_SCALE} * 2 *
+     (pos_left * (n_left - pos_left) * (n - n_left)
+      + (pos_tot - pos_left) * ((n - n_left) - (pos_tot - pos_left))
+        * n_left))
+    // (n_left * (n - n_left) * n) AS cost
+  FROM pre WHERE n_left < n
+),
+root AS (
+  SELECT * FROM rootcost ORDER BY cost ASC, x_cents ASC LIMIT 1
+),
+sided AS (
+  SELECT g.x_cents, g.cnt, g.pos,
+    CASE WHEN g.x_cents <= r.x_cents THEN 'L' ELSE 'R' END AS side
+  FROM grp g, root r
+),
+pre2 AS (
+  SELECT side, x_cents,
+    SUM(cnt) OVER (PARTITION BY side ORDER BY x_cents
+                   ROWS UNBOUNDED PRECEDING) AS n_left,
+    SUM(pos) OVER (PARTITION BY side ORDER BY x_cents
+                   ROWS UNBOUNDED PRECEDING) AS pos_left,
+    SUM(cnt) OVER (PARTITION BY side) AS n,
+    SUM(pos) OVER (PARTITION BY side) AS pos_tot
+  FROM sided
+),
+cost2 AS (
+  SELECT side, x_cents, n_left, pos_left, n, pos_tot,
+    ({STUMP_COST_SCALE} * 2 *
+     (pos_left * (n_left - pos_left) * (n - n_left)
+      + (pos_tot - pos_left) * ((n - n_left) - (pos_tot - pos_left))
+        * n_left))
+    // (n_left * (n - n_left) * n) AS cost
+  FROM pre2 WHERE n_left < n
+),
+best2 AS (
+  SELECT side, x_cents, n_left, pos_left, n, pos_tot, cost
+  FROM cost2
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY side
+                             ORDER BY cost ASC, x_cents ASC) = 1
+)
+SELECT 'root' AS node, x_cents AS threshold_cents,
+  CAST(n AS BIGINT) AS n_node, CAST(pos_tot AS BIGINT) AS pos_node,
+  CAST(n_left AS BIGINT) AS n_left, CAST(pos_left AS BIGINT) AS pos_left,
+  CAST(cost AS BIGINT) AS gini_cost_scaled
+FROM root
+UNION ALL
+SELECT side AS node, x_cents AS threshold_cents,
+  CAST(n AS BIGINT) AS n_node, CAST(pos_tot AS BIGINT) AS pos_node,
+  CAST(n_left AS BIGINT) AS n_left, CAST(pos_left AS BIGINT) AS pos_left,
+  CAST(cost AS BIGINT) AS gini_cost_scaled
+FROM best2
+""",
+    doc="Depth-2 CART decision tree by recursive exact Gini splits: the "
+    "root stump picks threshold t0 over ALL distinct feature values, "
+    "then each side independently picks its own best sub-split — the "
+    "second level is the SAME sort-and-scan plan with its windows "
+    "PARTITIONED BY the root's side assignment, so depth-d training is "
+    "d sequential passes each costing one grouped agg + one window, "
+    "never a per-node pass (the classic XGBoost/level-wise insight). "
+    "t0 flows to level 2 as a broadcast 1-row join — no driver collect. "
+    "All arithmetic is the stump's common-denominator BIGINT Gini; "
+    "output is the 3-node tree (root, L, R) with per-node populations "
+    "and the chosen split, every value DuckDB-replayed.",
+)
+def ml_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x_cents"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    grp = pts.groupBy("x_cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("y").cast("bigint").alias("pos"),
+    ).persist()
+
+    cost_expr = F.expr(
+        f"({STUMP_COST_SCALE} * 2 * "
+        "(pos_left * (n_left - pos_left) * (n - n_left) "
+        " + (pos_tot - pos_left) * ((n - n_left) - (pos_tot - pos_left))"
+        "   * n_left)) "
+        "div (n_left * (n - n_left) * n)"
+    )
+
+    w_cum = Window.orderBy("x_cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    pre = grp.select(
+        "x_cents",
+        F.sum("cnt").over(w_cum).alias("n_left"),
+        F.sum("pos").over(w_cum).alias("pos_left"),
+        F.sum("cnt").over(w_all).alias("n"),
+        F.sum("pos").over(w_all).alias("pos_tot"),
+    )
+    root = (
+        pre.filter(F.col("n_left") < F.col("n"))
+        .withColumn("cost", cost_expr)
+        .orderBy(F.asc("cost"), F.asc("x_cents"))
+        .limit(1)
+    )
+    sided = grp.crossJoin(
+        F.broadcast(root.select(F.col("x_cents").alias("t0")))
+    ).select(
+        "x_cents",
+        "cnt",
+        "pos",
+        F.when(F.col("x_cents") <= F.col("t0"), "L").otherwise("R").alias(
+            "side"
+        ),
+    )
+    w2_cum = (
+        Window.partitionBy("side")
+        .orderBy("x_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w2_all = Window.partitionBy("side")
+    pre2 = sided.select(
+        "side",
+        "x_cents",
+        F.sum("cnt").over(w2_cum).alias("n_left"),
+        F.sum("pos").over(w2_cum).alias("pos_left"),
+        F.sum("cnt").over(w2_all).alias("n"),
+        F.sum("pos").over(w2_all).alias("pos_tot"),
+    )
+    cost2 = (
+        pre2.filter(F.col("n_left") < F.col("n"))
+        .withColumn("cost", cost_expr)
+    )
+    best2 = cost2.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("side").orderBy(
+                F.asc("cost"), F.asc("x_cents")
+            )
+        ),
+    ).filter(F.col("rn") == 1)
+
+    def shape(df: DataFrame, node_col) -> DataFrame:
+        return df.select(
+            node_col.alias("node"),
+            F.col("x_cents").alias("threshold_cents"),
+            F.col("n").cast("bigint").alias("n_node"),
+            F.col("pos_tot").cast("bigint").alias("pos_node"),
+            F.col("n_left").cast("bigint").alias("n_left"),
+            F.col("pos_left").cast("bigint").alias("pos_left"),
+            F.col("cost").cast("bigint").alias("gini_cost_scaled"),
+        )
+
+    return shape(root, F.lit("root")).unionAll(shape(best2, F.col("side")))

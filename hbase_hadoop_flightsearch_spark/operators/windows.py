@@ -585,3 +585,72 @@ def window_rolling_regression_slope(
         )
         .orderBy("o_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact sliding-window median (order statistic over a trailing frame)
+# ---------------------------------------------------------------------------
+
+MEDIAN_FRAME_DAYS = 7  # trailing frame width (rows = days after gap-free agg)
+
+
+@register(
+    "window_sliding_median_exact",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+framed AS (
+  SELECT d, cents,
+    list_sort(list(cents) OVER (ORDER BY d
+      ROWS BETWEEN {MEDIAN_FRAME_DAYS - 1} PRECEDING AND CURRENT ROW))
+      AS win
+  FROM daily
+)
+SELECT d, cents,
+  CAST(len(win) AS INT) AS n_in_frame,
+  CAST(win[CAST((len(win) + 1) // 2 AS INT)] AS BIGINT) AS median_lo_cents,
+  CAST(win[CAST(len(win) // 2 + 1 AS INT)] AS BIGINT) AS median_hi_cents
+FROM framed
+""",
+    doc="Exact trailing-7-row sliding MEDIAN of daily revenue — the "
+    "order statistic neither engine offers as a built-in window "
+    "function (percentile_approx is a sketch; median() is not a window "
+    "aggregate in Spark). Implemented as collect_list over the frame + "
+    "array_sort + middle element(s): O(W log W) per row at constant "
+    "W=7, fused in the window operator after one daily pre-aggregate, "
+    "so the sort-per-row never touches raw orders. Both low and high "
+    "middles ship so even-sized warmup frames stay integer-exact (no "
+    "averaging division). At 100 TB the pattern is per-key (the window "
+    "would be PARTITIONED BY series) and W stays constant — the global "
+    "single-series frame here is the worst case, same class as "
+    "sort_orders_global. DuckDB twin: list() window + list_sort.",
+)
+def window_sliding_median_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("d").rowsBetween(-(MEDIAN_FRAME_DAYS - 1), 0)
+    win = F.array_sort(F.collect_list("cents").over(w))
+    framed = daily.select("d", "cents", win.alias("win"))
+    n = F.size("win")
+    return framed.select(
+        "d",
+        "cents",
+        n.cast("int").alias("n_in_frame"),
+        F.element_at("win", ((n + 1) / 2).cast("int"))
+        .cast("bigint")
+        .alias("median_lo_cents"),
+        F.element_at("win", (n / 2 + 1).cast("int"))
+        .cast("bigint")
+        .alias("median_hi_cents"),
+    )

@@ -340,3 +340,37 @@ def test_stump_finds_separating_threshold(spark, tmp_path):
     assert best.stump_accuracy_ppm == 1_000_000
     assert best.threshold_cents == 49_000  # largest price below 500.00
     assert best.pos_left == best.n_left and best.pos_right == 0
+
+
+def test_tree_depth2_carves_interval_exactly(spark, tmp_path):
+    """y = URGENT iff price in [300, 700): one stump cannot separate an
+    interval, but a depth-2 tree must — the root takes one boundary and
+    the R child takes the other, leaving every leaf pure."""
+    import datetime as dt
+
+    from hbase_hadoop_flightsearch_spark.operators.clustering import (
+        ml_decision_tree_depth2,
+    )
+
+    rows = []
+    for i in range(400):
+        price = 100.0 + i * 2.0  # 100 .. 898
+        prio = "1-URGENT" if 300.0 <= price < 700.0 else "5-LOW"
+        rows.append((i, i % 50, "O", price, dt.datetime(2024, 1, 1), prio))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {r.node: r for r in ml_decision_tree_depth2(spark, str(tmp_path)).collect()}
+    assert set(got) == {"root", "L", "R"}
+    # root boundary: last price below 300 (prices step by 2 -> 298.00)
+    assert got["root"].threshold_cents == 29_800
+    assert got["root"].pos_left == 0  # left of root is pure LOW
+    # R child takes the other boundary: last URGENT price 698.00
+    assert got["R"].threshold_cents == 69_800
+    assert got["R"].pos_left == got["R"].n_left  # [300,700) pure URGENT
+    assert got["R"].pos_node == got["R"].pos_left  # nothing positive right
+    assert got["R"].gini_cost_scaled == 0
+    assert got["L"].gini_cost_scaled == 0  # pure side: any split costs 0

@@ -348,3 +348,33 @@ def test_holt_winters_fits_pure_seasonal_exactly(spark, tmp_path):
         assert r.resid_micro == 0, r
         assert r.trend_micro == 0, r
         assert r.fitted_micro == r.y * 1_000_000, r
+
+
+def test_sliding_median_known_series(spark, tmp_path):
+    """Hand-checked medians on a 4-day series, covering odd and even
+    warmup frames (even frames report distinct lo/hi middles)."""
+    import datetime as dt
+
+    from hbase_hadoop_flightsearch_spark.operators.windows import (
+        window_sliding_median_exact,
+    )
+
+    # daily totals: 30.00, 10.00, 20.00, 40.00
+    rows = [
+        (i, i, "O", v, dt.datetime(2024, 1, 1 + i), "5-LOW")
+        for i, v in enumerate([30.0, 10.0, 20.0, 40.0])
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r.d.day: r
+        for r in window_sliding_median_exact(spark, str(tmp_path)).collect()
+    }
+    assert (got[1].median_lo_cents, got[1].median_hi_cents) == (3000, 3000)
+    assert (got[2].median_lo_cents, got[2].median_hi_cents) == (1000, 3000)
+    assert (got[3].median_lo_cents, got[3].median_hi_cents) == (2000, 2000)
+    assert (got[4].median_lo_cents, got[4].median_hi_cents) == (2000, 3000)
