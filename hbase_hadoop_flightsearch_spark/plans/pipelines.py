@@ -974,3 +974,90 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("utilization_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum staging (Bengio et al. 2009): easy -> hard training order
+# ---------------------------------------------------------------------------
+
+CURRICULUM_STAGES = 3
+CURRICULUM_PREVIEW = 3  # manifest preview rows per stage
+
+
+@register(
+    "pipeline_curriculum_stages",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+    NTILE({CURRICULUM_STAGES}) OVER (ORDER BY n_chars, doc_id) AS stage,
+    md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+),
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY stage
+                       ORDER BY shuffle_key, doc_id) AS pos
+  FROM scored
+)
+SELECT stage,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(MIN(n_chars) AS BIGINT) AS min_difficulty,
+  CAST(MAX(n_chars) AS BIGINT) AS max_difficulty,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+  -- deterministic within-stage shuffle: first docs the trainer will see
+  CAST(MIN(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT) AS first_doc,
+  CAST(MIN(CASE WHEN pos = {CURRICULUM_PREVIEW} THEN doc_id END)
+       AS BIGINT) AS doc_at_preview
+FROM ranked
+GROUP BY stage
+""",
+    doc="Curriculum-learning staging (Bengio et al. 2009): the corpus "
+    f"split into {CURRICULUM_STAGES} easy->hard stages by a "
+    "deterministic difficulty score (n_chars with doc_id tiebreak — a "
+    "real pipeline swaps in perplexity or quality score on the same "
+    "plan), each stage shuffled INTERNALLY by md5(doc_id) so training "
+    "order is reproducible across engines and re-ingests while still "
+    "decorrelated from crawl order. Output: per-stage manifest card "
+    "(sizes, difficulty range, language spread, the first docs the "
+    "trainer would see). Plan: one NTILE global-order window + one "
+    "per-stage window + grouped agg — the stage boundary never moves "
+    "when data is repartitioned, and at 100 TB the NTILE sort is the "
+    "same range-partitioned total order as sort_orders_global.",
+)
+def pipeline_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.ntile(CURRICULUM_STAGES)
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .alias("stage"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias(
+            "shuffle_key"
+        ),
+    )
+    ranked = scored.withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("stage").orderBy("shuffle_key", "doc_id")
+        ),
+    )
+    return ranked.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("n_chars").cast("bigint").alias("min_difficulty"),
+        F.max("n_chars").cast("bigint").alias("max_difficulty"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.min(F.when(F.col("pos") == 1, F.col("doc_id")))
+        .cast("bigint")
+        .alias("first_doc"),
+        F.min(
+            F.when(F.col("pos") == CURRICULUM_PREVIEW, F.col("doc_id"))
+        )
+        .cast("bigint")
+        .alias("doc_at_preview"),
+    )

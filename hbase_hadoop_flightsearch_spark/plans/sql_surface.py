@@ -240,3 +240,71 @@ HAVING COUNT(*) > 10
 def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_PIPE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# SQL UDFs (CREATE FUNCTION ... RETURN): Spark 4's macro-style functions
+# ---------------------------------------------------------------------------
+
+_SQL_UDF_DDL = [
+    # scalar: exact cents (the repo's money convention, as a reusable fn)
+    """CREATE OR REPLACE TEMPORARY FUNCTION f_cents(p DOUBLE)
+       RETURNS BIGINT RETURN CAST(round(p * 100) AS BIGINT)""",
+    # scalar calling scalar: price band — SQL UDFs compose by expansion
+    """CREATE OR REPLACE TEMPORARY FUNCTION f_band(p DOUBLE)
+       RETURNS STRING RETURN CASE
+         WHEN f_cents(p) < 5000000 THEN 'low'
+         WHEN f_cents(p) < 20000000 THEN 'mid'
+         ELSE 'high' END""",
+    # table-valued: a month spine generator usable in FROM
+    """CREATE OR REPLACE TEMPORARY FUNCTION f_months(n INT)
+       RETURNS TABLE(m INT) RETURN SELECT explode(sequence(1, n))""",
+]
+
+_SQL_UDF_QUERY = """
+SELECT b.band, s.m AS month,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(f_cents(o_totalprice)) AS BIGINT) AS revenue_cents
+FROM (SELECT o_totalprice, f_band(o_totalprice) AS band,
+             month(o_orderdate) AS omonth
+      FROM orders) b
+JOIN f_months(12) s ON b.omonth = s.m
+GROUP BY b.band, s.m
+"""
+
+
+@register(
+    "sql_udf_functions_surface",
+    oracle="""
+WITH b AS (
+  SELECT o_totalprice,
+    CASE
+      WHEN CAST(round(o_totalprice * 100) AS BIGINT) < 5000000 THEN 'low'
+      WHEN CAST(round(o_totalprice * 100) AS BIGINT) < 20000000 THEN 'mid'
+      ELSE 'high' END AS band,
+    month(o_orderdate) AS omonth
+  FROM orders
+),
+s AS (SELECT unnest(range(1, 13)) AS m)
+SELECT b.band, CAST(s.m AS INT) AS month,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS revenue_cents
+FROM b JOIN s ON b.omonth = s.m
+GROUP BY b.band, s.m
+""",
+    doc="SQL UDF surface (Spark 4 CREATE FUNCTION ... RETURN — the "
+    "macro-style function DDL): a scalar money-convention fn, a scalar "
+    "fn COMPOSING it (f_band calls f_cents), and a TABLE-valued fn "
+    "(month spine) used in FROM with an equi join. SQL UDFs expand at "
+    "analysis time into the calling plan — zero runtime dispatch, full "
+    "Catalyst optimization through the function boundary, unlike "
+    "Python UDFs — which is why the DuckDB oracle is simply the "
+    "expansion inlined. Proves the engine's function DDL front door "
+    "produces the same exact-cents results as the expression API.",
+)
+def sql_udf_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    for ddl in _SQL_UDF_DDL:
+        spark.sql(ddl)
+    return spark.sql(_SQL_UDF_QUERY)
