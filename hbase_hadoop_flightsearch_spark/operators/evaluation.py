@@ -154,3 +154,195 @@ def ml_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_score_floor"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact precision-recall curve (every distinct-score operating point)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_eval_pr_curve_exact",
+    oracle=f"""
+WITH m AS (
+  SELECT n_chars AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+g AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(y) AS BIGINT) AS pos
+  FROM m GROUP BY score
+),
+cum AS (
+  SELECT score,
+    SUM(cnt) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS k,
+    SUM(pos) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS tp,
+    SUM(pos) OVER () AS p_tot
+  FROM g
+)
+SELECT score AS threshold_score,
+  CAST(k AS BIGINT) AS n_predicted_pos,
+  CAST(tp AS BIGINT) AS n_true_pos,
+  CAST(({AUC_PPM} * tp) // k AS BIGINT) AS precision_ppm,
+  CAST(({AUC_PPM} * tp) // p_tot AS BIGINT) AS recall_ppm,
+  CAST((2 * {AUC_PPM} * tp) // (k + p_tot) AS BIGINT) AS f1_ppm
+FROM cum
+""",
+    doc="EXACT precision-recall curve: one operating point per distinct "
+    "ranker score (threshold = score >= t), with precision, recall, "
+    "and F1 all as floored integer ppm — F1 via its 2TP/(k+P) identity "
+    "so no rational intermediate ever forms. Same sort-and-scan shape "
+    "as the exact AUC: one grouped agg collapses ties, one descending "
+    "global-order cumulative window produces every cutoff in a single "
+    "pass (range-partitioned sort at cluster scale) — never a "
+    "per-threshold loop. Completes the threshold-free AUC with the "
+    "threshold-CHOOSING artifact every deployed classifier needs.",
+)
+def ml_eval_pr_curve_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    g = m.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    w_cum = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = g.select(
+        "score",
+        F.sum("cnt").over(w_cum).alias("k"),
+        F.sum("pos").over(w_cum).alias("tp"),
+        F.sum("pos").over(w_all).alias("p_tot"),
+    )
+    return cum.select(
+        F.col("score").alias("threshold_score"),
+        F.col("k").cast("bigint").alias("n_predicted_pos"),
+        F.col("tp").cast("bigint").alias("n_true_pos"),
+        F.expr(f"CAST(({AUC_PPM} * tp) div k AS BIGINT)").alias(
+            "precision_ppm"
+        ),
+        F.expr(f"CAST(({AUC_PPM} * tp) div p_tot AS BIGINT)").alias(
+            "recall_ppm"
+        ),
+        F.expr(f"CAST((2 * {AUC_PPM} * tp) div (k + p_tot) AS BIGINT)").alias(
+            "f1_ppm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@10 with constant integer micro-discounts
+# ---------------------------------------------------------------------------
+
+NDCG_K = 10
+# floor(1e9 / log2(rank+1)) for rank 1..10 — compile-time constants, so the
+# irrational log2 discounts are engine-identical integers by construction.
+NDCG_DISC = [
+    1000000000, 630929753, 500000000, 430676558, 386852807,
+    356207187, 333333333, 315464876, 301029995, 289064826,
+]
+
+
+def _ndcg_disc_sql() -> str:
+    return "[" + ", ".join(str(d) for d in NDCG_DISC) + "]"
+
+
+@register(
+    "ml_eval_ndcg_at_10",
+    oracle=f"""
+WITH m AS (
+  SELECT lang, doc_id, n_chars AS score,
+         CAST(doc_id % 4 AS BIGINT) AS gain
+  FROM documents
+),
+ranked AS (
+  SELECT lang, gain,
+    ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY score DESC, doc_id) AS rnk
+  FROM m
+),
+ideal AS (
+  SELECT lang, gain,
+    ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY gain DESC, doc_id) AS rnk
+  FROM m
+),
+dcg AS (
+  SELECT lang,
+    CAST(SUM(gain * ({_ndcg_disc_sql()})[CAST(rnk AS INT)]) AS BIGINT)
+      AS dcg_micro
+  FROM ranked WHERE rnk <= {NDCG_K} GROUP BY lang
+),
+idcg AS (
+  SELECT lang,
+    CAST(SUM(gain * ({_ndcg_disc_sql()})[CAST(rnk AS INT)]) AS BIGINT)
+      AS idcg_micro
+  FROM ideal WHERE rnk <= {NDCG_K} GROUP BY lang
+)
+SELECT d.lang, d.dcg_micro, i.idcg_micro,
+  CAST((1000000 * d.dcg_micro) // i.idcg_micro AS BIGINT) AS ndcg_ppm
+FROM dcg d JOIN idcg i ON d.lang = i.lang
+""",
+    doc=f"NDCG@{NDCG_K} per query group (lang as the query key, n_chars "
+    "as the ranker, doc_id%4 as graded relevance): the irrational "
+    "1/log2(rank+1) discounts are COMPILE-TIME integer micro-constants "
+    "(floor(1e9/log2(r+1)) baked into both engines' expressions), so "
+    "DCG, ideal DCG, and the ppm ratio are pure BIGINT arithmetic — "
+    "the standard ranking metric with a full value oracle. Plan: two "
+    "WindowGroupLimit-prunable per-group top-{NDCG_K} windows (actual "
+    "ranking and ideal ordering) + grouped sums + an O(groups) join; "
+    "at 100 TB with millions of query groups both windows prune to "
+    "{NDCG_K} rows per group BEFORE their exchanges.",
+)
+def ml_eval_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "lang",
+        "doc_id",
+        F.col("n_chars").alias("score"),
+        (F.col("doc_id") % 4).cast("bigint").alias("gain"),
+    )
+    disc = F.array(*[F.lit(d) for d in NDCG_DISC])
+    ranked = m.select(
+        "lang",
+        "gain",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= NDCG_K)
+    ideal = m.select(
+        "lang",
+        "gain",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(F.desc("gain"), F.asc("doc_id"))
+        )
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= NDCG_K)
+
+    def dcg_of(df: DataFrame, out: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.sum(
+                F.col("gain") * F.element_at(disc, F.col("rnk").cast("int"))
+            )
+            .cast("bigint")
+            .alias(out)
+        )
+
+    d = dcg_of(ranked, "dcg_micro")
+    i = dcg_of(ideal, "idcg_micro")
+    return d.join(i, "lang").select(
+        "lang",
+        "dcg_micro",
+        "idcg_micro",
+        F.expr("CAST((1000000 * dcg_micro) div idcg_micro AS BIGINT)").alias(
+            "ndcg_ppm"
+        ),
+    )

@@ -374,3 +374,56 @@ def test_tree_depth2_carves_interval_exactly(spark, tmp_path):
     assert got["R"].pos_node == got["R"].pos_left  # nothing positive right
     assert got["R"].gini_cost_scaled == 0
     assert got["L"].gini_cost_scaled == 0  # pure side: any split costs 0
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_pr_curve_perfect_ranker(spark, tmp_path):
+    """All positives score above all negatives: precision stays 1.0
+    through the positive block, recall reaches 1.0 exactly there, and
+    the best F1 point is (1.0, 1.0)."""
+    from hbase_hadoop_flightsearch_spark.operators.evaluation import (
+        ml_eval_pr_curve_exact,
+    )
+
+    rows = [(i, "t", "en", "s", 100 + i) for i in range(3)]  # pos: 100-102
+    rows += [(10 + i, "t", "de", "s", 10 + i) for i in range(3)]  # neg
+    _write_docs(spark, tmp_path, rows)
+    pts = {
+        r.threshold_score: r
+        for r in ml_eval_pr_curve_exact(spark, str(tmp_path)).collect()
+    }
+    assert pts[100].precision_ppm == 1_000_000
+    assert pts[100].recall_ppm == 1_000_000
+    assert pts[100].f1_ppm == 1_000_000
+    assert pts[102].recall_ppm == 333_333  # 1 of 3 positives
+    assert pts[10].precision_ppm == 500_000  # all 6 predicted positive
+
+
+def test_ndcg_ideal_vs_inverted_order(spark, tmp_path):
+    """A group whose ranker order equals the ideal gain order must score
+    ndcg_ppm == 1e6 exactly; a group ranked worst-first must score
+    strictly less."""
+    from hbase_hadoop_flightsearch_spark.operators.evaluation import (
+        ml_eval_ndcg_at_10,
+    )
+
+    rows = []
+    # lang 'aa': score order == gain order (gain = doc_id % 4)
+    # doc_ids 3,2,1,0 -> gains 3,2,1,0; give scores 40,30,20,10
+    for doc_id, score in [(3, 40), (2, 30), (1, 20), (0, 10)]:
+        rows.append((doc_id, "t", "aa", "s", score))
+    # lang 'bb': scores inverted vs gains
+    for doc_id, score in [(7, 10), (6, 20), (5, 30), (4, 40)]:
+        rows.append((doc_id, "t", "bb", "s", score))
+    _write_docs(spark, tmp_path, rows)
+    got = {r.lang: r for r in ml_eval_ndcg_at_10(spark, str(tmp_path)).collect()}
+    assert got["aa"].ndcg_ppm == 1_000_000
+    assert got["aa"].dcg_micro == got["aa"].idcg_micro
+    assert got["bb"].ndcg_ppm < 1_000_000
