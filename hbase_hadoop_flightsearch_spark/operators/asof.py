@@ -280,3 +280,135 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fresh, staleness).alias("staleness_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# NEAREST as-of join: closest match in either direction, ties backward
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_nearest_purchase",
+    oracle="""
+WITH p AS (
+  SELECT user_id, event_id, ts
+  FROM (
+    SELECT user_id, event_id, ts,
+      ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                         ORDER BY event_id ASC) AS rn
+    FROM events WHERE event_type = 'purchase'
+  ) WHERE rn = 1
+),
+e AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type <> 'purchase'
+),
+b AS (
+  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+         pb.event_id AS b_id, epoch_us(pb.ts) AS b_ts
+  FROM e ASOF LEFT JOIN p pb
+    ON e.user_id = pb.user_id AND e.ts >= pb.ts
+),
+f AS (
+  SELECT e.event_id, pf.event_id AS f_id, epoch_us(pf.ts) AS f_ts
+  FROM e ASOF LEFT JOIN p pf
+    ON e.user_id = pf.user_id AND e.ts < pf.ts
+)
+SELECT b.event_id, b.user_id, b.ts_us,
+  CASE
+    WHEN b.b_id IS NULL THEN f.f_id
+    WHEN f.f_id IS NULL THEN b.b_id
+    WHEN b.ts_us - b.b_ts <= f.f_ts - b.ts_us THEN b.b_id
+    ELSE f.f_id END AS nearest_purchase_id,
+  CASE
+    WHEN b.b_id IS NULL THEN f.f_ts - b.ts_us
+    WHEN f.f_id IS NULL THEN b.b_ts - b.ts_us
+    WHEN b.ts_us - b.b_ts <= f.f_ts - b.ts_us THEN b.b_ts - b.ts_us
+    ELSE f.f_ts - b.ts_us END AS signed_us_to_purchase
+FROM b JOIN f ON b.event_id = f.event_id
+""",
+    doc="NEAREST as-of join (the third direction after backward and "
+    "forward): each non-purchase event matched to the user's closest "
+    "purchase in EITHER direction — |delta| minimized, exact ties "
+    "resolved backward (the pandas merge_asof direction='nearest' "
+    "contract). Spark computes BOTH candidates from ONE tagged union "
+    "sharing ONE (user, ts) Exchange+Sort — a backward "
+    "last(ignorenulls) frame and a forward first(ignorenulls) frame "
+    "over the same sorted window, then a pure CASE pick — so nearest "
+    "costs the same single shuffle as one-directional as-of at any "
+    "scale. Same-instant purchases match backward (<=) not forward "
+    "(<), same-ts purchase duplicates dedup to MIN event_id on both "
+    "engines. Oracle: two native DuckDB ASOF JOINs + the same CASE.",
+)
+def asof_join_nearest_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts_us").orderBy("event_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    left = events.filter(F.col("event_type") != "purchase")
+    tagged = left.select(
+        "user_id", "ts_us", F.lit(1).alias("is_left"), "event_id",
+        F.lit(None).cast("long").alias("p_id"),
+        F.lit(None).cast("long").alias("p_ts"),
+    ).unionByName(
+        purchases.select(
+            "user_id", "ts_us", F.lit(0).alias("is_left"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("event_id").alias("p_id"),
+            F.col("ts_us").alias("p_ts"),
+        )
+    )
+    order = ["ts_us", "is_left", "p_id"]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    both = (
+        tagged.select(
+            "user_id", "ts_us", "is_left", "event_id",
+            F.last("p_id", ignorenulls=True).over(w_back).alias("b_id"),
+            F.last("p_ts", ignorenulls=True).over(w_back).alias("b_ts"),
+            F.first("p_id", ignorenulls=True).over(w_fwd).alias("f_id"),
+            F.first("p_ts", ignorenulls=True).over(w_fwd).alias("f_ts"),
+        )
+        .filter(F.col("is_left") == 1)
+    )
+    back_wins = (
+        F.col("f_id").isNull()
+        | (
+            F.col("b_id").isNotNull()
+            & (
+                (F.col("ts_us") - F.col("b_ts"))
+                <= (F.col("f_ts") - F.col("ts_us"))
+            )
+        )
+    )
+    return both.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.when(back_wins, F.col("b_id"))
+        .otherwise(F.col("f_id"))
+        .alias("nearest_purchase_id"),
+        F.when(back_wins, F.col("b_ts") - F.col("ts_us"))
+        .otherwise(F.col("f_ts") - F.col("ts_us"))
+        .alias("signed_us_to_purchase"),
+    )
