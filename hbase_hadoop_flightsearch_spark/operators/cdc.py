@@ -209,3 +209,97 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return merge_cdc(orders, synthetic_change_feed(orders))
+
+
+# ---------------------------------------------------------------------------
+# SCD2-producing CDC apply: the HISTORY-keeping merge (vs merge_cdc's
+# latest-state collapse) — every change in the feed becomes a validity
+# version, deletes close without replacement.
+# ---------------------------------------------------------------------------
+
+_SCD2_APPLY_ORACLE = f"""
+WITH changes AS (
+  SELECT o_orderkey, 'U' AS op, o_totalprice + 100 AS new_price,
+         o_orderstatus AS new_status, 1 AS seq
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, 'U', o_totalprice + 200, o_orderstatus, 2
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, 'D', NULL, NULL, 1
+  FROM orders WHERE o_orderkey % 10 = 1
+  UNION ALL
+  SELECT o_orderkey + {_INSERT_KEY_SHIFT}, 'I', o_totalprice,
+         o_orderstatus, 1
+  FROM orders WHERE o_orderkey % 10 = 2
+),
+versions AS (
+  SELECT o_orderkey, 'B' AS op,
+         o_totalprice AS price, o_orderstatus AS status,
+         0 AS from_seq
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, op, new_price, new_status, seq FROM changes
+),
+closed AS (
+  SELECT o_orderkey, op, price, status, from_seq,
+    LEAD(from_seq) OVER (PARTITION BY o_orderkey
+                         ORDER BY from_seq) AS to_seq
+  FROM versions
+)
+SELECT o_orderkey,
+  ROUND(price, 2) AS price,
+  status,
+  CAST(from_seq AS INT) AS valid_from_seq,
+  CAST(to_seq AS INT) AS valid_to_seq,
+  to_seq IS NULL AS is_current
+FROM closed WHERE op <> 'D'
+"""
+
+
+@register(
+    "cdc_scd2_apply",
+    oracle=_SCD2_APPLY_ORACLE,
+    doc="SCD Type-2 CDC apply — the HISTORY-keeping counterpart of "
+    "cdc_merge_orders' latest-state collapse: every feed change opens a "
+    "new validity version of its key, the LEAD over (key, seq) closes "
+    "the previous one, and a delete closes without replacement (the D "
+    "row participates in the LEAD ordering but emits no version). The "
+    "whole dimension history materializes in ONE union + ONE window "
+    "pass — no iteration over changes, so a key with k changes costs "
+    "O(k log k) inside its partition and the plan is a single "
+    "Exchange(key); at 100 TB this is the standard way a lakehouse "
+    "builds an SCD2 dimension from a CDC stream in batch. Versions: "
+    "base rows open at seq 0, double-updated keys carry three versions "
+    "([0,1),[1,2),[2,inf)), deleted keys close at 1 with no current "
+    "row, inserts open at their feed seq.",
+)
+def cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    feed = synthetic_change_feed(orders)
+    base = orders.select(
+        "o_orderkey",
+        F.lit("B").alias("op"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(0).alias("from_seq"),
+    )
+    versions = base.unionByName(
+        feed.select(
+            "o_orderkey",
+            "op",
+            F.col("new_price").alias("price"),
+            F.col("new_status").alias("status"),
+            F.col("seq").alias("from_seq"),
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy("from_seq")
+    closed = versions.withColumn("to_seq", F.lead("from_seq").over(w))
+    return closed.filter(F.col("op") != "D").select(
+        "o_orderkey",
+        F.round("price", 2).alias("price"),
+        "status",
+        F.col("from_seq").cast("int").alias("valid_from_seq"),
+        F.col("to_seq").cast("int").alias("valid_to_seq"),
+        F.col("to_seq").isNull().alias("is_current"),
+    )

@@ -87,3 +87,43 @@ def test_merge_is_idempotent_on_empty_feed(spark, sf_smoke):
     merged = merge_cdc(orders, empty)
     assert merged.count() == orders.count()
     assert merged.filter(F.col("o_orderstatus").isNull()).count() == 0
+
+
+def test_scd2_apply_version_chains(spark, sf_smoke):
+    """Version-chain invariants over the synthetic feed: double-updated
+    keys carry exactly [0,1),[1,2),[2,None) with prices +0/+100/+200;
+    deleted keys end closed with NO current row; inserted keys open at
+    their feed seq; untouched keys are a single open version; and every
+    key's versions tile seamlessly (each to_seq equals the next
+    from_seq)."""
+    from collections import defaultdict
+
+    from hbase_hadoop_flightsearch_spark.operators.cdc import (
+        _INSERT_KEY_SHIFT,
+        cdc_scd2_apply,
+    )
+
+    rows = cdc_scd2_apply(spark, sf_smoke).collect()
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[r.o_orderkey].append(r)
+    for key, vs in by_key.items():
+        vs.sort(key=lambda r: r.valid_from_seq)
+        mod = key % 10
+        if key >= _INSERT_KEY_SHIFT:
+            assert len(vs) == 1 and vs[0].valid_from_seq == 1
+            assert vs[0].is_current
+        elif mod == 0:
+            assert [v.valid_from_seq for v in vs] == [0, 1, 2]
+            assert [v.valid_to_seq for v in vs] == [1, 2, None]
+            assert abs((vs[1].price - vs[0].price) - 100) < 1e-9
+            assert abs((vs[2].price - vs[0].price) - 200) < 1e-9
+            assert [v.is_current for v in vs] == [False, False, True]
+        elif mod == 1:
+            assert len(vs) == 1
+            assert vs[0].valid_to_seq == 1 and not vs[0].is_current
+        else:
+            assert len(vs) == 1 and vs[0].valid_to_seq is None
+        # seamless tiling for every chain
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to_seq == b.valid_from_seq
