@@ -683,3 +683,64 @@ def test_avi_roundtrip_arbitrary_frame_content(data, doc_id):
         for y, row in enumerate(fr):
             for x, px in enumerate(row):
                 assert px == table[(doc_id, f, x, y)]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 40), st.booleans()),
+        min_size=3,
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_stump_scaled_cost_argmin_near_true_optimum(pts):
+    """The per-mille-floored Gini cost (ml_decision_stump_gini's device)
+    may reorder splits whose true rational costs differ by < 1/SCALE —
+    but the CHOSEN split's true cost must then be within 2/SCALE of the
+    true optimum (floors move each cost < 1 unit). Pure-python replay
+    of the registered arithmetic against exact fractions."""
+    from fractions import Fraction
+
+    from hbase_hadoop_flightsearch_spark.operators.clustering import (
+        STUMP_COST_SCALE,
+    )
+
+    xs = sorted({x for x, _ in pts})
+    if len(xs) < 2:
+        return
+    n = len(pts)
+    pos_tot = sum(1 for _, y in pts if y)
+    best_scaled, best_scaled_true = None, None
+    best_true = None
+    for t in xs[:-1]:
+        nl = sum(1 for x, _ in pts if x <= t)
+        pl = sum(1 for x, y in pts if x <= t and y)
+        nr, pr = n - nl, pos_tot - pl
+        true_cost = Fraction(pl * (nl - pl), nl) + Fraction(pr * (nr - pr), nr)
+        scaled = (
+            STUMP_COST_SCALE
+            * 2
+            * (pl * (nl - pl) * nr + pr * (nr - pr) * nl)
+        ) // (nl * nr * n)
+        if best_scaled is None or scaled < best_scaled:
+            best_scaled, best_scaled_true = scaled, true_cost
+        if best_true is None or true_cost < best_true:
+            best_true = true_cost
+    # normalize as the scaled formula does: weighted cost * 2 / n
+    gap = Fraction(2, n) * (best_scaled_true - best_true)
+    assert gap <= Fraction(2, STUMP_COST_SCALE), (gap, pts)
+
+
+@given(st.integers(-10**15, 10**15), st.integers(1, 10**6))
+@settings(max_examples=300, deadline=None)
+def test_hw_tdiv_is_engine_truncating_division(a, b):
+    """_hw_tdiv must equal BOTH engines' integral division on signed
+    operands — i.e., truncation toward zero (Spark `div`, DuckDB
+    integer `//`), which is math.trunc of the exact quotient, NOT
+    Python's floor //."""
+    import math
+    from fractions import Fraction
+
+    from hbase_hadoop_flightsearch_spark.operators.timeseries import _hw_tdiv
+
+    assert _hw_tdiv(a, b) == math.trunc(Fraction(a, b))
