@@ -81,3 +81,55 @@ def test_decontaminate_broadcasts_eval_side(spark):
     # through a join exchange.
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_decon_catches_all_exact_crossing_pairs(spark, sf_correctness):
+    """Banding recall on the fixture: every exact >=0.5-Jaccard pair
+    that crosses the eval split must be caught (measured 15/15 and 7/7
+    at the two small SFs — the 8x2 banding's 0.90 floor is a LOWER
+    bound; this pins the fixture behavior), and nothing below the
+    threshold may appear (precision 1.0 by construction)."""
+    from hbase_hadoop_flightsearch_spark.functions.decontam import (
+        text_decontaminate_fuzzy,
+    )
+    from hbase_hadoop_flightsearch_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+    )
+
+    exact = dedup_ngram_jaccard(spark, sf_correctness).collect()
+    want = {
+        tuple(sorted((r.d1, r.d2)))
+        for r in exact
+        if (r.d1 % 7 == 5) != (r.d2 % 7 == 5)
+    }
+    got_rows = text_decontaminate_fuzzy(spark, sf_correctness).collect()
+    got = {tuple(sorted((r.corpus_doc, r.eval_doc))) for r in got_rows}
+    assert want <= got, want - got
+    assert got <= want, got - want  # nothing under the pair threshold
+    for r in got_rows:
+        assert r.jaccard_micro >= 500_000
+
+
+def test_fuzzy_decon_flags_planted_contamination(spark, tmp_path):
+    """A corpus doc sharing its exact text with an eval doc must be
+    flagged at jaccard 1.0; an unrelated doc must not be flagged."""
+    from hbase_hadoop_flightsearch_spark.functions.decontam import (
+        text_decontaminate_fuzzy,
+    )
+
+    leaked = "the quick brown fox jumps over the lazy dog again and again"
+    clean = "completely different words about spark catalyst planning"
+    rows = [
+        (5, leaked, "en", "eval", len(leaked)),     # eval (5 % 7 == 5)
+        (14, leaked, "en", "web", len(leaked)),     # contaminated corpus
+        (15, clean, "en", "web", len(clean)),       # clean corpus
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = text_decontaminate_fuzzy(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert got[0].corpus_doc == 14 and got[0].eval_doc == 5
+    assert got[0].jaccard_micro == 1_000_000
