@@ -760,3 +760,55 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_pico"), F.asc("token"))
         .limit(TR_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Butterfly count: 4-cycles in the bipartite order-part graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_butterfly_count",
+    oracle=f"""
+WITH {_ITEMS_DUCK},
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM it a JOIN it b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT
+  CAST(SUM(support * (support - 1) // 2) AS BIGINT) AS n_butterflies,
+  CAST(COUNT(*) AS BIGINT) AS n_copurchase_pairs,
+  CAST(SUM(CASE WHEN support >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_wedged_pairs,
+  CAST(MAX(support) AS BIGINT) AS max_pair_support
+FROM pairs
+""",
+    doc="Butterfly (bipartite 4-cycle) count over the order-part graph — "
+    "the bipartite analog of the triangle count and the density "
+    "statistic behind bipartite community detection (Sanei-Mehri et "
+    "al. 2018): a butterfly is two orders sharing two parts, so "
+    "n_butterflies = sum over co-purchased part pairs of C(support, 2) "
+    "where support = co-occurrence count. Rides ENTIRELY on the "
+    "existing capped-basket pair aggregation — one extra arithmetic "
+    "reduce over the pair table, no new shuffle beyond the pair "
+    "groupBy; the BASKET_CAP bound keeps the per-order pair expansion "
+    "O(cap^2) at any corpus scale (same skew armor as the "
+    "co-purchase/triangle family). Side stats (pair count, wedged "
+    "pairs, max support) make the one-number result auditable.",
+)
+def graph_butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = copurchase_pairs(load_table(spark, sf_dir, "lineitem"))
+    sup = F.col("pair_count")
+    return pairs.agg(
+        F.sum(F.expr("pair_count * (pair_count - 1) div 2"))
+        .cast("bigint")
+        .alias("n_butterflies"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copurchase_pairs"),
+        F.sum(F.when(sup >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_wedged_pairs"),
+        F.max(sup).cast("bigint").alias("max_pair_support"),
+    )

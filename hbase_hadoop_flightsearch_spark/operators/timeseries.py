@@ -3706,3 +3706,98 @@ def ts_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return daily.groupBy("event_type").applyInPandas(hw_series, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (median of pairwise slopes; Sen 1968)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_theil_sen_trend",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+    CAST(COUNT(*) AS BIGINT) AS y,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY CAST(ts AS DATE)) AS rn
+  FROM events GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.event_type,
+    CAST((1000000 * (b.y - a.y)) // (b.rn - a.rn) AS BIGINT)
+      AS slope_micro,
+    a.rn AS i, b.rn AS j
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.rn < b.rn
+),
+med AS (
+  SELECT event_type, slope_micro,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY slope_micro, i, j) AS r,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM slopes
+)
+SELECT event_type,
+  CAST(n AS BIGINT) AS n_slopes,
+  CAST(slope_micro AS BIGINT) AS theil_sen_slope_micro
+FROM med WHERE r = (n + 1) // 2
+""",
+    doc="Theil-Sen robust trend estimator (Sen 1968) per event-type "
+    "series: the LOW-median of all C(n,2) pairwise slopes, immune to "
+    "~29% outlier contamination where OLS (the rolling-regression "
+    "seat) is immune to none. Slopes are integer micro-units via "
+    "truncating division (identical in both engines, negative "
+    "numerators included), the median is a deterministic "
+    "rank-selection with (slope, i, j) tiebreak — fully value-exact. "
+    "The O(w^2) pair join is PER SERIES over the bounded daily "
+    "aggregate (w=30 here; a production rollout windows w), so at "
+    "100 TB the quadratic term is per-key constant while series "
+    "parallelize — the same honest-quadratic posture as the "
+    "fixed-frame audits, never corpus-quadratic.",
+)
+def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("d")
+            ),
+        )
+    )
+    a = daily.select(
+        "event_type", F.col("y").alias("ya"), F.col("rn").alias("i")
+    )
+    b = daily.select(
+        "event_type", F.col("y").alias("yb"), F.col("rn").alias("j")
+    )
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("i") < F.col("j"))
+        .select(
+            "event_type",
+            F.expr("CAST((1000000 * (yb - ya)) div (j - i) AS BIGINT)").alias(
+                "slope_micro"
+            ),
+            "i",
+            "j",
+        )
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("slope_micro", "i", "j")
+    w_all = Window.partitionBy("event_type")
+    med = slopes.select(
+        "event_type",
+        "slope_micro",
+        F.row_number().over(w_rank).alias("r"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    return med.filter(
+        F.col("r") == F.expr("(n + 1) div 2")
+    ).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_slopes"),
+        F.col("slope_micro").cast("bigint").alias("theil_sen_slope_micro"),
+    )

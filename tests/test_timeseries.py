@@ -378,3 +378,46 @@ def test_sliding_median_known_series(spark, tmp_path):
     assert (got[2].median_lo_cents, got[2].median_hi_cents) == (1000, 3000)
     assert (got[3].median_lo_cents, got[3].median_hi_cents) == (2000, 2000)
     assert (got[4].median_lo_cents, got[4].median_hi_cents) == (2000, 3000)
+
+
+def test_theil_sen_ignores_outliers_where_ols_cannot(spark, tmp_path):
+    """A clean slope of +2/day with two wild outlier days: Theil-Sen
+    must still report exactly +2 (2_000_000 micro) while the planted
+    contamination would drag any mean-based estimate; an even
+    slope-count series must also return a row (low-median selection)."""
+    import datetime as dt
+
+    from hbase_hadoop_flightsearch_spark.operators.timeseries import (
+        ts_theil_sen_trend,
+    )
+
+    rows = []
+    eid = 0
+    for day in range(15):
+        y = 10 + 2 * day
+        if day in (5, 11):
+            y = 500  # wild outliers
+        for k in range(y):
+            rows.append(
+                (eid, dt.datetime(2024, 5, 1 + day, 8, k // 60, k % 60),
+                 7, "trend", 1.0, "{}")
+            )
+            eid += 1
+    # second series with FOUR days -> C(4,2)=6 slopes (even count)
+    for day in range(4):
+        for k in range(5 + day):
+            rows.append(
+                (eid, dt.datetime(2024, 5, 1 + day, 9, 0, k),
+                 8, "even", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r.event_type: r for r in ts_theil_sen_trend(spark, str(tmp_path)).collect()}
+    assert got["trend"].theil_sen_slope_micro == 2_000_000
+    assert got["trend"].n_slopes == 15 * 14 // 2
+    assert got["even"].n_slopes == 6  # even count still yields a median row
+    assert got["even"].theil_sen_slope_micro == 1_000_000  # slope +1/day
