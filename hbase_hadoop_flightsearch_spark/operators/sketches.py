@@ -37,7 +37,28 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bucket(r: int, token_col: str = "token"):
-    return F.pmod(F.xxhash64(F.lit(r), F.col(token_col)), F.lit(CMS_WIDTH))
+    """Deterministic md5-substream bucket for hash row ``r``.
+
+    md5 (not xxhash64) on purpose: both engines expose the identical
+    digest, so the DuckDB oracle can replay the ENTIRE counter grid and
+    the estimates become value-checked columns rather than invariant
+    flags (VERDICT r7 #7 pattern, same idiom as sketch_misra_gries)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"{r}:"), F.col(token_col)).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % CMS_WIDTH
+    )
 
 
 def countmin_sketch(tokens: DataFrame) -> DataFrame:
@@ -93,42 +114,59 @@ def countmin_estimates(tokens: DataFrame) -> DataFrame:
     oracle=f"""
 WITH toks AS (
   SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+tok AS (SELECT token FROM toks WHERE token <> ''),
+hrows AS (SELECT unnest(range({CMS_DEPTH})) AS r),
+cells AS (
+  SELECT r,
+         ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || token), 1, 8))
+           ::BIGINT % {CMS_WIDTH} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tok CROSS JOIN hrows
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM tok GROUP BY token
+),
+probes AS (
+  SELECT e.token, h.r,
+         ('0x' || substring(md5(CAST(h.r AS VARCHAR) || ':' || e.token),
+                            1, 8))::BIGINT % {CMS_WIDTH} AS bucket
+  FROM exact e CROSS JOIN hrows h
+),
+est AS (
+  SELECT p.token, MIN(c.cnt) AS est_count
+  FROM probes p JOIN cells c USING (r, bucket)
+  GROUP BY p.token
 )
-SELECT token, COUNT(*) AS exact_count, TRUE AS never_undercounts
-FROM toks WHERE token <> ''
-GROUP BY token
-ORDER BY exact_count DESC, token
+SELECT e.token, e.exact_count, est.est_count
+FROM exact e JOIN est USING (token)
+ORDER BY e.exact_count DESC, e.token
 LIMIT {TOPK}
 """,
-    doc="Count-min heavy hitters (E4): d x w counter grid in one pass "
-    "(O(d*w) shuffle regardless of corpus size), min-over-rows point "
-    "estimates. Bound-flag oracle: the estimate values are "
-    "xxhash64-layout-defined, so the query scores the exact top-10 "
-    "tokens against the sketch and emits the CM hard invariant "
-    "(est >= exact — collisions only ADD) as a boolean the oracle "
-    "expects TRUE; exact counts and top-10 selection are value-checked "
-    "against DuckDB directly.",
+    doc="Count-min heavy hitters (E4), FULL value oracle (VERDICT r7 "
+    "#7): d x w counter grid in one pass (O(d*w) shuffle regardless of "
+    "corpus size), min-over-rows point estimates. Buckets are "
+    "deterministic md5('r:'||token) substreams, so DuckDB replays the "
+    "ENTIRE grid and the CM estimate itself is a value-checked column — "
+    "no invariant flag left. The est >= exact hard bound and the "
+    "skew-survival guarantee stay asserted in tests/test_sketches.py.",
 )
 def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-K heavy hitters (deterministic: count desc, token asc),
-    each scored against the count-min grid; never_undercounts is the CM
-    hard invariant, hash-checked by the oracle."""
+    each scored against the count-min grid; est_count is the grid's
+    min-over-rows readout, value-hashed against the oracle's replay."""
     tokens = _tokens(spark, sf_dir)
     exact = tokens.groupBy("token").agg(
-        F.count(F.lit(1)).alias("exact_count")
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
     )
     est = countmin_estimates(tokens)
     return (
         exact.join(est, "token")
         .orderBy(F.desc("exact_count"), "token")
         .limit(TOPK)
-        .select(
-            "token",
-            "exact_count",
-            (F.col("est_count") >= F.col("exact_count")).alias(
-                "never_undercounts"
-            ),
-        )
+        .select("token", "exact_count", "est_count")
     )
 
 

@@ -63,12 +63,12 @@ def test_countmin_registry_output_shape(spark):
     df = load_all()["sketch_countmin_topk"].fn(spark, SF)
     rows = df.collect()
     assert 0 < len(rows) <= 10
-    assert df.columns == ["token", "exact_count", "never_undercounts"]
+    assert df.columns == ["token", "exact_count", "est_count"]
     # Descending by exact count, ties by token — deterministic output —
     # and the CM hard invariant holds for every heavy hitter.
     counts = [r["exact_count"] for r in rows]
     assert counts == sorted(counts, reverse=True)
-    assert all(r["never_undercounts"] for r in rows)
+    assert all(r["est_count"] >= r["exact_count"] for r in rows)
 
 
 def _digest_rank_errors(spark, df, col, n_parts: int):
