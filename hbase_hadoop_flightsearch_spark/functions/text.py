@@ -2217,3 +2217,191 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mean_nll_micro").cast("bigint").alias("min_nll_micro"),
         F.max("mean_nll_micro").cast("bigint").alias("max_nll_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style line/page cleaning (Raffel et al. 2020, §2.2) — the canonical
+# public web-corpus filter set, completing the published-method family
+# (Gopher repetition, CC-Net perplexity buckets, DSIR, SemDeDup,
+# ExactSubstr). The synthetic corpus is punctuation-free word soup, so —
+# exactly as the multimodal family synthesizes payloads — the corpus
+# STRUCTURE (lines, terminators, policy trigger strings) is synthesized
+# deterministically from (doc_id, words) identically in both engines; the
+# registered filter then does real regex-free line/page work on it.
+
+C4_WORDS_PER_LINE_BASE = 5  # line length cycles 5..7 words by doc_id
+C4_MIN_WORDS_PER_LINE = 5  # C4: "lines that contained at least 5 words"
+C4_MIN_KEPT_LINES = 3  # C4: "pages with fewer than 3 sentences" dropped
+
+
+def _c4_lines() -> Column:
+    """Deterministic line synthesis: words chunked into k-word lines
+    (k = 5 + doc_id % 3); line i ends in '.' unless (doc_id + i) % 4 == 0;
+    policy strings injected on fixed doc_id residues — 'lorem ipsum'
+    (page kill), '{' (page kill), 'javascript' (line kill)."""
+    did = F.col("doc_id")
+    k = F.col("k")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.col("nl"), F.lit(1)) - 1),
+        lambda i: F.concat(
+            F.concat_ws(" ", F.slice(F.col("words"), i * k + 1, k)),
+            F.when((did % 97 == 0) & (i == 0), F.lit(" lorem ipsum"))
+            .when((did % 89 == 0) & (i == 0), F.lit(" {"))
+            .when((did % 83 == 0) & (i == 1), F.lit(" javascript"))
+            .otherwise(F.lit("")),
+            F.when((did + i) % 4 != 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+
+
+_C4_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), w -> w <> '') AS words,
+         CAST({C4_WORDS_PER_LINE_BASE} + doc_id % 3 AS BIGINT) AS k
+  FROM documents
+),
+l AS (
+  SELECT doc_id, source,
+    list_transform(
+      range(0, GREATEST((len(words) + k - 1) // k, 1)),
+      i -> array_to_string(words[i*k+1:(i+1)*k], ' ')
+           || CASE WHEN doc_id % 97 = 0 AND i = 0 THEN ' lorem ipsum'
+                   WHEN doc_id % 89 = 0 AND i = 0 THEN ' {{'
+                   WHEN doc_id % 83 = 0 AND i = 1 THEN ' javascript'
+                   ELSE '' END
+           || CASE WHEN (doc_id + i) % 4 <> 0 THEN '.' ELSE '' END
+    ) AS lines
+  FROM d
+),
+f AS (
+  SELECT doc_id, source,
+    list_filter(lines, ln ->
+      ln LIKE '%.' AND len(string_split(ln, ' ')) >= {C4_MIN_WORDS_PER_LINE}
+      AND NOT contains(ln, 'javascript')) AS kept,
+    len(list_filter(lines, ln -> contains(ln, 'lorem ipsum'))) > 0
+      AS has_lorem,
+    len(list_filter(lines, ln -> contains(ln, '{{'))) > 0 AS has_brace
+  FROM l
+),
+s AS (
+  SELECT source,
+    CASE WHEN has_lorem THEN 'lorem' WHEN has_brace THEN 'brace'
+         WHEN len(kept) < {C4_MIN_KEPT_LINES} THEN 'short'
+         ELSE 'kept' END AS status,
+    CAST(len(kept) AS BIGINT) AS n_kept,
+    CASE WHEN NOT has_lorem AND NOT has_brace
+              AND len(kept) >= {C4_MIN_KEPT_LINES}
+         THEN CAST(list_sum(list_transform(
+                kept, ln -> len(string_split(ln, ' ')))) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS wk
+  FROM f
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS docs_total,
+  CAST(SUM(CASE WHEN status = 'lorem' THEN 1 ELSE 0 END) AS BIGINT)
+    AS docs_drop_lorem,
+  CAST(SUM(CASE WHEN status = 'brace' THEN 1 ELSE 0 END) AS BIGINT)
+    AS docs_drop_brace,
+  CAST(SUM(CASE WHEN status = 'short' THEN 1 ELSE 0 END) AS BIGINT)
+    AS docs_drop_short,
+  CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+    AS docs_kept,
+  CAST(SUM(CASE WHEN status = 'kept' THEN n_kept ELSE 0 END) AS BIGINT)
+    AS lines_kept,
+  CAST(SUM(wk) AS BIGINT) AS words_kept
+FROM s GROUP BY source
+"""
+
+
+@register(
+    "text_c4_line_filters",
+    oracle=_C4_ORACLE,
+    doc="C4 cleaning heuristics (Raffel et al. 2020 §2.2) over a "
+    "deterministically line-structured corpus: keep lines ending in a "
+    "terminal punctuation mark with >= 5 words, kill lines mentioning "
+    "javascript, kill pages containing 'lorem ipsum' or '{', kill pages "
+    "with < 3 surviving sentences; per-source retention accounting. "
+    "FULL value oracle — the line synthesis and every filter are "
+    "replayed by DuckDB list expressions. Scale shape: pure per-row "
+    "array work fused into the scan (zero joins), one O(sources) "
+    "aggregate — I/O-bound at 100 TB like the rest of E12.",
+)
+def text_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    d = (
+        docs.withColumn(
+            "words", F.filter(F.split("text", " "), lambda w: w != "")
+        )
+        .withColumn(
+            "k",
+            (F.lit(C4_WORDS_PER_LINE_BASE) + F.col("doc_id") % 3).cast(
+                "bigint"
+            ),
+        )
+        .withColumn("nl", F.expr("(size(words) + k - 1) div k"))
+        .withColumn("lines", _c4_lines())
+    )
+    f = d.select(
+        "doc_id",
+        "source",
+        F.filter(
+            F.col("lines"),
+            lambda ln: ln.endswith(".")
+            & (F.size(F.split(ln, " ")) >= C4_MIN_WORDS_PER_LINE)
+            & ~ln.contains("javascript"),
+        ).alias("kept"),
+        F.exists(
+            F.col("lines"), lambda ln: ln.contains("lorem ipsum")
+        ).alias("has_lorem"),
+        F.exists(F.col("lines"), lambda ln: ln.contains("{")).alias(
+            "has_brace"
+        ),
+    )
+    s = f.select(
+        "source",
+        F.when(F.col("has_lorem"), "lorem")
+        .when(F.col("has_brace"), "brace")
+        .when(F.size("kept") < C4_MIN_KEPT_LINES, "short")
+        .otherwise("kept")
+        .alias("status"),
+        F.size("kept").cast("bigint").alias("n_kept"),
+        F.when(
+            ~F.col("has_lorem")
+            & ~F.col("has_brace")
+            & (F.size("kept") >= C4_MIN_KEPT_LINES),
+            F.aggregate(
+                F.col("kept"),
+                F.lit(0).cast("bigint"),
+                lambda acc, ln: acc + F.size(F.split(ln, " ")),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("wk"),
+    )
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_total"),
+        F.sum((F.col("status") == "lorem").cast("int"))
+        .cast("bigint")
+        .alias("docs_drop_lorem"),
+        F.sum((F.col("status") == "brace").cast("int"))
+        .cast("bigint")
+        .alias("docs_drop_brace"),
+        F.sum((F.col("status") == "short").cast("int"))
+        .cast("bigint")
+        .alias("docs_drop_short"),
+        F.sum((F.col("status") == "kept").cast("int"))
+        .cast("bigint")
+        .alias("docs_kept"),
+        F.sum(
+            F.when(F.col("status") == "kept", F.col("n_kept")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("lines_kept"),
+        F.sum("wk").cast("bigint").alias("words_kept"),
+    )

@@ -1253,3 +1253,145 @@ def graph_clustering_coefficient(
         .cast("bigint")
         .alias("lcc_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1999) — the directed-centrality
+# complement to PageRank. On the purchase graph customers are pure hubs
+# (they only point) and suppliers pure authorities (they are only pointed
+# at), so the classic bipartite HITS interpretation applies directly:
+# authoritative suppliers are those bought from by customers who buy
+# broadly. Integer fixed point (micro-units, floor divisions) exactly as
+# graph_pagerank_suppliers, so the DuckDB oracle replays the whole
+# trajectory with unrolled CTEs and every value is hash-checked.
+
+HITS_SCALE = 10**6  # micro-units; raw sums stay < 2^63 / SCALE at the
+# shipped SFs (sum over <= |customers| hubs of <= SCALE each). At extreme
+# degree (10^7+ in-edges) renormalize pre-sum or widen to 128-bit.
+HITS_ITERS = 4
+
+
+def _purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed DISTINCT customer -> supplier purchase edges."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .distinct()
+    )
+
+
+def hits_int(pairs: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
+    """Integer fixed-point HITS on directed (cust, supp) edges.
+
+    Per round: auth_raw(s) = sum of hub over in-edges (one
+    Exchange(supp)); normalize a = (raw * SCALE) div max(raw); then the
+    mirrored hub update (one Exchange(cust)). max(raw) is a 1-row
+    broadcast, lineage truncated per round — the bounded-round driver
+    pattern shared with pagerank_int / Lloyd's."""
+    pairs = pairs.persist()
+    hubs = pairs.select("cust").distinct().select(
+        "cust", F.lit(HITS_SCALE).cast("bigint").alias("h")
+    )
+    auth = None
+    for _ in range(iters):
+        araw = (
+            pairs.join(hubs, "cust")
+            .groupBy("supp")
+            .agg(F.sum("h").cast("bigint").alias("raw"))
+        )
+        amax = araw.agg(F.max("raw").alias("mx"))
+        auth = (
+            araw.crossJoin(F.broadcast(amax))
+            .select(
+                "supp",
+                F.expr(f"(raw * {HITS_SCALE}) div mx")
+                .cast("bigint")
+                .alias("a"),
+            )
+            .localCheckpoint()
+        )
+        hraw = (
+            pairs.join(auth, "supp")
+            .groupBy("cust")
+            .agg(F.sum("a").cast("bigint").alias("raw"))
+        )
+        hmax = hraw.agg(F.max("raw").alias("mx"))
+        hubs = (
+            hraw.crossJoin(F.broadcast(hmax))
+            .select(
+                "cust",
+                F.expr(f"(raw * {HITS_SCALE}) div mx")
+                .cast("bigint")
+                .alias("h"),
+            )
+            .localCheckpoint()
+        )
+    pairs.unpersist()
+    return auth
+
+
+def _hits_oracle() -> str:
+    s = HITS_SCALE
+    sql = f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+h0 AS (
+  SELECT DISTINCT cust, CAST({s} AS BIGINT) AS h FROM pairs
+)"""
+    prev_h = "h0"
+    for i in range(1, HITS_ITERS + 1):
+        sql += f""",
+a{i}r AS (
+  SELECT supp, CAST(SUM(h) AS BIGINT) AS raw
+  FROM pairs JOIN {prev_h} USING (cust) GROUP BY supp
+),
+a{i}m AS (SELECT MAX(raw) AS mx FROM a{i}r),
+a{i} AS (
+  SELECT supp, CAST((raw * {s}) // mx AS BIGINT) AS a FROM a{i}r, a{i}m
+),
+h{i}r AS (
+  SELECT cust, CAST(SUM(a) AS BIGINT) AS raw
+  FROM pairs JOIN a{i} USING (supp) GROUP BY cust
+),
+h{i}m AS (SELECT MAX(raw) AS mx FROM h{i}r),
+h{i} AS (
+  SELECT cust, CAST((raw * {s}) // mx AS BIGINT) AS h FROM h{i}r, h{i}m
+)"""
+        prev_h = f"h{i}"
+    sql += f"""
+SELECT CAST(supp AS BIGINT) AS suppkey, a AS authority_micro
+FROM a{HITS_ITERS}
+"""
+    return sql
+
+
+@register(
+    "graph_hits_authorities",
+    oracle=_hits_oracle(),
+    doc="HITS hubs & authorities (Kleinberg 1999) on the directed "
+    "customer->supplier purchase graph — the directed-centrality "
+    "complement to graph_pagerank_suppliers. FULL value oracle: integer "
+    "fixed-point updates (micro-unit BIGINTs, floor-division max "
+    "normalization per half-round) replayed by DuckDB with unrolled "
+    "CTEs, so every supplier's exact authority value is hash-checked. "
+    "Per-round cost is one Exchange(supp) + one Exchange(cust) over "
+    "O(edges); the normalizing max is a 1-row broadcast. Fixture "
+    "ordering + max-is-SCALE invariants in tests/test_pagerank.py.",
+)
+def graph_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    auth = hits_int(_purchase_pairs(spark, sf_dir))
+    return auth.select(
+        F.col("supp").cast("long").alias("suppkey"),
+        F.col("a").alias("authority_micro"),
+    )

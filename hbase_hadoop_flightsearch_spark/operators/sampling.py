@@ -880,3 +880,106 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc_neyman"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset (Gonzalez 1985) — data-selection complement to
+# DSIR/SemDeDup: pick k maximally-spread exemplars (2-approximation of the
+# optimal covering radius), the classic seed for diverse eval sets and
+# cluster initialization. Embeddings are quantized to BIGINT (floor(x *
+# 2^15)) so every distance is exact integer arithmetic and the DuckDB
+# oracle replays the full greedy trajectory with unrolled CTEs.
+
+KCENTER_K = 5
+KC_QSCALE = 32768.0  # 2^15; double multiply is IEEE-identical, floor exact
+
+
+def _kcenter_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * F.lit(KC_QSCALE)).cast("bigint"),
+        ).alias("v"),
+    )
+
+
+def _kc_dist_to(center_vec) -> "F.Column":
+    """Exact squared L2 from column ``v`` to a broadcast-literal center."""
+    lit_v = F.array(*[F.lit(int(x)) for x in center_vec])
+    return F.aggregate(
+        F.zip_with("v", lit_v, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _kcenter_oracle() -> str:
+    d2 = (
+        "list_sum(list_transform(range(1, len({p}.v)+1),"
+        " i -> ({p}.v[i]-c.v[i])*({p}.v[i]-c.v[i])))"
+    )
+    sql = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(FLOOR(x * {KC_QSCALE}) AS BIGINT)) AS v
+  FROM embeddings
+),
+c0 AS (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 1),
+d0 AS (
+  SELECT q.vec_id, q.v, CAST({d2.format(p='q')} AS BIGINT) AS md
+  FROM q, c0 c
+)"""
+    for i in range(1, KCENTER_K):
+        sql += f""",
+c{i} AS (SELECT vec_id, v FROM d{i - 1} ORDER BY md DESC, vec_id LIMIT 1),
+d{i} AS (
+  SELECT d.vec_id, d.v,
+         LEAST(d.md, CAST({d2.format(p='d')} AS BIGINT)) AS md
+  FROM d{i - 1} d, c{i} c
+)"""
+    picks = "\nUNION ALL ".join(
+        f"SELECT {i} AS center_idx,"
+        f" (SELECT CAST(vec_id AS BIGINT) FROM c{i}) AS center_vec_id"
+        for i in range(KCENTER_K)
+    )
+    sql += f""",
+r AS (SELECT CAST(MAX(md) AS BIGINT) AS radius_q FROM d{KCENTER_K - 1})
+SELECT center_idx, center_vec_id, radius_q FROM ({picks}), r
+"""
+    return sql
+
+
+@register(
+    "sample_coreset_kcenter",
+    oracle=_kcenter_oracle(),
+    doc="Greedy k-center coreset (Gonzalez 1985): k maximally-spread "
+    "exemplar vectors (2-approx of the optimal covering radius) over "
+    "quantized-BIGINT embeddings — exact integer distances, so the "
+    "DuckDB oracle replays the entire greedy trajectory (seed = min "
+    "vec_id, then argmax-of-min-distance with vec_id tie-break) via "
+    "unrolled CTEs; FULL value oracle. Spark side is the bounded-round "
+    "driver pattern: k-1 passes, each one argmax collect (1 row) + a "
+    "broadcast-literal distance update, lineage truncated per round. "
+    "At 100 TB: each pass is one scan + one TakeOrdered(1) — O(k) scans "
+    "total, no shuffle of the corpus; 2-approx bound asserted against "
+    "brute force in tests/test_sampling_extra.py.",
+)
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _kcenter_quantized(spark, sf_dir).localCheckpoint()
+    first = pts.orderBy("vec_id").first()
+    centers = [(0, int(first["vec_id"]))]
+    cur = pts.withColumn("md", _kc_dist_to(first["v"]))
+    for idx in range(1, KCENTER_K):
+        far = cur.orderBy(F.desc("md"), "vec_id").first()
+        centers.append((idx, int(far["vec_id"])))
+        cur = cur.withColumn(
+            "md", F.least("md", _kc_dist_to(far["v"]))
+        ).localCheckpoint()
+    radius = int(cur.agg(F.max("md")).collect()[0][0])
+    return spark.createDataFrame(
+        [(i, vid, radius) for i, vid in centers],
+        "center_idx int, center_vec_id long, radius_q long",
+    )

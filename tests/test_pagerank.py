@@ -172,3 +172,48 @@ def test_kcore_converged_flag_is_load_bearing(spark):
     assert {tuple(r) for r in core_edges.collect()} == {
         (1, 2), (2, 3), (1, 3)
     }
+
+
+def test_hits_fixture_ordering_and_normalization(spark):
+    """Hand fixture: s1 is bought by all three customers, s2 only by c1
+    -> s1's authority must dominate and equal HITS_SCALE (the max is
+    normalized to SCALE each half-round by construction)."""
+    from hbase_hadoop_flightsearch_spark.operators.graph import (
+        HITS_SCALE,
+        hits_int,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 101), (2, 101), (3, 101), (1, 102)],
+        "cust long, supp long",
+    )
+    auth = {r["supp"]: r["a"] for r in hits_int(pairs).collect()}
+    assert auth[101] == HITS_SCALE
+    assert 0 <= auth[102] < auth[101]
+    # c1 buys from both suppliers; with s1 >> s2 its hub weight must be
+    # the max too — check via one more half-round by symmetry: the
+    # authority of a supplier bought ONLY by the best hub exceeds one
+    # bought only by a lesser hub.
+    pairs2 = spark.createDataFrame(
+        [(1, 101), (1, 102), (2, 101), (3, 103), (1, 104), (2, 104)],
+        "cust long, supp long",
+    )
+    a2 = {r["supp"]: r["a"] for r in hits_int(pairs2).collect()}
+    assert a2[104] == max(a2.values())  # bought by the two best hubs
+    assert a2[103] <= a2[101]  # c3 (narrow hub) < c1+c2 coverage
+
+
+def test_hits_bipartite_regular_graph_is_uniform(spark):
+    """On a complete bipartite graph every supplier is symmetric, so all
+    authorities must equal SCALE exactly."""
+    from hbase_hadoop_flightsearch_spark.operators.graph import (
+        HITS_SCALE,
+        hits_int,
+    )
+
+    pairs = spark.createDataFrame(
+        [(c, s) for c in (1, 2, 3) for s in (11, 12)],
+        "cust long, supp long",
+    )
+    vals = {r["a"] for r in hits_int(pairs).collect()}
+    assert vals == {HITS_SCALE}

@@ -744,3 +744,91 @@ def test_hw_tdiv_is_engine_truncating_division(a, b):
     from hbase_hadoop_flightsearch_spark.operators.timeseries import _hw_tdiv
 
     assert _hw_tdiv(a, b) == math.trunc(Fraction(a, b))
+
+
+def test_kcenter_two_approximation_vs_bruteforce(spark):
+    """Gonzalez greedy is a 2-approximation of the optimal k-center
+    radius: greedy_radius <= 2^2 * optimal_radius in SQUARED distance
+    (factor 2 in metric distance -> 4 in squared). Brute-force the
+    optimal over all C(6,2) center pairs of a 6-point set with k=2."""
+    import itertools
+
+    from hbase_hadoop_flightsearch_spark.operators import sampling as S
+    from pyspark.sql import functions as F
+
+    pts = {
+        0: (0, 0), 1: (1, 0), 2: (0, 1),
+        3: (100, 100), 4: (101, 100), 5: (100, 101),
+    }
+
+    def d2(a, b):
+        return (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+
+    opt = min(
+        max(min(d2(p, pts[c1]), d2(p, pts[c2])) for p in pts.values())
+        for c1, c2 in itertools.combinations(pts, 2)
+    )
+
+    # Greedy on the same points through the Spark operator internals:
+    # quantization is identity here (integer coords scaled by 2^15 both
+    # in greedy and in the brute force above cancels out).
+    df = spark.createDataFrame(
+        [(i, [float(x), float(y)]) for i, (x, y) in pts.items()],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * F.lit(S.KC_QSCALE)).cast("bigint"),
+        ).alias("v"),
+    ).localCheckpoint()
+    first = q.orderBy("vec_id").first()
+    cur = q.withColumn("md", S._kc_dist_to(first["v"]))
+    far = cur.orderBy(F.desc("md"), "vec_id").first()
+    cur = cur.withColumn("md", F.least("md", S._kc_dist_to(far["v"])))
+    greedy_r = cur.agg(F.max("md")).collect()[0][0]
+    scale = int(S.KC_QSCALE) ** 2
+    assert greedy_r <= 4 * opt * scale
+    # The two greedy centers must span the two clusters.
+    assert (first["vec_id"] < 3) != (far["vec_id"] < 3)
+
+
+def test_c4_line_filters_hand_fixture(spark):
+    """A doc_id=0 doc triggers BOTH lorem (0%97) and brace (0%89) — lorem
+    wins by precedence; a long doc with terminators keeps >= 3 lines; a
+    doc whose every line misses the terminator dies 'short'."""
+    import hbase_hadoop_flightsearch_spark.functions.text as T
+
+    docs = spark.createDataFrame(
+        [
+            # doc_id 0: k=5; ' lorem ipsum' AND ' {' both inject (0 is a
+            # multiple of 97 and 89) -> lorem wins by precedence.
+            (0, "sA", " ".join(["w"] * 25)),
+            # doc_id 1: k=6, lines end '.' unless (1+i)%4==0 (i=3) ->
+            # 4 of its 5 lines keep -> kept.
+            (1, "sA", " ".join(["w"] * 30)),
+            # doc_id 4: k=6; terminator missing when (4+i)%4==0 -> i=0,4;
+            # 30 words = 5 lines, 3 keep -> kept (boundary).
+            (4, "sB", " ".join(["w"] * 30)),
+            # doc_id 3: k=5, only 10 words -> 2 lines max -> short.
+            (3, "sB", " ".join(["w"] * 10)),
+        ],
+        "doc_id long, source string, text string",
+    )
+
+    orig = T.load_table
+    try:
+        T.load_table = lambda _s, _d, _t: docs
+        out = {
+            r["source"]: r
+            for r in T.text_c4_line_filters(spark, "ignored").collect()
+        }
+    finally:
+        T.load_table = orig
+
+    assert out["sA"]["docs_drop_lorem"] == 1
+    assert out["sA"]["docs_kept"] == 1
+    assert out["sB"]["docs_drop_short"] == 1
+    assert out["sB"]["docs_kept"] == 1
+    assert out["sB"]["lines_kept"] == 3  # the boundary doc keeps exactly 3
