@@ -3801,3 +3801,139 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_slopes"),
         F.col("slope_micro").cast("bigint").alias("theil_sen_slope_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau test — "is this series white noise?" The formal
+# yes/no gate on the ACF that ts_acf_lags eyeballs.
+# ---------------------------------------------------------------------------
+
+LB_CHI2_95_M7 = 14.067140449340169  # chi-square 0.95 quantile, df=7 —
+# compile-time constant baked identically into both engines
+
+# Q = n(n+2) * sum_k r_k^2/(n-k) over the SAME 6dp-rounded autocorrelations
+# ts_acf_lags emits (rounding makes r_k a shared deterministic double; the
+# fixed-order expression below is then IEEE-identical in both engines).
+_LB_Q_EXPR = (
+    "ROUND(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * ("
+    + " + ".join(
+        f"r{k} * r{k} / (CAST(n AS DOUBLE) - {k}.0)" for k in range(1, 8)
+    )
+    + "), 6)"
+)
+
+
+@register(
+    "ts_ljung_box",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(
+    (SELECT MIN(day) FROM daily),
+    (SELECT MAX(day) FROM daily),
+    INTERVAL 1 DAY)) AS DATE) AS day
+),
+series AS (
+  SELECT spine.day, COALESCE(daily.x, 0) AS x,
+         ROW_NUMBER() OVER (ORDER BY spine.day) AS t
+  FROM spine LEFT JOIN daily USING (day)
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+  FROM series
+),
+dev AS (
+  SELECT t, (st.n * x - st.s) AS d FROM series, stats st
+),
+lags AS (
+  SELECT CAST(k AS INT) AS lag FROM (
+    SELECT unnest(generate_series(1, 7)) AS k)
+),
+num AS (
+  SELECT l.lag, CAST(SUM(a.d * b.d) AS BIGINT) AS acf_num
+  FROM lags l
+  JOIN dev a ON TRUE
+  JOIN dev b ON b.t = a.t + l.lag
+  GROUP BY l.lag
+),
+den AS (SELECT CAST(SUM(d * d) AS BIGINT) AS acf_den FROM dev),
+rs AS (
+  SELECT
+    {", ".join(
+        "MAX(CASE WHEN lag = %d THEN "
+        "ROUND(CAST(acf_num AS DOUBLE) / acf_den, 6) END) AS r%d"
+        % (k, k) for k in range(1, 8)
+    )}
+  FROM num, den
+)
+SELECT st.n, CAST(7 AS INT) AS m,
+       {_LB_Q_EXPR} AS q_lb_r6,
+       {_LB_Q_EXPR} > {LB_CHI2_95_M7!r} AS reject_white_noise_05
+FROM rs, stats st
+""",
+    doc="Ljung-Box portmanteau white-noise test (Ljung & Box 1978) at "
+    "m=7 lags on the daily event-count series — the formal gate on the "
+    "autocorrelations ts_acf_lags reports. The r_k are the SAME "
+    "integer-exact n-scaled cross-products rounded to 6dp (a shared "
+    "deterministic double), and Q = n(n+2)*sum(r_k^2/(n-k)) is one "
+    "fixed-order IEEE expression written as the identical SQL string "
+    "for both engines, so Q and the chi2(df=7, 0.95) rejection flag "
+    "are value-hash-checked. Plan shape: identical to ts_acf_lags "
+    "(one rollup, one 7-wide LEAD pass, one 7-row aggregate) plus a "
+    "1-row finish.",
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    spine = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    series = spine.join(daily, "day", "left").select(
+        "day", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    stats = series.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    dev = series.crossJoin(F.broadcast(stats)).select(
+        "day", "n", (F.col("n") * F.col("x") - F.col("s")).alias("d")
+    )
+    w = Window.orderBy("day")
+    leads = dev.select(
+        "n",
+        "d",
+        *[F.lead("d", k).over(w).alias(f"d{k}") for k in range(1, 8)],
+    )
+    agg = leads.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("acf_den"),
+        *[
+            F.sum(F.col("d") * F.col(f"d{k}"))
+            .cast("bigint")
+            .alias(f"num{k}")
+            for k in range(1, 8)
+        ],
+    )
+    rs = agg.select(
+        "n",
+        *[
+            F.round(
+                F.col(f"num{k}").cast("double") / F.col("acf_den"), 6
+            ).alias(f"r{k}")
+            for k in range(1, 8)
+        ],
+    )
+    return rs.select(
+        "n",
+        F.lit(7).cast("int").alias("m"),
+        F.expr(_LB_Q_EXPR).alias("q_lb_r6"),
+        (F.expr(_LB_Q_EXPR) > F.lit(LB_CHI2_95_M7)).alias(
+            "reject_white_noise_05"
+        ),
+    )

@@ -1061,3 +1061,102 @@ def pipeline_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("doc_at_preview"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture entropy — the diversity diagnostic on the training mix that
+# pipeline_mixture_weights plans: Shannon entropy of the per-source token
+# distribution, its exp() (the "effective number of sources"), and the
+# normalized diversity H/ln(S).
+
+
+_MIX_ENTROPY_TERM = (
+    "CAST(FLOOR(-1000000000.0 * (tokens / grand) * LN(tokens / grand))"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "pipeline_mixture_entropy",
+    oracle=f"""
+WITH per AS (
+  SELECT source,
+    CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+         AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(tokens) AS BIGINT) AS grand,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM per
+),
+terms AS (
+  SELECT source, tokens, grand, n_sources,
+         (tokens * 1000000) // grand AS share_ppm,
+         {_MIX_ENTROPY_TERM} AS term_nano
+  FROM per, tot
+),
+h AS (
+  SELECT CAST(SUM(term_nano) AS BIGINT) AS entropy_nano,
+         CAST(FLOOR(1000000000.0 * LN(CAST(MAX(n_sources) AS DOUBLE)))
+              AS BIGINT) AS ln_s_nano
+  FROM terms
+)
+SELECT t.source, t.tokens, t.share_ppm, t.term_nano,
+       h.entropy_nano,
+       CAST((h.entropy_nano * 1000000) // h.ln_s_nano AS BIGINT)
+         AS diversity_ppm,
+       ROUND(EXP(h.entropy_nano / 1000000000.0), 6)
+         AS effective_sources_r6
+FROM terms t, h
+""",
+    doc="Shannon entropy of the per-source token mix — the diversity "
+    "diagnostic downstream of pipeline_mixture_weights (a mix collapsing "
+    "onto one source reads diversity ~0; a uniform S-way mix reads "
+    "ln(S), diversity 1e6 ppm, effective_sources = S). Each -p*ln(p) "
+    "term is quantized to a nano-unit BIGINT BEFORE summation (the DSIR "
+    "device), so the total entropy is an order-free integer sum and the "
+    "exp()/normalization finishers are single IEEE ops on shared "
+    "integers — FULL value oracle. Plan: one O(sources) partial-agg "
+    "shuffle + a broadcast 1-row total; metadata-sized at any corpus "
+    "scale.",
+)
+def pipeline_mixture_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    per = docs.groupBy("source").agg(
+        F.sum(toks).cast("bigint").alias("tokens")
+    )
+    tot = per.agg(
+        F.sum("tokens").cast("bigint").alias("grand"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    terms = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        F.expr("(tokens * 1000000) div grand").alias("share_ppm"),
+        F.expr(_MIX_ENTROPY_TERM).alias("term_nano"),
+        "n_sources",
+    )
+    h = terms.agg(
+        F.sum("term_nano").cast("bigint").alias("entropy_nano"),
+        F.expr(
+            "CAST(FLOOR(1000000000.0 * LN(CAST(MAX(n_sources) AS DOUBLE)))"
+            " AS BIGINT)"
+        ).alias("ln_s_nano"),
+    )
+    return terms.crossJoin(F.broadcast(h)).select(
+        "source",
+        "tokens",
+        "share_ppm",
+        "term_nano",
+        "entropy_nano",
+        F.expr("CAST((entropy_nano * 1000000) div ln_s_nano AS BIGINT)")
+            .alias("diversity_ppm"),
+        F.round(F.exp(F.col("entropy_nano") / F.lit(1000000000.0)), 6)
+            .alias("effective_sources_r6"),
+    )

@@ -612,3 +612,112 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Transaction-log snapshot reconstruction ("time travel") — the Delta/
+# Iceberg metadata operation: replay an add/remove file log to the live
+# file set at every version. The log is synthesized deterministically from
+# orders (one file per order: added at version o_orderkey % 7, removed
+# 1 + o_orderkey % 3 versions later for even orderkeys, never for odd), so
+# both engines replay byte-identical actions.
+
+TT_VERSIONS = 10
+
+
+@register(
+    "layout_snapshot_time_travel",
+    oracle=f"""
+WITH log AS (
+  SELECT o_orderkey AS file_id,
+         CAST(o_orderkey % 7 AS BIGINT) AS add_v,
+         CASE WHEN o_orderkey % 2 = 0
+              THEN CAST(o_orderkey % 7 + 1 + o_orderkey % 3 AS BIGINT)
+         END AS rem_v,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS bytes
+  FROM orders
+),
+deltas AS (
+  SELECT add_v AS version, 1 AS df, bytes AS db FROM log
+  UNION ALL
+  SELECT rem_v, -1, -bytes FROM log
+  WHERE rem_v IS NOT NULL AND rem_v < {TT_VERSIONS}
+),
+spine AS (
+  SELECT CAST(unnest(range({TT_VERSIONS})) AS BIGINT) AS version
+),
+per_v AS (
+  SELECT s.version,
+         CAST(COALESCE(SUM(d.df), 0) AS BIGINT) AS d_files,
+         CAST(COALESCE(SUM(d.db), 0) AS BIGINT) AS d_bytes
+  FROM spine s LEFT JOIN deltas d ON d.version = s.version
+  GROUP BY s.version
+)
+SELECT version,
+  CAST(SUM(d_files) OVER (ORDER BY version) AS BIGINT) AS live_files,
+  CAST(SUM(d_bytes) OVER (ORDER BY version) AS BIGINT) AS live_bytes
+FROM per_v
+""",
+    doc="Lakehouse time travel: reconstruct the live file set at every "
+    "table version by replaying an add/remove transaction log — the "
+    "Delta/Iceberg snapshot operation. Scale-honest plan: the naive "
+    "form joins the log against every version (O(V*files)); this one "
+    "converts each file to +/- DELTA events, aggregates to O(V) rows, "
+    "and takes ONE running-sum window over the tiny version spine — "
+    "O(files) scan, O(V) window, no fan-out. FULL value oracle (the "
+    "synthesized log is deterministic in both engines).",
+)
+def layout_snapshot_time_travel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    log = orders.select(
+        (F.col("o_orderkey") % 7).cast("bigint").alias("add_v"),
+        F.when(
+            F.col("o_orderkey") % 2 == 0,
+            (F.col("o_orderkey") % 7 + 1 + F.col("o_orderkey") % 3).cast(
+                "bigint"
+            ),
+        ).alias("rem_v"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("bytes"),
+    )
+    deltas = log.select(
+        F.col("add_v").alias("version"),
+        F.lit(1).alias("df"),
+        F.col("bytes").alias("db"),
+    ).unionAll(
+        log.filter(
+            F.col("rem_v").isNotNull() & (F.col("rem_v") < TT_VERSIONS)
+        ).select(
+            F.col("rem_v").alias("version"),
+            F.lit(-1).alias("df"),
+            (-F.col("bytes")).alias("db"),
+        )
+    )
+    spine = spark.range(TT_VERSIONS).select(
+        F.col("id").cast("bigint").alias("version")
+    )
+    per_v = (
+        spine.join(deltas, "version", "left")
+        .groupBy("version")
+        .agg(
+            F.coalesce(F.sum("df"), F.lit(0))
+            .cast("bigint")
+            .alias("d_files"),
+            F.coalesce(F.sum("db"), F.lit(0))
+            .cast("bigint")
+            .alias("d_bytes"),
+        )
+    )
+    w = Window.orderBy("version").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_v.select(
+        "version",
+        F.sum("d_files").over(w).cast("bigint").alias("live_files"),
+        F.sum("d_bytes").over(w).cast("bigint").alias("live_bytes"),
+    )

@@ -116,3 +116,43 @@ def test_bucketed_join_has_no_exchange(spark):
         assert joined.count() == plain.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_time_travel_matches_naive_log_replay(spark):
+    """The delta-sweep snapshot counts must equal the naive per-version
+    liveness predicate (added <= v AND (never removed OR removed > v))
+    computed directly over the synthesized log at sf0.001."""
+    import duckdb
+
+    from hbase_hadoop_flightsearch_spark.sources.layout import (
+        TT_VERSIONS,
+        layout_snapshot_time_travel,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["version"]: (r["live_files"], r["live_bytes"])
+        for r in layout_snapshot_time_travel(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM"
+        f" read_parquet('{sf}/orders.parquet')"
+    )
+    naive = con.execute(f"""
+        WITH log AS (
+          SELECT o_orderkey % 7 AS add_v,
+                 CASE WHEN o_orderkey % 2 = 0
+                      THEN o_orderkey % 7 + 1 + o_orderkey % 3 END AS rem_v,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS bytes
+          FROM orders
+        ), v AS (SELECT unnest(range({TT_VERSIONS})) AS version)
+        SELECT version, COUNT(*) FILTER (WHERE add_v <= version
+                 AND (rem_v IS NULL OR rem_v > version)),
+               COALESCE(SUM(bytes) FILTER (WHERE add_v <= version
+                 AND (rem_v IS NULL OR rem_v > version)), 0)
+        FROM v LEFT JOIN log ON TRUE GROUP BY version
+    """).fetchall()
+    assert len(got) == TT_VERSIONS
+    for version, files, bytes_ in naive:
+        assert got[version] == (files, bytes_), version

@@ -777,3 +777,38 @@ def test_connection_search_smj_on_band_key_no_nested_loop(spark):
     assert "SortMergeJoin" in plan, plan[-2000:]
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mixture_entropy_uniform_and_collapsed_fixtures(spark):
+    """A 4-way uniform token mix must read diversity ~1e6 ppm and
+    effective_sources ~4; a mix collapsing onto one dominant source
+    must read far lower on both."""
+    import math
+
+    import hbase_hadoop_flightsearch_spark.plans.pipelines as P
+
+    def run(rows):
+        docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        orig = P.load_table
+        try:
+            P.load_table = lambda _s, _d, _t: docs
+            return P.pipeline_mixture_entropy(spark, "ignored").collect()
+        finally:
+            P.load_table = orig
+
+    uniform = run(
+        [(i, f"s{i % 4}", "a b c d e f g h i j") for i in range(16)]
+    )
+    row = uniform[0]
+    assert row["entropy_nano"] <= math.log(4) * 1e9 < row["entropy_nano"] + 8
+    assert row["diversity_ppm"] in (999999, 1000000)
+    assert abs(row["effective_sources_r6"] - 4.0) < 1e-4
+    assert all(r["share_ppm"] == 250000 for r in uniform)
+
+    skewed = run(
+        [(i, "big", "a b c d e f g h i j " * 20) for i in range(30)]
+        + [(100, "tiny", "a b"), (101, "tiny2", "a b")]
+    )
+    srow = skewed[0]
+    assert srow["diversity_ppm"] < 100000
+    assert srow["effective_sources_r6"] < 1.2

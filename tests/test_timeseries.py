@@ -421,3 +421,26 @@ def test_theil_sen_ignores_outliers_where_ols_cannot(spark, tmp_path):
     assert got["trend"].n_slopes == 15 * 14 // 2
     assert got["even"].n_slopes == 6  # even count still yields a median row
     assert got["even"].theil_sen_slope_micro == 1_000_000  # slope +1/day
+
+
+def test_ljung_box_consistent_with_acf_and_periodic_series(spark, sf_smoke):
+    """Q recomputed in Python from ts_acf_lags' published 6dp
+    autocorrelations must equal ts_ljung_box's q_lb_r6 exactly, and the
+    strongly weekday-seasonal event series must reject white noise."""
+    from hbase_hadoop_flightsearch_spark.operators.timeseries import (
+        LB_CHI2_95_M7,
+        ts_acf_lags,
+        ts_ljung_box,
+    )
+
+    acf = {r["lag"]: r["acf_r6"] for r in ts_acf_lags(spark, sf_smoke).collect()}
+    row = ts_ljung_box(spark, sf_smoke).collect()[0]
+    n = row["n"]
+    q = round(
+        float(n) * (float(n) + 2.0)
+        * sum(acf[k] * acf[k] / (float(n) - float(k)) for k in range(1, 8)),
+        6,
+    )
+    assert abs(q - row["q_lb_r6"]) < 1e-9
+    assert row["reject_white_noise_05"] == (row["q_lb_r6"] > LB_CHI2_95_M7)
+    assert row["m"] == 7
