@@ -180,19 +180,45 @@ def test_levenshtein_block_stats_reports_caps(spark, sf_correctness):
     assert 0 < r.max_bucket <= LEV_BUCKET_CAP
 
 
-def test_dedup_simhash_registered_flags_all_true(spark, sf_correctness):
-    """The driver-facing dedup_simhash entry (banded production path) must
-    emit every invariant flag TRUE — matching its bound-flag oracle."""
-    from hbase_hadoop_flightsearch_spark.operators.dedup import dedup_simhash
+def test_dedup_simhash_registered_pairs_and_md5_bit_parity(
+    spark, sf_correctness
+):
+    """r8: dedup_simhash is now a FULL value oracle — the registered
+    query returns the actual (d1, d2, hamming) pairs. Shape invariants
+    here; pair-for-pair equality with DuckDB is the differential gate.
+    Also pin the cross-engine md5 nibble/bit extraction the signature
+    is built on."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from hbase_hadoop_flightsearch_spark.operators.dedup import (
+        SIMHASH_HAMMING_MAX,
+        dedup_simhash,
+    )
 
     rows = dedup_simhash(spark, sf_correctness).collect()
-    assert len(rows) == 1
-    r = rows[0]
-    assert r.pairs_nonempty
-    assert r.hamming_bounded
-    assert r.pairs_ordered_distinct
-    assert r.precision_ok
-    assert r.recall_floor_ok
+    assert rows, "simhash found nothing"
+    assert all(r.d1 < r.d2 for r in rows)
+    assert all(0 <= r.hamming <= SIMHASH_HAMMING_MAX for r in rows)
+    assert len({(r.d1, r.d2) for r in rows}) == len(rows)
+
+    probe = "key agg row"
+    spark_bits = spark.range(1).select(
+        F.expr(f"""
+          transform(sequence(0, 63), i ->
+            CAST(shiftright(CAST(conv(substring(
+                      md5(cast('{probe}' AS BINARY)),
+                      CAST(i div 4 AS INT) + 1, 1), 16, 10) AS INT),
+                CAST(i % 4 AS INT)) % 2 AS INT))
+        """).alias("b")
+    ).collect()[0]["b"]
+    duck_bits = duckdb.connect().execute(f"""
+      SELECT list_transform(range(64), i ->
+        CAST((('0x' || substr(md5('{probe}'), CAST((i // 4) + 1 AS INT),
+                1))::INT >> CAST(i % 4 AS INT)) % 2 AS INT))
+    """).fetchone()[0]
+    assert list(spark_bits) == list(duck_bits)
 
 
 def test_bloom_no_false_negatives_and_bounded_fp(spark):
