@@ -1395,3 +1395,92 @@ def graph_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("supp").cast("long").alias("suppkey"),
         F.col("a").alias("authority_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (Newman 2002) — do high-degree parts co-purchase
+# with other high-degree parts? The one-number mixing diagnostic that
+# tells you whether hub-targeted dedup/caching strategies will pay off.
+
+_ASSORT_FINISH = (
+    "ROUND(CAST(se * sjk - sj * sk AS DOUBLE) / "
+    "SQRT(CAST(se * sjj - sj * sj AS DOUBLE)"
+    " * CAST(se * skk - sk * sk AS DOUBLE)), 6)"
+)
+
+
+@register(
+    "graph_assortativity",
+    oracle=f"""
+WITH {{items}},
+epairs AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM it a JOIN it b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (
+  SELECT a AS src, b AS dst FROM epairs
+  UNION ALL SELECT b, a FROM epairs
+),
+deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY src),
+ends AS (
+  SELECT dj.d AS j, dk.d AS k
+  FROM sym e JOIN deg dj ON e.src = dj.v JOIN deg dk ON e.dst = dk.v
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS se,
+         CAST(SUM(j) AS BIGINT) AS sj, CAST(SUM(k) AS BIGINT) AS sk,
+         CAST(SUM(j * k) AS BIGINT) AS sjk,
+         CAST(SUM(j * j) AS BIGINT) AS sjj,
+         CAST(SUM(k * k) AS BIGINT) AS skk
+  FROM ends
+)
+SELECT se AS n_edge_ends, sj AS sum_j, sjk AS sum_jk, sjj AS sum_jj,
+       {_ASSORT_FINISH} AS assortativity_r6
+FROM m
+""".format(items=_ITEMS_DUCK.strip()),
+    doc="Degree assortativity coefficient (Newman 2002) of the "
+    "co-purchase part graph: Pearson correlation of endpoint degrees "
+    "over the symmetrized edge list. All five moments are exact BIGINT "
+    "cross-products (one O(edges) scan after two degree joins — the "
+    "degree table is broadcast-sized); the closing r is one fixed-shape "
+    "IEEE expression shared verbatim with the oracle. Negative r = "
+    "hubs attach to leaves (disassortative, typical for co-purchase); "
+    "star/clique fixtures pin the -1 and balanced cases in "
+    "tests/test_pagerank.py.",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .mining import copurchase_edges
+
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    return assortativity(edges)
+
+
+def assortativity(edges: DataFrame) -> DataFrame:
+    """Newman degree assortativity over undirected (a, b) edges."""
+    sym = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    ends = (
+        sym.join(deg.select(F.col("v").alias("src"), F.col("d").alias("j")), "src")
+        .join(deg.select(F.col("v").alias("dst"), F.col("d").alias("k")), "dst")
+        .select("j", "k")
+    )
+    m = ends.agg(
+        F.count(F.lit(1)).cast("bigint").alias("se"),
+        F.sum("j").cast("bigint").alias("sj"),
+        F.sum("k").cast("bigint").alias("sk"),
+        F.sum(F.col("j") * F.col("k")).cast("bigint").alias("sjk"),
+        F.sum(F.col("j") * F.col("j")).cast("bigint").alias("sjj"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("skk"),
+    )
+    return m.select(
+        F.col("se").alias("n_edge_ends"),
+        F.col("sj").alias("sum_j"),
+        F.col("sjk").alias("sum_jk"),
+        F.col("sjj").alias("sum_jj"),
+        F.expr(_ASSORT_FINISH).alias("assortativity_r6"),
+    )

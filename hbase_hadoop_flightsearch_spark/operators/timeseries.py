@@ -3937,3 +3937,142 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reject_white_noise_05"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (Deng et al. 2013) — the industry-standard
+# experiment readout upgrade: regress the experiment-period metric on the
+# pre-period covariate and report variance-adjusted means per arm.
+
+_CUPED_THETA = (
+    "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"
+)
+_CUPED_ADJ = (
+    "ROUND(CAST(sy_a AS DOUBLE) / n_a - ({theta})"
+    " * (CAST(sx_a AS DOUBLE) / n_a - CAST(sx AS DOUBLE) / n), 6)"
+).format(theta=_CUPED_THETA)
+_CUPED_VARRED = (
+    "ROUND(CAST(n * sxy - sx * sy AS DOUBLE)"
+    " * CAST(n * sxy - sx * sy AS DOUBLE)"
+    " / (CAST(n * sxx - sx * sx AS DOUBLE)"
+    " * CAST(n * syy - sy * sy AS DOUBLE)), 6)"
+)
+
+
+@register(
+    "events_cuped_adjustment",
+    oracle=f"""
+WITH bounds AS (
+  SELECT (CAST(MIN(CAST(ts AS DATE)) - DATE '1970-01-01' AS BIGINT)
+        + CAST(MAX(CAST(ts AS DATE)) - DATE '1970-01-01' AS BIGINT) + 1)
+        // 2 AS split_d
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+    CASE WHEN ('0x' || substring(
+                 md5(CAST(user_id AS VARCHAR)), 1, 4))::INT % 2 = 0
+         THEN 'control' ELSE 'treatment' END AS arm,
+    CAST(COALESCE(SUM(CASE WHEN
+        CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) < b.split_d
+        THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS x,
+    CAST(COALESCE(SUM(CASE WHEN
+        CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) >= b.split_d
+        THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS y
+  FROM events, bounds b
+  GROUP BY user_id, b.split_d
+),
+pooled AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM per_user
+),
+arms AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_a,
+         CAST(SUM(x) AS BIGINT) AS sx_a, CAST(SUM(y) AS BIGINT) AS sy_a
+  FROM per_user GROUP BY arm
+)
+SELECT arm, n_a AS n_users,
+  ROUND(CAST(sy_a AS DOUBLE) / n_a, 6) AS mean_y_cents_r6,
+  {_CUPED_ADJ} AS mean_y_cuped_r6,
+  ROUND({_CUPED_THETA}, 6) AS theta_r6,
+  {_CUPED_VARRED} AS var_reduction_r6
+FROM arms, pooled
+""",
+    doc="CUPED variance-adjusted experiment readout (Deng et al. 2013): "
+    "pre-period per-user value (first half of the observed day range, "
+    "data-anchored integer split) is the covariate; theta = "
+    "cov(X,Y)/var(X) from EXACT BIGINT cross-product moments pooled "
+    "across arms (the paper's recommendation — arm-pooled theta keeps "
+    "the estimator unbiased); adjusted per-arm means and the rho^2 "
+    "variance-reduction factor are fixed-shape IEEE expressions shared "
+    "verbatim with the oracle. Arms assigned by the same md5 split as "
+    "events_ab_test_analysis. Plan: ONE Exchange(user_id) + a 2-row "
+    "arm aggregate with a broadcast 1-row moment join.",
+)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.expr(
+            "(CAST(datediff(MIN(CAST(ts AS DATE)), DATE '1970-01-01')"
+            " AS BIGINT)"
+            " + CAST(datediff(MAX(CAST(ts AS DATE)), DATE '1970-01-01')"
+            " AS BIGINT) + 1) div 2"
+        ).alias("split_d")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("user_id").cast("string").cast("binary")), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    day_num = F.expr(
+        "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    per_user = (
+        events.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.when(bucket == 0, "control").otherwise("treatment").alias(
+                "arm"
+            ),
+            F.when(day_num < F.col("split_d"), cents).alias("xc"),
+            F.when(day_num >= F.col("split_d"), cents).alias("yc"),
+        )
+        .groupBy("user_id", "arm")
+        .agg(
+            F.coalesce(F.sum("xc"), F.lit(0)).cast("bigint").alias("x"),
+            F.coalesce(F.sum("yc"), F.lit(0)).cast("bigint").alias("y"),
+        )
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a"),
+        F.sum("x").cast("bigint").alias("sx_a"),
+        F.sum("y").cast("bigint").alias("sy_a"),
+    )
+    return arms.crossJoin(F.broadcast(pooled)).select(
+        "arm",
+        F.col("n_a").alias("n_users"),
+        F.expr("ROUND(CAST(sy_a AS DOUBLE) / n_a, 6)").alias(
+            "mean_y_cents_r6"
+        ),
+        F.expr(_CUPED_ADJ).alias("mean_y_cuped_r6"),
+        F.expr(f"ROUND({_CUPED_THETA}, 6)").alias("theta_r6"),
+        F.expr(_CUPED_VARRED).alias("var_reduction_r6"),
+    )

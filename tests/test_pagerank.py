@@ -217,3 +217,23 @@ def test_hits_bipartite_regular_graph_is_uniform(spark):
     )
     vals = {r["a"] for r in hits_int(pairs).collect()}
     assert vals == {HITS_SCALE}
+
+
+def test_assortativity_star_is_minus_one(spark):
+    """K_{1,5}: every edge joins the deg-5 hub to a deg-1 leaf, so
+    endpoint degrees are perfectly anti-correlated — r = -1 exactly."""
+    from hbase_hadoop_flightsearch_spark.operators.graph import assortativity
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "a long, b long"
+    )
+    row = assortativity(star).collect()[0]
+    assert row["assortativity_r6"] == -1.0
+    assert row["n_edge_ends"] == 10
+
+    # A path P4 is disassortative but not perfectly: r must be in (-1, 0).
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "a long, b long"
+    )
+    r = assortativity(path).collect()[0]["assortativity_r6"]
+    assert -1.0 < r < 0.0
