@@ -1057,3 +1057,63 @@ def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * violating_keys) div n_keys AS BIGINT)"
         ).alias("violation_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Candidate-key discovery — which column combinations uniquely identify an
+# orders row? The uniqueness half of schema profiling (the FD audit covers
+# implication; this covers identity).
+
+_CK_COMBOS = [
+    ("o_orderkey", ["o_orderkey"]),
+    ("o_custkey", ["o_custkey"]),
+    ("o_custkey,o_orderdate", ["o_custkey", "o_orderdate"]),
+    ("o_orderpriority,o_orderdate", ["o_orderpriority", "o_orderdate"]),
+    (
+        "o_custkey,o_orderpriority,o_orderdate",
+        ["o_custkey", "o_orderpriority", "o_orderdate"],
+    ),
+]
+
+
+@register(
+    "dq_candidate_keys",
+    oracle=f"""
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders),
+{", ".join(
+    'c%d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct FROM '
+    '(SELECT DISTINCT %s FROM orders))' % (i, ", ".join(cols))
+    for i, (_, cols) in enumerate(_CK_COMBOS)
+)}
+{" UNION ALL ".join(
+    "SELECT '%s' AS key_columns, n.n_rows, c%d.n_distinct,"
+    " c%d.n_distinct = n.n_rows AS is_key,"
+    " CAST(((n.n_rows - c%d.n_distinct) * 1000000) // n.n_rows AS BIGINT)"
+    " AS duplication_ppm"
+    " FROM n, c%d" % (name, i, i, i, i)
+    for i, (name, _) in enumerate(_CK_COMBOS)
+)}
+""",
+    doc="Candidate-key discovery over orders: for each probed column "
+    "combination, exact distinct-vs-total counts, an is_key verdict and "
+    "the duplication rate in ppm — the uniqueness half of schema "
+    "profiling beside dq_functional_dependency. Each combo is one "
+    "partial-agg'd distinct (map-side combine); the probe set is a "
+    "fixed config list, so the plan is a bounded union of O(combos) "
+    "aggregates regardless of table size.",
+)
+def dq_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    n_rows = orders.count()
+    parts = []
+    for name, cols in _CK_COMBOS:
+        nd = orders.select(*cols).distinct().count()
+        parts.append(
+            (name, n_rows, nd, nd == n_rows,
+             ((n_rows - nd) * 1000000) // n_rows)
+        )
+    return spark.createDataFrame(
+        parts,
+        "key_columns string, n_rows long, n_distinct long,"
+        " is_key boolean, duplication_ppm long",
+    )

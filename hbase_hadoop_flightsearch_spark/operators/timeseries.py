@@ -4076,3 +4076,197 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"ROUND({_CUPED_THETA}, 6)").alias("theta_r6"),
         F.expr(_CUPED_VARRED).alias("var_reduction_r6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture sequential probability ratio test (Johari et al. 2017, "Peeking
+# at A/B tests") — the always-valid complement to the fixed-horizon
+# t-readout (events_ab_test_analysis) and CUPED: a p-value you may
+# legally inspect at every n.
+
+_MSPRT_LAMBDA = (
+    "SQRT(vv / (vv + n_eff * vv))"
+    " * EXP(CAST(n_eff AS DOUBLE) * n_eff * vv * delta * delta"
+    "       / (2.0 * vv * (vv + n_eff * vv)))"
+)
+
+
+@register(
+    "events_msprt_sequential",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+    CASE WHEN ('0x' || substring(
+                 md5(CAST(user_id AS VARCHAR)), 1, 4))::INT % 2 = 0
+         THEN 0 ELSE 1 END AS arm,
+    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT
+    CAST(SUM(1 - arm) AS BIGINT) AS n_c, CAST(SUM(arm) AS BIGINT) AS n_t,
+    CAST(SUM(CASE WHEN arm = 0 THEN v ELSE 0 END) AS BIGINT) AS s_c,
+    CAST(SUM(CASE WHEN arm = 1 THEN v ELSE 0 END) AS BIGINT) AS s_t,
+    CAST(SUM(CASE WHEN arm = 0 THEN v * v ELSE 0 END) AS BIGINT) AS ss_c,
+    CAST(SUM(CASE WHEN arm = 1 THEN v * v ELSE 0 END) AS BIGINT) AS ss_t
+  FROM per_user
+),
+d AS (
+  SELECT n_c, n_t, LEAST(n_c, n_t) AS n_eff,
+    CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c AS delta,
+    CAST(n_c * ss_c - s_c * s_c AS DOUBLE) / (n_c * (n_c - 1))
+      + CAST(n_t * ss_t - s_t * s_t AS DOUBLE) / (n_t * (n_t - 1)) AS vv
+  FROM m
+)
+SELECT n_c, n_t, ROUND(delta, 6) AS delta_cents_r6,
+  ROUND({_MSPRT_LAMBDA}, 6) AS mixture_lr_r6,
+  ROUND(LEAST(1.0, 1.0 / ({_MSPRT_LAMBDA})), 6) AS always_valid_p_r6,
+  LEAST(1.0, 1.0 / ({_MSPRT_LAMBDA})) < 0.05 AS reject_05
+FROM d
+""",
+    doc="Always-valid sequential A/B test (Johari et al. 2017 mSPRT): "
+    "mixture likelihood ratio for the per-user value difference under "
+    "the paper's normal mixture with tau^2 = V (the default that "
+    "maximizes power at the observed variance scale); always-valid "
+    "p = min(1, 1/Lambda). All moments are exact BIGINT cross-products "
+    "from ONE Exchange(user_id); Lambda/p are fixed-shape IEEE "
+    "expressions shared verbatim with the oracle, so the sequential "
+    "readout itself is value-hash-checked. Null-lift and planted-lift "
+    "fixtures in tests/test_timeseries.py.",
+)
+def events_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("user_id").cast("string").cast("binary")), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    per_user = (
+        events.select(
+            "user_id",
+            F.when(bucket == 0, 0).otherwise(1).alias("arm"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("user_id", "arm")
+        .agg(F.sum("cents").cast("bigint").alias("v"))
+    )
+    m = per_user.agg(
+        F.sum(1 - F.col("arm")).cast("bigint").alias("n_c"),
+        F.sum("arm").cast("bigint").alias("n_t"),
+        F.sum(F.when(F.col("arm") == 0, F.col("v")).otherwise(0))
+        .cast("bigint")
+        .alias("s_c"),
+        F.sum(F.when(F.col("arm") == 1, F.col("v")).otherwise(0))
+        .cast("bigint")
+        .alias("s_t"),
+        F.sum(
+            F.when(F.col("arm") == 0, F.col("v") * F.col("v")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("ss_c"),
+        F.sum(
+            F.when(F.col("arm") == 1, F.col("v") * F.col("v")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("ss_t"),
+    )
+    d = m.select(
+        "n_c",
+        "n_t",
+        F.least("n_c", "n_t").alias("n_eff"),
+        F.expr(
+            "CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c"
+        ).alias("delta"),
+        F.expr(
+            "CAST(n_c * ss_c - s_c * s_c AS DOUBLE) / (n_c * (n_c - 1))"
+            " + CAST(n_t * ss_t - s_t * s_t AS DOUBLE)"
+            " / (n_t * (n_t - 1))"
+        ).alias("vv"),
+    )
+    return d.select(
+        "n_c",
+        "n_t",
+        F.round("delta", 6).alias("delta_cents_r6"),
+        F.expr(f"ROUND({_MSPRT_LAMBDA}, 6)").alias("mixture_lr_r6"),
+        F.expr(
+            f"ROUND(LEAST(1.0, 1.0 / ({_MSPRT_LAMBDA})), 6)"
+        ).alias("always_valid_p_r6"),
+        F.expr(f"LEAST(1.0, 1.0 / ({_MSPRT_LAMBDA})) < 0.05").alias(
+            "reject_05"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands with exact integer band flags — the trading-chart
+# classic as a pure cross-multiplied integer predicate.
+
+
+@register(
+    "ts_bollinger_bands",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, day, x,
+    CAST(COUNT(*) OVER w AS BIGINT) AS n,
+    CAST(SUM(x) OVER w AS BIGINT) AS s,
+    CAST(SUM(x * x) OVER w AS BIGINT) AS ss
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, x, s AS sum7, ss AS sumsq7,
+  (n * x - s) * (n * x - s) * (n - 1) > 4 * n * (n * ss - s * s)
+    AS outside_2sigma,
+  (n * x - s) > 0 AS above_mean
+FROM win WHERE n = 7
+""",
+    doc="Bollinger bands on the per-type daily count series, kept EXACT: "
+    "the |x - mean| > 2*stddev band test over the trailing-7 frame is "
+    "cross-multiplied to the integer predicate (n*x-s)^2 * (n-1) > "
+    "4n(n*ss - s^2) — no float stddev can flip a flag in either engine. "
+    "One Exchange(event_type) + one window sort; edge days with an "
+    "incomplete frame are excluded (n = 7 only).",
+)
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    win = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("ss"),
+    )
+    return win.filter(F.col("n") == 7).select(
+        "event_type",
+        "day",
+        "x",
+        F.col("s").alias("sum7"),
+        F.col("ss").alias("sumsq7"),
+        (
+            (F.col("n") * F.col("x") - F.col("s"))
+            * (F.col("n") * F.col("x") - F.col("s"))
+            * (F.col("n") - 1)
+            > 4 * F.col("n") * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        ).alias("outside_2sigma"),
+        ((F.col("n") * F.col("x") - F.col("s")) > 0).alias("above_mean"),
+    )

@@ -504,3 +504,79 @@ def test_cuped_planted_covariate_reduces_variance(spark):
     # CUPED strips because it's uncorrelated with x only weakly — the
     # adjusted difference must sit within one wiggle of the truth.
     assert abs(adj_diff - 2500) < 500
+
+
+def _patched_events(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_msprt_null_vs_planted_lift(spark):
+    """Identical per-user values in both arms -> delta 0, Lambda at its
+    sqrt-prior floor, never rejects; a massive planted lift -> Lambda
+    explodes and the always-valid p rejects."""
+    import datetime
+
+    import hbase_hadoop_flightsearch_spark.operators.timeseries as TS
+
+    def arm_of(uid: int) -> int:
+        import hashlib
+
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:4], 16) % 2
+
+    ts0 = datetime.datetime(2024, 1, 10)
+    base = [
+        (uid, ts0, uid, "purchase", 100.0 + (uid % 9), "{}")
+        for uid in range(60)
+    ]
+    lifted = [
+        (uid, ts0, uid, "purchase",
+         100.0 + (uid % 9) + (500.0 if arm_of(uid) else 0.0), "{}")
+        for uid in range(60)
+    ]
+    orig = TS.load_table
+    try:
+        TS.load_table = lambda _s, _d, _t: _patched_events(spark, base)
+        null_row = TS.events_msprt_sequential(spark, "x").collect()[0]
+        TS.load_table = lambda _s, _d, _t: _patched_events(spark, lifted)
+        lift_row = TS.events_msprt_sequential(spark, "x").collect()[0]
+    finally:
+        TS.load_table = orig
+
+    assert not null_row["reject_05"]
+    assert null_row["always_valid_p_r6"] > 0.5
+    assert lift_row["reject_05"]
+    assert lift_row["always_valid_p_r6"] < 0.05
+    assert lift_row["mixture_lr_r6"] > null_row["mixture_lr_r6"]
+
+
+def test_bollinger_flags_planted_spike(spark):
+    """A flat daily series with one 10x spike day: only the spike day
+    (and no flat day) may sit outside the 2-sigma band."""
+    import datetime
+
+    import hbase_hadoop_flightsearch_spark.operators.timeseries as TS
+
+    rows = []
+    eid = 0
+    for d in range(20):
+        n = 50 if d != 14 else 500
+        for i in range(n):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1 + d, 12, 0, i % 60),
+                 i, "view", 1.0, "{}")
+            )
+            eid += 1
+    orig = TS.load_table
+    try:
+        TS.load_table = lambda _s, _d, _t: _patched_events(spark, rows)
+        out = TS.ts_bollinger_bands(spark, "x").collect()
+    finally:
+        TS.load_table = orig
+    flagged = {r["day"].day for r in out if r["outside_2sigma"]}
+    assert 15 in flagged  # Jan 15 is the spike (d=14)
+    # flat days inside a flat window never flag
+    assert all(day == 15 or day in range(16, 22) for day in flagged)
