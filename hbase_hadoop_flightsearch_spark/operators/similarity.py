@@ -420,23 +420,94 @@ IVF_RECALL_FLOOR = 0.7  # measured 0.96 / 0.84 / 0.82 with the trained
 INT8_RECALL_FLOOR = 0.9  # measured 0.98 / 0.98 / 1.0
 
 
+def _lsh_oracle() -> str:
+    """FULL value oracle for similarity_ann_lsh (r8): the hyperplanes are
+    a deterministic LCG artifact, so they are embedded as SQL literals
+    and DuckDB replays the ENTIRE pipeline — sign-bit signatures (the
+    fold order makes the dot products IEEE-identical; cross-engine sign
+    parity is pinned in tests/test_similarity.py), banded bucket keys,
+    1-bit query-side multi-probe, candidate join, exact cosine re-rank,
+    top-5 with neighbor_id ties. Neighbor lists become hash-checked
+    values instead of a recall flag."""
+    bpb = LSH_PLANES // LSH_BANDS
+    planes = _hyperplanes(LSH_PLANES, 64)
+    vals = ", ".join(f"({p}, {planes[p]!r})" for p in range(LSH_PLANES))
+
+    def key(flip_expr: str) -> str:
+        parts = []
+        for j in range(bpb):
+            bit = f"sig[b.b*{bpb}+{j + 1}]"
+            parts.append(
+                f"CAST(CASE WHEN {flip_expr} = {j} THEN 1 - {bit}"
+                f" ELSE {bit} END AS VARCHAR)"
+            )
+        return " || ".join(parts)
+
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes(p, w) AS (VALUES {vals}),
+dots AS (
+  SELECT e.vec_id, pl.p,
+    CASE WHEN list_reduce(list_transform(range(1, 65),
+                                         i -> e.v[i] * pl.w[i]),
+                          (s, x) -> s + x) > 0 THEN 1 ELSE 0 END AS bit
+  FROM e, planes pl
+),
+sigs AS (
+  SELECT vec_id, list(bit ORDER BY p) AS sig FROM dots GROUP BY vec_id
+),
+corpus_keys AS (
+  SELECT vec_id, b.b AS band, {key("-1")} AS bkey
+  FROM sigs, (SELECT unnest(range({LSH_BANDS})) AS b) b
+),
+qprobes AS (
+  SELECT vec_id AS query_id, b.b AS band, {key("f.f")} AS bkey
+  FROM sigs, (SELECT unnest(range({LSH_BANDS})) AS b) b,
+       (SELECT unnest(range(-1, {bpb})) AS f) f
+  WHERE vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM qprobes q JOIN corpus_keys c USING (band, bkey)
+  WHERE c.vec_id <> q.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_cosine_similarity(qe.v, ce.v) AS cos
+  FROM cand
+  JOIN e qe ON qe.vec_id = cand.query_id
+  JOIN e ce ON ce.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= {KNN_K}
+"""
+
+
 @register(
     "similarity_ann_lsh",
-    oracle=_ANN_ORACLE,
+    oracle=_lsh_oracle(),
     doc=f"ANN via random-hyperplane LSH (E11): {LSH_PLANES} sign bits -> "
     f"{LSH_BANDS} banded bucket keys ({LSH_PLANES // LSH_BANDS} bits "
     f"each) with {LSH_PROBE_BITS}-bit query-side multi-probe; candidates "
     "meet only inside buckets, then exact cosine re-rank — the sub-linear "
-    "scale path. Bound-flag oracle: neighbor lists are hash-defined, so "
-    f"the query emits recall@5 >= {LSH_RECALL_FLOOR} vs the exact "
-    "baseline as a boolean the oracle expects TRUE.",
+    "scale path. FULL value oracle as of r8: the hyperplanes are a "
+    "deterministic LCG artifact embedded as SQL literals, so DuckDB "
+    "replays signatures, banding, multi-probe and re-rank and the "
+    "NEIGHBOR LISTS themselves are hash-checked (first ANN family "
+    "member to shed its recall flag). The measured recall@5 floor vs "
+    f"the exact baseline (>= {LSH_RECALL_FLOOR}) moved to "
+    "tests/test_similarity.py as a contract.",
 )
-def similarity_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _recall_flag_query(
-        similarity_ann_lsh(spark, sf_dir),
-        similarity_knn_bruteforce(spark, sf_dir),
-        LSH_RECALL_FLOOR,
-    )
+def similarity_ann_lsh_registered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return similarity_ann_lsh(spark, sf_dir)
 
 
 @register(

@@ -224,3 +224,58 @@ def test_mmr_rerank_partitioning_invariance(spark, sf_smoke):
     )
     there = eval(out.stdout.strip().splitlines()[-1])  # repr of row tuples
     assert here == there
+
+
+def test_lsh_signature_cross_engine_sign_parity(spark, sf_correctness):
+    """The r8 full-value LSH oracle rests on Spark's fold-order dot
+    products matching DuckDB's list_reduce sign-for-sign. Pin the full
+    corpus signature matrix across engines."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from hbase_hadoop_flightsearch_spark.operators.similarity import (
+        LSH_PLANES,
+        _dot,
+        _embeddings,
+        _hyperplanes,
+    )
+
+    planes = _hyperplanes(LSH_PLANES, 64)
+    sig = F.array(
+        *[
+            (_dot(F.col("v"), F.array(*[F.lit(x) for x in p])) > 0).cast(
+                "int"
+            )
+            for p in planes
+        ]
+    )
+    got = {
+        r["vec_id"]: list(r["sig"])
+        for r in _embeddings(spark, sf_correctness)
+        .select("vec_id", sig.alias("sig"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM"
+        f" read_parquet('{sf_correctness}/embeddings.parquet')"
+    )
+    vals = ", ".join(f"({p}, {planes[p]!r})" for p in range(LSH_PLANES))
+    want = dict(
+        con.execute(f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        planes(p, w) AS (VALUES {vals}),
+        dots AS (
+          SELECT e.vec_id, pl.p,
+            CASE WHEN list_reduce(list_transform(range(1, 65),
+                                                 i -> e.v[i] * pl.w[i]),
+                                  (s, x) -> s + x) > 0
+                 THEN 1 ELSE 0 END AS bit
+          FROM e, planes pl
+        )
+        SELECT vec_id, list(bit ORDER BY p) FROM dots GROUP BY vec_id
+        """).fetchall()
+    )
+    assert got == {k: list(v) for k, v in want.items()}
