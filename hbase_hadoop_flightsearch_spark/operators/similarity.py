@@ -527,23 +527,60 @@ def similarity_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INT8_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sc AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+),
+coded AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(round(x / scale) AS INT)) AS code
+  FROM sc WHERE scale > 0
+),
+q AS (
+  SELECT vec_id AS query_id, code AS qcode
+  FROM coded WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    ROUND(CAST(list_sum(list_transform(range(1, 65),
+                        i -> q.qcode[i] * c.code[i])) AS DOUBLE)
+      / (SQRT(CAST(list_sum(list_transform(q.qcode, x -> x * x))
+              AS DOUBLE))
+         * SQRT(CAST(list_sum(list_transform(c.code, x -> x * x))
+                AS DOUBLE))), 6) AS cosine
+  FROM coded c, q WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rn, cosine
+FROM ranked WHERE rn <= {KNN_K}
+"""
+
+
 @register(
     "similarity_knn_quantized_int8",
-    oracle=_ANN_ORACLE,
+    oracle=_INT8_ORACLE,
     doc="int8-quantized top-k (E11): per-vector symmetric quantization "
     "(scale = max|x|/127), integer dot products, 4x scan-byte reduction. "
-    "Bound-flag oracle: quantization error is implementation-defined, so "
-    f"the query emits recall@5 >= {INT8_RECALL_FLOOR} vs the exact float "
-    "baseline as a boolean the oracle expects TRUE.",
+    "FULL value oracle as of r8: quantization, integer dots, norms and "
+    "the rounded-cosine re-rank are all engine-portable expressions "
+    "(both engines round .5 away from zero; the codes are exact INTs, "
+    "the dots exact integers under 2^53), so DuckDB replays the whole "
+    "pipeline and the int8 NEIGHBOR LISTS are hash-checked. The "
+    f"measured recall@5 floor vs exact float (>= {INT8_RECALL_FLOOR}) "
+    "stays a contract in tests/test_similarity.py.",
 )
-def similarity_knn_quantized_int8_recall(
+def similarity_knn_quantized_int8_registered(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    return _recall_flag_query(
-        similarity_knn_quantized_int8(spark, sf_dir),
-        similarity_knn_bruteforce(spark, sf_dir),
-        INT8_RECALL_FLOOR,
-    )
+    return similarity_knn_quantized_int8(spark, sf_dir)
 
 
 RANGE_RADIUS = 0.3  # cosine floor for radius search
