@@ -1515,68 +1515,84 @@ def embedding_ann_audit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_ann_oracle() -> str:
+    """FULL value oracle (r8): the hyperplanes are the same
+    deterministic-LCG artifact similarity_ann_lsh embeds as SQL
+    literals, so DuckDB replays signatures, base band keys, the 1-bit
+    asymmetric multi-probe join (probe side of the SMALLER vec_id vs the
+    indexed side), the exact cosine >= threshold verify, and states the
+    actual (d1, d2, cosine) pairs."""
+    from .similarity import LSH_BANDS, LSH_PLANES, _hyperplanes
+
+    bpb = LSH_PLANES // LSH_BANDS
+    planes = _hyperplanes(LSH_PLANES, 64)
+    vals = ", ".join(f"({p}, {planes[p]!r})" for p in range(LSH_PLANES))
+
+    def key(flip_expr: str) -> str:
+        parts = []
+        for j in range(bpb):
+            bit = f"sig[b.b*{bpb}+{j + 1}]"
+            parts.append(
+                f"CAST(CASE WHEN {flip_expr} = {j} THEN 1 - {bit}"
+                f" ELSE {bit} END AS VARCHAR)"
+            )
+        return " || ".join(parts)
+
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes(p, w) AS (VALUES {vals}),
+dots AS (
+  SELECT e.vec_id, pl.p,
+    CASE WHEN list_reduce(list_transform(range(1, 65),
+                                         i -> e.v[i] * pl.w[i]),
+                          (s, x) -> s + x) > 0 THEN 1 ELSE 0 END AS bit
+  FROM e, planes pl
+),
+sigs AS (
+  SELECT vec_id, list(bit ORDER BY p) AS sig FROM dots GROUP BY vec_id
+),
+base AS (
+  SELECT vec_id, b.b AS band, {key("-1")} AS bkey
+  FROM sigs, (SELECT unnest(range({LSH_BANDS})) AS b) b
+),
+probe AS (
+  SELECT vec_id, b.b AS band, {key("f.f")} AS bkey
+  FROM sigs, (SELECT unnest(range({LSH_BANDS})) AS b) b,
+       (SELECT unnest(range(-1, {bpb})) AS f) f
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS d1, c.vec_id AS d2
+  FROM probe p JOIN base c USING (band, bkey)
+  WHERE p.vec_id < c.vec_id
+),
+scored AS (
+  SELECT cand.d1, cand.d2, list_cosine_similarity(e1.v, e2.v) AS cos
+  FROM cand JOIN e e1 ON e1.vec_id = cand.d1
+  JOIN e e2 ON e2.vec_id = cand.d2
+)
+SELECT d1, d2, ROUND(cos, 6) AS cosine
+FROM scored WHERE cos >= {EMB_DEDUP_THRESH}
+"""
+
+
 @register(
     "dedup_embedding_ann",
-    oracle="SELECT TRUE AS pairs_nonempty, TRUE AS thresh_bounded, "
-    "TRUE AS pairs_ordered_distinct, TRUE AS sample_recall_ok",
+    oracle=_embedding_ann_oracle(),
     doc="Embedding near-dup via LSH banding + exact verify (E10 x E11 — "
     "the registered SUB-QUADRATIC twin of the exact all-pairs cosine "
     "tier): hyperplane band keys bucket the corpus, candidates meet "
     "only inside buckets, and exact cosine >= 0.4 re-verifies every "
-    "candidate, so precision is 1.0 by construction and only recall "
-    "is hash-defined. Bound-flag oracle: pairs exist, every pair "
-    "meets the threshold with d1 < d2 distinct, and the recall audit "
-    f"on a fixed-count sample (the {EMB_DEDUP_AUDIT_K} lowest vec_ids "
-    "— exact ground truth among sampled vectors only, O(K^2) constant "
-    "regardless of corpus size, the production audit shape) "
-    f"clears {EMB_DEDUP_RECALL_FLOOR}. Full recall measured in tests: "
-    "1.0 / 1.0 / 0.987 at sf0.001/0.01/0.1 with the 1-bit multi-probe "
-    "side (0.999 on the alternate-seed corpus).",
+    "candidate, so precision is 1.0 by construction. FULL value oracle "
+    "as of r8: the deterministic-LCG hyperplanes embed as SQL literals "
+    "and DuckDB replays banding, 1-bit multi-probe and the verify — "
+    "the PAIRS THEMSELVES are hash-checked. The fixed-count recall "
+    f"audit ({EMB_DEDUP_AUDIT_K} lowest vec_ids, O(K^2) constant, "
+    f"floor {EMB_DEDUP_RECALL_FLOOR}) moved to tests/test_dedup.py; "
+    "full recall measured there: 1.0 / 1.0 / 0.987 at "
+    "sf0.001/0.01/0.1 (0.999 alternate-seed).",
 )
 def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = embedding_ann_pairs(spark, sf_dir)
-    emb = embedding_ann_audit_sample(spark, sf_dir)
-    from .similarity import _dot, _norm
-
-    a, b = emb.alias("a"), emb.alias("b")
-    exact_sample = (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn(
-            "cos",
-            _dot(F.col("a.v"), F.col("b.v"))
-            / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
-        )
-        .filter(F.col("cos") >= EMB_DEDUP_THRESH)
-        .select(
-            F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2")
-        )
-    )
-    hits = exact_sample.join(pairs.select("d1", "d2"), ["d1", "d2"])
-    stats = (
-        pairs.agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.coalesce(
-                F.bool_and(F.col("cosine") >= EMB_DEDUP_THRESH),
-                F.lit(True),
-            ).alias("tb"),
-            F.coalesce(
-                F.bool_and(F.col("d1") < F.col("d2")), F.lit(True)
-            ).alias("ordered"),
-            F.count_distinct("d1", "d2").alias("n_distinct"),
-        )
-        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
-        .crossJoin(exact_sample.agg(F.count(F.lit(1)).alias("n_exact")))
-    )
-    return stats.select(
-        (F.col("n_pairs") > 0).alias("pairs_nonempty"),
-        F.col("tb").alias("thresh_bounded"),
-        (F.col("ordered") & (F.col("n_distinct") == F.col("n_pairs"))).alias(
-            "pairs_ordered_distinct"
-        ),
-        (
-            F.col("n_hits") >= EMB_DEDUP_RECALL_FLOOR * F.col("n_exact")
-        ).alias("sample_recall_ok"),
-    )
+    return embedding_ann_pairs(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

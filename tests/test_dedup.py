@@ -425,9 +425,42 @@ def test_embedding_ann_audit_sample_is_count_bounded(spark, sf_smoke):
     # limit is structural, not data-dependent: the plan carries the cap
     assert f"limit={EMB_DEDUP_AUDIT_K}" in sample._jdf.queryExecution().simpleString() or \
         str(EMB_DEDUP_AUDIT_K) in sample._jdf.queryExecution().executedPlan().toString()
-    row = dedup_embedding_ann(spark, sf_smoke).collect()[0]
-    assert row.pairs_nonempty and row.thresh_bounded
-    assert row.pairs_ordered_distinct and row.sample_recall_ok
+    # r8: the registered query now RETURNS the pairs (full value oracle);
+    # the audit invariants the old flag row carried live here instead.
+    from hbase_hadoop_flightsearch_spark.operators.dedup import (
+        EMB_DEDUP_RECALL_FLOOR,
+        EMB_DEDUP_THRESH,
+    )
+    from hbase_hadoop_flightsearch_spark.operators.similarity import (
+        _dot,
+        _norm,
+    )
+    from pyspark.sql import functions as F
+
+    rows = dedup_embedding_ann(spark, sf_smoke).collect()
+    assert rows, "no pairs found"
+    assert all(r.d1 < r.d2 for r in rows)
+    assert all(r.cosine >= EMB_DEDUP_THRESH for r in rows)
+    assert len({(r.d1, r.d2) for r in rows}) == len(rows)
+    a, b = sample.alias("a"), sample.alias("b")
+    exact_sample = {
+        (r["d1"], r["d2"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn(
+            "cos",
+            _dot(F.col("a.v"), F.col("b.v"))
+            / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
+        )
+        .filter(F.col("cos") >= EMB_DEDUP_THRESH)
+        .select(
+            F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2")
+        )
+        .collect()
+    }
+    got = {(r.d1, r.d2) for r in rows}
+    assert exact_sample, "audit sample produced no ground-truth pairs"
+    recall = len(got & exact_sample) / len(exact_sample)
+    assert recall >= EMB_DEDUP_RECALL_FLOOR, f"sampled recall {recall:.2f}"
 
 
 def test_semdedup_matches_sequential_reference(spark, sf_smoke):
