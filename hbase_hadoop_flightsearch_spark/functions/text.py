@@ -2405,3 +2405,98 @@ def text_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lines_kept"),
         F.sum("wk").cast("bigint").alias("words_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source KL divergence vs the corpus — the distribution-drift
+# diagnostic for training mixes: KL(P_source || P_corpus) over add-1
+# smoothed unigram distributions. High KL = the source is lexically
+# off-distribution (the quantitative cousin of text_source_vocab_overlap).
+
+# Every operand is CAST AS DOUBLE before the divisions: DuckDB parses a
+# bare `1.0` as DECIMAL, and BIGINT+DECIMAL division rounds at decimal
+# scale — a ~1e-8 drift vs Spark's double arithmetic that a nano-unit
+# floor quantization faithfully exposes (582/620 terms flipped).
+_KL_P = "(CAST(cst + 1 AS DOUBLE) / CAST(ns + v AS DOUBLE))"
+_KL_Q = "(CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))"
+_KL_TERM = (
+    f"CAST(FLOOR(1000000000.0 * {_KL_P} * LN({_KL_P} / {_KL_Q}))"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "text_source_kl_divergence",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+t AS (SELECT source, token FROM tok WHERE token <> ''),
+cst AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cst
+  FROM t GROUP BY source, token
+),
+ct AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS ct FROM t GROUP BY token),
+ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns FROM t GROUP BY source),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nt,
+         CAST(COUNT(DISTINCT token) AS BIGINT) AS v
+  FROM t
+),
+grid AS (
+  SELECT ns.source, ct.token, ns.ns, ct.ct, tot.nt, tot.v,
+         COALESCE(cst.cst, 0) AS cst
+  FROM ns CROSS JOIN ct CROSS JOIN tot
+  LEFT JOIN cst ON cst.source = ns.source AND cst.token = ct.token
+),
+terms AS (SELECT source, ns, v, {_KL_TERM} AS term_nano FROM grid)
+SELECT source, MAX(ns) AS n_tokens, MAX(v) AS vocab_size,
+       CAST(SUM(term_nano) AS BIGINT) AS kl_nano
+FROM terms GROUP BY source
+""",
+    doc="Per-source unigram KL divergence vs the whole corpus (add-1 "
+    "smoothed, so zero-count tokens contribute their smoothed mass): "
+    "each p*ln(p/q) term is quantized to a nano-unit BIGINT before the "
+    "order-free integer sum (the DSIR device) — FULL value oracle. "
+    "Plan: two token aggregates + an O(sources x vocab) broadcast grid; "
+    "vocabulary is the bounded artifact here (hash tokens into a fixed "
+    "bucket space first at web scale, exactly as DSIR does). The "
+    "training-mix drift screen beside pipeline_mixture_entropy.",
+)
+def text_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    cst = t.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cst")
+    )
+    ct = t.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct")
+    )
+    ns = t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns")
+    )
+    tot = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+        F.count_distinct("token").cast("bigint").alias("v"),
+    )
+    grid = (
+        ns.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(tot))
+        .join(cst, ["source", "token"], "left")
+        .select(
+            "source",
+            "ns",
+            "ct",
+            "nt",
+            "v",
+            F.coalesce("cst", F.lit(0)).alias("cst"),
+        )
+    )
+    terms = grid.select("source", "ns", "v", F.expr(_KL_TERM).alias("term_nano"))
+    return terms.groupBy("source").agg(
+        F.max("ns").alias("n_tokens"),
+        F.max("v").alias("vocab_size"),
+        F.sum("term_nano").cast("bigint").alias("kl_nano"),
+    )

@@ -1522,3 +1522,94 @@ def agg_listagg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _listagg_ds GROUP BY o_orderpriority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Delta-method ratio-metric confidence interval — ratio-of-means metrics
+# (purchases per view) violate the iid-mean assumptions of the plain
+# t-interval; the delta method (standard in experimentation, e.g. Deng
+# et al. 2017 "Applying the Delta Method in Metric Analytics") gives the
+# correct first-order variance from per-user moments.
+
+_RATIO_R = "CAST(sy AS DOUBLE) / sx"
+_RATIO_SE = (
+    "SQRT(GREATEST(0.0,"
+    " (CAST(n * syy - sy * sy AS DOUBLE) / (n * (n - 1))"
+    "  - 2.0 * ({r}) * CAST(n * sxy - sx * sy AS DOUBLE) / (n * (n - 1))"
+    "  + ({r}) * ({r})"
+    "    * CAST(n * sxx - sx * sx AS DOUBLE) / (n * (n - 1)))"
+    " / n)) / (CAST(sx AS DOUBLE) / n)"
+).format(r=_RATIO_R)
+
+
+@register(
+    "agg_delta_method_ratio_ci",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+      AS x,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+f AS (SELECT * FROM per_user WHERE x > 0),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * x) AS BIGINT) AS sxx,
+    CAST(SUM(x * y) AS BIGINT) AS sxy,
+    CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM f
+)
+SELECT n AS n_users, sx AS total_views, sy AS total_purchases,
+  ROUND({_RATIO_R}, 6) AS ratio_r6,
+  ROUND({_RATIO_SE}, 6) AS se_r6,
+  ROUND({_RATIO_R} - 1.959963985 * ({_RATIO_SE}), 6) AS ci_lo_r6,
+  ROUND({_RATIO_R} + 1.959963985 * ({_RATIO_SE}), 6) AS ci_hi_r6
+FROM m
+""",
+    doc="Delta-method CI for the ratio-of-means metric purchases-per-"
+    "view (Deng et al. 2017): per-user numerator/denominator pairs, "
+    "exact BIGINT cross-product moments, and the first-order variance "
+    "(var_y - 2r cov + r^2 var_x) / (n mean_x^2) as ONE fixed-shape "
+    "IEEE expression shared verbatim with the oracle (z = 1.959963985 "
+    "baked as a literal). The correct interval where the naive "
+    "per-user-ratio average is biased. Plan: one Exchange(user_id) + "
+    "a 1-row finish.",
+)
+def agg_delta_method_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "view").cast("int"))
+            .cast("bigint")
+            .alias("x"),
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .filter(F.col("x") > 0)
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.col("sx").alias("total_views"),
+        F.col("sy").alias("total_purchases"),
+        F.expr(f"ROUND({_RATIO_R}, 6)").alias("ratio_r6"),
+        F.expr(f"ROUND({_RATIO_SE}, 6)").alias("se_r6"),
+        F.expr(
+            f"ROUND({_RATIO_R} - 1.959963985 * ({_RATIO_SE}), 6)"
+        ).alias("ci_lo_r6"),
+        F.expr(
+            f"ROUND({_RATIO_R} + 1.959963985 * ({_RATIO_SE}), 6)"
+        ).alias("ci_hi_r6"),
+    )

@@ -983,3 +983,118 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, vid, radius) for i, vid in centers],
         "center_idx int, center_vec_id long, radius_q long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Effective sample size of the DSIR importance weights — the standard
+# importance-sampling health diagnostic (Kong 1992): ESS = (sum w)^2 /
+# sum w^2. ESS near n means the reweighting is gentle; ESS << n means a
+# few documents dominate the resampled mixture.
+
+ESS_NANO = 1000000000.0
+
+
+@register(
+    "sample_ess_importance_weights",
+    oracle=f"""
+WITH tok AS (
+  SELECT d.doc_id, d.source,
+    (list_aggregate(
+       [(ascii(t.token[i]) * 31 + i) % 1000003
+        for i in range(1, length(t.token) + 1)], 'sum')
+     % {DSIR_BUCKETS}) AS b
+  FROM documents d,
+    (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+     FROM documents) t
+  WHERE t.doc_id = d.doc_id
+),
+tgt AS (
+  SELECT b, COUNT(*) AS c FROM tok
+  WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY b
+),
+raw AS (SELECT b, COUNT(*) AS c FROM tok GROUP BY b),
+tgt_tot AS (SELECT SUM(c) AS t FROM tgt),
+raw_tot AS (SELECT SUM(c) AS t FROM raw),
+llr AS (
+  SELECT raw.b,
+    CAST(FLOOR(ln((COALESCE(tgt.c, 0) + 1.0)
+                  / ((SELECT t FROM tgt_tot) + {DSIR_BUCKETS}))
+               * {DSIR_MICRO}) AS BIGINT)
+    - CAST(FLOOR(ln((raw.c + 1.0)
+                    / ((SELECT t FROM raw_tot) + {DSIR_BUCKETS}))
+                 * {DSIR_MICRO}) AS BIGINT) AS llr_micro
+  FROM raw LEFT JOIN tgt USING (b)
+),
+docw AS (
+  SELECT tok.doc_id, MIN(tok.source) AS source,
+    CAST(SUM(llr.llr_micro) AS BIGINT) AS lw,
+    CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM tok JOIN llr USING (b)
+  WHERE tok.source != '{DSIR_TARGET_SOURCE}'
+  GROUP BY tok.doc_id
+),
+wq AS (
+  SELECT source,
+    CAST(FLOOR({ESS_NANO} * EXP(CAST(lw AS DOUBLE)
+         / (n_tokens * {DSIR_MICRO}.0))) AS BIGINT) AS w_nano,
+    CAST(FLOOR({ESS_NANO} * EXP(2.0 * CAST(lw AS DOUBLE)
+         / (n_tokens * {DSIR_MICRO}.0))) AS BIGINT) AS w2_nano
+  FROM docw
+),
+s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(w_nano) AS BIGINT) AS sw, CAST(SUM(w2_nano) AS BIGINT) AS sw2
+  FROM wq GROUP BY source
+)
+SELECT source, n_docs, sw AS sum_w_nano, sw2 AS sum_w2_nano,
+  ROUND(CAST(sw AS DOUBLE) * sw / ({ESS_NANO} * sw2), 6) AS ess_r6,
+  ROUND(CAST(sw AS DOUBLE) * sw / ({ESS_NANO} * sw2 * n_docs), 6)
+    AS efficiency_r6
+FROM s
+""",
+    doc="Effective sample size (Kong 1992) of the DSIR per-token-"
+    "normalized importance weights, per raw source: each exp(logweight) "
+    "is quantized to a nano-unit BIGINT so the two ESS sums are "
+    "order-free exact integers, and ESS = (sum w)^2 / sum w^2 plus the "
+    "ESS/n efficiency are single fixed-shape IEEE finishers — FULL "
+    "value oracle. The go/no-go diagnostic before trusting "
+    "sample_importance_dsir's resampled mixture. Same bounded plan as "
+    "DSIR (256-bucket broadcast models) + one O(sources) aggregate.",
+)
+def sample_ess_importance_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    docw = dsir_doc_weights(spark, sf_dir).join(docs, "doc_id")
+    wq = docw.select(
+        "source",
+        F.expr(
+            f"CAST(FLOOR({ESS_NANO} * EXP(CAST(logweight_micro AS DOUBLE)"
+            f" / (n_tokens * {DSIR_MICRO}.0))) AS BIGINT)"
+        ).alias("w_nano"),
+        F.expr(
+            f"CAST(FLOOR({ESS_NANO} * EXP(2.0 *"
+            f" CAST(logweight_micro AS DOUBLE)"
+            f" / (n_tokens * {DSIR_MICRO}.0))) AS BIGINT)"
+        ).alias("w2_nano"),
+    )
+    s = wq.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("w_nano").cast("bigint").alias("sw"),
+        F.sum("w2_nano").cast("bigint").alias("sw2"),
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        F.col("sw").alias("sum_w_nano"),
+        F.col("sw2").alias("sum_w2_nano"),
+        F.expr(
+            f"ROUND(CAST(sw AS DOUBLE) * sw / ({ESS_NANO} * sw2), 6)"
+        ).alias("ess_r6"),
+        F.expr(
+            f"ROUND(CAST(sw AS DOUBLE) * sw"
+            f" / ({ESS_NANO} * sw2 * n_docs), 6)"
+        ).alias("efficiency_r6"),
+    )
