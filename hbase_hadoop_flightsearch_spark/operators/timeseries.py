@@ -4270,3 +4270,192 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("outside_2sigma"),
         ((F.col("n") * F.col("x") - F.col("s")) > 0).alias("above_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency — the classic interval sweep: how many 30-minute user
+# sessions overlap at the busiest instant?
+
+
+@register(
+    "events_peak_concurrency",
+    oracle="""
+WITH sess AS (
+  SELECT user_id,
+    CAST(epoch_ms(ts) // 1000 AS BIGINT) AS s,
+    CAST(epoch_ms(ts) // 1000 + 1800 AS BIGINT) AS e
+  FROM events
+),
+pts AS (
+  SELECT s AS t, 1 AS d FROM sess
+  UNION ALL
+  SELECT e AS t, -1 FROM sess
+),
+agg AS (
+  SELECT t, CAST(SUM(d) AS BIGINT) AS delta FROM pts GROUP BY t
+),
+sweep AS (
+  SELECT t, CAST(SUM(delta) OVER (ORDER BY t) AS BIGINT) AS concurrent
+  FROM agg
+)
+SELECT CAST(MAX(concurrent) AS BIGINT) AS peak_concurrency,
+  CAST(MIN(t) FILTER (WHERE concurrent =
+        (SELECT MAX(concurrent) FROM sweep)) AS BIGINT) AS first_peak_epoch,
+  CAST(COUNT(*) AS BIGINT) AS n_change_points
+FROM sweep
+""",
+    doc="Peak concurrency of 30-minute event-anchored sessions — the "
+    "classic interval sweep kept scale-honest: intervals become +1/-1 "
+    "DELTA events (ends at start+1800s tie-grouped with starts on the "
+    "same instant, end-before-start resolved by the per-instant SUM), "
+    "pre-aggregated to O(distinct instants) rows, then ONE running-sum "
+    "window — never an interval self-join. Exact integers end to end.",
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    sec = F.expr("CAST(unix_millis(ts) div 1000 AS BIGINT)")
+    sess = events.select(
+        sec.alias("s"), (sec + 1800).alias("e")
+    )
+    pts = sess.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
+        sess.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    agg = pts.groupBy("t").agg(F.sum("d").cast("bigint").alias("delta"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    sweep = agg.select(
+        "t", F.sum("delta").over(w).cast("bigint").alias("concurrent")
+    )
+    peak = sweep.agg(F.max("concurrent").alias("pk"))
+    return (
+        sweep.crossJoin(F.broadcast(peak))
+        .agg(
+            F.max("concurrent").cast("bigint").alias("peak_concurrency"),
+            F.min(F.when(F.col("concurrent") == F.col("pk"), F.col("t")))
+            .cast("bigint")
+            .alias("first_peak_epoch"),
+            F.count(F.lit(1)).cast("bigint").alias("n_change_points"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Croston's method (Croston 1972) — THE forecaster for intermittent
+# demand (spare parts): separate EWMAs of nonzero demand size and
+# inter-demand interval, forecast = size / interval. Integer micro-unit
+# state with truncating-div updates (the ts_holt_winters device), so the
+# DuckDB RECURSIVE-CTE twin replays every update exactly.
+
+CROSTON_DEN = 10  # alpha = 1/10, as a truncating integer division
+CROSTON_MICRO = 1000000
+CROSTON_PART_MOD = 40  # registered sample: every 40th part's series
+
+
+def _croston_tdiv(a: int, d: int) -> int:
+    """Truncation-toward-zero division (Spark div / DuckDB //)."""
+    q = abs(a) // d
+    return q if a >= 0 else -q
+
+
+@register(
+    "ts_croston_intermittent",
+    oracle=f"""
+WITH RECURSIVE dem AS (
+  SELECT l.l_partkey AS pk, CAST(o.o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_partkey % {CROSTON_PART_MOD} = 0
+  GROUP BY 1, 2
+),
+seq AS (
+  SELECT pk, d, qty,
+    CAST(ROW_NUMBER() OVER (PARTITION BY pk ORDER BY d) AS BIGINT) AS rn,
+    CAST(COALESCE(d - LAG(d) OVER (PARTITION BY pk ORDER BY d), 1)
+         AS BIGINT) AS gap
+  FROM dem
+),
+n_per AS (SELECT pk, MAX(rn) AS n FROM seq GROUP BY pk),
+walk(pk, rn, z, p) AS (
+  SELECT pk, rn, qty * {CROSTON_MICRO}, gap * {CROSTON_MICRO}
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.pk, s.rn,
+    w.z + (s.qty * {CROSTON_MICRO} - w.z) // {CROSTON_DEN},
+    w.p + (s.gap * {CROSTON_MICRO} - w.p) // {CROSTON_DEN}
+  FROM walk w JOIN seq s ON s.pk = w.pk AND s.rn = w.rn + 1
+),
+fin AS (
+  SELECT w.pk, w.z, w.p, n.n
+  FROM walk w JOIN n_per n ON n.pk = w.pk AND w.rn = n.n
+)
+SELECT pk AS partkey, n AS n_demands,
+  z AS size_micro, p AS interval_micro,
+  CAST((z * {CROSTON_MICRO}) // p AS BIGINT) AS forecast_micro
+FROM fin WHERE n >= 3
+""",
+    doc="Croston 1972 intermittent-demand forecast over per-part daily "
+    "order quantities (the spare-parts domain the method was built "
+    "for): EWMA of nonzero demand SIZE and of the inter-demand "
+    "INTERVAL, updated only on demand occurrences, forecast = "
+    "size/interval. State lives in micro-unit BIGINTs with truncating "
+    "divisions (both engines truncate toward zero — the "
+    "events_did_lift verification), so the DuckDB RECURSIVE CTE "
+    "replays the whole trajectory; FULL value oracle. Spark side: ONE "
+    "applyInPandas over the part key — millions of part series "
+    "parallelize perfectly at 100 TB, only the within-series scan is "
+    "sequential. Registered sample: every {mod}th part, >= 3 demands."
+    .format(mod=CROSTON_PART_MOD),
+)
+def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % CROSTON_PART_MOD == 0
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    dem = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"))
+    )
+
+    out_schema = (
+        "partkey bigint, n_demands bigint, size_micro bigint,"
+        " interval_micro bigint, forecast_micro bigint"
+    )
+
+    def croston_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        n = len(pdf)
+        if n < 3:
+            return pd.DataFrame(
+                columns=[
+                    "partkey", "n_demands", "size_micro",
+                    "interval_micro", "forecast_micro",
+                ]
+            )
+        days = pdf["d"].tolist()
+        z = int(pdf["qty"].iloc[0]) * CROSTON_MICRO
+        p = 1 * CROSTON_MICRO  # first gap defaults to 1 day
+        for t in range(1, n):
+            gap = (days[t] - days[t - 1]).days
+            qty = int(pdf["qty"].iloc[t])
+            z = z + _croston_tdiv(qty * CROSTON_MICRO - z, CROSTON_DEN)
+            p = p + _croston_tdiv(gap * CROSTON_MICRO - p, CROSTON_DEN)
+        return pd.DataFrame(
+            {
+                "partkey": [int(pdf["pk"].iloc[0])],
+                "n_demands": [n],
+                "size_micro": [z],
+                "interval_micro": [p],
+                "forecast_micro": [
+                    _croston_tdiv(z * CROSTON_MICRO, p)
+                ],
+            }
+        )
+
+    return dem.groupBy("pk").applyInPandas(croston_series, out_schema)

@@ -654,3 +654,83 @@ def window_sliding_median_exact(
         .cast("bigint")
         .alias("median_hi_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown — the canonical risk statistic over a cumulative
+# series: the deepest peak-to-trough fall of running revenue.
+
+
+@register(
+    "window_max_drawdown",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS rev_cents
+  FROM orders GROUP BY 1
+),
+centered AS (
+  SELECT day, rev_cents,
+    rev_cents - (SELECT CAST(SUM(rev_cents) // COUNT(*) AS BIGINT)
+                 FROM daily) AS dev
+  FROM daily
+),
+cum AS (
+  SELECT day, dev,
+    CAST(SUM(dev) OVER (ORDER BY day) AS BIGINT) AS equity
+  FROM centered
+),
+dd AS (
+  SELECT day, equity,
+    CAST(MAX(equity) OVER (ORDER BY day) AS BIGINT) AS peak
+  FROM cum
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+  CAST(MAX(peak - equity) AS BIGINT) AS max_drawdown_cents,
+  CAST(MIN(equity) AS BIGINT) AS min_equity_cents,
+  CAST(MAX(equity) AS BIGINT) AS max_equity_cents
+FROM dd
+""",
+    doc="Maximum drawdown of the mean-centered cumulative daily-revenue "
+    "series (centering turns the monotone revenue sum into a "
+    "fluctuating equity curve, which is what drawdown measures): "
+    "running sum + running max + one aggregate, all exact BIGINT cents "
+    "— two ordered window passes sharing one sort, O(days) rows after "
+    "the first rollup. The risk-statistic complement to the "
+    "anomaly/changepoint family.",
+)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    mean = daily.agg(
+        F.expr("CAST(SUM(rev_cents) div COUNT(*) AS BIGINT)").alias("mu")
+    )
+    centered = daily.crossJoin(F.broadcast(mean)).select(
+        "day", (F.col("rev_cents") - F.col("mu")).alias("dev")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    dd = centered.select(
+        "day", F.sum("dev").over(w).cast("bigint").alias("equity")
+    ).select(
+        "day",
+        "equity",
+        F.max("equity")
+        .over(Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("peak"),
+    )
+    return dd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max(F.col("peak") - F.col("equity"))
+        .cast("bigint")
+        .alias("max_drawdown_cents"),
+        F.min("equity").cast("bigint").alias("min_equity_cents"),
+        F.max("equity").cast("bigint").alias("max_equity_cents"),
+    )

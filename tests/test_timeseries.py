@@ -580,3 +580,73 @@ def test_bollinger_flags_planted_spike(spark):
     assert 15 in flagged  # Jan 15 is the spike (d=14)
     # flat days inside a flat window never flag
     assert all(day == 15 or day in range(16, 22) for day in flagged)
+
+
+def test_croston_constant_demand_fixed_point(spark):
+    """Constant demand (qty 5 every 2 days) is a fixed point: size and
+    interval EWMAs never move off 5e6 / 2e6... except the interval
+    starts at the 1-day default and converges upward; after many steps
+    the forecast must approach 5/2 qty/day * 1e6 = 2.5e6 micro from
+    above. A spiky outlier series must end with size above the median
+    demand."""
+    import datetime
+
+    import hbase_hadoop_flightsearch_spark.operators.timeseries as TS
+
+    rows = []
+    base = datetime.date(1995, 1, 1)
+    # part 0: qty 5 every 2 days, 40 occurrences
+    for k in range(40):
+        rows.append((0, 10, base + datetime.timedelta(days=2 * k), 5.0))
+    orders = spark.createDataFrame(
+        [(i, rows[i][2]) for i in range(len(rows))],
+        "o_orderkey long, o_orderdate date",
+    )
+    li = spark.createDataFrame(
+        [(i, rows[i][0] * TS.CROSTON_PART_MOD, rows[i][3])
+         for i in range(len(rows))],
+        "l_orderkey long, l_partkey long, l_quantity double",
+    )
+    orig = TS.load_table
+    try:
+        TS.load_table = lambda _s, _d, t: {"lineitem": li, "orders": orders}[t]
+        out = {r["partkey"]: r
+               for r in TS.ts_croston_intermittent(spark, "x").collect()}
+    finally:
+        TS.load_table = orig
+    r = out[0]
+    assert r["n_demands"] == 40
+    assert r["size_micro"] == 5 * TS.CROSTON_MICRO  # exact fixed point
+    # interval converges 1e6 -> 2e6 from below, never overshooting
+    assert 1_900_000 < r["interval_micro"] <= 2_000_000
+    assert r["forecast_micro"] >= 2_500_000  # approaches 2.5e6 from above
+
+
+def test_peak_concurrency_hand_fixture(spark):
+    """Three sessions: two overlap (peak 2), one disjoint. 30-min
+    sessions anchored at the event ts."""
+    import datetime
+
+    import hbase_hadoop_flightsearch_spark.operators.timeseries as TS
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    events = _patched_events(
+        spark,
+        [
+            (0, t0, 1, "view", 1.0, "{}"),
+            (1, t0 + datetime.timedelta(minutes=10), 2, "view", 1.0, "{}"),
+            (2, t0 + datetime.timedelta(hours=3), 3, "view", 1.0, "{}"),
+        ],
+    )
+    orig = TS.load_table
+    try:
+        TS.load_table = lambda _s, _d, _t: events
+        r = TS.events_peak_concurrency(spark, "x").collect()[0]
+    finally:
+        TS.load_table = orig
+    assert r["peak_concurrency"] == 2
+    assert r["first_peak_epoch"] == int(
+        (t0 + datetime.timedelta(minutes=10)).replace(
+            tzinfo=datetime.timezone.utc
+        ).timestamp()
+    )
