@@ -2500,3 +2500,122 @@ def text_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").alias("vocab_size"),
         F.sum("term_nano").cast("bigint").alias("kl_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dunning log-likelihood collocations (Dunning 1993) — the
+# statistically-sound replacement for PMI on sparse bigrams: G^2 from
+# the 2x2 contingency of (bigram observed) vs (words independent).
+
+LLR_TOP = 25
+# G^2 = 2 * sum over the 2x2 cells of O * ln(O/E); each O*ln(O/E) term is
+# quantized to micro BIGINT before the 4-term sum, keeping the statistic
+# an exact integer. Cells: k11 = c_ab, k12 = c_a - c_ab, k21 = c_b -
+# c_ab, k22 = n - c_a - c_b + c_ab; expected under independence from the
+# margins. A zero cell contributes 0 (lim x->0 of x ln x).
+_LLR_CELL = (
+    "CASE WHEN {o} > 0 THEN"
+    " CAST(FLOOR(2000000.0 * {o} * LN(CAST({o} AS DOUBLE) * n"
+    "   / (CAST({rm} AS DOUBLE) * {cm}))) AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END"
+)
+_LLR_SUM = " + ".join(
+    _LLR_CELL.format(o=o, rm=rm, cm=cm)
+    for o, rm, cm in [
+        ("k11", "ca", "cb"),
+        ("k12", "ca", "(n - cb)"),
+        ("k21", "(n - ca)", "cb"),
+        ("k22", "(n - ca)", "(n - cb)"),
+    ]
+)
+
+
+@register(
+    "text_collocations_llr",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+big AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+),
+cb2 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS k11
+  FROM big GROUP BY w1, w2
+),
+c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS ca FROM big GROUP BY w1),
+c2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS cb FROM big GROUP BY w2),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM big),
+cells AS (
+  SELECT cb2.w1, cb2.w2, cb2.k11,
+    c1.ca - cb2.k11 AS k12, c2.cb - cb2.k11 AS k21,
+    tot.n - c1.ca - c2.cb + cb2.k11 AS k22,
+    c1.ca, c2.cb, tot.n
+  FROM cb2 JOIN c1 USING (w1) JOIN c2 USING (w2), tot
+),
+scored AS (
+  SELECT w1, w2, k11, ({_LLR_SUM}) AS g2_micro FROM cells
+),
+ranked AS (
+  SELECT w1, w2, k11, g2_micro,
+    ROW_NUMBER() OVER (ORDER BY g2_micro DESC, w1, w2) AS rnk
+  FROM scored
+)
+SELECT CAST(rnk AS INT) AS rnk, w1, w2, k11 AS pair_count, g2_micro
+FROM ranked WHERE rnk <= {LLR_TOP}
+""",
+    doc="Dunning 1993 log-likelihood-ratio collocations: G^2 over the "
+    "2x2 bigram contingency, each O*ln(O/E) cell quantized to micro "
+    "BIGINT before the 4-term sum (order-free integers; all division "
+    "operands CAST AS DOUBLE — the DECIMAL-literal lesson from "
+    "text_source_kl_divergence), top-25 by exact integer G^2 with "
+    "(w1, w2) tie-breaks. The sparse-robust complement to "
+    "text_collocations_pmi. Plan: one bigram explode, three "
+    "partial-agg'd count tables (margins broadcast), one top-k.",
+)
+def text_collocations_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    big = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> struct(split(text, ' ')[i - 1] AS w1,"
+                "             split(text, ' ')[i] AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    cb2 = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k11")
+    )
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("ca"))
+    c2 = big.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+    tot = big.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cells = (
+        cb2.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "k11",
+            (F.col("ca") - F.col("k11")).alias("k12"),
+            (F.col("cb") - F.col("k11")).alias("k21"),
+            (F.col("n") - F.col("ca") - F.col("cb") + F.col("k11")).alias(
+                "k22"
+            ),
+            "ca",
+            "cb",
+            "n",
+        )
+    )
+    scored = cells.select(
+        "w1", "w2", "k11", F.expr(_LLR_SUM).alias("g2_micro")
+    )
+    w = Window.orderBy(F.desc("g2_micro"), "w1", "w2")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= LLR_TOP)
+        .select("rnk", "w1", "w2", F.col("k11").alias("pair_count"), "g2_micro")
+    )

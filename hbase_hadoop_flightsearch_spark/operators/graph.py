@@ -1484,3 +1484,101 @@ def assortativity(edges: DataFrame) -> DataFrame:
         F.col("sjj").alias("sum_jj"),
         F.expr(_ASSORT_FINISH).alias("assortativity_r6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rich-club coefficient (Zhou & Mondragon 2004) — do high-degree parts
+# preferentially co-purchase with each other? phi(k) = edges among
+# deg>k nodes / C(n_k, 2), over a fixed threshold ladder.
+
+RICH_CLUB_KS = [2, 4, 8, 16, 32]
+
+
+@register(
+    "graph_rich_club",
+    oracle=f"""
+WITH {{items}},
+epairs AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM it a JOIN it b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT a AS v FROM epairs UNION ALL SELECT b FROM epairs
+  ) GROUP BY v
+),
+ks AS (SELECT CAST(unnest({RICH_CLUB_KS}) AS BIGINT) AS k),
+club AS (
+  -- COUNT(deg.v), not COUNT(*): an empty club must read 0, not the
+  -- LEFT JOIN's single all-NULL row
+  SELECT ks.k, CAST(COUNT(deg.v) AS BIGINT) AS n_k
+  FROM ks LEFT JOIN deg ON deg.d > ks.k GROUP BY ks.k
+),
+club_edges AS (
+  SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS e_k
+  FROM ks LEFT JOIN epairs e ON TRUE
+  JOIN deg da ON da.v = e.a AND da.d > ks.k
+  JOIN deg db ON db.v = e.b AND db.d > ks.k
+  GROUP BY ks.k
+)
+SELECT c.k, c.n_k, COALESCE(ce.e_k, 0) AS e_k,
+  CASE WHEN c.n_k >= 2
+       THEN CAST((2000000 * COALESCE(ce.e_k, 0))
+                 // (c.n_k * (c.n_k - 1)) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS phi_micro
+FROM club c LEFT JOIN club_edges ce USING (k)
+""".format(items=_ITEMS_DUCK.strip()),
+    doc="Rich-club coefficient (Zhou & Mondragon 2004) of the "
+    "co-purchase graph over a fixed degree-threshold ladder: phi(k) = "
+    "2*E_k / (n_k*(n_k-1)) in exact integer micro-units, where the "
+    "club is nodes with degree > k. Plan: one degree aggregate "
+    "(broadcast back onto the edge list), one conditional count per "
+    "rung of the O(1) ladder — no self-join on the node set. Pairs "
+    "with graph_assortativity: assortativity is the correlation, the "
+    "rich club is the mechanism.",
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .mining import copurchase_edges
+
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    ks = spark.createDataFrame(
+        [(int(k),) for k in RICH_CLUB_KS], "k long"
+    )
+    club = ks.join(
+        F.broadcast(deg), deg.d > ks.k, "left"
+    ).groupBy("k").agg(F.count("v").cast("bigint").alias("n_k"))
+    e = (
+        edges.join(
+            deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a"
+        )
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+        .crossJoin(F.broadcast(ks))
+        .filter((F.col("da") > F.col("k")) & (F.col("db") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_k"))
+    )
+    return (
+        club.join(e, "k", "left")
+        .select(
+            "k",
+            "n_k",
+            F.coalesce("e_k", F.lit(0)).cast("bigint").alias("e_k"),
+            F.when(
+                F.col("n_k") >= 2,
+                F.expr(
+                    "CAST((2000000 * COALESCE(e_k, 0))"
+                    " div (n_k * (n_k - 1)) AS BIGINT)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("phi_micro"),
+        )
+    )

@@ -1098,3 +1098,111 @@ def sample_ess_importance_weights(
             f" / ({ESS_NANO} * sw2 * n_docs), 6)"
         ).alias("efficiency_r6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Horvitz-Thompson estimation under deterministic Poisson PPS sampling —
+# the unequal-probability design that makes "sample 0.1% of the corpus
+# but keep every whale" estimable without bias.
+
+HT_SCALE_CENTS = 50000000.0  # pi_i = min(1, cents / 5e5 dollars)
+
+
+@register(
+    "sample_horvitz_thompson",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+    ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+      / 4294967296.0 AS u
+  FROM orders
+),
+probs AS (
+  SELECT o_orderkey, cents, u,
+    LEAST(1.0, CAST(cents AS DOUBLE) / {HT_SCALE_CENTS}) AS pi
+  FROM base
+),
+included AS (
+  SELECT cents, pi,
+    CAST(FLOOR(CAST(cents AS DOUBLE) / pi) AS BIGINT) AS ht_term,
+    CAST(FLOOR(CAST(cents AS DOUBLE) * cents * (1.0 - pi)
+               / (pi * pi) / 1000000.0) AS BIGINT) AS var_term_mega
+  FROM probs WHERE u < pi
+),
+pop AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pop,
+         CAST(SUM(cents) AS BIGINT) AS exact_total_cents
+  FROM base
+)
+SELECT pop.n_pop,
+  CAST(COUNT(*) AS BIGINT) AS n_sampled,
+  pop.exact_total_cents,
+  CAST(SUM(ht_term) AS BIGINT) AS ht_total_cents,
+  CAST(SUM(var_term_mega) AS BIGINT) AS ht_var_mega,
+  ROUND((CAST(SUM(ht_term) AS DOUBLE) - pop.exact_total_cents)
+        / pop.exact_total_cents, 6) AS rel_err_r6
+FROM included, pop
+GROUP BY pop.n_pop, pop.exact_total_cents
+""",
+    doc="Horvitz-Thompson total estimation under deterministic Poisson "
+    "PPS sampling: inclusion probability proportional to order value "
+    "(capped at 1 — whales are always kept), the include decision a "
+    "pure md5-uniform projection (reproducible across engines and "
+    "reruns, never rand()), estimator and its variance from per-row "
+    "terms quantized to BIGINT before the order-free sums — FULL value "
+    "oracle. One scan, one 1-row aggregate; the certify-your-sample "
+    "complement to the A-ES/Neyman samplers. Unbiasedness measured in "
+    "tests (rel_err small at every SF).",
+)
+def sample_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.col("o_orderkey").cast("string").cast("binary")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    )
+    probs = base.select(
+        "cents",
+        "u",
+        F.least(
+            F.lit(1.0), F.col("cents").cast("double") / F.lit(HT_SCALE_CENTS)
+        ).alias("pi"),
+    )
+    included = probs.filter(F.col("u") < F.col("pi")).select(
+        F.expr(
+            "CAST(FLOOR(CAST(cents AS DOUBLE) / pi) AS BIGINT)"
+        ).alias("ht_term"),
+        F.expr(
+            "CAST(FLOOR(CAST(cents AS DOUBLE) * cents * (1.0 - pi)"
+            " / (pi * pi) / 1000000.0) AS BIGINT)"
+        ).alias("var_term_mega"),
+    )
+    pop = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pop"),
+        F.sum("cents").cast("bigint").alias("exact_total_cents"),
+    )
+    return included.crossJoin(F.broadcast(pop)).groupBy(
+        "n_pop", "exact_total_cents"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.sum("ht_term").cast("bigint").alias("ht_total_cents"),
+        F.sum("var_term_mega").cast("bigint").alias("ht_var_mega"),
+        F.expr(
+            "ROUND((CAST(SUM(ht_term) AS DOUBLE)"
+            " - MAX(exact_total_cents)) / MAX(exact_total_cents), 6)"
+        ).alias("rel_err_r6"),
+    ).select(
+        "n_pop", "n_sampled", "exact_total_cents", "ht_total_cents",
+        "ht_var_mega", "rel_err_r6",
+    )

@@ -237,3 +237,22 @@ def test_assortativity_star_is_minus_one(spark):
     )
     r = assortativity(path).collect()[0]["assortativity_r6"]
     assert -1.0 < r < 0.0
+
+
+def test_rich_club_ladder_is_monotone(spark, sf_correctness):
+    """Club size must shrink (weakly) as the degree threshold rises, and
+    phi stays in [0, 1e6]."""
+    from hbase_hadoop_flightsearch_spark.operators.graph import (
+        graph_rich_club,
+    )
+
+    rows = sorted(
+        graph_rich_club(spark, sf_correctness).collect(),
+        key=lambda r: r["k"],
+    )
+    sizes = [r["n_k"] for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+    assert all(0 <= r["phi_micro"] <= 1_000_000 for r in rows)
+    assert all(
+        r["e_k"] <= r["n_k"] * (r["n_k"] - 1) // 2 for r in rows
+    )

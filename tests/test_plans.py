@@ -896,3 +896,57 @@ def test_ess_uniform_weights_is_full_efficiency(spark):
     for r in out:
         assert r["efficiency_r6"] == 1.0
         assert abs(r["ess_r6"] - r["n_docs"]) < 1e-6
+
+
+def test_llr_planted_collocation_dominates(spark):
+    """A bigram that ALWAYS co-occurs ('new york' in every doc) must
+    out-score independent fillers at rank 1."""
+    import hbase_hadoop_flightsearch_spark.functions.text as T
+
+    docs = spark.createDataFrame(
+        [
+            (i, "s", f"new york w{i % 7} w{(i * 3) % 5} new york w{i % 4}")
+            for i in range(30)
+        ],
+        "doc_id long, source string, text string",
+    )
+    orig = T.load_table
+    try:
+        T.load_table = lambda _s, _d, _t: docs
+        rows = T.text_collocations_llr(spark, "x").collect()
+    finally:
+        T.load_table = orig
+    top = next(r for r in rows if r["rnk"] == 1)
+    assert (top["w1"], top["w2"]) == ("new", "york")
+    assert top["pair_count"] == 60
+
+
+def test_horvitz_thompson_whales_always_kept(spark):
+    """Orders above the PPS cap (pi = 1) must ALWAYS be in the sample,
+    and the HT estimate of a tiny population is within the 3-sigma
+    design bound of the exact total."""
+    import math
+
+    import hbase_hadoop_flightsearch_spark.operators.sampling as S
+
+    orders = spark.createDataFrame(
+        [(i, 600000.0 if i % 10 == 0 else 150.0 + i) for i in range(200)],
+        "o_orderkey long, o_totalprice double",
+    )
+    orig = S.load_table
+    try:
+        S.load_table = lambda _s, _d, _t: orders
+        r = S.sample_horvitz_thompson(spark, "x").collect()[0]
+    finally:
+        S.load_table = orig
+    assert r["n_sampled"] >= 20  # the 20 whales have pi = 1
+    # Bound with the DESIGN variance sum(y^2 (1-pi)/pi) computed from the
+    # fixture (the in-sample variance ESTIMATOR is rightly 0 here: only
+    # pi=1 whales were drawn, and they contribute no variance).
+    design_var = 0.0
+    for i in range(200):
+        cents = round((600000.0 if i % 10 == 0 else 150.0 + i) * 100)
+        pi = min(1.0, cents / S.HT_SCALE_CENTS)
+        design_var += cents * cents * (1.0 - pi) / pi
+    sigma = math.sqrt(design_var)
+    assert abs(r["ht_total_cents"] - r["exact_total_cents"]) <= 3 * sigma
