@@ -950,3 +950,27 @@ def test_horvitz_thompson_whales_always_kept(spark):
         design_var += cents * cents * (1.0 - pi) / pi
     sigma = math.sqrt(design_var)
     assert abs(r["ht_total_cents"] - r["exact_total_cents"]) <= 3 * sigma
+
+
+def test_r8_session3_plan_contracts(spark):
+    """Plan shapes the round-8 third-session docstrings promise:
+    - text_c4_line_filters: pure scan-fused array work — ZERO joins;
+    - events_peak_concurrency: delta-sweep, no interval self-join (the
+      only join is the broadcast 1-row peak);
+    - text_source_kl_divergence: the sources x vocab grid must build
+      from broadcasts, never a SortMergeJoin;
+    - graph_hits_authorities is covered by its unrolled-oracle equality
+      (plan is the shared pagerank shape).
+    """
+    c4 = _plan(spark, "text_c4_line_filters")
+    assert "Join" not in c4
+
+    pc = _plan(spark, "events_peak_concurrency")
+    assert "SortMergeJoin" not in pc and "CartesianProduct" not in pc
+
+    kl = _plan(spark, "text_source_kl_divergence")
+    assert "SortMergeJoin" not in kl
+
+    dd = _plan(spark, "window_max_drawdown")
+    assert "Join" not in dd or "BroadcastNestedLoopJoin" in dd
+    assert "SortMergeJoin" not in dd
