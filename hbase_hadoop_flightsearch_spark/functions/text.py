@@ -2619,3 +2619,73 @@ def text_collocations_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= LLR_TOP)
         .select("rnk", "w1", "w2", F.col("k11").alias("pair_count"), "g2_micro")
     )
+
+
+# ---------------------------------------------------------------------------
+# MATTR lexical diversity (Covington & McFall 2010) — moving-average
+# type-token ratio: TTR over every sliding W-token window, immune to the
+# document-length bias that sinks the plain TTR as a quality feature.
+
+MATTR_W = 25
+
+
+@register(
+    "text_mattr_diversity",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+  FROM documents
+),
+eligible AS (SELECT doc_id, t FROM toks WHERE len(t) >= {MATTR_W}),
+wins AS (
+  SELECT doc_id,
+    CAST(len(t) - {MATTR_W} + 1 AS BIGINT) AS n_windows,
+    CAST(list_sum(list_transform(
+      range(1, len(t) - {MATTR_W} + 2),
+      i -> len(list_distinct(t[i:i + {MATTR_W} - 1])))) AS BIGINT)
+      AS distinct_sum
+  FROM eligible
+)
+SELECT doc_id, n_windows, distinct_sum,
+  CAST((distinct_sum * 1000000) // (n_windows * {MATTR_W}) AS BIGINT)
+    AS mattr_ppm
+FROM wins
+""",
+    doc="MATTR lexical diversity (Covington & McFall 2010): the mean "
+    "type-token ratio over every sliding {w}-token window, as an exact "
+    "integer ppm (sum of per-window distinct counts over n_windows*{w} "
+    "— no floats until never). The length-unbiased replacement for raw "
+    "TTR in quality scoring. Pure per-row array work fused into the "
+    "scan — zero joins, zero shuffles before the implicit collect; "
+    "O(len*W) per doc. Constant-doc and all-distinct fixtures pin the "
+    "1/W and 1.0 extremes.".format(w=MATTR_W),
+)
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(F.split("text", " "), lambda w: w != "")
+    d = docs.select("doc_id", t.alias("t")).filter(
+        F.size("t") >= MATTR_W
+    )
+    wins = d.select(
+        "doc_id",
+        (F.size("t") - MATTR_W + 1).cast("bigint").alias("n_windows"),
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - MATTR_W + 1),
+                lambda i: F.size(
+                    F.array_distinct(F.slice("t", i, MATTR_W))
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("distinct_sum"),
+    )
+    return wins.select(
+        "doc_id",
+        "n_windows",
+        "distinct_sum",
+        F.expr(
+            f"CAST((distinct_sum * 1000000)"
+            f" div (n_windows * {MATTR_W}) AS BIGINT)"
+        ).alias("mattr_ppm"),
+    )

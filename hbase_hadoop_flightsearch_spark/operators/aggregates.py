@@ -1613,3 +1613,90 @@ def agg_delta_method_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ROUND({_RATIO_R} + 1.959963985 * ({_RATIO_SE}), 6)"
         ).alias("ci_hi_r6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman market concentration — the antitrust-standard
+# one-number complement to the Gini/Pareto pair: sum of squared revenue
+# shares per market (nation), in exact integer arithmetic.
+
+
+@register(
+    "agg_hhi_market_concentration",
+    oracle="""
+WITH rev AS (
+  SELECT n.n_name AS nation, c.c_custkey,
+    CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT nation, CAST(SUM(cents) AS BIGINT) AS market
+  FROM rev GROUP BY nation
+),
+hhi AS (
+  SELECT r.nation,
+    CAST(COUNT(*) AS BIGINT) AS n_firms,
+    MAX(t.market) AS market_cents,
+    -- share in basis points (x10000), squared and summed: the classic
+    -- 0..1e8 HHI scale, exact integers throughout
+    CAST(SUM(((r.cents * 10000) // t.market)
+             * ((r.cents * 10000) // t.market)) AS BIGINT) AS hhi_bp2
+  FROM rev r JOIN tot t USING (nation)
+  GROUP BY r.nation
+)
+SELECT nation, n_firms, market_cents, hhi_bp2,
+  hhi_bp2 > 2500 * 2500 AS highly_concentrated
+FROM hhi
+""",
+    doc="Herfindahl-Hirschman index per nation market: customers are the "
+    "'firms', shares quantized to basis points (floor) BEFORE squaring "
+    "so the index is an exact integer on the classic 0..10^8 scale; the "
+    "DOJ 2500-point threshold flags concentration. One customer rollup, "
+    "one market total broadcast back, exact integers end to end — the "
+    "regulator's complement to agg_gini_revenue / "
+    "events_pareto_concentration.",
+)
+def agg_hhi_market_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "c_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    tot = rev.groupBy("nation").agg(
+        F.sum("cents").cast("bigint").alias("market")
+    )
+    hhi = (
+        rev.join(F.broadcast(tot), "nation")
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_firms"),
+            F.max("market").cast("bigint").alias("market_cents"),
+            F.sum(
+                F.expr("((cents * 10000) div market)")
+                * F.expr("((cents * 10000) div market)")
+            )
+            .cast("bigint")
+            .alias("hhi_bp2"),
+        )
+    )
+    return hhi.select(
+        "nation",
+        "n_firms",
+        "market_cents",
+        "hhi_bp2",
+        (F.col("hhi_bp2") > 2500 * 2500).alias("highly_concentrated"),
+    )

@@ -346,3 +346,77 @@ def ml_eval_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ndcg_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pinball (quantile) loss — THE metric for quantile forecasts: evaluates
+# the seasonal-naive forecaster at tau = 0.5 / 0.9 with exact integer
+# cross-multiplied losses (tau = q/10 keeps every term a BIGINT).
+
+PINBALL_TAUS = (5, 9)  # tau tenths: 0.5 and 0.9
+
+
+@register(
+    "ml_eval_pinball_quantile",
+    oracle=f"""
+WITH hourly AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+lagged AS (
+  SELECT h, y,
+    LAG(y, 168) OVER (ORDER BY h) AS f
+  FROM hourly
+),
+j AS (SELECT y, f FROM lagged WHERE f IS NOT NULL),
+taus AS (SELECT CAST(unnest({list(PINBALL_TAUS)}) AS BIGINT) AS tau10),
+losses AS (
+  SELECT t.tau10,
+    CASE WHEN j.y >= j.f THEN t.tau10 * (j.y - j.f)
+         ELSE (10 - t.tau10) * (j.f - j.y) END AS loss10
+  FROM j, taus t
+)
+SELECT tau10, CAST(COUNT(*) AS BIGINT) AS n_hours,
+  CAST(SUM(loss10) AS BIGINT) AS total_loss_tenths,
+  ROUND(CAST(SUM(loss10) AS DOUBLE) / (10.0 * COUNT(*)), 6)
+    AS mean_pinball_r6
+FROM losses GROUP BY tau10
+""",
+    doc="Pinball (quantile) loss of the 168-hour seasonal-naive "
+    "forecaster at tau = 0.5 and 0.9 — the proper scoring rule for "
+    "quantile forecasts (tau=0.5 pinball = MAE/2, so this generalizes "
+    "ts_forecast_snaive_eval's MAE). Losses are cross-multiplied to "
+    "tau-tenths BIGINTs, so the totals are exact integers and only the "
+    "final mean is one IEEE division. One hour rollup + one LAG window "
+    "+ an O(taus) aggregate.",
+)
+def ml_eval_pinball_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    lagged = hourly.select(
+        "y", F.lag("y", 168).over(Window.orderBy("h")).alias("f")
+    ).filter(F.col("f").isNotNull())
+    taus = spark.createDataFrame(
+        [(int(t),) for t in PINBALL_TAUS], "tau10 long"
+    )
+    losses = lagged.crossJoin(F.broadcast(taus)).select(
+        "tau10",
+        F.when(
+            F.col("y") >= F.col("f"),
+            F.col("tau10") * (F.col("y") - F.col("f")),
+        )
+        .otherwise((10 - F.col("tau10")) * (F.col("f") - F.col("y")))
+        .alias("loss10"),
+    )
+    return losses.groupBy("tau10").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("loss10").cast("bigint").alias("total_loss_tenths"),
+        F.expr(
+            "ROUND(CAST(SUM(loss10) AS DOUBLE) / (10.0 * COUNT(*)), 6)"
+        ).alias("mean_pinball_r6"),
+    )

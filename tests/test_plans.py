@@ -974,3 +974,57 @@ def test_r8_session3_plan_contracts(spark):
     dd = _plan(spark, "window_max_drawdown")
     assert "Join" not in dd or "BroadcastNestedLoopJoin" in dd
     assert "SortMergeJoin" not in dd
+
+
+def test_mattr_extremes(spark):
+    """A one-word document reads MATTR = 1/W exactly; an all-distinct
+    document reads exactly 1.0 (1e6 ppm)."""
+    import hbase_hadoop_flightsearch_spark.functions.text as T
+
+    docs = spark.createDataFrame(
+        [
+            (0, "s", " ".join(["same"] * 60)),
+            (1, "s", " ".join(f"w{i}" for i in range(60))),
+            (2, "s", "too short"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    orig = T.load_table
+    try:
+        T.load_table = lambda _s, _d, _t: docs
+        out = {r["doc_id"]: r for r in
+               T.text_mattr_diversity(spark, "x").collect()}
+    finally:
+        T.load_table = orig
+    assert 2 not in out  # below the window size
+    assert out[0]["mattr_ppm"] == 1_000_000 // T.MATTR_W
+    assert out[1]["mattr_ppm"] == 1_000_000
+
+
+def test_hhi_monopoly_reads_1e8(spark):
+    """One customer owning the whole market -> HHI = 10000^2 exactly;
+    two equal customers -> 2 * 5000^2."""
+    import hbase_hadoop_flightsearch_spark.operators.aggregates as A
+
+    orders = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 20, 50.0), (3, 21, 50.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(10, 1), (20, 2), (21, 2)],
+        "c_custkey long, c_nationkey long",
+    )
+    nation = spark.createDataFrame(
+        [(1, "MONO"), (2, "DUO")], "n_nationkey long, n_name string"
+    )
+    tables = {"orders": orders, "customer": customer, "nation": nation}
+    orig = A.load_table
+    try:
+        A.load_table = lambda _s, _d, t: tables[t]
+        out = {r["nation"]: r for r in
+               A.agg_hhi_market_concentration(spark, "x").collect()}
+    finally:
+        A.load_table = orig
+    assert out["MONO"]["hhi_bp2"] == 10000 * 10000
+    assert out["MONO"]["highly_concentrated"]
+    assert out["DUO"]["hhi_bp2"] == 2 * 5000 * 5000
