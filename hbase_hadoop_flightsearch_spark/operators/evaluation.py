@@ -420,3 +420,124 @@ def ml_eval_pinball_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ROUND(CAST(SUM(loss10) AS DOUBLE) / (10.0 * COUNT(*)), 6)"
         ).alias("mean_pinball_r6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Learning curve — accuracy of the per-context majority baseline as the
+# training fraction grows: the scaling-law-style diagnostic ("is more
+# data still buying accuracy?") over deterministic md5 user buckets.
+
+LC_FRACTIONS = (25, 50, 75, 100)  # % of the 80-bucket training pool
+LC_EVAL_LO = 80  # buckets 80..99 are the fixed held-out eval split
+
+
+@register(
+    "ml_eval_learning_curve",
+    oracle=f"""
+WITH b AS (
+  SELECT user_id, event_type, ts,
+    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 4))::INT % 100
+      AS bucket
+  FROM events
+),
+trans AS (
+  SELECT user_id, bucket, event_type AS prev,
+    LEAD(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_type) AS nxt
+  FROM b
+),
+t AS (SELECT * FROM trans WHERE nxt IS NOT NULL),
+fr AS (SELECT CAST(unnest({list(LC_FRACTIONS)}) AS BIGINT) AS f),
+counts AS (
+  SELECT fr.f, t.prev, t.nxt, CAST(COUNT(*) AS BIGINT) AS c
+  FROM t, fr
+  WHERE t.bucket < ({LC_EVAL_LO} * fr.f) // 100
+  GROUP BY fr.f, t.prev, t.nxt
+),
+model AS (
+  SELECT f, prev, nxt AS pred FROM (
+    SELECT f, prev, nxt, ROW_NUMBER() OVER (
+      PARTITION BY f, prev ORDER BY c DESC, nxt) AS rn
+    FROM counts
+  ) WHERE rn = 1
+),
+eval_t AS (SELECT prev, nxt FROM t WHERE bucket >= {LC_EVAL_LO}),
+scored AS (
+  SELECT m.f,
+    CAST(COUNT(*) AS BIGINT) AS n_eval,
+    CAST(SUM(CASE WHEN e.nxt = m.pred THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_correct
+  FROM eval_t e JOIN model m ON m.prev = e.prev
+  GROUP BY m.f
+)
+SELECT f AS train_pct, n_eval, n_correct,
+  CAST((n_correct * 1000000) // n_eval AS BIGINT) AS accuracy_ppm
+FROM scored
+""",
+    doc="Learning curve of the per-context majority next-event baseline "
+    "over growing training fractions (25/50/75/100% of the 80-bucket "
+    "md5 train pool; buckets 80-99 are the fixed eval split): the "
+    "is-more-data-still-helping diagnostic, exact integer accuracy "
+    "ppm per point. One LEAD window over (user, ts), conditional "
+    "counts per fraction (the 4x fan-out touches transition rows, "
+    "not raw events), broadcast O(fractions x types^2) model join. "
+    "Curve monotonicity is a measured property, not asserted — "
+    "plateaus are the finding.",
+)
+def ml_eval_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("user_id").cast("string").cast("binary")), 1, 4
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 100
+    )
+    b = events.select("user_id", "event_type", "ts", bucket.alias("bucket"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    t = b.select(
+        "bucket",
+        F.col("event_type").alias("prev"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    fr = events.sparkSession.createDataFrame(
+        [(int(f),) for f in LC_FRACTIONS], "f long"
+    )
+    counts = (
+        t.crossJoin(F.broadcast(fr))
+        .filter(F.col("bucket") < F.expr(f"({LC_EVAL_LO} * f) div 100"))
+        .groupBy("f", "prev", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("f", "prev").orderBy(F.desc("c"), "nxt")
+    )
+    model = (
+        counts.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("f", "prev", F.col("nxt").alias("pred"))
+    )
+    eval_t = t.filter(F.col("bucket") >= LC_EVAL_LO).select("prev", "nxt")
+    scored = (
+        eval_t.join(F.broadcast(model), "prev")
+        .groupBy("f")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.sum((F.col("nxt") == F.col("pred")).cast("int"))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+    )
+    return scored.select(
+        F.col("f").alias("train_pct"),
+        "n_eval",
+        "n_correct",
+        F.expr("CAST((n_correct * 1000000) div n_eval AS BIGINT)").alias(
+            "accuracy_ppm"
+        ),
+    )

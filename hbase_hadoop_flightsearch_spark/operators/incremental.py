@@ -459,3 +459,132 @@ def incremental_minhash_merge(
         *[F.col(f"m{i}") for i in range(8)],
         eq.alias("merge_equals_direct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable count-min shards — CMS is LINEAR (cell-wise sums), so
+# per-shard grids merge exactly into the global grid. The incremental
+# complement to sketch_countmin_topk's one-shot build: each source
+# shard keeps its own d x w grid; a backfilled shard re-aggregates
+# alone and the merge stays exact.
+
+from .sketches import CMS_DEPTH, CMS_WIDTH, TOPK, _bucket  # noqa: E402
+
+
+@register(
+    "incremental_countmin_merge",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tok AS (SELECT source, token FROM toks WHERE token <> ''),
+hrows AS (SELECT unnest(range({CMS_DEPTH})) AS r),
+shard_cells AS (
+  SELECT source, r,
+         ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || token), 1, 8))
+           ::BIGINT % {CMS_WIDTH} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tok CROSS JOIN hrows
+  GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT r, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM shard_cells GROUP BY r, bucket
+),
+exact AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM tok GROUP BY token
+),
+probes AS (
+  SELECT e.token, h.r,
+         ('0x' || substring(md5(CAST(h.r AS VARCHAR) || ':' || e.token),
+                            1, 8))::BIGINT % {CMS_WIDTH} AS bucket
+  FROM exact e CROSS JOIN hrows h
+),
+est AS (
+  SELECT p.token, MIN(m.cnt) AS est_merged
+  FROM probes p JOIN merged m USING (r, bucket)
+  GROUP BY p.token
+),
+shard_stats AS (
+  SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_shards,
+         CAST(SUM(cnt) AS BIGINT) AS total_mass
+  FROM shard_cells
+)
+SELECT e.token, e.exact_count, est.est_merged, s.n_shards,
+       CAST(s.total_mass // {CMS_DEPTH} AS BIGINT) AS tokens_total
+FROM exact e JOIN est USING (token), shard_stats s
+ORDER BY e.exact_count DESC, e.token
+LIMIT {TOPK}
+""",
+    doc="Mergeable count-min shards: one d x w grid PER SOURCE shard "
+    "(the incremental unit — a backfilled source re-aggregates alone), "
+    "merged by cell-wise integer SUM. CMS is linear, so the merged "
+    "grid is IDENTICAL to the one-shot global grid and the min-over-"
+    "rows estimates stay exactly sketch_countmin_topk's — the identity "
+    "a test asserts. Same md5-substream buckets, so the ENTIRE "
+    "shard-merge-probe pipeline replays in DuckDB; FULL value oracle. "
+    "Shuffle: O(shards * d * w) grid rows, regardless of corpus size.",
+)
+def incremental_countmin_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    cells = tok.select(
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), _bucket(r).alias("bucket")
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    )
+    shard_cells = cells.groupBy("source", "cell.r", "cell.bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    merged = shard_cells.groupBy("r", "bucket").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+    exact = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    probes = exact.select(
+        "token",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), _bucket(r).alias("bucket")
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    ).select("token", "exact_count", "cell.r", "cell.bucket")
+    est = (
+        probes.join(F.broadcast(merged), ["r", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("cnt").cast("bigint").alias("est_merged"))
+    )
+    stats = shard_cells.agg(
+        F.count_distinct("source").cast("bigint").alias("n_shards"),
+        F.expr(
+            f"CAST(SUM(cnt) div {CMS_DEPTH} AS BIGINT)"
+        ).alias("tokens_total"),
+    )
+    return (
+        est.crossJoin(F.broadcast(stats))
+        .orderBy(F.desc("exact_count"), "token")
+        .limit(TOPK)
+        .select(
+            "token", "exact_count", "est_merged", "n_shards", "tokens_total"
+        )
+    )

@@ -427,3 +427,42 @@ def test_ndcg_ideal_vs_inverted_order(spark, tmp_path):
     assert got["aa"].ndcg_ppm == 1_000_000
     assert got["aa"].dcg_micro == got["aa"].idcg_micro
     assert got["bb"].ndcg_ppm < 1_000_000
+
+
+def test_learning_curve_fixed_eval_and_perfect_pattern(spark, sf_correctness):
+    """The eval split is FIXED: n_eval must be identical at every
+    training fraction. On a corpus where 'view' is always followed by
+    'click', the model must be perfect at every fraction."""
+    import datetime
+
+    import hbase_hadoop_flightsearch_spark.operators.evaluation as E
+
+    rows = E.ml_eval_learning_curve(spark, sf_correctness).collect()
+    assert {r["train_pct"] for r in rows} == set(E.LC_FRACTIONS)
+    assert len({r["n_eval"] for r in rows}) == 1
+    assert all(0 <= r["accuracy_ppm"] <= 1_000_000 for r in rows)
+
+    ev_rows = []
+    eid = 0
+    for uid in range(60):
+        for k, et in enumerate(["view", "click", "view", "click"]):
+            ev_rows.append(
+                (eid, datetime.datetime(2024, 1, 1, 8, 0, k), uid, et,
+                 1.0, "{}")
+            )
+            eid += 1
+    events = spark.createDataFrame(
+        ev_rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orig = E.load_table
+    try:
+        E.load_table = lambda _s, _d, _t: events
+        perf = E.ml_eval_learning_curve(spark, "x").collect()
+    finally:
+        E.load_table = orig
+    # ties on ts are broken by event_type ('click' < 'view'), so the
+    # per-user sequence is deterministic; every prev has a single
+    # dominant successor and accuracy is perfect at every fraction.
+    assert perf and all(r["accuracy_ppm"] == 1_000_000 for r in perf)

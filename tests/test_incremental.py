@@ -134,3 +134,25 @@ def test_bitmap_state_fold_is_associative_and_idempotent(spark, sf_smoke):
     # replay a slice: duplicate one year's states, counts unchanged
     replay = states.unionByName(states.filter(F.col("yr") == years[0]))
     assert count_of(replay) == all_at_once
+
+
+def test_countmin_merge_equals_oneshot_grid(spark, sf_correctness):
+    """CMS linearity: the shard-merged estimates must EQUAL the one-shot
+    global grid's estimates token for token."""
+    from hbase_hadoop_flightsearch_spark.operators.incremental import (
+        incremental_countmin_merge,
+    )
+    from hbase_hadoop_flightsearch_spark.operators.sketches import (
+        sketch_countmin_topk,
+    )
+
+    merged = {
+        r["token"]: r["est_merged"]
+        for r in incremental_countmin_merge(spark, sf_correctness).collect()
+    }
+    oneshot = {
+        r["token"]: r["est_count"]
+        for r in sketch_countmin_topk(spark, sf_correctness).collect()
+    }
+    assert merged.keys() == oneshot.keys()
+    assert merged == oneshot
