@@ -965,7 +965,7 @@ SELECT center_idx, center_vec_id, radius_q FROM ({picks}), r
     "broadcast-literal distance update, lineage truncated per round. "
     "At 100 TB: each pass is one scan + one TakeOrdered(1) — O(k) scans "
     "total, no shuffle of the corpus; 2-approx bound asserted against "
-    "brute force in tests/test_sampling_extra.py.",
+    "brute force in tests/test_properties.py.",
 )
 def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _kcenter_quantized(spark, sf_dir).localCheckpoint()
