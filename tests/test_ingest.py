@@ -461,3 +461,36 @@ def test_cli_query_and_list(spark, sf_smoke, tmp_path, capsys):
 
     rc = main(["query", "no_such_query", sf_smoke, "-"])
     assert rc == 2
+
+
+def test_dynamic_partition_pruning_on_dim_join(spark, tmp_path):
+    """DYNAMIC partition pruning (runtime, not static): a fact table
+    partitioned by region key, joined to a FILTERED dimension, must
+    carry a dynamicpruning#N subquery in its PartitionFilters — Catalyst
+    prunes fact partitions from the dim filter's runtime result, the
+    plan feature that makes star joins over partitioned 100 TB facts
+    read only the matching slices."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 10000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("region_key"),
+        (F.col("id") * 3).alias("val"),
+    )
+    path = str(tmp_path / "fact_parted")
+    fact.write.partitionBy("region_key").parquet(path)
+    dim = spark.createDataFrame(
+        [(0, "keep"), (1, "drop"), (2, "drop"), (3, "drop"), (4, "drop")],
+        "region_key long, name string",
+    )
+    f = spark.read.parquet(path)
+    joined = (
+        f.join(dim.filter(F.col("name") == "keep"), "region_key")
+        .groupBy("region_key")
+        .agg(F.sum("val").alias("s"))
+    )
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan[:2000]
+    rows = joined.collect()
+    assert len(rows) == 1 and rows[0]["region_key"] == 0
