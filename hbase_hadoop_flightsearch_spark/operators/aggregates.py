@@ -1700,3 +1700,81 @@ def agg_hhi_market_concentration(
         "hhi_bp2",
         (F.col("hhi_bp2") > 2500 * 2500).alias("highly_concentrated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator (Hill 1975) — HOW heavy is the revenue tail?
+# The quantitative counterpart to the Pareto/Gini/HHI concentration trio:
+# alpha near 1 = extreme tail, large alpha = thin tail.
+
+HILL_K = 100  # top-k order statistics
+
+
+@register(
+    "agg_tail_index_hill",
+    oracle=f"""
+WITH v AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+    ROW_NUMBER() OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+                       DESC, o_orderkey) AS rn
+  FROM orders
+),
+topk AS (SELECT cents, rn FROM v WHERE rn <= {HILL_K} + 1),
+xk AS (SELECT cents AS x_k FROM topk WHERE rn = {HILL_K} + 1),
+terms AS (
+  SELECT CAST(FLOOR(1000000.0 * LN(CAST(t.cents AS DOUBLE) / xk.x_k))
+              AS BIGINT) AS term_micro
+  FROM topk t, xk WHERE t.rn <= {HILL_K}
+),
+h AS (SELECT CAST(SUM(term_micro) AS BIGINT) AS s FROM terms)
+SELECT CAST({HILL_K} AS BIGINT) AS k,
+  (SELECT x_k FROM xk) AS threshold_cents,
+  h.s AS sum_log_excess_micro,
+  CAST((CAST({HILL_K} AS BIGINT) * 1000000000000) // h.s AS BIGINT)
+    AS alpha_micro
+FROM h
+""",
+    doc="Hill 1975 tail-index estimator over order values: alpha_hat = "
+    f"k / sum(ln(x_i / x_k)) across the top k={HILL_K} order "
+    "statistics (deterministic orderkey tie-break). Each log-excess "
+    "term is quantized to micro BIGINT before the order-free sum, and "
+    "alpha itself is an exact integer division on the summed micros — "
+    "FULL value oracle. Plan: one TakeOrdered(k+1)-class top-k (heap "
+    "merge, no global sort at scale) + an O(k) finish. Reads the "
+    "heavy-tail EXPONENT the Pareto/Gini/HHI trio only rank.",
+)
+def agg_tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.orderBy(F.desc("cents"), "o_orderkey")
+    topk = (
+        v.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HILL_K + 1)
+        .select("cents", "rn")
+    )
+    xk = topk.filter(F.col("rn") == HILL_K + 1).select(
+        F.col("cents").alias("x_k")
+    )
+    terms = (
+        topk.filter(F.col("rn") <= HILL_K)
+        .crossJoin(F.broadcast(xk))
+        .select(
+            F.expr(
+                "CAST(FLOOR(1000000.0 *"
+                " LN(CAST(cents AS DOUBLE) / x_k)) AS BIGINT)"
+            ).alias("term_micro"),
+            "x_k",
+        )
+    )
+    return terms.agg(
+        F.lit(HILL_K).cast("bigint").alias("k"),
+        F.max("x_k").cast("bigint").alias("threshold_cents"),
+        F.sum("term_micro").cast("bigint").alias("sum_log_excess_micro"),
+        F.expr(
+            f"CAST((CAST({HILL_K} AS BIGINT) * 1000000000000)"
+            " div SUM(term_micro) AS BIGINT)"
+        ).alias("alpha_micro"),
+    )

@@ -4459,3 +4459,68 @@ def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return dem.groupBy("pk").applyInPandas(croston_series, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Burstiness — Fano factor and the Goh-Barabasi burstiness parameter per
+# event type: is this stream Poisson-like or bursty? The upstream sanity
+# check for every anomaly detector in this module.
+
+
+@register(
+    "events_burstiness_fano",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS BIGINT) AS s,
+    CAST(SUM(x * x) AS BIGINT) AS ss
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n, s AS total_events,
+  ROUND(CAST(n * ss - s * s AS DOUBLE) / (n * (n - 1))
+        / (CAST(s AS DOUBLE) / n), 6) AS fano_r6,
+  ROUND((SQRT(CAST(n * ss - s * s AS DOUBLE) / (n * (n - 1)))
+         - CAST(s AS DOUBLE) / n)
+        / (SQRT(CAST(n * ss - s * s AS DOUBLE) / (n * (n - 1)))
+           + CAST(s AS DOUBLE) / n), 6) AS burstiness_r6
+FROM m WHERE n >= 2
+""",
+    doc="Burstiness profile per event type over daily counts: the Fano "
+    "factor (variance/mean — 1 for Poisson, >1 overdispersed) and the "
+    "Goh-Barabasi 2008 burstiness parameter B = (sigma-mu)/(sigma+mu) "
+    "in [-1, 1]. Exact BIGINT cross-product moments, fixed-shape IEEE "
+    "finishers shared verbatim with the oracle. One day rollup + one "
+    "O(types) aggregate — the distribution-shape gate before trusting "
+    "any Poisson-assuming alert threshold.",
+)
+def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("ss"),
+    ).filter(F.col("n") >= 2)
+    return m.select(
+        "event_type",
+        "n",
+        F.col("s").alias("total_events"),
+        F.expr(
+            "ROUND(CAST(n * ss - s * s AS DOUBLE) / (n * (n - 1))"
+            " / (CAST(s AS DOUBLE) / n), 6)"
+        ).alias("fano_r6"),
+        F.expr(
+            "ROUND((SQRT(CAST(n * ss - s * s AS DOUBLE) / (n * (n - 1)))"
+            " - CAST(s AS DOUBLE) / n)"
+            " / (SQRT(CAST(n * ss - s * s AS DOUBLE) / (n * (n - 1)))"
+            " + CAST(s AS DOUBLE) / n), 6)"
+        ).alias("burstiness_r6"),
+    )

@@ -1028,3 +1028,24 @@ def test_hhi_monopoly_reads_1e8(spark):
     assert out["MONO"]["hhi_bp2"] == 10000 * 10000
     assert out["MONO"]["highly_concentrated"]
     assert out["DUO"]["hhi_bp2"] == 2 * 5000 * 5000
+
+
+def test_hill_alpha_recovers_pareto_exponent(spark):
+    """Orders drawn from an exact Pareto(alpha=2) quantile grid: the Hill
+    estimate over the top 100 must land near 2."""
+    import hbase_hadoop_flightsearch_spark.operators.aggregates as A
+
+    # x_i = (n/i)^(1/alpha): the i-th largest of n Pareto(alpha) points.
+    n, alpha = 2000, 2.0
+    orders = spark.createDataFrame(
+        [(i, 100.0 * (n / i) ** (1.0 / alpha)) for i in range(1, n + 1)],
+        "o_orderkey long, o_totalprice double",
+    )
+    orig = A.load_table
+    try:
+        A.load_table = lambda _s, _d, _t: orders
+        r = A.agg_tail_index_hill(spark, "x").collect()[0]
+    finally:
+        A.load_table = orig
+    alpha_hat = r["alpha_micro"] / 1e6
+    assert 1.7 < alpha_hat < 2.3, alpha_hat

@@ -650,3 +650,34 @@ def test_peak_concurrency_hand_fixture(spark):
             tzinfo=datetime.timezone.utc
         ).timestamp()
     )
+
+
+def test_burstiness_poisson_vs_bursty_fixture(spark):
+    """A metronome stream (same count every day) reads Fano ~0 and
+    burstiness -1; an on/off bursty stream reads Fano >> 1 and B > 0."""
+    import datetime
+
+    import hbase_hadoop_flightsearch_spark.operators.timeseries as TS
+
+    rows = []
+    eid = 0
+    for d in range(20):
+        for i in range(10):  # 'steady': exactly 10/day
+            rows.append((eid, datetime.datetime(2024, 1, 1 + d, 9, 0, i),
+                         i, "steady", 1.0, "{}")); eid += 1
+        n = 100 if d % 5 == 0 else 1  # 'bursty': spikes every 5th day
+        for i in range(n):
+            rows.append((eid, datetime.datetime(2024, 1, 1 + d, 10, 0,
+                         i % 60), i, "bursty", 1.0, "{}")); eid += 1
+    events = _patched_events(spark, rows)
+    orig = TS.load_table
+    try:
+        TS.load_table = lambda _s, _d, _t: events
+        out = {r["event_type"]: r
+               for r in TS.events_burstiness_fano(spark, "x").collect()}
+    finally:
+        TS.load_table = orig
+    assert out["steady"]["fano_r6"] == 0.0
+    assert out["steady"]["burstiness_r6"] == -1.0
+    assert out["bursty"]["fano_r6"] > 10
+    assert out["bursty"]["burstiness_r6"] > 0
