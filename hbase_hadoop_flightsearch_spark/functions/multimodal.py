@@ -2849,3 +2849,150 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, n_frames bigint, n_silence_frames bigint, "
         "n_speech_segments bigint, speech_energy bigint",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# NetPBM P6 (binary PPM) — the simplest REAL raster codec after BMP, and
+# the one with a genuinely tricky header: free-form whitespace plus
+# `#`-comment lines that may appear BETWEEN any two header tokens. The
+# synth deliberately injects comments on a doc_id residue so the parser's
+# comment handling is load-bearing, not decorative.
+
+PPM_W_MOD, PPM_H_MOD = 8, 6  # w = doc_id % 8 + 2, h = doc_id % 6 + 2
+
+
+def _ppm_pixel(doc_id: int, x: int, y: int) -> tuple[int, int, int]:
+    return (
+        (doc_id + 4 * x + 9 * y) % 256,
+        (2 * doc_id + 6 * x + 10 * y) % 256,
+        (3 * doc_id + 14 * x + 15 * y) % 256,
+    )
+
+
+def _synth_ppm(doc_id: int) -> bytes:
+    w = doc_id % PPM_W_MOD + 2
+    h = doc_id % PPM_H_MOD + 2
+    hdr = b"P6\n"
+    if doc_id % 3 == 0:  # spec: comments may sit between header tokens
+        hdr += b"# synthetic fixture\n"
+    hdr += f"{w} ".encode()
+    if doc_id % 5 == 0:
+        hdr += b"# mid-header comment\n"
+    hdr += f"{h}\n255\n".encode()
+    body = bytearray()
+    for y in range(h):
+        for x in range(w):
+            body.extend(_ppm_pixel(doc_id, x, y))
+    return hdr + bytes(body)
+
+
+def ppm_pixels(payload: bytes):
+    """REAL P6 parser: tokenizing header reader that skips arbitrary
+    whitespace and '#'-to-EOL comments between tokens (NetPBM spec),
+    then reads exactly one whitespace byte before the raw RGB plane.
+    Returns rows of (r, g, b) tuples, top-down."""
+    pos = 0
+
+    def token() -> bytes:
+        nonlocal pos
+        while pos < len(payload):
+            c = payload[pos: pos + 1]
+            if c == b"#":
+                while pos < len(payload) and payload[pos: pos + 1] != b"\n":
+                    pos += 1
+            elif c in b" \t\r\n":
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(payload) and payload[pos: pos + 1] not in b" \t\r\n#":
+            pos += 1
+        return payload[start:pos]
+
+    magic = token()
+    if magic != b"P6":
+        raise ValueError(f"not a P6 PPM: magic {magic!r}")
+    w, h, maxval = int(token()), int(token()), int(token())
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    pos += 1  # exactly ONE whitespace byte separates header and plane
+    plane = payload[pos: pos + 3 * w * h]
+    if len(plane) != 3 * w * h:
+        raise ValueError("truncated pixel plane")
+    return [
+        [
+            tuple(plane[3 * (y * w + x): 3 * (y * w + x) + 3])
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+
+
+def _ppm_stats_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            px = ppm_pixels(_synth_ppm(int(doc_id)))
+            w = len(px[0])
+            n = sr = sg = sb = ck = 0
+            for y, row in enumerate(px):
+                for x, (r, g, b) in enumerate(row):
+                    n += 1
+                    sr += r
+                    sg += g
+                    sb += b
+                    ck += (y * w + x + 1) * (3 * r + 2 * g + b)
+            rows.append(
+                {
+                    "doc_id": doc_id, "n_px": n, "sum_r": sr,
+                    "sum_g": sg, "sum_b": sb, "checksum": ck,
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "multimodal_ppm_pixel_stats",
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id,
+         doc_id % {PPM_W_MOD} + 2 AS w,
+         doc_id % {PPM_H_MOD} + 2 AS h
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.w, xs.x, ys.y,
+    (d.doc_id + 4 * xs.x + 9 * ys.y) % 256 AS r,
+    (2 * d.doc_id + 6 * xs.x + 10 * ys.y) % 256 AS g,
+    (3 * d.doc_id + 14 * xs.x + 15 * ys.y) % 256 AS b
+  FROM dims d
+  JOIN (SELECT unnest(generate_series(0, {PPM_W_MOD})) AS x) xs
+    ON xs.x < d.w
+  JOIN (SELECT unnest(generate_series(0, {PPM_H_MOD})) AS y) ys
+    ON ys.y < d.h
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_px,
+  CAST(SUM(r) AS BIGINT) AS sum_r,
+  CAST(SUM(g) AS BIGINT) AS sum_g,
+  CAST(SUM(b) AS BIGINT) AS sum_b,
+  CAST(SUM((y * w + x + 1) * (3 * r + 2 * g + b)) AS BIGINT) AS checksum
+FROM px GROUP BY doc_id
+""",
+    doc="REAL NetPBM P6 decode (E13 family member #8 after "
+    "BMP/PNG/GIF/JPEG/WAV/AVI/ICO-TIFF headers): synthesized binary "
+    "PPMs whose headers deliberately interleave '#' comment lines "
+    "between tokens (the spec's trap), parsed back by a stdlib-only "
+    "tokenizing reader, integer-exact per-channel sums + the "
+    "position-weighted checksum that any stride or comment-handling "
+    "bug changes. Arrow-batched mapInPandas, scan-fused, zero shuffle.",
+)
+def multimodal_ppm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _ppm_stats_batches,
+        schema="doc_id bigint, n_px bigint, sum_r bigint, sum_g bigint, "
+        "sum_b bigint, checksum bigint",
+    )

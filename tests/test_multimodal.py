@@ -964,3 +964,30 @@ public class ProgXCheck {
                         worst, abs(rgb[c] - int(out["rgb"][y, x, c]))
                     )
         assert worst <= tol, f"{mode}: max diff {worst}"
+
+
+def test_ppm_parser_comments_and_corruption():
+    """The P6 tokenizer must survive '#' comments between ANY header
+    tokens (doc_id 15 hits both injection sites), and must raise named
+    errors on wrong magic / truncated planes — one rotten object costs
+    one row, never a silent wrong answer."""
+    import pytest as _pytest
+
+    from hbase_hadoop_flightsearch_spark.functions.multimodal import (
+        _ppm_pixel,
+        _synth_ppm,
+        ppm_pixels,
+    )
+
+    for doc_id in (0, 3, 5, 7, 15):
+        px = ppm_pixels(_synth_ppm(doc_id))
+        h, w = len(px), len(px[0])
+        assert (w, h) == (doc_id % 8 + 2, doc_id % 6 + 2)
+        for y in range(h):
+            for x in range(w):
+                assert px[y][x] == _ppm_pixel(doc_id, x, y)
+
+    with _pytest.raises(ValueError, match="magic"):
+        ppm_pixels(b"P5\n2 2\n255\n" + b"\x00" * 12)
+    with _pytest.raises(ValueError, match="truncated"):
+        ppm_pixels(_synth_ppm(7)[:-2])
