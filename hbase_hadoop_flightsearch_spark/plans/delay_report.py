@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.flights import FLIGHTS_CTE, flights
+from ..sources.flights import FLIGHTS_CTE, FLIGHTS_EXT_CTE, flights
 from .registry import register
 
 MONTHS = list(range(1, 13))
@@ -387,4 +387,97 @@ def flight_connection_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("b_arr_min") - F.col("dep_min"))
         .cast("bigint")
         .alias("min_total_min"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Congestion propagation — does an arrival bank at an airport predict the
+# next hour's departure bank? The hub-and-spoke scheduling signature,
+# quantified as an exact-moment Pearson correlation per airport.
+
+
+@register(
+    "flight_congestion_propagation",
+    oracle=FLIGHTS_EXT_CTE + """,
+arr AS (
+  SELECT dest AS airport, CAST(arr_min // 60 AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM flights_ext GROUP BY 1, 2
+),
+dep AS (
+  SELECT origin AS airport, CAST(dep_min // 60 AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM flights_ext GROUP BY 1, 2
+),
+paired AS (
+  SELECT a.airport, a.x, d.y
+  FROM arr a JOIN dep d ON d.airport = a.airport AND d.hr = a.hr + 1
+),
+m AS (
+  SELECT airport,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * x) AS BIGINT) AS sxx,
+    CAST(SUM(x * y) AS BIGINT) AS sxy,
+    CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM paired GROUP BY airport
+)
+SELECT airport, n AS n_hour_pairs, sx AS arrivals, sy AS departures,
+  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+               * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_r6
+FROM m
+WHERE n >= 24 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+""",
+    doc="Congestion propagation per airport (the reference's flight "
+    "domain, upgraded from reporting to inference): Pearson correlation "
+    "between the hour-h arrival bank at an airport and its hour-h+1 "
+    "departure bank, over co-present hour pairs with non-degenerate "
+    "variance and >= 24 pairs. Exact BIGINT cross-product moments, one "
+    "fixed-shape IEEE finish shared verbatim with the oracle. Plan: two "
+    "hour rollups + one equi join on (airport, hour+1) + an O(airports) "
+    "aggregate.",
+)
+def flight_congestion_propagation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.flights import flights_extended
+
+    fx = flights_extended(spark, sf_dir)
+    arr = fx.groupBy(
+        F.col("dest").alias("airport"),
+        F.expr("arr_min div 60").cast("bigint").alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    dep = fx.groupBy(
+        F.col("origin").alias("airport"),
+        F.expr("dep_min div 60").cast("bigint").alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    paired = arr.join(
+        dep.select(
+            "airport", (F.col("hr") - 1).alias("hr"), "y"
+        ),
+        ["airport", "hr"],
+    )
+    m = paired.groupBy("airport").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return m.filter(
+        (F.col("n") >= 24)
+        & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+    ).select(
+        "airport",
+        F.col("n").alias("n_hour_pairs"),
+        F.col("sx").alias("arrivals"),
+        F.col("sy").alias("departures"),
+        F.expr(
+            "ROUND(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)"
+            " * CAST(n * syy - sy * sy AS DOUBLE)), 6)"
+        ).alias("corr_r6"),
     )

@@ -308,3 +308,43 @@ def sql_udf_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ddl in _SQL_UDF_DDL:
         spark.sql(ddl)
     return spark.sql(_SQL_UDF_QUERY)
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ALL / ORDER BY ALL — the Spark 3.4+/DuckDB-originated syntax
+# sugar: every non-aggregate select item becomes a grouping key, every
+# select item an ordering key. Surface parity matters because analysts'
+# ad-hoc SQL leans on it heavily.
+
+
+@register(
+    "sql_group_by_all",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS revenue_cents
+FROM orders
+GROUP BY o_orderpriority, o_orderstatus
+ORDER BY o_orderpriority, o_orderstatus, n_orders, revenue_cents
+""",
+    doc="Spark 4 GROUP BY ALL + ORDER BY ALL syntax surface (E9/SQL "
+    "front door): the analyzer must infer the grouping set from the "
+    "non-aggregate select items and the total order from the whole "
+    "select list; the oracle spells both out explicitly, so a "
+    "resolution bug (wrong inferred keys) breaks the value hash, not "
+    "just the plan.",
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+          CAST(COUNT(*) AS BIGINT) AS n_orders,
+          CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS revenue_cents
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
