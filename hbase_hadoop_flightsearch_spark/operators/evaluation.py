@@ -541,3 +541,99 @@ def ml_eval_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "accuracy_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cost-optimal threshold — the decision-theoretic finish on the exact PR
+# curve: pick the score cutoff minimizing FP_cost*FP + FN_cost*FN.
+
+COST_FP = 1
+COST_FN = 5  # missing a positive costs 5x a false alarm
+
+
+@register(
+    "ml_eval_cost_optimal_threshold",
+    oracle=f"""
+WITH m AS (
+  SELECT n_chars AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+g AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(y) AS BIGINT) AS pos
+  FROM m GROUP BY score
+),
+cum AS (
+  SELECT score,
+    SUM(cnt) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS k,
+    SUM(pos) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS tp,
+    SUM(pos) OVER () AS p_tot
+  FROM g
+),
+cost AS (
+  SELECT score AS threshold_score,
+    CAST(k - tp AS BIGINT) AS n_fp,
+    CAST(p_tot - tp AS BIGINT) AS n_fn,
+    CAST({COST_FP} * (k - tp) + {COST_FN} * (p_tot - tp) AS BIGINT)
+      AS total_cost
+  FROM cum
+),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY total_cost, threshold_score) AS rn
+  FROM cost
+)
+SELECT threshold_score, n_fp, n_fn, total_cost
+FROM best WHERE rn = 1
+""",
+    doc="Cost-optimal operating point on the exact PR sweep: at every "
+    "distinct-score cutoff, total cost = FP + 5*FN from the same "
+    "single descending cumulative window as ml_eval_pr_curve_exact, "
+    "argmin with deterministic score tie-break. Exact integers; the "
+    "decision-theoretic column the curve itself leaves to the reader. "
+    "One grouped agg + one window + a top-1.",
+)
+def ml_eval_cost_optimal_threshold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    ).groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    wdesc = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = g.select(
+        "score",
+        F.sum("cnt").over(wdesc).alias("k"),
+        F.sum("pos").over(wdesc).alias("tp"),
+        F.sum("pos").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("p_tot"),
+    )
+    cost = cum.select(
+        F.col("score").alias("threshold_score"),
+        (F.col("k") - F.col("tp")).cast("bigint").alias("n_fp"),
+        (F.col("p_tot") - F.col("tp")).cast("bigint").alias("n_fn"),
+        (
+            COST_FP * (F.col("k") - F.col("tp"))
+            + COST_FN * (F.col("p_tot") - F.col("tp"))
+        )
+        .cast("bigint")
+        .alias("total_cost"),
+    )
+    w = Window.orderBy("total_cost", "threshold_score")
+    return (
+        cost.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("threshold_score", "n_fp", "n_fn", "total_cost")
+    )

@@ -4524,3 +4524,101 @@ def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + CAST(s AS DOUBLE) / n), 6)"
         ).alias("burstiness_r6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Value-segment migration — the customer-base flow report: which value
+# tertile did each buyer move to between the first and second half of
+# the observation window (including churn/new)?
+
+
+@register(
+    "events_segment_migration",
+    oracle="""
+WITH bounds AS (
+  SELECT (CAST(MIN(CAST(ts AS DATE)) - DATE '1970-01-01' AS BIGINT)
+        + CAST(MAX(CAST(ts AS DATE)) - DATE '1970-01-01' AS BIGINT) + 1)
+        // 2 AS split_d
+  FROM events
+),
+per AS (
+  SELECT user_id,
+    CASE WHEN CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+              < b.split_d THEN 'h1' ELSE 'h2' END AS half,
+    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events, bounds b
+  GROUP BY 1, 2
+),
+seg AS (
+  SELECT user_id, half,
+    NTILE(3) OVER (PARTITION BY half ORDER BY cents, user_id) AS tertile
+  FROM per
+),
+h1 AS (SELECT user_id, tertile FROM seg WHERE half = 'h1'),
+h2 AS (SELECT user_id, tertile FROM seg WHERE half = 'h2'),
+flow AS (
+  SELECT COALESCE('t' || CAST(h1.tertile AS VARCHAR), 'new') AS seg_from,
+         COALESCE('t' || CAST(h2.tertile AS VARCHAR), 'churned') AS seg_to
+  FROM h1 FULL OUTER JOIN h2 USING (user_id)
+)
+SELECT seg_from, seg_to, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM flow GROUP BY seg_from, seg_to
+""",
+    doc="Customer value-segment migration between the two halves of the "
+    "observation window (data-anchored integer split): per-half value "
+    "tertiles via deterministic NTILE (cents, user_id tie-break), then "
+    "a FULL OUTER per-user join so churned and newly-activated users "
+    "are first-class flows. The customer-base Sankey every retention "
+    "team draws; exact integers end to end. Two Exchange(user_id) "
+    "passes + one O(16)-row aggregate.",
+)
+def events_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.expr(
+            "(CAST(datediff(MIN(CAST(ts AS DATE)), DATE '1970-01-01')"
+            " AS BIGINT)"
+            " + CAST(datediff(MAX(CAST(ts AS DATE)), DATE '1970-01-01')"
+            " AS BIGINT) + 1) div 2"
+        ).alias("split_d")
+    )
+    day_num = F.expr(
+        "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+    )
+    per = (
+        events.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.when(day_num < F.col("split_d"), "h1")
+            .otherwise("h2")
+            .alias("half"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("user_id", "half")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    seg = per.select(
+        "user_id",
+        "half",
+        F.ntile(3)
+        .over(Window.partitionBy("half").orderBy("cents", "user_id"))
+        .alias("tertile"),
+    )
+    h1 = seg.filter(F.col("half") == "h1").select(
+        "user_id", F.col("tertile").alias("t1")
+    )
+    h2 = seg.filter(F.col("half") == "h2").select(
+        "user_id", F.col("tertile").alias("t2")
+    )
+    flow = h1.join(h2, "user_id", "full_outer").select(
+        F.coalesce(
+            F.concat(F.lit("t"), F.col("t1").cast("string")), F.lit("new")
+        ).alias("seg_from"),
+        F.coalesce(
+            F.concat(F.lit("t"), F.col("t2").cast("string")),
+            F.lit("churned"),
+        ).alias("seg_to"),
+    )
+    return flow.groupBy("seg_from", "seg_to").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )

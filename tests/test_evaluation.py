@@ -466,3 +466,24 @@ def test_learning_curve_fixed_eval_and_perfect_pattern(spark, sf_correctness):
     # per-user sequence is deterministic; every prev has a single
     # dominant successor and accuracy is perfect at every fraction.
     assert perf and all(r["accuracy_ppm"] == 1_000_000 for r in perf)
+
+
+def test_cost_optimal_threshold_is_argmin_of_sweep(spark, sf_correctness):
+    """Recompute the cost sweep from the exact PR curve and assert the
+    registered top-1 is its argmin (cost asc, score asc)."""
+    import hbase_hadoop_flightsearch_spark.operators.evaluation as E
+
+    pr = E.ml_eval_pr_curve_exact(spark, sf_correctness).collect()
+    p_tot = max(r["n_true_pos"] for r in pr)
+    sweep = [
+        (
+            E.COST_FP * (r["n_predicted_pos"] - r["n_true_pos"])
+            + E.COST_FN * (p_tot - r["n_true_pos"]),
+            r["threshold_score"],
+        )
+        for r in pr
+    ]
+    best_cost, best_score = min(sweep)
+    got = E.ml_eval_cost_optimal_threshold(spark, sf_correctness).collect()[0]
+    assert got["total_cost"] == best_cost
+    assert got["threshold_score"] == best_score

@@ -681,3 +681,26 @@ def test_burstiness_poisson_vs_bursty_fixture(spark):
     assert out["steady"]["burstiness_r6"] == -1.0
     assert out["bursty"]["fano_r6"] > 10
     assert out["bursty"]["burstiness_r6"] > 0
+
+
+def test_segment_migration_mass_balance(spark, sf_smoke):
+    """Flow conservation: the sum over the migration matrix equals the
+    number of distinct users active in EITHER half, and no 'new'->... or
+    ...->'churned' combination double-counts."""
+    from hbase_hadoop_flightsearch_spark.operators.timeseries import (
+        events_segment_migration,
+    )
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    rows = events_segment_migration(spark, sf_smoke).collect()
+    total = sum(r["n_customers"] for r in rows)
+    n_users = (
+        load_table(spark, sf_smoke, "events")
+        .select(F.countDistinct("user_id"))
+        .collect()[0][0]
+    )
+    assert total == n_users
+    assert not any(
+        r["seg_from"] == "new" and r["seg_to"] == "churned" for r in rows
+    )
