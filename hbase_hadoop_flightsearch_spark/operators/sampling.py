@@ -1206,3 +1206,109 @@ def sample_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pop", "n_sampled", "exact_total_cents", "ht_total_cents",
         "ht_var_mega", "rel_err_r6",
     )
+
+
+# ---------------------------------------------------------------------------
+# Systematic PPS sampling (Madow 1949) — the fixed-size counterpart to
+# the Poisson-PPS Horvitz-Thompson design: walk the cumulative-size line
+# with a fixed stride from a deterministic start; rows whose cumulative
+# interval straddles a grid point are selected. Zero variance in sample
+# SIZE, still strictly PPS.
+
+PPS_N = 200  # target sample size
+PPS_START_NUM, PPS_START_DEN = 37, 100  # deterministic fractional start
+
+
+@register(
+    "sample_pps_systematic",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+cum AS (
+  SELECT o_orderkey, cents,
+    CAST(SUM(cents) OVER (ORDER BY o_orderkey) AS BIGINT) AS hi,
+    CAST(SUM(cents) OVER (ORDER BY o_orderkey) - cents AS BIGINT) AS lo,
+    CAST(SUM(cents) OVER () AS BIGINT) AS total
+  FROM base
+),
+-- grid points: g_j = (j + 37/100) * total / N, scaled x(100*N) to stay
+-- integer: row selected iff some integer j satisfies
+-- lo*100N <= (100j + 37)*total < hi*100N
+sel AS (
+  SELECT o_orderkey, cents, lo, hi, total,
+    CASE WHEN hi * 100 * {PPS_N} > {PPS_START_NUM} * total
+         THEN ((hi * 100 * {PPS_N}) - {PPS_START_NUM} * total - 1)
+              // (100 * total)
+         ELSE -1 END
+      - CASE WHEN lo * 100 * {PPS_N} > {PPS_START_NUM} * total
+             THEN ((lo * 100 * {PPS_N}) - {PPS_START_NUM} * total - 1)
+                  // (100 * total)
+             ELSE -1 END AS n_hits
+  FROM cum
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+  CAST(SUM(n_hits) AS BIGINT) AS n_grid_hits,
+  CAST(SUM(cents) AS BIGINT) AS sampled_cents,
+  CAST(MAX(total) AS BIGINT) AS total_cents,
+  CAST(SUM(n_hits * ((total + {PPS_N} - 1) // {PPS_N})) AS BIGINT)
+    AS ht_total_est_cents
+FROM sel WHERE n_hits > 0
+""",
+    doc="Madow 1949 systematic PPS sampling: rows ordered by key build a "
+    "cumulative-cents line; a fixed-stride grid (start 0.37 strides in, "
+    "deterministic) selects every row whose interval straddles a grid "
+    "point — fixed sample size, inclusion probability proportional to "
+    "size, multi-hit whales counted with their multiplicity. The "
+    "straddle test is cross-multiplied to pure BIGINTs (no float grid "
+    "positions), so selection is value-exact in both engines. The HT "
+    "estimate uses the integer stride as the per-hit weight. Plan: one "
+    "running-sum window over the key order + one aggregate.",
+)
+def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.orderBy("o_orderkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = base.select(
+        "o_orderkey",
+        "cents",
+        F.sum("cents").over(w).cast("bigint").alias("hi"),
+        (F.sum("cents").over(w) - F.col("cents"))
+        .cast("bigint")
+        .alias("lo"),
+        F.sum("cents").over(wall).cast("bigint").alias("total"),
+    )
+    # Both ends guarded: Spark div / DuckDB // truncate toward zero, so
+    # a NEGATIVE numerator (row entirely before the first grid point)
+    # would read 0 instead of the floor's -1 and fake a hit.
+    n_hits = F.expr(
+        f"CASE WHEN hi * 100 * {PPS_N} > {PPS_START_NUM} * total"
+        f" THEN ((hi * 100 * {PPS_N}) - {PPS_START_NUM} * total - 1)"
+        f" div (100 * total) ELSE -1 END"
+        f" - CASE WHEN lo * 100 * {PPS_N} > {PPS_START_NUM} * total"
+        f" THEN ((lo * 100 * {PPS_N}) - {PPS_START_NUM} * total - 1)"
+        f" div (100 * total) ELSE -1 END"
+    )
+    sel = cum.withColumn("n_hits", n_hits).filter(F.col("n_hits") > 0)
+    return sel.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.sum("n_hits").cast("bigint").alias("n_grid_hits"),
+        F.sum("cents").cast("bigint").alias("sampled_cents"),
+        F.max("total").cast("bigint").alias("total_cents"),
+        F.sum(
+            F.col("n_hits")
+            * F.expr(f"((total + {PPS_N} - 1) div {PPS_N})")
+        )
+        .cast("bigint")
+        .alias("ht_total_est_cents"),
+    )

@@ -1049,3 +1049,36 @@ def test_hill_alpha_recovers_pareto_exponent(spark):
         A.load_table = orig
     alpha_hat = r["alpha_micro"] / 1e6
     assert 1.7 < alpha_hat < 2.3, alpha_hat
+
+
+def test_pps_systematic_grid_and_whale_multiplicity(spark):
+    """The systematic grid always lands exactly PPS_N hits; equal-size
+    rows can each straddle at most one grid point, while a whale wider
+    than several strides collects several hits (its multiplicity)."""
+    import hbase_hadoop_flightsearch_spark.operators.sampling as S
+
+    equal = spark.createDataFrame(
+        [(i, 100.0) for i in range(1, 1001)],
+        "o_orderkey long, o_totalprice double",
+    )
+    whale = spark.createDataFrame(
+        [(i, 100.0) for i in range(1, 1001)] + [(1001, 50000.0)],
+        "o_orderkey long, o_totalprice double",
+    )
+    orig = S.load_table
+    try:
+        S.load_table = lambda _s, _d, _t: equal
+        eq = S.sample_pps_systematic(spark, "x").collect()[0]
+        S.load_table = lambda _s, _d, _t: whale
+        wh = S.sample_pps_systematic(spark, "x").collect()[0]
+    finally:
+        S.load_table = orig
+    assert eq["n_grid_hits"] == S.PPS_N
+    assert eq["n_sampled"] == S.PPS_N  # no row straddles two grid points
+    assert wh["n_grid_hits"] == S.PPS_N
+    # whale is 50000/150000 = 1/3 of the mass -> ~N/3 hits on one row
+    assert wh["n_sampled"] < S.PPS_N
+    # HT estimate of the total is within 2% for the equal-size case
+    assert abs(eq["ht_total_est_cents"] - eq["total_cents"]) <= (
+        0.02 * eq["total_cents"]
+    )
