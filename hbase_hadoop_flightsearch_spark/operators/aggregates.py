@@ -1778,3 +1778,87 @@ def agg_tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div SUM(term_micro) AS BIGINT)"
         ).alias("alpha_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve — the decile-resolution curve behind agg_gini_revenue's
+# one number: cumulative revenue share of the poorest k/10 of customers.
+
+
+@register(
+    "agg_lorenz_curve_deciles",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM orders GROUP BY o_custkey
+),
+deciled AS (
+  SELECT cents, NTILE(10) OVER (ORDER BY cents, o_custkey) AS d
+  FROM rev
+),
+per AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS n_cust,
+         CAST(SUM(cents) AS BIGINT) AS cents
+  FROM deciled GROUP BY d
+),
+cum AS (
+  SELECT d, n_cust, cents,
+    CAST(SUM(cents) OVER (ORDER BY d) AS BIGINT) AS cum_cents,
+    CAST(SUM(cents) OVER () AS BIGINT) AS total,
+    CAST(SUM(n_cust) OVER (ORDER BY d) AS BIGINT) AS cum_cust,
+    CAST(SUM(n_cust) OVER () AS BIGINT) AS n_total
+  FROM per
+)
+SELECT CAST(d AS INT) AS decile, n_cust, cents AS decile_cents,
+  CAST((cum_cents * 1000000) // total AS BIGINT) AS cum_share_ppm,
+  CAST((cum_cust * 1000000) // n_total AS BIGINT) AS cum_pop_ppm
+FROM cum
+""",
+    doc="Lorenz curve at decile resolution over per-customer revenue "
+    "(deterministic NTILE with custkey tie-break): cumulative revenue "
+    "share vs cumulative population share in exact integer ppm — the "
+    "curve agg_gini_revenue integrates and events_pareto_concentration "
+    "reads from the other end. One customer rollup, one NTILE sort, "
+    "one O(10) window.",
+)
+def agg_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    deciled = rev.select(
+        "cents",
+        F.ntile(10).over(Window.orderBy("cents", "o_custkey")).alias("d"),
+    )
+    per = deciled.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        "d",
+        "n_cust",
+        "cents",
+        F.sum("cents").over(wc).cast("bigint").alias("cum_cents"),
+        F.sum("cents").over(wall).cast("bigint").alias("total"),
+        F.sum("n_cust").over(wc).cast("bigint").alias("cum_cust"),
+        F.sum("n_cust").over(wall).cast("bigint").alias("n_total"),
+    )
+    return cum.select(
+        F.col("d").cast("int").alias("decile"),
+        "n_cust",
+        F.col("cents").alias("decile_cents"),
+        F.expr("CAST((cum_cents * 1000000) div total AS BIGINT)").alias(
+            "cum_share_ppm"
+        ),
+        F.expr("CAST((cum_cust * 1000000) div n_total AS BIGINT)").alias(
+            "cum_pop_ppm"
+        ),
+    )

@@ -4622,3 +4622,79 @@ def events_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flow.groupBy("seg_from", "seg_to").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers")
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov entropy rate — how predictable is the user journey? H =
+# -sum_s w_s sum_t p(t|s) ln p(t|s), weighted by the EMPIRICAL state
+# frequency (documented choice: the stationary distribution would need a
+# solve; empirical weights make the statistic exact and mergeable).
+
+
+@register(
+    "events_entropy_rate_markov",
+    oracle="""
+WITH trans AS (
+  SELECT user_id, event_type AS s,
+    LEAD(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_type) AS t
+  FROM events
+),
+tt AS (SELECT s, t FROM trans WHERE t IS NOT NULL),
+c_st AS (SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c FROM tt GROUP BY s, t),
+c_s AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS cs FROM tt GROUP BY s),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tt),
+terms AS (
+  SELECT c_st.s,
+    CAST(FLOOR(-1000000000.0
+      * (CAST(c_st.c AS DOUBLE) / n.n)
+      * LN(CAST(c_st.c AS DOUBLE) / c_s.cs)) AS BIGINT) AS term_nano
+  FROM c_st JOIN c_s USING (s), n
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_transitions_kinds,
+  CAST(SUM(term_nano) AS BIGINT) AS entropy_rate_nano,
+  ROUND(EXP(SUM(term_nano) / 1000000000.0), 6) AS perplexity_r6
+FROM terms
+""",
+    doc="Entropy rate of the first-order user-journey Markov chain: "
+    "H = -sum over (s,t) of (c_st/n) * ln(c_st/c_s) — empirical state "
+    "weights (not the stationary solve; documented, and what makes the "
+    "statistic exact and shard-mergeable), each term quantized to nano "
+    "BIGINT before the order-free sum; exp(H) is the journey "
+    "perplexity. All division operands are exact integers cast to "
+    "DOUBLE (the DECIMAL-literal rule). One LEAD window + two "
+    "transition aggregates; the predictability complement to "
+    "events_markov_transitions.",
+)
+def events_entropy_rate_markov(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    tt = events.select(
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(w).alias("t"),
+    ).filter(F.col("t").isNotNull())
+    c_st = tt.groupBy("s", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    c_s = tt.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("cs"))
+    n = tt.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    terms = (
+        c_st.join(F.broadcast(c_s), "s")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.expr(
+                "CAST(FLOOR(-1000000000.0"
+                " * (CAST(c AS DOUBLE) / n)"
+                " * LN(CAST(c AS DOUBLE) / cs)) AS BIGINT)"
+            ).alias("term_nano")
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions_kinds"),
+        F.sum("term_nano").cast("bigint").alias("entropy_rate_nano"),
+        F.expr(
+            "ROUND(EXP(SUM(term_nano) / 1000000000.0), 6)"
+        ).alias("perplexity_r6"),
+    )

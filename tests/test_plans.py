@@ -1082,3 +1082,24 @@ def test_pps_systematic_grid_and_whale_multiplicity(spark):
     assert abs(eq["ht_total_est_cents"] - eq["total_cents"]) <= (
         0.02 * eq["total_cents"]
     )
+
+
+def test_lorenz_curve_monotone_convex_and_closed(spark, sf_correctness):
+    """Lorenz invariants: cumulative shares are monotone, end at exactly
+    1e6 ppm, and the curve sits below the diagonal (poorest deciles own
+    less than their population share)."""
+    from hbase_hadoop_flightsearch_spark.operators.aggregates import (
+        agg_lorenz_curve_deciles,
+    )
+
+    rows = sorted(
+        agg_lorenz_curve_deciles(spark, sf_correctness).collect(),
+        key=lambda r: r["decile"],
+    )
+    shares = [r["cum_share_ppm"] for r in rows]
+    assert shares == sorted(shares)
+    assert rows[-1]["cum_share_ppm"] == 1_000_000
+    assert rows[-1]["cum_pop_ppm"] == 1_000_000
+    assert all(
+        r["cum_share_ppm"] <= r["cum_pop_ppm"] + 1 for r in rows
+    )

@@ -704,3 +704,46 @@ def test_segment_migration_mass_balance(spark, sf_smoke):
     assert not any(
         r["seg_from"] == "new" and r["seg_to"] == "churned" for r in rows
     )
+
+
+def test_entropy_rate_deterministic_chain_is_zero(spark):
+    """A fully deterministic journey (view -> click -> view -> ...) has
+    entropy rate exactly 0 and perplexity 1; a uniformly random 2-state
+    journey approaches ln(2)."""
+    import datetime
+    import math
+
+    import hbase_hadoop_flightsearch_spark.operators.timeseries as TS
+
+    det = []
+    eid = 0
+    for uid in range(20):
+        for k in range(6):
+            det.append((eid, datetime.datetime(2024, 1, 1, 8, 0, k), uid,
+                        "view" if k % 2 == 0 else "click", 1.0, "{}"))
+            eid += 1
+    events = _patched_events(spark, det)
+    orig = TS.load_table
+    try:
+        TS.load_table = lambda _s, _d, _t: events
+        r = TS.events_entropy_rate_markov(spark, "x").collect()[0]
+    finally:
+        TS.load_table = orig
+    assert r["entropy_rate_nano"] == 0
+    assert r["perplexity_r6"] == 1.0
+
+    mixed = []
+    eid = 0
+    seq = "abababbaabbaabab"  # alternating-ish 2-state stream
+    for uid in range(10):
+        for k, ch in enumerate(seq):
+            mixed.append((eid, datetime.datetime(2024, 1, 1, 8, 0, k), uid,
+                          ch, 1.0, "{}"))
+            eid += 1
+    events2 = _patched_events(spark, mixed)
+    try:
+        TS.load_table = lambda _s, _d, _t: events2
+        r2 = TS.events_entropy_rate_markov(spark, "x").collect()[0]
+    finally:
+        TS.load_table = orig
+    assert 0 < r2["entropy_rate_nano"] / 1e9 <= math.log(2) + 1e-9
