@@ -1862,3 +1862,86 @@ def agg_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_pop_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-k with OTHERS rollup — the dashboard staple: per nation, the top-3
+# customers by revenue as named rows plus one OTHERS row carrying the
+# remainder, so every group still sums to its total.
+
+TOPK_OTHERS_K = 3
+
+
+@register(
+    "agg_topk_with_others",
+    oracle=f"""
+WITH rev AS (
+  SELECT n.n_name AS nation, c.c_custkey,
+    CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT nation, c_custkey, cents,
+    ROW_NUMBER() OVER (PARTITION BY nation
+                       ORDER BY cents DESC, c_custkey) AS rn
+  FROM rev
+)
+SELECT nation,
+  CASE WHEN rn <= {TOPK_OTHERS_K} THEN CAST(c_custkey AS VARCHAR)
+       ELSE 'OTHERS' END AS member,
+  CAST(MIN(CASE WHEN rn <= {TOPK_OTHERS_K} THEN rn ELSE 999 END) AS INT)
+    AS rank_slot,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM ranked
+GROUP BY nation, CASE WHEN rn <= {TOPK_OTHERS_K}
+                      THEN CAST(c_custkey AS VARCHAR) ELSE 'OTHERS' END
+""",
+    doc="Top-k-with-OTHERS rollup (the dashboard staple no SQL built-in "
+    "covers): per nation, the top-3 revenue customers as named rows "
+    "plus one OTHERS row aggregating the long tail, so each group "
+    "still sums to its exact total (mass-balance tested). "
+    "WindowGroupLimit does NOT apply — the tail must be kept and "
+    "folded, which is exactly why this needs its own operator: one "
+    "Exchange(nation) shared by the rank window and the re-aggregate.",
+)
+def agg_topk_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "c_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("nation").orderBy(F.desc("cents"), "c_custkey")
+    )
+    ranked = rev.withColumn("rn", rn)
+    member = F.when(
+        F.col("rn") <= TOPK_OTHERS_K, F.col("c_custkey").cast("string")
+    ).otherwise(F.lit("OTHERS"))
+    return (
+        ranked.withColumn("member", member)
+        .groupBy("nation", "member")
+        .agg(
+            F.min(
+                F.when(F.col("rn") <= TOPK_OTHERS_K, F.col("rn")).otherwise(
+                    F.lit(999)
+                )
+            )
+            .cast("int")
+            .alias("rank_slot"),
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )

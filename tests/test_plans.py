@@ -1103,3 +1103,40 @@ def test_lorenz_curve_monotone_convex_and_closed(spark, sf_correctness):
     assert all(
         r["cum_share_ppm"] <= r["cum_pop_ppm"] + 1 for r in rows
     )
+
+
+def test_topk_others_mass_balance(spark, sf_correctness):
+    """Every nation's named-top-3 + OTHERS rows must sum to the nation's
+    exact revenue total, and each nation shows at most K named rows."""
+    from hbase_hadoop_flightsearch_spark.operators.aggregates import (
+        TOPK_OTHERS_K,
+        agg_topk_with_others,
+    )
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    rows = agg_topk_with_others(spark, sf_correctness).collect()
+    per_nation = {}
+    for r in rows:
+        per_nation.setdefault(r["nation"], []).append(r)
+    orders = load_table(spark, sf_correctness, "orders")
+    customer = load_table(spark, sf_correctness, "customer")
+    nation = load_table(spark, sf_correctness, "nation")
+    totals = {
+        r["nation"]: r["t"]
+        for r in orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        )
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("t")
+        )
+        .collect()
+    }
+    for nat, group in per_nation.items():
+        assert sum(r["revenue_cents"] for r in group) == totals[nat]
+        named = [r for r in group if r["member"] != "OTHERS"]
+        assert len(named) <= TOPK_OTHERS_K
+        assert all(r["n_customers"] == 1 for r in named)
