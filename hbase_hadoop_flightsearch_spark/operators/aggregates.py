@@ -1945,3 +1945,84 @@ def agg_topk_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("revenue_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization — map source B's score distribution onto source
+# A's quantiles (the feature-prep / batch-effect-removal op from
+# bioinformatics, equally standard for cross-source quality-score
+# harmonization in corpus prep).
+
+
+@register(
+    "agg_quantile_normalization",
+    oracle="""
+WITH a AS (
+  SELECT n_chars AS v,
+    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+    COUNT(*) OVER () AS n
+  FROM documents WHERE source = 'src0'
+),
+b AS (
+  SELECT doc_id, n_chars AS v,
+    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+    COUNT(*) OVER () AS n
+  FROM documents WHERE source = 'src1'
+),
+-- b's rank maps to a's value at the same quantile: the index is the
+-- integer floor of (rn-1)*n_a over n_b, plus 1 — pure integers
+mapped AS (
+  SELECT b.doc_id, b.v AS raw_value, b.rn,
+    ((b.rn - 1) * a_n.n) // b.n + 1 AS a_idx
+  FROM b, (SELECT MAX(n) AS n FROM a) a_n
+)
+SELECT m.doc_id, m.raw_value,
+  CAST(a.v AS BIGINT) AS normalized_value,
+  CAST(m.rn AS BIGINT) AS source_rank
+FROM mapped m JOIN a ON a.rn = m.a_idx
+""",
+    doc="Quantile normalization of src1's length distribution onto "
+    "src0's (the batch-effect-removal op: after mapping, src1's "
+    "distribution EQUALS src0's, a property the test asserts): ranks "
+    "via deterministic windows, quantile index as a pure integer "
+    "floor((rn-1)*n_a/n_b)+1, one equi join on the index. The "
+    "cross-source score harmonizer for corpus-prep quality features. "
+    "Two sorts + one broadcast-sized join.",
+)
+def agg_quantile_normalization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("source") == "src0").select(
+        F.col("n_chars").alias("v"),
+        F.row_number()
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .alias("rn"),
+    )
+    a_n = a.agg(F.max("rn").alias("n"))
+    b = docs.filter(F.col("source") == "src1").select(
+        "doc_id",
+        F.col("n_chars").alias("v"),
+        F.row_number()
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .alias("rn"),
+    )
+    b_n = b.agg(F.max("rn").alias("n"))
+    mapped = (
+        b.crossJoin(F.broadcast(a_n.select(F.col("n").alias("na"))))
+        .crossJoin(F.broadcast(b_n.select(F.col("n").alias("nb"))))
+        .select(
+            "doc_id",
+            F.col("v").alias("raw_value"),
+            "rn",
+            F.expr("((rn - 1) * na) div nb + 1").alias("a_idx"),
+        )
+    )
+    return mapped.join(
+        F.broadcast(a.select(F.col("rn").alias("a_idx"), "v")), "a_idx"
+    ).select(
+        "doc_id",
+        "raw_value",
+        F.col("v").cast("bigint").alias("normalized_value"),
+        F.col("rn").cast("bigint").alias("source_rank"),
+    )

@@ -637,3 +637,108 @@ def ml_eval_cost_optimal_threshold(
         .filter(F.col("rn") == 1)
         .select("threshold_score", "n_fp", "n_fn", "total_cost")
     )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's paired test (McNemar 1947) — are two classifiers on the SAME
+# eval items actually different, or just noise? Compares the n-char
+# ranker against the hashed-linear scorer on the lang='en' labels.
+
+MCNEMAR_LEN_CUT = 200  # classifier A: n_chars >= cut -> predict 'en'
+
+
+@register(
+    "ml_eval_mcnemar",
+    oracle=f"""
+WITH labeled AS (
+  SELECT doc_id,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+    CASE WHEN n_chars >= {MCNEMAR_LEN_CUT} THEN 1 ELSE 0 END AS pred_a,
+    CASE WHEN (length(text) - length(replace(text, ' ', '')) + 1) % 2 = 0
+         THEN 1 ELSE 0 END AS pred_b
+  FROM documents
+),
+cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN pred_a = y AND pred_b != y THEN 1 ELSE 0 END)
+         AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN pred_a != y AND pred_b = y THEN 1 ELSE 0 END)
+         AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN pred_a = y THEN 1 ELSE 0 END) AS BIGINT) AS a_ok,
+    CAST(SUM(CASE WHEN pred_b = y THEN 1 ELSE 0 END) AS BIGINT) AS b_ok,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM labeled
+)
+SELECT n, a_ok, b_ok, b AS only_a_right, c AS only_b_right,
+  ROUND(CASE WHEN b + c > 0
+        THEN (ABS(CAST(b - c AS DOUBLE)) - 1.0)
+             * (ABS(CAST(b - c AS DOUBLE)) - 1.0) / (b + c)
+        ELSE 0.0 END, 6) AS mcnemar_chi2_r6,
+  CASE WHEN b + c > 0
+       THEN (ABS(CAST(b - c AS DOUBLE)) - 1.0)
+            * (ABS(CAST(b - c AS DOUBLE)) - 1.0) / (b + c) > 3.841458821
+       ELSE FALSE END AS significant_05
+FROM cells
+""",
+    doc="McNemar 1947 paired classifier comparison with continuity "
+    "correction: discordant-pair counts between the length-threshold "
+    "ranker and the parity-of-token-count strawman on the shared "
+    "lang='en' labels; chi2 = (|b-c|-1)^2/(b+c) vs the chi2(1, 0.95) "
+    "critical value baked as a literal. Exact integer cells, one "
+    "fixed-shape IEEE finish — the right test when two models share "
+    "an eval set (per-item pairing, not two independent accuracies). "
+    "One scan, one 1-row aggregate.",
+)
+def ml_eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    labeled = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.when(F.col("n_chars") >= MCNEMAR_LEN_CUT, 1)
+        .otherwise(0)
+        .alias("pred_a"),
+        F.when(toks % 2 == 0, 1).otherwise(0).alias("pred_b"),
+    )
+    cells = labeled.agg(
+        F.sum(
+            ((F.col("pred_a") == F.col("y"))
+             & (F.col("pred_b") != F.col("y"))).cast("int")
+        )
+        .cast("bigint")
+        .alias("b"),
+        F.sum(
+            ((F.col("pred_a") != F.col("y"))
+             & (F.col("pred_b") == F.col("y"))).cast("int")
+        )
+        .cast("bigint")
+        .alias("c"),
+        F.sum((F.col("pred_a") == F.col("y")).cast("int"))
+        .cast("bigint")
+        .alias("a_ok"),
+        F.sum((F.col("pred_b") == F.col("y")).cast("int"))
+        .cast("bigint")
+        .alias("b_ok"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    chi2 = (
+        "CASE WHEN b + c > 0"
+        " THEN (ABS(CAST(b - c AS DOUBLE)) - 1.0)"
+        " * (ABS(CAST(b - c AS DOUBLE)) - 1.0) / (b + c)"
+        " ELSE 0.0 END"
+    )
+    return cells.select(
+        "n",
+        "a_ok",
+        "b_ok",
+        F.col("b").alias("only_a_right"),
+        F.col("c").alias("only_b_right"),
+        F.expr(f"ROUND({chi2}, 6)").alias("mcnemar_chi2_r6"),
+        F.expr(
+            f"CASE WHEN b + c > 0 THEN {chi2} > 3.841458821"
+            " ELSE FALSE END"
+        ).alias("significant_05"),
+    )

@@ -1140,3 +1140,33 @@ def test_topk_others_mass_balance(spark, sf_correctness):
         named = [r for r in group if r["member"] != "OTHERS"]
         assert len(named) <= TOPK_OTHERS_K
         assert all(r["n_customers"] == 1 for r in named)
+
+
+def test_quantile_normalization_matches_target_distribution(
+    spark, sf_correctness
+):
+    """After mapping, src1's normalized values must be a subset drawn
+    from src0's values, and the normalized distribution's quantiles must
+    track src0's (equal multisets when the two sources have equal
+    counts)."""
+    from hbase_hadoop_flightsearch_spark.operators.aggregates import (
+        agg_quantile_normalization,
+    )
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    rows = agg_quantile_normalization(spark, sf_correctness).collect()
+    a_vals = sorted(
+        r["n_chars"]
+        for r in load_table(spark, sf_correctness, "documents")
+        .filter(F.col("source") == "src0")
+        .select("n_chars")
+        .collect()
+    )
+    normalized = sorted(r["normalized_value"] for r in rows)
+    assert set(normalized) <= set(a_vals)
+    if len(normalized) == len(a_vals):  # equal counts -> exact multiset
+        assert normalized == a_vals
+    # order preservation: higher source rank never maps lower
+    by_rank = sorted(rows, key=lambda r: r["source_rank"])
+    vals = [r["normalized_value"] for r in by_rank]
+    assert vals == sorted(vals)
