@@ -2026,3 +2026,98 @@ def agg_quantile_normalization(
         F.col("v").cast("bigint").alias("normalized_value"),
         F.col("rn").cast("bigint").alias("source_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-sample Kolmogorov-Smirnov uniformity test — the formal audit of the
+# md5 bucket assignment every deterministic sampler here leans on: are
+# the 100 buckets of md5(user_id) actually uniform?
+
+KS1_BUCKETS = 100
+
+
+@register(
+    "agg_ks_uniformity_gof",
+    oracle=f"""
+WITH b AS (
+  SELECT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 4))::INT
+           % {KS1_BUCKETS} AS bucket
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+ecdf AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY bucket
+),
+cum AS (
+  SELECT bucket,
+    CAST(SUM(c) OVER (ORDER BY bucket) AS BIGINT) AS cum_c
+  FROM ecdf
+),
+-- D = max |ECDF - uniform CDF| at bucket edges; cross-multiplied to the
+-- integer |cum_c * B - (bucket+1) * n| (scaled by n*B)
+d AS (
+  SELECT MAX(ABS(cum_c * {KS1_BUCKETS} - (bucket + 1) * n.n)) AS d_num,
+         MAX(n.n) AS n
+  FROM cum, n
+)
+SELECT n AS n_users,
+  CAST(d_num AS BIGINT) AS d_scaled,
+  ROUND(CAST(d_num AS DOUBLE) / (n * {KS1_BUCKETS}), 6) AS ks_d_r6,
+  -- 95% critical value 1.358/sqrt(n), cross-multiplied:
+  -- D > crit  <=>  d_num / (n*B) > 1.358/sqrt(n)
+  CAST(d_num AS DOUBLE) * SQRT(CAST(n AS DOUBLE))
+    > 1.358 * n * {KS1_BUCKETS} AS reject_uniform_05
+FROM d
+""",
+    doc="One-sample Kolmogorov-Smirnov uniformity audit of the md5 "
+    "bucket assignment (the hash every deterministic split/sampler in "
+    "this repo rides on): D = max |ECDF - k/B| at bucket edges, "
+    "cross-multiplied to exact integers; the 1.358/sqrt(n) 95% "
+    "rejection is one shared IEEE comparison. Completes the KS pair "
+    "(agg_ks_two_sample tests two samples; this tests one against a "
+    "theoretical CDF). A genuinely non-uniform hash would fail the "
+    "suite here, loudly.",
+)
+def agg_ks_uniformity_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("user_id").cast("string").cast("binary")), 1, 4
+            ),
+            16,
+            10,
+        ).cast("int")
+        % KS1_BUCKETS
+    )
+    b = events.select("user_id").distinct().select(bucket.alias("bucket"))
+    n = b.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ecdf = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = ecdf.select(
+        "bucket", F.sum("c").over(w).cast("bigint").alias("cum_c")
+    )
+    d = cum.crossJoin(F.broadcast(n)).agg(
+        F.max(
+            F.abs(
+                F.col("cum_c") * KS1_BUCKETS
+                - (F.col("bucket") + 1) * F.col("n")
+            )
+        )
+        .cast("bigint")
+        .alias("d_num"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    return d.select(
+        F.col("n").alias("n_users"),
+        F.col("d_num").alias("d_scaled"),
+        F.expr(
+            f"ROUND(CAST(d_num AS DOUBLE) / (n * {KS1_BUCKETS}), 6)"
+        ).alias("ks_d_r6"),
+        F.expr(
+            f"CAST(d_num AS DOUBLE) * SQRT(CAST(n AS DOUBLE))"
+            f" > 1.358 * n * {KS1_BUCKETS}"
+        ).alias("reject_uniform_05"),
+    )

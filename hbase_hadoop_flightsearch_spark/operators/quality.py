@@ -1117,3 +1117,60 @@ def dq_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key_columns string, n_rows long, n_distinct long,"
         " is_key boolean, duplication_ppm long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal-ordering audit — cross-table causality: no line item may ship
+# before its order was placed, and commit dates must not precede ship
+# dates by more than the allowed negative slack (here: never).
+
+
+@register(
+    "dq_temporal_ordering_audit",
+    oracle="""
+WITH j AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS od, CAST(l.l_shipdate AS DATE) AS sd
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CASE WHEN sd < od THEN 1 ELSE 0 END) AS BIGINT)
+    AS ship_before_order,
+  CAST((SUM(CASE WHEN sd < od THEN 1 ELSE 0 END) * 1000000)
+       // COUNT(*) AS BIGINT) AS violation_ppm,
+  CAST(MAX(CAST(sd - od AS BIGINT)) AS BIGINT) AS max_ship_lag_days,
+  CAST(SUM(CASE WHEN CAST(sd - od AS BIGINT) > 120 THEN 1 ELSE 0 END)
+       AS BIGINT) AS slow_ship_over_120d
+FROM j
+""",
+    doc="Cross-table temporal-causality audit: ship-before-order "
+    "violation count + ppm over the order-line join, the max observed "
+    "order-to-ship lag, and the count of >120-day slow shipments (the "
+    "outlier screen). Exact integer date arithmetic; one fact-fact "
+    "equi join (SMJ at scale) + a 1-row aggregate. The time-arrow "
+    "complement to dq_referential_integrity's key-arrow audit.",
+)
+def dq_temporal_ordering_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    lag = F.datediff(F.col("sd"), F.col("od")).cast("bigint")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum((F.col("sd") < F.col("od")).cast("int"))
+        .cast("bigint")
+        .alias("ship_before_order"),
+        F.expr(
+            "CAST((SUM(CASE WHEN sd < od THEN 1 ELSE 0 END)"
+            " * 1000000) div COUNT(*) AS BIGINT)"
+        ).alias("violation_ppm"),
+        F.max(lag).cast("bigint").alias("max_ship_lag_days"),
+        F.sum((lag > 120).cast("int"))
+        .cast("bigint")
+        .alias("slow_ship_over_120d"),
+    )

@@ -1170,3 +1170,35 @@ def test_quantile_normalization_matches_target_distribution(
     by_rank = sorted(rows, key=lambda r: r["source_rank"])
     vals = [r["normalized_value"] for r in by_rank]
     assert vals == sorted(vals)
+
+
+def test_ks_uniformity_rejects_planted_skew(spark):
+    """md5 buckets must NOT reject uniformity on real user ids; a
+    synthetic id pool engineered to pile into few buckets MUST reject."""
+    import hashlib
+
+    import hbase_hadoop_flightsearch_spark.operators.aggregates as A
+
+    # find user ids whose md5 bucket is < 10 (a 10x concentration)
+    skewed_ids = []
+    uid = 0
+    while len(skewed_ids) < 400:
+        if int(hashlib.md5(str(uid).encode()).hexdigest()[:4], 16) % 100 < 10:
+            skewed_ids.append(uid)
+        uid += 1
+    import datetime
+
+    events = spark.createDataFrame(
+        [(i, datetime.datetime(2024, 1, 5), u, "view", 1.0, "{}")
+         for i, u in enumerate(skewed_ids)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orig = A.load_table
+    try:
+        A.load_table = lambda _s, _d, _t: events
+        r = A.agg_ks_uniformity_gof(spark, "x").collect()[0]
+    finally:
+        A.load_table = orig
+    assert r["reject_uniform_05"]
+    assert r["ks_d_r6"] > 0.5
