@@ -742,3 +742,119 @@ def ml_eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE FALSE END"
         ).alias("significant_05"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley values for a 2-feature classifier (Shapley 1953; the SHAP
+# decomposition computed in closed form): with two features the Shapley
+# value of each is the average of its marginal accuracy contributions
+# over the 2 orderings — four coalition accuracies, no sampling.
+
+SHAP_LEN_CUT = 200  # feature A: n_chars >= cut
+SHAP_TOK_CUT = 40  # feature B: token count >= cut
+
+
+@register(
+    "ml_eval_shapley_two_features",
+    oracle=f"""
+WITH m AS (
+  SELECT
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+    CASE WHEN n_chars >= {SHAP_LEN_CUT} THEN 1 ELSE 0 END AS fa,
+    CASE WHEN (length(text) - length(replace(text, ' ', '')) + 1)
+              >= {SHAP_TOK_CUT} THEN 1 ELSE 0 END AS fb
+  FROM documents
+),
+base AS (SELECT CASE WHEN SUM(y) * 2 >= COUNT(*) THEN 1 ELSE 0 END AS maj
+         FROM m),
+acc AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n,
+    -- empty coalition: majority class
+    CAST(SUM(CASE WHEN y = (SELECT maj FROM base) THEN 1 ELSE 0 END)
+         AS BIGINT) AS acc0,
+    CAST(SUM(CASE WHEN y = fa THEN 1 ELSE 0 END) AS BIGINT) AS acc_a,
+    CAST(SUM(CASE WHEN y = fb THEN 1 ELSE 0 END) AS BIGINT) AS acc_b,
+    -- full coalition: AND vote (both features must fire)
+    CAST(SUM(CASE WHEN y = (CASE WHEN fa = 1 AND fb = 1
+                            THEN 1 ELSE 0 END) THEN 1 ELSE 0 END)
+         AS BIGINT) AS acc_ab
+  FROM m
+)
+SELECT n, acc0, acc_a, acc_b, acc_ab,
+  -- phi scaled x2n so it stays integer: phi_a = ((accA-acc0)+(accAB-accB))/2n
+  CAST((acc_a - acc0) + (acc_ab - acc_b) AS BIGINT) AS phi_a_x2n,
+  CAST((acc_b - acc0) + (acc_ab - acc_a) AS BIGINT) AS phi_b_x2n,
+  -- efficiency identity: phi_a + phi_b = acc_AB - acc0 (x2n form: exact)
+  CAST(2 * (acc_ab - acc0) AS BIGINT) AS phi_sum_x2n
+FROM acc
+""",
+    doc="EXACT Shapley attribution (Shapley 1953 / the SHAP quantity, no "
+    "sampling) for a 2-feature AND-vote classifier over accuracy as the "
+    "value function: four coalition accuracies from one scan; phi_i is "
+    "the average marginal contribution over the 2! orderings, carried "
+    "x2n so everything is exact BIGINT; the Shapley efficiency identity "
+    "phi_a + phi_b = v(full) - v(empty) is emitted and value-checked "
+    "(phi_sum_x2n column). One scan + a 1-row aggregate.",
+)
+def ml_eval_shapley_two_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    m = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.when(F.col("n_chars") >= SHAP_LEN_CUT, 1).otherwise(0).alias(
+            "fa"
+        ),
+        F.when(toks >= SHAP_TOK_CUT, 1).otherwise(0).alias("fb"),
+    )
+    maj = m.agg(
+        F.when(F.sum("y") * 2 >= F.count(F.lit(1)), 1)
+        .otherwise(0)
+        .alias("maj")
+    )
+    acc = m.crossJoin(F.broadcast(maj)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("y") == F.col("maj")).cast("int"))
+        .cast("bigint")
+        .alias("acc0"),
+        F.sum((F.col("y") == F.col("fa")).cast("int"))
+        .cast("bigint")
+        .alias("acc_a"),
+        F.sum((F.col("y") == F.col("fb")).cast("int"))
+        .cast("bigint")
+        .alias("acc_b"),
+        F.sum(
+            (
+                F.col("y")
+                == F.when(
+                    (F.col("fa") == 1) & (F.col("fb") == 1), 1
+                ).otherwise(0)
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("acc_ab"),
+    )
+    return acc.select(
+        "n",
+        "acc0",
+        "acc_a",
+        "acc_b",
+        "acc_ab",
+        ((F.col("acc_a") - F.col("acc0"))
+         + (F.col("acc_ab") - F.col("acc_b")))
+        .cast("bigint")
+        .alias("phi_a_x2n"),
+        ((F.col("acc_b") - F.col("acc0"))
+         + (F.col("acc_ab") - F.col("acc_a")))
+        .cast("bigint")
+        .alias("phi_b_x2n"),
+        (2 * (F.col("acc_ab") - F.col("acc0")))
+        .cast("bigint")
+        .alias("phi_sum_x2n"),
+    )

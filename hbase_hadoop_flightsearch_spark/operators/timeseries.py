@@ -4698,3 +4698,91 @@ def events_entropy_rate_markov(
             "ROUND(EXP(SUM(term_nano) / 1000000000.0), 6)"
         ).alias("perplexity_r6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Attribution-window sensitivity — how much does the funnel conversion
+# rate depend on the chosen view->purchase window? The
+# pick-your-window-honestly report.
+
+CONV_WINDOWS_H = (1, 6, 24)
+
+
+@register(
+    "events_conversion_window_sensitivity",
+    oracle=f"""
+WITH v AS (
+  SELECT user_id, CAST(epoch_ms(ts) // 1000 AS BIGINT) AS vt
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, CAST(epoch_ms(ts) // 1000 AS BIGINT) AS pt
+  FROM events WHERE event_type = 'purchase'
+),
+ws AS (SELECT CAST(unnest({list(CONV_WINDOWS_H)}) AS BIGINT) AS w_h),
+converted AS (
+  SELECT ws.w_h, v.user_id, v.vt,
+    CAST(MAX(CASE WHEN p.pt > v.vt
+                  AND p.pt <= v.vt + ws.w_h * 3600
+             THEN 1 ELSE 0 END) AS BIGINT) AS conv
+  FROM v CROSS JOIN ws
+  LEFT JOIN p ON p.user_id = v.user_id
+  GROUP BY ws.w_h, v.user_id, v.vt
+)
+SELECT w_h AS window_hours,
+  CAST(COUNT(*) AS BIGINT) AS n_views,
+  CAST(SUM(conv) AS BIGINT) AS n_converted,
+  CAST((SUM(conv) * 1000000) // COUNT(*) AS BIGINT) AS conv_rate_ppm
+FROM converted GROUP BY w_h
+""",
+    doc="Attribution-window sensitivity of view->purchase conversion at "
+    "1/6/24-hour windows: per view, did ANY same-user purchase land "
+    "inside the window (exact integer epoch-seconds). The "
+    "methodology-honesty report behind events_funnel_conversion's "
+    "single window. Spark plan: per-user compact purchase ARRAY "
+    "broadcast-free via one Exchange(user_id) + an array EXISTS per "
+    "window — never the quadratic view x purchase join the oracle "
+    "states. Rates as exact ppm.",
+)
+def events_conversion_window_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    sec = F.expr("CAST(unix_millis(ts) div 1000 AS BIGINT)")
+    v = events.filter(F.col("event_type") == "view").select(
+        "user_id", sec.alias("vt")
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", sec.alias("pt"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("pt")).alias("pts"))
+    )
+    joined = v.join(p, "user_id", "left")
+    rows = []
+    for w_h in CONV_WINDOWS_H:
+        conv = F.when(
+            F.col("pts").isNotNull()
+            & F.exists(
+                F.col("pts"),
+                lambda t: (t > F.col("vt"))
+                & (t <= F.col("vt") + w_h * 3600),
+            ),
+            1,
+        ).otherwise(0)
+        rows.append(
+            joined.select(
+                F.lit(int(w_h)).cast("bigint").alias("window_hours"),
+                conv.alias("conv"),
+            )
+        )
+    allw = rows[0]
+    for r in rows[1:]:
+        allw = allw.unionAll(r)
+    return allw.groupBy("window_hours").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_views"),
+        F.sum("conv").cast("bigint").alias("n_converted"),
+        F.expr(
+            "CAST((SUM(conv) * 1000000) div COUNT(*) AS BIGINT)"
+        ).alias("conv_rate_ppm"),
+    )

@@ -487,3 +487,30 @@ def test_cost_optimal_threshold_is_argmin_of_sweep(spark, sf_correctness):
     got = E.ml_eval_cost_optimal_threshold(spark, sf_correctness).collect()[0]
     assert got["total_cost"] == best_cost
     assert got["threshold_score"] == best_score
+
+
+def test_shapley_efficiency_identity_and_symmetry(spark, sf_correctness):
+    """Shapley efficiency must hold exactly (phi_a + phi_b equals the
+    full-coalition gain), and two IDENTICAL features must split credit
+    equally (symmetry axiom) on a planted fixture."""
+    import hbase_hadoop_flightsearch_spark.operators.evaluation as E
+
+    r = E.ml_eval_shapley_two_features(spark, sf_correctness).collect()[0]
+    assert r["phi_a_x2n"] + r["phi_b_x2n"] == r["phi_sum_x2n"]
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 == 0 else "de",
+          300 if i % 3 == 0 else 100,
+          " ".join(["w"] * (50 if i % 3 == 0 else 10)))
+         for i in range(60)],
+        "doc_id long, lang string, n_chars long, text string",
+    ).withColumn("source", F.lit("s"))
+    orig = E.load_table
+    try:
+        E.load_table = lambda _s, _d, _t: docs
+        s = E.ml_eval_shapley_two_features(spark, "x").collect()[0]
+    finally:
+        E.load_table = orig
+    # both features perfectly encode the label here -> symmetric credit
+    assert s["phi_a_x2n"] == s["phi_b_x2n"]
+    assert s["acc_ab"] == s["n"]  # AND-vote is perfect on this fixture

@@ -747,3 +747,20 @@ def test_entropy_rate_deterministic_chain_is_zero(spark):
     finally:
         TS.load_table = orig
     assert 0 < r2["entropy_rate_nano"] / 1e9 <= math.log(2) + 1e-9
+
+
+def test_conversion_window_monotone_in_window(spark, sf_smoke):
+    """A larger attribution window can only find MORE conversions: the
+    rate must be weakly monotone in window size, and n_views identical
+    across windows."""
+    from hbase_hadoop_flightsearch_spark.operators.timeseries import (
+        events_conversion_window_sensitivity,
+    )
+
+    rows = sorted(
+        events_conversion_window_sensitivity(spark, sf_smoke).collect(),
+        key=lambda r: r["window_hours"],
+    )
+    assert len({r["n_views"] for r in rows}) == 1
+    convs = [r["n_converted"] for r in rows]
+    assert convs == sorted(convs)
