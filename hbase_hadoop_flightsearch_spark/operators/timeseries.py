@@ -4712,7 +4712,7 @@ CONV_WINDOWS_H = (1, 6, 24)
     "events_conversion_window_sensitivity",
     oracle=f"""
 WITH v AS (
-  SELECT user_id, CAST(epoch_ms(ts) // 1000 AS BIGINT) AS vt
+  SELECT event_id, user_id, CAST(epoch_ms(ts) // 1000 AS BIGINT) AS vt
   FROM events WHERE event_type = 'view'
 ),
 p AS (
@@ -4720,14 +4720,16 @@ p AS (
   FROM events WHERE event_type = 'purchase'
 ),
 ws AS (SELECT CAST(unnest({list(CONV_WINDOWS_H)}) AS BIGINT) AS w_h),
+-- keyed by event_id: two views of one user on the same epoch-second are
+-- distinct funnel entries (altseed_b had exactly such a collision)
 converted AS (
-  SELECT ws.w_h, v.user_id, v.vt,
+  SELECT ws.w_h, v.event_id,
     CAST(MAX(CASE WHEN p.pt > v.vt
                   AND p.pt <= v.vt + ws.w_h * 3600
              THEN 1 ELSE 0 END) AS BIGINT) AS conv
   FROM v CROSS JOIN ws
   LEFT JOIN p ON p.user_id = v.user_id
-  GROUP BY ws.w_h, v.user_id, v.vt
+  GROUP BY ws.w_h, v.event_id
 )
 SELECT w_h AS window_hours,
   CAST(COUNT(*) AS BIGINT) AS n_views,
