@@ -4788,3 +4788,129 @@ def events_conversion_window_sensitivity(
             "CAST((SUM(conv) * 1000000) div COUNT(*) AS BIGINT)"
         ).alias("conv_rate_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Granger-lite causality (Granger 1969): does yesterday's VIEW volume
+# improve the prediction of today's PURCHASE volume beyond purchase's own
+# lag? F-test between the restricted (y ~ y_lag) and full
+# (y ~ y_lag + x_lag) OLS fits, both in closed form from exact moments.
+
+_GR_M = (
+    "CAST(n * s11 - s1 * s1 AS DOUBLE) AS m11, "
+    "CAST(n * s22 - s2 * s2 AS DOUBLE) AS m22, "
+    "CAST(n * s12 - s1 * s2 AS DOUBLE) AS m12, "
+    "CAST(n * s1y - s1 * sy AS DOUBLE) AS m1y, "
+    "CAST(n * s2y - s2 * sy AS DOUBLE) AS m2y, "
+    "CAST(n * syy - sy * sy AS DOUBLE) AS myy"
+)
+# RSS (x n for both models — the common factor cancels in F):
+_GR_RSS_R = "(myy - m1y * m1y / m11)"
+_GR_RSS_F = (
+    "(myy - (m22 * m1y * m1y - 2.0 * m12 * m1y * m2y + m11 * m2y * m2y)"
+    " / (m11 * m22 - m12 * m12))"
+)
+# Degenerate guards (identical CASE in both engines): a constant y_lag
+# (m11 = 0), a collinear pair (det = 0), or a PERFECT full fit
+# (RSS_f = 0, seen in the planted-causality fixture) yield NULL instead
+# of an ANSI divide-by-zero / a DuckDB inf.
+_GR_DET = "(m11 * m22 - m12 * m12)"
+_GR_F = (
+    f"CASE WHEN m11 > 0 AND {_GR_DET} > 0 AND ({_GR_RSS_F}) > 0"
+    f" THEN (({_GR_RSS_R} - {_GR_RSS_F}) * (n - 3.0)) / ({_GR_RSS_F})"
+    f" END"
+)
+
+
+@register(
+    "events_granger_views_purchases",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+      AS x,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+lagged AS (
+  SELECT day, y,
+    LAG(y) OVER (ORDER BY day) AS y1,
+    LAG(x) OVER (ORDER BY day) AS x1
+  FROM daily
+),
+t AS (SELECT y, y1 AS v1, x1 AS v2 FROM lagged WHERE y1 IS NOT NULL),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(v1) AS BIGINT) AS s1, CAST(SUM(v2) AS BIGINT) AS s2,
+    CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(v1 * v1) AS BIGINT) AS s11,
+    CAST(SUM(v2 * v2) AS BIGINT) AS s22,
+    CAST(SUM(v1 * v2) AS BIGINT) AS s12,
+    CAST(SUM(v1 * y) AS BIGINT) AS s1y,
+    CAST(SUM(v2 * y) AS BIGINT) AS s2y,
+    CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM t
+),
+d AS (SELECT n, {_GR_M} FROM m)
+SELECT n AS n_days,
+  CASE WHEN m11 > 0 THEN ROUND({_GR_RSS_R} / (n * n), 6) END
+    AS rss_restricted_r6,
+  CASE WHEN {_GR_DET} > 0 THEN ROUND({_GR_RSS_F} / (n * n), 6) END
+    AS rss_full_r6,
+  ROUND({_GR_F}, 6) AS f_stat_r6
+FROM d
+""",
+    doc="Granger 1969 causality screen: F = ((RSS_r - RSS_f)/1) / "
+    "(RSS_f/(n-3)) between y ~ y_lag (restricted) and y ~ y_lag + x_lag "
+    "(full), x = daily views, y = daily purchases, both OLS fits in "
+    "CLOSED FORM (Cramer on the 2x2 centered-moment matrix) from exact "
+    "BIGINT n-scaled cross-products; every float expression is one "
+    "fixed shape shared verbatim with the oracle. Significance is the "
+    "reader's F(1, n-3) lookup — n varies by corpus, so no baked "
+    "critical value. One day rollup + one LAG window + a 1-row finish.",
+)
+def events_granger_views_purchases(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum((F.col("event_type") == "view").cast("int"))
+        .cast("bigint")
+        .alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    w = Window.orderBy("day")
+    t = daily.select(
+        "y",
+        F.lag("y").over(w).alias("v1"),
+        F.lag("x").over(w).alias("v2"),
+    ).filter(F.col("v1").isNotNull())
+    m = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v1").cast("bigint").alias("s1"),
+        F.sum("v2").cast("bigint").alias("s2"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("v1") * F.col("v1")).cast("bigint").alias("s11"),
+        F.sum(F.col("v2") * F.col("v2")).cast("bigint").alias("s22"),
+        F.sum(F.col("v1") * F.col("v2")).cast("bigint").alias("s12"),
+        F.sum(F.col("v1") * F.col("y")).cast("bigint").alias("s1y"),
+        F.sum(F.col("v2") * F.col("y")).cast("bigint").alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    d = m.selectExpr("n", *_GR_M.split(", "))
+    return d.select(
+        F.col("n").alias("n_days"),
+        F.expr(
+            f"CASE WHEN m11 > 0 THEN ROUND({_GR_RSS_R} / (n * n), 6) END"
+        ).alias("rss_restricted_r6"),
+        F.expr(
+            f"CASE WHEN {_GR_DET} > 0"
+            f" THEN ROUND({_GR_RSS_F} / (n * n), 6) END"
+        ).alias("rss_full_r6"),
+        F.expr(f"ROUND({_GR_F}, 6)").alias("f_stat_r6"),
+    )

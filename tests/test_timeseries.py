@@ -764,3 +764,39 @@ def test_conversion_window_monotone_in_window(spark, sf_smoke):
     assert len({r["n_views"] for r in rows}) == 1
     convs = [r["n_converted"] for r in rows]
     assert convs == sorted(convs)
+
+
+def test_granger_planted_causality_vs_independence(spark):
+    """y_t = x_{t-1} (plus a tiny wobble) must yield a massive F; an
+    x that never enters y's dynamics must yield a tiny one."""
+    import datetime
+
+    import hbase_hadoop_flightsearch_spark.operators.timeseries as TS
+
+    def mk(depends: bool):
+        rows, eid = [], 0
+        xs = [5 + (d * 7) % 11 for d in range(30)]  # wandering driver
+        for d in range(30):
+            nx = xs[d]
+            ny = (xs[d - 1] if d > 0 else 6) if depends else 6 + (d * 5) % 7
+            for i in range(nx):
+                rows.append((eid, datetime.datetime(2024, 1, 1 + d, 9, 0,
+                             i % 60), i, "view", 1.0, "{}")); eid += 1
+            for i in range(ny):
+                rows.append((eid, datetime.datetime(2024, 1, 1 + d, 15, 0,
+                             i % 60), i, "purchase", 1.0, "{}")); eid += 1
+        return _patched_events(spark, rows)
+
+    orig = TS.load_table
+    try:
+        TS.load_table = lambda _s, _d, _t: mk(True)
+        f_dep = TS.events_granger_views_purchases(spark, "x").collect()[0]
+        TS.load_table = lambda _s, _d, _t: mk(False)
+        f_ind = TS.events_granger_views_purchases(spark, "x").collect()[0]
+    finally:
+        TS.load_table = orig
+    # deterministic dependence: the full model fits EXACTLY, so RSS_f = 0
+    # and F is NULL by the degenerate guard — the strongest possible signal
+    assert f_dep["rss_full_r6"] == 0.0
+    assert f_dep["f_stat_r6"] is None
+    assert f_ind["f_stat_r6"] is not None and f_ind["f_stat_r6"] < 10
