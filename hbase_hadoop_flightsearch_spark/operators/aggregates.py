@@ -2121,3 +2121,79 @@ def agg_ks_uniformity_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" > 1.358 * n * {KS1_BUCKETS}"
         ).alias("reject_uniform_05"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact global median WITHOUT a global sort — the 100 TB order-statistic
+# pattern: binary-search the integer value domain, one COUNT(< mid)
+# aggregate per round, O(log(domain)) bounded rounds. The scale answer
+# to "exact median of a table that cannot be sorted".
+
+MEDIAN_BISECT_MAX_ROUNDS = 64
+
+
+def exact_median_bisect(df: DataFrame, col: str) -> tuple[int, int, int]:
+    """(lower-median value, n_rows, rounds) for BIGINT column ``col``.
+
+    Each round runs ONE partial-agg'd count aggregate (no shuffle of
+    rows, no sort); the search interval halves until it pins the value
+    whose rank is ceil(n/2) — the LOWER median, deterministic for even
+    n. Lineage never grows: the loop state is three Python ints."""
+    import math  # noqa: F401  (kept for symmetry with other drivers)
+
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(col).alias("lo"),
+        F.max(col).alias("hi"),
+    ).collect()[0]
+    n, lo, hi = int(agg["n"]), int(agg["lo"]), int(agg["hi"])
+    target = (n + 1) // 2  # rank of the lower median
+    rounds = 0
+    while lo < hi and rounds < MEDIAN_BISECT_MAX_ROUNDS:
+        mid = (lo + hi) // 2
+        n_le = df.filter(F.col(col) <= mid).count()
+        if n_le >= target:
+            hi = mid
+        else:
+            lo = mid + 1
+        rounds += 1
+    return lo, n, rounds
+
+
+@register(
+    "agg_exact_median_bisection",
+    oracle="""
+WITH v AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+r AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+         COUNT(*) OVER () AS n
+  FROM v
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+  CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS BIGINT)
+    AS median_cents
+FROM r
+""",
+    doc="EXACT global median of order value by BISECTION on the integer "
+    "cents domain — O(log(domain)) bounded rounds of one partial-agg'd "
+    "COUNT each, NO global sort, no per-partition materialization: the "
+    "pattern that computes an exact order statistic of a 100 TB column "
+    "a sort could never touch. The median value and row count are "
+    "value-checked against DuckDB's rank formulation (FULL value "
+    "oracle); convergence-before-the-round-cap and selection-vs-sort "
+    "equality are asserted in tests/test_plans.py.",
+)
+def agg_exact_median_bisection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    median, n, rounds = exact_median_bisect(v, "cents")
+    assert rounds < MEDIAN_BISECT_MAX_ROUNDS  # provably <= log2(domain)
+    return spark.createDataFrame(
+        [(n, median)], "n_rows long, median_cents long"
+    )

@@ -1202,3 +1202,25 @@ def test_ks_uniformity_rejects_planted_skew(spark):
         A.load_table = orig
     assert r["reject_uniform_05"]
     assert r["ks_d_r6"] > 0.5
+
+
+def test_median_bisection_equals_sorted_selection(spark, sf_correctness):
+    """The bisection median must equal the sort-based lower median, and
+    converge in <= log2(domain) rounds."""
+    from hbase_hadoop_flightsearch_spark.operators.aggregates import (
+        MEDIAN_BISECT_MAX_ROUNDS,
+        exact_median_bisect,
+    )
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    v = load_table(spark, sf_correctness, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    median, n, rounds = exact_median_bisect(v, "cents")
+    vals = sorted(r["cents"] for r in v.collect())
+    assert median == vals[(n + 1) // 2 - 1]
+    assert rounds < MEDIAN_BISECT_MAX_ROUNDS
+    # even-n determinism: lower median on a hand fixture
+    df = spark.createDataFrame([(10,), (20,), (30,), (40,)], "cents long")
+    m, n4, _ = exact_median_bisect(df, "cents")
+    assert (m, n4) == (20, 4)
