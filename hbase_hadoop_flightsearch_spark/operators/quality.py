@@ -1174,3 +1174,118 @@ def dq_temporal_ordering_audit(
         .cast("bigint")
         .alias("slow_ship_over_120d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact 1-Wasserstein (earth mover) drift — the metric PSI approximates
+# and KS bounds: integral |F1 - F2| over the order-value distribution,
+# first half vs second half of the order-date range, kept EXACT by
+# cross-multiplying the two ECDFs to a common integer denominator.
+
+
+@register(
+    "dq_drift_wasserstein",
+    oracle="""
+WITH bounds AS (
+  SELECT (CAST(MIN(CAST(o_orderdate AS DATE)) - DATE '1970-01-01'
+               AS BIGINT)
+        + CAST(MAX(CAST(o_orderdate AS DATE)) - DATE '1970-01-01'
+               AS BIGINT) + 1) // 2 AS split_d
+  FROM orders
+),
+v AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+    CASE WHEN CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+              AS BIGINT) < b.split_d THEN 1 ELSE 0 END AS h1
+  FROM orders, bounds b
+),
+g AS (
+  SELECT cents,
+    CAST(SUM(h1) AS BIGINT) AS c1,
+    CAST(SUM(1 - h1) AS BIGINT) AS c2
+  FROM v GROUP BY cents
+),
+cum AS (
+  SELECT cents,
+    CAST(SUM(c1) OVER (ORDER BY cents) AS BIGINT) AS f1,
+    CAST(SUM(c2) OVER (ORDER BY cents) AS BIGINT) AS f2,
+    CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+    CAST(SUM(c2) OVER () AS BIGINT) AS n2,
+    CAST(LEAD(cents) OVER (ORDER BY cents) - cents AS BIGINT) AS gap
+  FROM g
+),
+terms AS (
+  SELECT ABS(f1 * n2 - f2 * n1) * gap AS num, n1, n2
+  FROM cum WHERE gap IS NOT NULL
+)
+SELECT CAST(MAX(n1) AS BIGINT) AS n_first_half,
+  CAST(MAX(n2) AS BIGINT) AS n_second_half,
+  CAST(SUM(num) AS BIGINT) AS w1_num,
+  CAST(MAX(n1) * MAX(n2) AS BIGINT) AS w1_den,
+  ROUND(CAST(SUM(num) AS DOUBLE) / (MAX(n1) * MAX(n2)) / 100.0, 6)
+    AS w1_dollars_r6
+FROM terms
+""",
+    doc="EXACT 1-Wasserstein (earth mover) distance between the first- "
+    "and second-half order-value distributions: integral |F1 - F2| "
+    "over the step ECDFs, cross-multiplied to the common n1*n2 "
+    "denominator so the numerator is a pure BIGINT — the drift METRIC "
+    "psi approximates in buckets (dq_drift_psi) and KS reads only at "
+    "the max (agg_ks_two_sample); W1 is the one with transport "
+    "semantics (dollars moved per unit mass). One value rollup, one "
+    "ordered window pass.",
+)
+def dq_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.expr(
+            "(CAST(datediff(MIN(CAST(o_orderdate AS DATE)),"
+            " DATE '1970-01-01') AS BIGINT)"
+            " + CAST(datediff(MAX(CAST(o_orderdate AS DATE)),"
+            " DATE '1970-01-01') AS BIGINT) + 1) div 2"
+        ).alias("split_d")
+    )
+    day_num = F.expr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+        " AS BIGINT)"
+    )
+    v = orders.crossJoin(F.broadcast(bounds)).select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(day_num < F.col("split_d"), 1).otherwise(0).alias("h1"),
+    )
+    g = v.groupBy("cents").agg(
+        F.sum("h1").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("h1")).cast("bigint").alias("c2"),
+    )
+    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = g.select(
+        "cents",
+        F.sum("c1").over(wc).cast("bigint").alias("f1"),
+        F.sum("c2").over(wc).cast("bigint").alias("f2"),
+        F.sum("c1").over(wall).cast("bigint").alias("n1"),
+        F.sum("c2").over(wall).cast("bigint").alias("n2"),
+        (F.lead("cents").over(Window.orderBy("cents")) - F.col("cents"))
+        .cast("bigint")
+        .alias("gap"),
+    )
+    terms = cum.filter(F.col("gap").isNotNull()).select(
+        (
+            F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+            * F.col("gap")
+        ).alias("num"),
+        "n1",
+        "n2",
+    )
+    return terms.agg(
+        F.max("n1").cast("bigint").alias("n_first_half"),
+        F.max("n2").cast("bigint").alias("n_second_half"),
+        F.sum("num").cast("bigint").alias("w1_num"),
+        (F.max("n1") * F.max("n2")).cast("bigint").alias("w1_den"),
+        F.expr(
+            "ROUND(CAST(SUM(num) AS DOUBLE)"
+            " / (MAX(n1) * MAX(n2)) / 100.0, 6)"
+        ).alias("w1_dollars_r6"),
+    )

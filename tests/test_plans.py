@@ -1224,3 +1224,37 @@ def test_median_bisection_equals_sorted_selection(spark, sf_correctness):
     df = spark.createDataFrame([(10,), (20,), (30,), (40,)], "cents long")
     m, n4, _ = exact_median_bisect(df, "cents")
     assert (m, n4) == (20, 4)
+
+
+def test_wasserstein_identical_halves_zero_and_shift_exact(spark):
+    """Identical half-distributions -> W1 = 0 exactly; shifting one half
+    by a constant delta -> W1 = delta exactly (the transport metric's
+    signature property, which PSI and KS both lack)."""
+    import datetime
+
+    import hbase_hadoop_flightsearch_spark.operators.quality as Q
+
+    def mk(shift_cents: int):
+        rows = []
+        for i in range(200):
+            # first half: Jan; second half: Mar (split lands between)
+            rows.append((2 * i, 1, datetime.date(1995, 1, 1 + i % 20),
+                         100.0 + (i % 50)))
+            rows.append((2 * i + 1, 1, datetime.date(1995, 3, 1 + i % 20),
+                         100.0 + (i % 50) + shift_cents / 100.0))
+        return spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderdate date,"
+            " o_totalprice double",
+        )
+
+    orig = Q.load_table
+    try:
+        Q.load_table = lambda _s, _d, _t: mk(0)
+        zero = Q.dq_drift_wasserstein(spark, "x").collect()[0]
+        Q.load_table = lambda _s, _d, _t: mk(700)
+        shifted = Q.dq_drift_wasserstein(spark, "x").collect()[0]
+    finally:
+        Q.load_table = orig
+    assert zero["w1_num"] == 0
+    assert shifted["w1_dollars_r6"] == 7.0
