@@ -2689,3 +2689,55 @@ def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div (n_windows * {MATTR_W}) AS BIGINT)"
         ).alias("mattr_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hapax legomena — the once-words: their share of the vocabulary is the
+# classic corpus-maturity statistic beside the Zipf slope and the Heaps
+# (vocab-growth) curve; a crawl dominated by boilerplate reads LOW hapax.
+
+
+@register(
+    "text_hapax_legomena",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+t AS (SELECT source, token FROM tok WHERE token <> ''),
+freq AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM t GROUP BY source, token
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS vocab,
+  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis_legomena,
+  CAST((SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000)
+       // COUNT(*) AS BIGINT) AS hapax_ppm
+FROM freq GROUP BY source
+""",
+    doc="Hapax/dis legomena per source: the share of vocabulary seen "
+    "exactly once (and twice) — the corpus-maturity statistic beside "
+    "text_zipf_slope and text_vocab_growth_curve (Heaps); boilerplate-"
+    "heavy sources read LOW hapax. Exact integer ppm; one token "
+    "aggregate + one O(sources) rollup.",
+)
+def text_hapax_legomena(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    freq = t.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return freq.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum((F.col("c") == 1).cast("int")).cast("bigint").alias("hapax"),
+        F.sum((F.col("c") == 2).cast("int"))
+        .cast("bigint")
+        .alias("dis_legomena"),
+        F.expr(
+            "CAST((SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000)"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("hapax_ppm"),
+    )

@@ -1938,3 +1938,81 @@ def dedup_minhash_md5_estimate(
             ).alias("est_jaccard_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix — WHERE do the near-dups come from?
+# Mirrors and syndication show up as heavy OFF-diagonal cells; crawl
+# self-duplication as a heavy diagonal. The routing report that decides
+# which source pair gets the aggressive dedup pass.
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+WITH sh AS ({{shingle}}),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+      (len(a.shingles) + len(b.shingles)
+       - len(list_intersect(a.shingles, b.shingles)))
+      >= {JACCARD_THRESHOLD}
+),
+src AS (SELECT doc_id, source FROM documents),
+m AS (
+  SELECT LEAST(s1.source, s2.source) AS src_a,
+         GREATEST(s1.source, s2.source) AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs p
+  JOIN src s1 ON s1.doc_id = p.d1
+  JOIN src s2 ON s2.doc_id = p.d2
+  GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS t FROM m)
+SELECT m.src_a, m.src_b, m.n_pairs,
+  m.src_a = m.src_b AS within_source,
+  CAST((m.n_pairs * 1000000) // tot.t AS BIGINT) AS share_ppm
+FROM m, tot
+""".format(shingle=_SHINGLE_SQL_DUCK.strip()),
+    doc="Cross-source near-duplicate matrix over the exact j >= 0.5 "
+    "3-gram Jaccard pairs: canonical (src_a <= src_b) cell counts + "
+    "share of all dup mass — off-diagonal cells are mirrors/"
+    "syndication, the diagonal is crawl self-duplication; the routing "
+    "report for targeted dedup passes. Spark side rides the joinless "
+    "posting-list pair counter (never all-pairs); the deliberately-"
+    "quadratic oracle is conclusive at the sf0.01 gate.",
+)
+def dedup_cross_source_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    m = (
+        pairs.join(
+            F.broadcast(src.select(F.col("doc_id").alias("d1"),
+                                   F.col("source").alias("s1"))), "d1"
+        )
+        .join(
+            F.broadcast(src.select(F.col("doc_id").alias("d2"),
+                                   F.col("source").alias("s2"))), "d2"
+        )
+        .select(
+            F.least("s1", "s2").alias("src_a"),
+            F.greatest("s1", "s2").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    tot = m.agg(F.sum("n_pairs").cast("bigint").alias("t"))
+    return m.crossJoin(F.broadcast(tot)).select(
+        "src_a",
+        "src_b",
+        "n_pairs",
+        (F.col("src_a") == F.col("src_b")).alias("within_source"),
+        F.expr("CAST((n_pairs * 1000000) div t AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )

@@ -4914,3 +4914,74 @@ def events_granger_views_purchases(
         ).alias("rss_full_r6"),
         F.expr(f"ROUND({_GR_F}, 6)").alias("f_stat_r6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness — the product-health ratio: what share of a month's
+# actives show up on an average day?
+
+
+@register(
+    "events_stickiness_dau_mau",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events
+),
+dau AS (
+  SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+         day, CAST(COUNT(*) AS BIGINT) AS dau
+  FROM d GROUP BY 1, 2
+),
+mau AS (
+  SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+  FROM d GROUP BY 1
+),
+m AS (
+  SELECT dau.month,
+    CAST(COUNT(*) AS BIGINT) AS n_days,
+    CAST(SUM(dau.dau) AS BIGINT) AS dau_sum,
+    MAX(mau.mau) AS mau
+  FROM dau JOIN mau USING (month)
+  GROUP BY dau.month
+)
+SELECT month, n_days, dau_sum, mau,
+  CAST((dau_sum * 1000000) // (n_days * mau) AS BIGINT)
+    AS stickiness_ppm
+FROM m
+""",
+    doc="DAU/MAU stickiness per calendar month (the product-health "
+    "ratio): average daily actives over monthly actives, exact integer "
+    "ppm — avg DAU computed as the integer dau_sum over n_days so no "
+    "float mean enters the quotient. One (user, day) dedup + two "
+    "rollups; the engagement-intensity complement to events_dau_wau's "
+    "trailing window.",
+)
+def events_stickiness_dau_mau(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    d = events.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    dau = d.groupBy(
+        F.date_trunc("month", "day").cast("date").alias("month"), "day"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    mau = d.groupBy(
+        F.date_trunc("month", "day").cast("date").alias("month")
+    ).agg(F.count_distinct("user_id").cast("bigint").alias("mau"))
+    m = dau.join(mau, "month").groupBy("month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("dau").cast("bigint").alias("dau_sum"),
+        F.max("mau").cast("bigint").alias("mau"),
+    )
+    return m.select(
+        "month",
+        "n_days",
+        "dau_sum",
+        "mau",
+        F.expr(
+            "CAST((dau_sum * 1000000) div (n_days * mau) AS BIGINT)"
+        ).alias("stickiness_ppm"),
+    )

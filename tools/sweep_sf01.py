@@ -20,6 +20,7 @@ import sys
 # DuckDB at sf0.1. The SPARK side of each has sf0.1 evidence via bench
 # or the per-round sweeps.
 SKIP = {
+    "dedup_cross_source_matrix",
     "asof_join_events_orders", "asof_join_forward_next_purchase",
     "asof_join_tolerance", "dedup_ngram_jaccard",
     "dedup_containment_prefix", "dedup_simhash", "dedup_cc_clusters",
