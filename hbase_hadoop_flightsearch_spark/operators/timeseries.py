@@ -4985,3 +4985,71 @@ def events_stickiness_dau_mau(
             "CAST((dau_sum * 1000000) div (n_days * mau) AS BIGINT)"
         ).alias("stickiness_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CEP pattern matching — MATCH_RECOGNIZE semantics (which Spark lacks as
+# SQL syntax) re-expressed as a regex over the per-session event-initial
+# string: sessions whose journey matches view .. click .. purchase with
+# no intervening purchase.
+
+CEP_PATTERN = "v[^p]*c[^p]*p"  # v(iew) then c(lick) then p(urchase),
+# no purchase allowed in the gaps — simple char classes only, identical
+# semantics in Java regex (Spark) and RE2 (DuckDB)
+
+
+@register(
+    "events_pattern_match_cep",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id,
+    string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+      AS journey
+  FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(CASE WHEN regexp_matches(journey, '{CEP_PATTERN}')
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+  CAST((SUM(CASE WHEN regexp_matches(journey, '{CEP_PATTERN}')
+            THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT)
+    AS match_ppm,
+  CAST(MAX(length(journey)) AS BIGINT) AS longest_journey
+FROM seq
+""",
+    doc="Complex-event-processing pattern match (the MATCH_RECOGNIZE "
+    "semantics Spark lacks as syntax): each user's journey collapses to "
+    "an ordered event-initial string (deterministic (ts, event_id) "
+    "order), and the funnel-with-exclusion pattern v[^p]*c[^p]*p — "
+    "view, later click, later purchase, with no EARLIER purchase "
+    "intervening — is one regex both engines' dialects (Java regex / "
+    "RE2) treat identically at this character-class complexity. One "
+    "Exchange(user_id) + a per-user sort inside the aggregation; "
+    "journeys are bounded by per-user activity, not corpus size.",
+)
+def events_pattern_match_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    seq = events.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id",
+                                 F.substring("event_type", 1, 1)
+                                 .alias("c"))
+                    )
+                ),
+                lambda s: s["c"],
+            ),
+        ).alias("journey")
+    )
+    matched = F.col("journey").rlike(CEP_PATTERN)
+    return seq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(matched.cast("int")).cast("bigint").alias("n_matched"),
+        F.expr(
+            f"CAST((SUM(CASE WHEN journey RLIKE '{CEP_PATTERN}'"
+            " THEN 1 ELSE 0 END) * 1000000) div COUNT(*) AS BIGINT)"
+        ).alias("match_ppm"),
+        F.max(F.length("journey")).cast("bigint").alias("longest_journey"),
+    )

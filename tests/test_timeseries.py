@@ -800,3 +800,35 @@ def test_granger_planted_causality_vs_independence(spark):
     assert f_dep["rss_full_r6"] == 0.0
     assert f_dep["f_stat_r6"] is None
     assert f_ind["f_stat_r6"] is not None and f_ind["f_stat_r6"] < 10
+
+
+def test_cep_pattern_excludes_intervening_purchase(spark):
+    """The exclusion classes matter: v..c..p with an EARLY purchase
+    between view and click must NOT match; the clean funnel must."""
+    import datetime
+
+    import hbase_hadoop_flightsearch_spark.operators.timeseries as TS
+
+    t0 = datetime.datetime(2024, 1, 1, 8, 0, 0)
+
+    def ev(eid, sec, uid, et):
+        return (eid, t0 + datetime.timedelta(seconds=sec), uid, et,
+                1.0, "{}")
+
+    rows = [
+        # user 1: view -> click -> purchase (clean) => match
+        ev(0, 0, 1, "view"), ev(1, 10, 1, "click"), ev(2, 20, 1, "purchase"),
+        # user 2: view -> purchase -> click -> (nothing) => no match
+        ev(3, 0, 2, "view"), ev(4, 10, 2, "purchase"), ev(5, 20, 2, "click"),
+        # user 3: clicks only => no match
+        ev(6, 0, 3, "click"), ev(7, 10, 3, "click"),
+    ]
+    events = _patched_events(spark, rows)
+    orig = TS.load_table
+    try:
+        TS.load_table = lambda _s, _d, _t: events
+        r = TS.events_pattern_match_cep(spark, "x").collect()[0]
+    finally:
+        TS.load_table = orig
+    assert r["n_users"] == 3
+    assert r["n_matched"] == 1
