@@ -832,3 +832,61 @@ def test_c4_line_filters_hand_fixture(spark):
     assert out["sB"]["docs_drop_short"] == 1
     assert out["sB"]["docs_kept"] == 1
     assert out["sB"]["lines_kept"] == 3  # the boundary doc keeps exactly 3
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_median_bisection_matches_sorted_selection_property(spark, vals):
+    """For ANY integer multiset (negatives, duplicates, singletons), the
+    bisection median equals the sort-based lower median and converges
+    within the round bound."""
+    from hbase_hadoop_flightsearch_spark.operators.aggregates import (
+        MEDIAN_BISECT_MAX_ROUNDS,
+        exact_median_bisect,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "cents long")
+    median, n, rounds = exact_median_bisect(df, "cents")
+    assert n == len(vals)
+    assert median == sorted(vals)[(n + 1) // 2 - 1]
+    assert rounds <= MEDIAN_BISECT_MAX_ROUNDS
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    alpha10=st.integers(min_value=12, max_value=40),  # alpha in [1.2, 4.0]
+)
+def test_hill_estimator_tracks_true_pareto_exponent(spark, alpha10):
+    """On an exact Pareto(alpha) quantile grid the Hill estimate must
+    land within ~20% of the true tail exponent, for any alpha in the
+    heavy-tail range."""
+    import hbase_hadoop_flightsearch_spark.operators.aggregates as A
+
+    alpha = alpha10 / 10.0
+    n = 1500
+    orders = spark.createDataFrame(
+        [(i, 100.0 * (n / i) ** (1.0 / alpha)) for i in range(1, n + 1)],
+        "o_orderkey long, o_totalprice double",
+    )
+    orig = A.load_table
+    try:
+        A.load_table = lambda _s, _d, _t: orders
+        r = A.agg_tail_index_hill(spark, "x").collect()[0]
+    finally:
+        A.load_table = orig
+    alpha_hat = r["alpha_micro"] / 1e6
+    assert abs(alpha_hat - alpha) <= 0.2 * alpha + 0.1, (alpha, alpha_hat)
