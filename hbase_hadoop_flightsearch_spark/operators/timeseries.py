@@ -5053,3 +5053,126 @@ def events_pattern_match_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("match_ppm"),
         F.max(F.length("journey")).cast("bigint").alias("longest_journey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test (1940) — is the daily revenue series random
+# around its median, or does it trend/cluster? The nonparametric
+# randomness gate before fitting any trend model.
+
+
+@register(
+    "ts_runs_test_randomness",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM orders GROUP BY 1
+),
+med AS (
+  SELECT cents AS m FROM (
+    SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, day) AS rn,
+           COUNT(*) OVER () AS n
+    FROM daily
+  ) WHERE rn = (n + 1) // 2
+),
+signs AS (
+  SELECT day, CASE WHEN cents > med.m THEN 1 ELSE 0 END AS s
+  FROM daily, med WHERE cents <> med.m
+),
+runs AS (
+  SELECT s,
+    CASE WHEN LAG(s) OVER (ORDER BY day) IS NULL
+         OR LAG(s) OVER (ORDER BY day) <> s THEN 1 ELSE 0 END AS newrun
+  FROM signs
+),
+m AS (
+  SELECT CAST(SUM(newrun) AS BIGINT) AS r,
+    CAST(SUM(s) AS BIGINT) AS n1,
+    CAST(SUM(1 - s) AS BIGINT) AS n2
+  FROM runs
+)
+SELECT r AS n_runs, n1 AS n_above, n2 AS n_below,
+  CASE WHEN n1 > 0 AND n2 > 0 THEN
+    ROUND(1.0 + 2.0 * CAST(n1 AS DOUBLE) * n2 / (n1 + n2), 6)
+  END AS expected_runs_r6,
+  CASE WHEN n1 > 0 AND n2 > 0 THEN
+    ROUND((r - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * n2 / (n1 + n2)))
+          / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                 / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 6)
+  END AS z_r6
+FROM m
+""",
+    doc="Wald-Wolfowitz runs test (1940) on the daily-revenue series "
+    "around its lower median (median days excluded, the standard "
+    "treatment): observed vs expected run count and the normal-"
+    "approximation z, from exact integer run/sign counts with one "
+    "fixed-shape IEEE finish. |z| >> 2 means trending or oscillating — "
+    "the randomness gate before ts_theil_sen_trend or any forecaster. "
+    "One rollup + one ordered LAG pass.",
+)
+def ts_runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked = daily.select(
+        "day",
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "day")).alias("rn"),
+        F.count(F.lit(1))
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select(F.col("cents").alias("m"))
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("cents") != F.col("m"))
+        .select(
+            "day",
+            F.when(F.col("cents") > F.col("m"), 1).otherwise(0).alias("s"),
+        )
+    )
+    w = Window.orderBy("day")
+    runs = signs.select(
+        "s",
+        F.when(
+            F.lag("s").over(w).isNull() | (F.lag("s").over(w) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("newrun"),
+    )
+    m = runs.agg(
+        F.sum("newrun").cast("bigint").alias("r"),
+        F.sum("s").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("s")).cast("bigint").alias("n2"),
+    )
+    return m.select(
+        F.col("r").alias("n_runs"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.expr(
+            "CASE WHEN n1 > 0 AND n2 > 0 THEN"
+            " ROUND(1.0 + 2.0 * CAST(n1 AS DOUBLE) * n2 / (n1 + n2), 6)"
+            " END"
+        ).alias("expected_runs_r6"),
+        F.expr(
+            "CASE WHEN n1 > 0 AND n2 > 0 THEN"
+            " ROUND((r - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * n2"
+            " / (n1 + n2)))"
+            " / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)"
+            " / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 6) END"
+        ).alias("z_r6"),
+    )

@@ -481,3 +481,90 @@ def flight_congestion_propagation(
             " * CAST(n * syy - sy * sy AS DOUBLE)), 6)"
         ).alias("corr_r6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes shrinkage of per-carrier cancellation rates (Efron &
+# Morris 1975, the batting-average classic): a method-of-moments Beta
+# prior fitted from the carrier-rate distribution pulls small-sample
+# carriers toward the league rate — exactly what a ranking by raw rate
+# gets wrong.
+
+
+@register(
+    "flight_eb_cancellation_shrinkage",
+    oracle=FLIGHTS_CTE + """,
+per AS (
+  SELECT carrier, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(cancelled AS BIGINT)) AS BIGINT) AS x
+  FROM flights GROUP BY carrier
+),
+mom AS (
+  -- method-of-moments Beta fit on the carrier rate distribution:
+  -- mu = mean rate, v = variance of rates; k = mu(1-mu)/v - 1
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_carriers,
+    SUM(CAST(x AS DOUBLE) / n) / COUNT(*) AS mu,
+    SUM((CAST(x AS DOUBLE) / n) * (CAST(x AS DOUBLE) / n)) / COUNT(*)
+      - (SUM(CAST(x AS DOUBLE) / n) / COUNT(*))
+        * (SUM(CAST(x AS DOUBLE) / n) / COUNT(*)) AS v
+  FROM per
+),
+prior AS (
+  SELECT mu, v,
+    CASE WHEN v > 0 THEN mu * (1.0 - mu) / v - 1.0 ELSE 0.0 END AS k
+  FROM mom
+)
+SELECT p.carrier, p.n, p.x,
+  ROUND(CAST(p.x AS DOUBLE) / p.n, 6) AS raw_rate_r6,
+  ROUND((pr.k * pr.mu + p.x) / (pr.k + p.n), 6) AS shrunk_rate_r6,
+  CAST(p.x AS DOUBLE) / p.n > (pr.k * pr.mu + p.x) / (pr.k + p.n)
+    AS shrunk_down
+FROM per p, prior pr
+""",
+    doc="Empirical-Bayes shrinkage (Efron-Morris 1975) of per-carrier "
+    "cancellation rates on the reference's own domain: method-of-"
+    "moments Beta prior (k = mu(1-mu)/v - 1) fitted from the carrier "
+    "rate distribution, posterior mean (k*mu + x)/(k + n) per carrier "
+    "— small carriers shrink hard toward the league rate, big ones "
+    "barely move (a property the fixture pins). All moments exact "
+    "integers until the fixed-shape IEEE finish shared verbatim with "
+    "the oracle. One carrier rollup + a broadcast 1-row prior.",
+)
+def flight_eb_cancellation_shrinkage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    fl = flights(spark, sf_dir)
+    per = fl.groupBy("carrier").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("cancelled").cast("bigint")).cast("bigint").alias("x"),
+    )
+    mom = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_carriers"),
+        F.expr("SUM(CAST(x AS DOUBLE) / n) / COUNT(*)").alias("mu"),
+        F.expr(
+            "SUM((CAST(x AS DOUBLE) / n) * (CAST(x AS DOUBLE) / n))"
+            " / COUNT(*)"
+            " - (SUM(CAST(x AS DOUBLE) / n) / COUNT(*))"
+            " * (SUM(CAST(x AS DOUBLE) / n) / COUNT(*))"
+        ).alias("v"),
+    )
+    prior = mom.select(
+        "mu",
+        F.expr(
+            "CASE WHEN v > 0 THEN mu * (1.0 - mu) / v - 1.0"
+            " ELSE 0.0 END"
+        ).alias("k"),
+    )
+    return per.crossJoin(F.broadcast(prior)).select(
+        "carrier",
+        "n",
+        "x",
+        F.expr("ROUND(CAST(x AS DOUBLE) / n, 6)").alias("raw_rate_r6"),
+        F.expr("ROUND((k * mu + x) / (k + n), 6)").alias(
+            "shrunk_rate_r6"
+        ),
+        F.expr(
+            "CAST(x AS DOUBLE) / n > (k * mu + x) / (k + n)"
+        ).alias("shrunk_down"),
+    )

@@ -1258,3 +1258,39 @@ def test_wasserstein_identical_halves_zero_and_shift_exact(spark):
         Q.load_table = orig
     assert zero["w1_num"] == 0
     assert shifted["w1_dollars_r6"] == 7.0
+
+
+def test_eb_shrinkage_small_carriers_move_most(spark):
+    """Shrinkage signature: a 10-flight carrier at rate 0.5 moves far
+    toward the league mean; a 10000-flight carrier at the same raw rate
+    barely moves."""
+    import hbase_hadoop_flightsearch_spark.plans.delay_report as DR
+    import hbase_hadoop_flightsearch_spark.sources.flights as FL
+
+    import pandas as pd
+
+    rows = []
+    # 8 'league' carriers: 1000 flights, ~10% cancelled
+    for c in range(8):
+        rows += [(f"L{c}", 1000, 100)]
+    rows += [("SMALL", 10, 5), ("BIG", 10000, 5000)]
+    pdf = pd.DataFrame(
+        [(c, i, 1.0 if i < x else 0.0)
+         for c, n, x in rows for i in range(n)],
+        columns=["carrier", "i", "cancelled"],
+    )
+    fl = spark.createDataFrame(pdf).select("carrier", "cancelled")
+
+    orig = DR.flights
+    try:
+        DR.flights = lambda _s, _d: fl
+        out = {r["carrier"]: r for r in
+               DR.flight_eb_cancellation_shrinkage(spark, "x").collect()}
+    finally:
+        DR.flights = orig
+    small_move = abs(out["SMALL"]["shrunk_rate_r6"]
+                     - out["SMALL"]["raw_rate_r6"])
+    big_move = abs(out["BIG"]["shrunk_rate_r6"]
+                   - out["BIG"]["raw_rate_r6"])
+    assert small_move > 10 * big_move
+    assert out["SMALL"]["shrunk_down"]  # 0.5 raw pulls DOWN toward league

@@ -832,3 +832,35 @@ def test_cep_pattern_excludes_intervening_purchase(spark):
         TS.load_table = orig
     assert r["n_users"] == 3
     assert r["n_matched"] == 1
+
+
+def test_runs_test_detects_trend_vs_alternation(spark):
+    """A monotone series is ONE long run above/below the median (z very
+    negative); a perfectly alternating series maximizes runs (z very
+    positive)."""
+    import datetime
+
+    import hbase_hadoop_flightsearch_spark.operators.timeseries as TS
+
+    def mk(vals):
+        return spark.createDataFrame(
+            [(i, 1, datetime.date(1995, 1, 1) + datetime.timedelta(days=i),
+              float(v)) for i, v in enumerate(vals)],
+            "o_orderkey long, o_custkey long, o_orderdate date,"
+            " o_totalprice double",
+        )
+
+    orig = TS.load_table
+    try:
+        TS.load_table = lambda _s, _d, _t: mk(range(100, 140))  # trend
+        trend = TS.ts_runs_test_randomness(spark, "x").collect()[0]
+        TS.load_table = lambda _s, _d, _t: mk(
+            [100 if i % 2 == 0 else 200 for i in range(40)] + [150]
+        )
+        alt = TS.ts_runs_test_randomness(spark, "x").collect()[0]
+    finally:
+        TS.load_table = orig
+    assert trend["n_runs"] == 2  # below-block then above-block
+    assert trend["z_r6"] < -4
+    assert alt["n_runs"] == alt["n_above"] + alt["n_below"]  # max runs
+    assert alt["z_r6"] > 4
