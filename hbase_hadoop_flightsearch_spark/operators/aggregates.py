@@ -2197,3 +2197,123 @@ def agg_exact_median_bisection(
     return spark.createDataFrame(
         [(n, median)], "n_rows long, median_cents long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil T inequality index with within/between decomposition — the
+# property Gini famously lacks: T_total ~= T_between + sum of
+# income-share-weighted within-group T (exact up to the nano
+# quantization, a tolerance the test pins).
+
+_THEIL_TERM = (
+    "CAST(FLOOR(1000000000.0 * (CAST(cents AS DOUBLE) / gsum)"
+    " * LN(CAST(cents AS DOUBLE) * gn / gsum)) AS BIGINT)"
+)
+
+
+@register(
+    "agg_theil_decomposition",
+    oracle=f"""
+WITH rev AS (
+  SELECT n.n_name AS nation, c.c_custkey,
+    CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+pos AS (SELECT * FROM rev WHERE cents > 0),
+g AS (
+  SELECT nation, CAST(COUNT(*) AS BIGINT) AS gn,
+    CAST(SUM(cents) AS BIGINT) AS gsum
+  FROM pos GROUP BY nation
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
+  FROM pos
+),
+within AS (
+  SELECT p.nation,
+    CAST(SUM({_THEIL_TERM}) AS BIGINT) AS t_within_raw_nano
+  FROM pos p JOIN g ON g.nation = p.nation
+  GROUP BY p.nation
+),
+between_terms AS (
+  SELECT g.nation, g.gn, g.gsum,
+    CAST(FLOOR(1000000000.0 * (CAST(g.gsum AS DOUBLE) / tot.s)
+         * LN((CAST(g.gsum AS DOUBLE) / tot.s)
+              / (CAST(g.gn AS DOUBLE) / tot.n))) AS BIGINT) AS tb_nano
+  FROM g, tot
+),
+tb AS (SELECT CAST(SUM(tb_nano) AS BIGINT) AS t_between_nano
+       FROM between_terms)
+SELECT w.nation, g.gn AS n_customers,
+  CAST((g.gsum * 1000000) // tot.s AS BIGINT) AS income_share_ppm,
+  w.t_within_raw_nano,
+  tb.t_between_nano
+FROM within w JOIN g USING (nation), tot, tb
+""",
+    doc="Theil T inequality with within/between decomposition over "
+    "per-customer revenue by nation — the DECOMPOSABLE inequality "
+    "index (Gini cannot split into group terms): per-nation raw "
+    "within-group Theil sums (share-weighted in the decomposition "
+    "identity, which tests pin within quantization tolerance) plus "
+    "the between-nation term. Every (x/X)ln(.) term quantized to nano "
+    "BIGINT before order-free sums, all division operands CAST AS "
+    "DOUBLE. One customer rollup + one O(nations) finish.",
+)
+def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "c_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .filter(F.col("cents") > 0)
+    )
+    g = rev.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("gn"),
+        F.sum("cents").cast("bigint").alias("gsum"),
+    )
+    tot = rev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    within = (
+        rev.join(F.broadcast(g), "nation")
+        .select("nation", F.expr(_THEIL_TERM).alias("term"))
+        .groupBy("nation")
+        .agg(F.sum("term").cast("bigint").alias("t_within_raw_nano"))
+    )
+    between_terms = g.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        F.expr(
+            "CAST(FLOOR(1000000000.0 * (CAST(gsum AS DOUBLE) / s)"
+            " * LN((CAST(gsum AS DOUBLE) / s)"
+            " / (CAST(gn AS DOUBLE) / n))) AS BIGINT)"
+        ).alias("tb_nano"),
+    )
+    tb = between_terms.agg(
+        F.sum("tb_nano").cast("bigint").alias("t_between_nano")
+    )
+    return (
+        within.join(F.broadcast(g), "nation")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            "nation",
+            F.col("gn").alias("n_customers"),
+            F.expr("CAST((gsum * 1000000) div s AS BIGINT)").alias(
+                "income_share_ppm"
+            ),
+            "t_within_raw_nano",
+            "t_between_nano",
+        )
+    )

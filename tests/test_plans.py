@@ -1294,3 +1294,46 @@ def test_eb_shrinkage_small_carriers_move_most(spark):
                    - out["BIG"]["raw_rate_r6"])
     assert small_move > 10 * big_move
     assert out["SMALL"]["shrunk_down"]  # 0.5 raw pulls DOWN toward league
+
+
+def test_theil_decomposition_identity_within_quantization(
+    spark, sf_correctness
+):
+    """Theil's defining property: T_total = T_between + sum of
+    income-share-weighted within-group terms — recompute T_total from
+    raw revenues in Python and check the decomposition identity holds
+    within nano-quantization tolerance."""
+    import math
+
+    from hbase_hadoop_flightsearch_spark.operators.aggregates import (
+        agg_theil_decomposition,
+    )
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    rows = agg_theil_decomposition(spark, sf_correctness).collect()
+    orders = load_table(spark, sf_correctness, "orders")
+    customer = load_table(spark, sf_correctness, "customer")
+    nation = load_table(spark, sf_correctness, "nation")
+    rev = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "c_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+             .alias("cents"))
+        .filter(F.col("cents") > 0)
+        .collect()
+    )
+    total = sum(r["cents"] for r in rev)
+    n = len(rev)
+    mu = total / n
+    t_total = sum(
+        (r["cents"] / total) * math.log(r["cents"] / mu) for r in rev
+    )
+    # decomposition from the query output: share-weight the raw
+    # within sums (they are sums of (x/X_g) ln(x n_g / X_g) terms)
+    t_decomp = rows[0]["t_between_nano"] / 1e9 + sum(
+        (r["income_share_ppm"] / 1e6) * (r["t_within_raw_nano"] / 1e9)
+        for r in rows
+    )
+    # tolerance: nano floors over ~1500 terms + ppm share rounding
+    assert abs(t_total - t_decomp) < 5e-4, (t_total, t_decomp)
