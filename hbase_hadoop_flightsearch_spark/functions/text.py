@@ -2741,3 +2741,170 @@ def text_hapax_legomena(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div COUNT(*) AS BIGINT)"
         ).alias("hapax_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BLEU-2 (Papineni et al. 2002) — the precision-oriented complement to
+# ROUGE's recall orientation, on the same deterministic (even, odd)
+# document pairing: clipped unigram/bigram precisions, geometric mean,
+# brevity penalty.
+
+# CAST before dividing by the 1e6 literal: DuckDB parses 1000000.0 as
+# DECIMAL and BIGINT/DECIMAL division rounds at decimal scale (the
+# text_source_kl_divergence lesson — here it drifted bleu2_r6 by ~1e-6).
+_BLEU_FINISH = (
+    "CASE WHEN ct2 > 0 AND p1m > 0 AND p2m > 0 THEN"
+    " ROUND(LEAST(1.0, EXP(1.0 - CAST(rt AS DOUBLE) / ct))"
+    " * SQRT((CAST(p1m AS DOUBLE) / 1000000.0)"
+    " * (CAST(p2m AS DOUBLE) / 1000000.0)), 6)"
+    " ELSE 0.0 END"
+)
+
+
+@register(
+    "ml_eval_bleu_pairs",
+    oracle=f"""
+WITH pairs AS (
+  SELECT c.doc_id AS cand_id, r.doc_id AS ref_id,
+         c.text AS ctext, r.text AS rtext
+  FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+  WHERE c.doc_id % 2 = 0
+),
+u1 AS (
+  SELECT cand_id, tok, COUNT(*) AS c
+  FROM (SELECT cand_id, unnest(string_split(ctext, ' ')) AS tok FROM pairs)
+  GROUP BY 1, 2
+),
+r1 AS (
+  SELECT cand_id, tok, COUNT(*) AS c
+  FROM (SELECT cand_id, unnest(string_split(rtext, ' ')) AS tok FROM pairs)
+  GROUP BY 1, 2
+),
+o1 AS (
+  SELECT u1.cand_id, CAST(SUM(LEAST(u1.c, r1.c)) AS BIGINT) AS ov
+  FROM u1 JOIN r1 ON r1.cand_id = u1.cand_id AND r1.tok = u1.tok
+  GROUP BY 1
+),
+t1 AS (SELECT cand_id, CAST(SUM(c) AS BIGINT) AS ct FROM u1 GROUP BY 1),
+s1 AS (SELECT cand_id, CAST(SUM(c) AS BIGINT) AS rt FROM r1 GROUP BY 1),
+cb AS (SELECT cand_id, string_split(ctext, ' ') AS t FROM pairs),
+rb AS (SELECT cand_id, string_split(rtext, ' ') AS t FROM pairs),
+u2 AS (
+  SELECT cand_id, t[i] || ' ' || t[i + 1] AS tok, COUNT(*) AS c
+  FROM cb, unnest(generate_series(1, len(t) - 1)) AS g(i)
+  GROUP BY 1, 2
+),
+r2 AS (
+  SELECT cand_id, t[i] || ' ' || t[i + 1] AS tok, COUNT(*) AS c
+  FROM rb, unnest(generate_series(1, len(t) - 1)) AS g(i)
+  GROUP BY 1, 2
+),
+o2 AS (
+  SELECT u2.cand_id, CAST(SUM(LEAST(u2.c, r2.c)) AS BIGINT) AS ov
+  FROM u2 JOIN r2 ON r2.cand_id = u2.cand_id AND r2.tok = u2.tok
+  GROUP BY 1
+),
+t2 AS (SELECT cand_id, CAST(SUM(c) AS BIGINT) AS ct2 FROM u2 GROUP BY 1),
+fin AS (
+  SELECT p.cand_id, p.ref_id, t1.ct, s1.rt, t2.ct2,
+    CAST(COALESCE(o1.ov, 0) * 1000000 // t1.ct AS BIGINT) AS p1m,
+    CAST(CASE WHEN t2.ct2 > 0
+         THEN COALESCE(o2.ov, 0) * 1000000 // t2.ct2 ELSE 0 END
+         AS BIGINT) AS p2m
+  FROM pairs p
+  JOIN t1 ON t1.cand_id = p.cand_id
+  JOIN s1 ON s1.cand_id = p.cand_id
+  LEFT JOIN t2 ON t2.cand_id = p.cand_id
+  LEFT JOIN o1 ON o1.cand_id = p.cand_id
+  LEFT JOIN o2 ON o2.cand_id = p.cand_id
+)
+SELECT cand_id, ref_id, p1m AS bleu1_p_micro, p2m AS bleu2_p_micro,
+  {_BLEU_FINISH} AS bleu2_r6
+FROM fin
+""",
+    doc="BLEU-2 (Papineni et al. 2002) over the same deterministic "
+    "(even, odd) document pairing as ml_eval_rouge_pairs — the "
+    "precision-oriented complement to ROUGE's recall orientation: "
+    "clipped unigram/bigram precisions as exact integer micros, then "
+    "one fixed-shape IEEE finish (brevity penalty x geometric mean) "
+    "shared verbatim with the oracle; degenerate bigram/zero-overlap "
+    "cases pinned to 0.0 identically. Same plan family as ROUGE: "
+    "n-gram count tables + per-pair joins.",
+)
+def ml_eval_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    c = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("cand_id"), F.col("text").alias("ctext")
+    )
+    r = docs.select(
+        (F.col("doc_id") - 1).alias("cand_id"),
+        F.col("doc_id").alias("ref_id"),
+        F.col("text").alias("rtext"),
+    )
+    pairs = c.join(r, "cand_id")
+
+    def grams(col, n):
+        toks = F.split(F.col(col), " ")
+        if n == 1:
+            return F.explode(toks)
+        return F.explode(
+            F.expr(
+                f"transform(sequence(1, size(split({col}, ' ')) - 1),"
+                f" i -> concat(split({col}, ' ')[i - 1], ' ',"
+                f" split({col}, ' ')[i]))"
+            )
+        )
+
+    def counts(src, col, n, alias):
+        return (
+            src.select("cand_id", grams(col, n).alias("tok"))
+            .groupBy("cand_id", "tok")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+        )
+
+    u1 = counts(pairs, "ctext", 1, "c")
+    r1 = counts(pairs, "rtext", 1, "rc")
+    o1 = (
+        u1.join(r1, ["cand_id", "tok"])
+        .groupBy("cand_id")
+        .agg(F.sum(F.least("c", "rc")).cast("bigint").alias("ov1"))
+    )
+    t1 = u1.groupBy("cand_id").agg(F.sum("c").cast("bigint").alias("ct"))
+    s1 = r1.groupBy("cand_id").agg(F.sum("rc").cast("bigint").alias("rt"))
+    u2 = counts(pairs, "ctext", 2, "c")
+    r2 = counts(pairs, "rtext", 2, "rc")
+    o2 = (
+        u2.join(r2, ["cand_id", "tok"])
+        .groupBy("cand_id")
+        .agg(F.sum(F.least("c", "rc")).cast("bigint").alias("ov2"))
+    )
+    t2 = u2.groupBy("cand_id").agg(F.sum("c").cast("bigint").alias("ct2"))
+    fin = (
+        pairs.select("cand_id", "ref_id")
+        .join(t1, "cand_id")
+        .join(s1, "cand_id")
+        .join(t2, "cand_id", "left")
+        .join(o1, "cand_id", "left")
+        .join(o2, "cand_id", "left")
+        .select(
+            "cand_id",
+            "ref_id",
+            "ct",
+            "rt",
+            "ct2",
+            F.expr(
+                "CAST(COALESCE(ov1, 0) * 1000000 div ct AS BIGINT)"
+            ).alias("p1m"),
+            F.expr(
+                "CAST(CASE WHEN ct2 > 0 THEN COALESCE(ov2, 0) * 1000000"
+                " div ct2 ELSE 0 END AS BIGINT)"
+            ).alias("p2m"),
+        )
+    )
+    return fin.select(
+        "cand_id",
+        "ref_id",
+        F.col("p1m").alias("bleu1_p_micro"),
+        F.col("p2m").alias("bleu2_p_micro"),
+        F.expr(_BLEU_FINISH).alias("bleu2_r6"),
+    )

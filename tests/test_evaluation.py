@@ -531,3 +531,29 @@ def test_conformal_coverage_meets_guarantee(spark, sf_correctness):
     assert r["coverage_ppm"] / 1e6 >= 0.9 - slack, r
     assert r["q_resid"] >= 0
     assert r["n_cal"] > 0 and n_eval > 0
+
+
+def test_bleu_identical_pair_scores_one(spark):
+    """A candidate identical to its reference scores BLEU-2 = 1.0; a
+    disjoint-vocabulary pair scores 0."""
+    import hbase_hadoop_flightsearch_spark.functions.text as T
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    ).withColumn("source", F.lit("s")).withColumn("lang", F.lit("en")) \
+     .withColumn("n_chars", F.length("text"))
+    orig = T.load_table
+    try:
+        T.load_table = lambda _s, _d, _t: docs
+        out = {r["cand_id"]: r for r in
+               T.ml_eval_bleu_pairs(spark, "x").collect()}
+    finally:
+        T.load_table = orig
+    assert out[0]["bleu2_r6"] == 1.0
+    assert out[2]["bleu2_r6"] == 0.0
