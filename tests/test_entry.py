@@ -239,3 +239,18 @@ def test_prefix_rotates_vs_recorded_round3():
     assert now_prefix != r3_prefix, "prefix composition did not rotate"
     # Rotation re-orders the sweep; it must not drop the flagship.
     assert "flight_delay_report" in entrymod.queries()
+
+
+def test_frozen_manifests_are_subsets_of_live_registry():
+    """Every frozen round manifest must be a SUBSET of the live registry:
+    a renamed or deleted query would silently break the age-tiered drain
+    ordering (its manifest entry would never match), so stale names fail
+    here instead. (Equality is NOT required — later rounds add names.)"""
+    from hbase_hadoop_flightsearch_spark.plans.registry import load_all
+
+    reg = set(load_all())
+    tiers = entrymod._manifest_tiers()
+    assert tiers, "no frozen manifests found"
+    for i, tier in enumerate(tiers):
+        missing = tier - reg
+        assert not missing, f"manifest tier {i} names not in registry: {sorted(missing)[:5]}"
