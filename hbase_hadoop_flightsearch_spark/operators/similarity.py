@@ -136,24 +136,39 @@ def similarity_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_centroids(spark: SparkSession, emb: DataFrame) -> DataFrame:
     """Coarse quantizer: IVF_N_CELLS full-dimension k-means centroids,
-    Lloyd-trained driver-side in numpy on a bounded deterministic sample
-    (the IVF_TRAIN_SAMPLE lowest vec_ids) — the same bounded-artifact
-    class as _pq_codebook. Training cost (1024 x 32 distance matrix) and
-    the resulting broadcast (32 x 64 doubles ~ 16 KiB) are constants
+    Lloyd-trained driver-side on a bounded deterministic sample (the
+    IVF_TRAIN_SAMPLE lowest vec_ids) — the same bounded-artifact class
+    as _pq_codebook. Training cost (1024 x 32 distance matrix) and the
+    resulting broadcast (32 x 64 doubles ~ 16 KiB) are constants
     independent of corpus size. Returns a (cent_id, cv) DataFrame small
-    enough that every use broadcasts it."""
+    enough that every use broadcasts it.
+
+    Every reduction is a STRICT LEFT-TO-RIGHT sequential fold (np.cumsum,
+    which accumulates sequentially — pinned by
+    test_cumsum_is_sequential_fold) so DuckDB's first-element-seeded
+    ``list_reduce`` replays the training bit-for-bit and the registry
+    oracle can re-derive the centroids from the table instead of trusting
+    a flag (r8 verdict #4: the same determinism that let ann-lsh embed
+    its hyperplanes lets IVF replay its whole training)."""
     import numpy as np
 
     rows = emb.orderBy("vec_id").limit(IVF_TRAIN_SAMPLE).collect()
+    rows.sort(key=lambda r: r["vec_id"])  # collect() order is not a contract
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
     cents = mat[:IVF_N_CELLS].copy()  # deterministic init: first K samples
     for _ in range(IVF_TRAIN_ITERS):
-        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
+        diff = mat[:, None, :] - cents[None, :, :]
+        # sequential fold over dims == list_reduce over the per-dim terms
+        d2 = np.cumsum(diff * diff, axis=2)[:, :, -1]
+        assign = d2.argmin(axis=1)  # first-min == ORDER BY d2, cent_id
         for k in range(IVF_N_CELLS):
-            members = mat[assign == k]
+            members = mat[assign == k]  # boolean mask keeps vec_id order
             if len(members):  # empty cells keep their old centroid
-                cents[k] = members.mean(axis=0)
+                # sequential per-dim sum in vec_id order, then divide —
+                # matches list_reduce(list(v ORDER BY vec_id)) / count
+                cents[k] = np.cumsum(members, axis=0)[-1] / float(
+                    len(members)
+                )
     return spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
         "cent_id int, cv array<double>",
@@ -510,21 +525,126 @@ def similarity_ann_lsh_registered(
     return similarity_ann_lsh(spark, sf_dir)
 
 
+def _ivf_oracle() -> str:
+    """FULL value oracle for similarity_ann_ivf (r9, closing r8 verdict
+    #4): the coarse quantizer is a deterministic artifact of the table
+    (fixed sample = lowest IVF_TRAIN_SAMPLE vec_ids, first-K init, fixed
+    Lloyd iterations, strict sequential folds), so DuckDB re-derives the
+    trained centroids by unrolling the Lloyd iterations as CTE stages,
+    then replays home-cell assignment, the nprobe-cell query probing,
+    the candidate join and the exact cosine re-rank. Neighbor
+    lists become hash-checked values instead of a recall flag. Fold-order
+    parity: Spark's F.aggregate / driver-side np.cumsum and DuckDB's
+    list_reduce are all strict left folds (0.0-seeded vs first-element-
+    seeded folds agree because 0.0 + x == x in IEEE 754); pinned by
+    test_cumsum_is_sequential_fold and test_listreduce_fold_parity."""
+    d2 = (
+        "list_reduce(list_transform(range(1, 65), i -> "
+        "(s.v[i] - c.cv[i]) * (s.v[i] - c.cv[i])), (a, b) -> a + b)"
+    )
+    stages = []
+    for t in range(1, IVF_TRAIN_ITERS + 1):
+        prev = f"c{t - 1}"
+        stages.append(f"""
+a{t} AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT s.vec_id, s.v, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                              ORDER BY {d2}, c.cent_id) AS rn
+    FROM samp s CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+c{t} AS (
+  SELECT p.cent_id, COALESCE(n.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN (
+    SELECT cent_id,
+           list_transform(range(1, 65), i ->
+             list_reduce(list_transform(vs, x -> x[i]), (a, b) -> a + b)
+               / CAST(len(vs) AS DOUBLE)) AS cv
+    FROM (SELECT cent_id, list(v ORDER BY vec_id) AS vs
+          FROM a{t} GROUP BY cent_id)
+  ) n USING (cent_id)
+)""")
+    final = f"c{IVF_TRAIN_ITERS}"
+    # cosine(v, cv) with the exact operand order the Spark side uses:
+    # dot(v, cv) / (norm(v) * norm(cv)), all strict left folds
+    cdist = (
+        "list_reduce(list_transform(range(1, 65), i -> e.v[i] * c.cv[i]),"
+        " (a, b) -> a + b)"
+        " / (sqrt(list_reduce(list_transform(e.v, x -> x * x),"
+        " (a, b) -> a + b))"
+        " * sqrt(list_reduce(list_transform(c.cv, x -> x * x),"
+        " (a, b) -> a + b)))"
+    )
+    cos = (
+        "list_reduce(list_transform(range(1, 65), i -> qe.v[i] * ce.v[i]),"
+        " (a, b) -> a + b)"
+        " / (sqrt(list_reduce(list_transform(qe.v, x -> x * x),"
+        " (a, b) -> a + b))"
+        " * sqrt(list_reduce(list_transform(ce.v, x -> x * x),"
+        " (a, b) -> a + b)))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {IVF_TRAIN_SAMPLE}),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cent_id,
+         v AS cv
+  FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT {IVF_N_CELLS})
+),{",".join(stages)},
+home AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cdist} DESC, c.cent_id) AS rn
+    FROM e CROSS JOIN {final} c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cdist} DESC, c.cent_id) AS rn
+    FROM e CROSS JOIN {final} c
+    WHERE e.vec_id < {N_QUERIES}
+  ) WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, h.vec_id AS neighbor_id
+  FROM probes p JOIN home h USING (cent_id)
+  WHERE h.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT cand.query_id, cand.neighbor_id, {cos} AS cos,
+         ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                            ORDER BY {cos} DESC, cand.neighbor_id) AS rn
+  FROM cand
+  JOIN e qe ON qe.vec_id = cand.query_id
+  JOIN e ce ON ce.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= {KNN_K}
+"""
+
+
 @register(
     "similarity_ann_ivf",
-    oracle=_ANN_ORACLE,
+    oracle=_ivf_oracle(),
     doc="ANN via IVF (E11): broadcast coarse quantizer, home-cell corpus "
     f"assignment, {IVF_NPROBE}-cell query probing, exact cosine re-rank "
-    "inside probed cells. Bound-flag oracle: cell membership is "
-    f"quantizer-defined, so the query emits recall@5 >= {IVF_RECALL_FLOOR} "
-    "vs the exact baseline as a boolean the oracle expects TRUE.",
+    "inside probed cells. FULL value oracle as of r9: the Lloyd-trained "
+    "quantizer is a deterministic artifact of the table (fixed sample, "
+    "first-K init, fixed iterations, strict sequential folds), so DuckDB "
+    f"unrolls the {IVF_TRAIN_ITERS} training iterations as CTE stages and "
+    "replays assignment, probing and re-rank — the NEIGHBOR LISTS are "
+    "hash-checked values, no recall flag left. The measured recall@5 "
+    f"floor vs the exact baseline (>= {IVF_RECALL_FLOOR}) stays asserted "
+    "in tests/test_similarity.py.",
 )
-def similarity_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _recall_flag_query(
-        similarity_ann_ivf(spark, sf_dir),
-        similarity_knn_bruteforce(spark, sf_dir),
-        IVF_RECALL_FLOOR,
-    )
+def similarity_ann_ivf_registered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return similarity_ann_ivf(spark, sf_dir)
 
 
 _INT8_ORACLE = f"""

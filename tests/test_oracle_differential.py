@@ -39,7 +39,7 @@ def lint_oracle_sql(sql: str) -> list[str]:
     stripped = re.sub(r"'[^']*'", "''", sql)
     float_marker = re.compile(
         r"\d\.\d|DOUBLE|FLOAT|ROUND\s*\(|CAST\s*\(|::|"
-        r"STDDEV|AVG\s*\(|VAR_|CORR\s*\(|log2|ln\s*\(|epoch",
+        r"STDDEV|AVG\s*\(|VAR_|CORR\s*\(|log2|ln\s*\(|epoch|sqrt\s*\(",
         re.IGNORECASE,
     )
     for m in re.finditer(r"(?<!/)/(?!/)", stripped):

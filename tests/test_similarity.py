@@ -279,3 +279,132 @@ def test_lsh_signature_cross_engine_sign_parity(spark, sf_correctness):
         """).fetchall()
     )
     assert got == {k: list(v) for k, v in want.items()}
+
+
+def test_cumsum_is_sequential_fold():
+    """The r9 full-value IVF oracle rests on np.cumsum accumulating as a
+    strict left-to-right sequential fold (so driver-side Lloyd training
+    is bit-identical to DuckDB's list_reduce replay). Pin that numpy
+    implementation detail with magnitude-diverse operands where pairwise
+    summation WOULD diverge."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(0x17F)
+    for _ in range(50):
+        n = rng.randint(3, 257)
+        vals = [
+            rng.uniform(-1.0, 1.0) * 10.0 ** rng.randint(-6, 6)
+            for _ in range(n)
+        ]
+        arr = np.array(vals, dtype=np.float64)
+        s = 0.0
+        for x in vals:
+            s = s + x
+        assert float(np.cumsum(arr)[-1]) == s
+    # the 2-D axis forms _ivf_centroids actually uses
+    m = np.array(
+        [[rng.uniform(-1, 1) * 10.0 ** rng.randint(-3, 3) for _ in range(8)]
+         for _ in range(9)]
+    )
+    for row in m:
+        s = 0.0
+        for x in row.tolist():
+            s = s + x
+        assert float(np.cumsum(row)[-1]) == s
+    col_seq = [0.0] * 8
+    for row in m.tolist():
+        col_seq = [a + b for a, b in zip(col_seq, row)]
+    assert [float(v) for v in np.cumsum(m, axis=0)[-1]] == col_seq
+
+
+def test_listreduce_fold_parity():
+    """DuckDB list_reduce seeds with the FIRST element; Python/Spark folds
+    seed with 0.0. They agree because 0.0 + x == x exactly in IEEE 754 —
+    pin that equivalence on magnitude-diverse operands."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(1742)
+    vals = [
+        rng.uniform(-1.0, 1.0) * 10.0 ** rng.randint(-6, 6)
+        for _ in range(64)
+    ]
+    got = duckdb.connect().execute(
+        f"SELECT list_reduce({vals!r}, (s, x) -> s + x)"
+    ).fetchone()[0]
+    s = 0.0
+    for x in vals:
+        s = s + x
+    assert got == s
+
+
+def test_ivf_centroids_cross_engine_parity(spark, sf_correctness):
+    """The full-value IVF oracle re-derives the trained quantizer in SQL;
+    pin the 32x64 centroid matrix itself across engines so a future
+    drift in either training replay fails HERE (localized) rather than
+    as an opaque neighbor-list hash mismatch."""
+    import duckdb
+
+    from hbase_hadoop_flightsearch_spark.operators.similarity import (
+        IVF_N_CELLS,
+        IVF_TRAIN_ITERS,
+        IVF_TRAIN_SAMPLE,
+        _embeddings,
+        _ivf_centroids,
+    )
+
+    got = {
+        r["cent_id"]: list(r["cv"])
+        for r in _ivf_centroids(
+            spark, _embeddings(spark, sf_correctness)
+        ).collect()
+    }
+
+    d2 = (
+        "list_reduce(list_transform(range(1, 65), i -> "
+        "(s.v[i] - c.cv[i]) * (s.v[i] - c.cv[i])), (a, b) -> a + b)"
+    )
+    stages = []
+    for t in range(1, IVF_TRAIN_ITERS + 1):
+        prev = f"c{t - 1}"
+        stages.append(f"""
+a{t} AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT s.vec_id, s.v, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                              ORDER BY {d2}, c.cent_id) AS rn
+    FROM samp s CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+c{t} AS (
+  SELECT p.cent_id, COALESCE(n.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN (
+    SELECT cent_id,
+           list_transform(range(1, 65), i ->
+             list_reduce(list_transform(vs, x -> x[i]), (a, b) -> a + b)
+               / CAST(len(vs) AS DOUBLE)) AS cv
+    FROM (SELECT cent_id, list(v ORDER BY vec_id) AS vs
+          FROM a{t} GROUP BY cent_id)
+  ) n USING (cent_id)
+)""")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM"
+        f" read_parquet('{sf_correctness}/embeddings.parquet')"
+    )
+    want = dict(
+        con.execute(f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {IVF_TRAIN_SAMPLE}),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cent_id,
+         v AS cv
+  FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT {IVF_N_CELLS})
+),{",".join(stages)}
+SELECT cent_id, cv FROM c{IVF_TRAIN_ITERS}
+        """).fetchall()
+    )
+    assert got == {k: list(v) for k, v in want.items()}
