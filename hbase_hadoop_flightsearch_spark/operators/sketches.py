@@ -243,45 +243,186 @@ def quantile_digest_estimates(centroids: DataFrame, qs=DIGEST_QS) -> DataFrame:
     )
 
 
+DIGEST_SHARDS = 8  # pinned md5 shard count for the registered query
+
+
+def _digest_oracle() -> str:
+    """FULL value oracle for sketch_quantile_digest (r9, closing r8
+    verdict #4): with the compression layout PINNED to md5 shards (the
+    trick that de-flagged ann-lsh: make the arbitrary artifact a
+    deterministic one), every stage is replayable — per-shard rank
+    chunking, sequential-fold chunk means, the global centroid merge and
+    the bracketed linear interpolation. Estimates become hash-checked
+    values instead of a rank-bound flag. Fold parity: Spark F.aggregate
+    over sort_array(collect_list()) and DuckDB list_reduce(list(...
+    ORDER BY ...)) are both strict left folds over ascending values."""
+    interp = (
+        "CASE WHEN br.nmid IS NULL THEN br.mean "
+        "ELSE br.mean + (br.nmean - br.mean) "
+        "* ((qs.q * (br.n - 1) - br.mid) "
+        "/ CAST(br.nmid - br.mid AS DOUBLE)) END"
+    )
+    return f"""
+WITH src AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS price,
+         ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::INT
+           % {DIGEST_SHARDS} AS batch
+  FROM orders
+),
+ranked AS (
+  SELECT batch, price,
+         ROW_NUMBER() OVER (PARTITION BY batch ORDER BY price) - 1 AS i,
+         COUNT(*) OVER (PARTITION BY batch) AS n
+  FROM src
+),
+cents AS (
+  SELECT batch, chunk,
+         list_reduce(list(price ORDER BY price), (a, b) -> a + b)
+           / CAST(COUNT(*) AS DOUBLE) AS mean,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT batch, price,
+               CAST((i * LEAST({DIGEST_K}, n)) // n AS INT) AS chunk
+        FROM ranked)
+  GROUP BY batch, chunk
+),
+mids AS (
+  SELECT mean, batch, chunk, cnt,
+         SUM(cnt) OVER (ORDER BY mean, batch, chunk
+                        ROWS UNBOUNDED PRECEDING) - (cnt + 1) / 2.0 AS mid,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+  FROM cents
+),
+br AS (
+  SELECT mean, mid, n,
+         LEAD(mean) OVER (ORDER BY mean, batch, chunk) AS nmean,
+         LEAD(mid)  OVER (ORDER BY mean, batch, chunk) AS nmid,
+         ROW_NUMBER() OVER (ORDER BY mean, batch, chunk) AS rw
+  FROM mids
+),
+qs(q) AS (VALUES {", ".join(f"({q})" for q in DIGEST_QS)}),
+sel AS (
+  SELECT qs.q, {interp} AS est
+  FROM qs JOIN br
+    ON br.mid <= qs.q * (br.n - 1)
+   AND (br.nmid IS NULL OR br.nmid > qs.q * (br.n - 1))
+),
+low AS (
+  SELECT qs.q, br.mean AS est
+  FROM qs JOIN br ON br.rw = 1 AND qs.q * (br.n - 1) < br.mid
+)
+SELECT CAST(q AS DOUBLE) AS q, ROUND(est, 4) AS est
+FROM (SELECT * FROM sel UNION ALL SELECT * FROM low)
+"""
+
+
 @register(
     "sketch_quantile_digest",
-    oracle="SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_rank_bound "
-    "FROM (VALUES "
-    + ", ".join(f"({q})" for q in DIGEST_QS)
-    + ") AS t(q)",
-    doc="Mergeable quantile digest (E4): map-side equal-weight centroid "
-    "compression in mapInPandas (O(batches*K) shuffle), weighted-"
-    "interpolation finish. Bound-flag oracle: estimates depend on batch "
-    "layout, so the query re-ranks each estimate against the data and "
-    "emits |rank(est) - q*(N-1)| <= 2N/K + 8 (the same bound "
-    "test_sketches asserts) as a boolean the oracle expects TRUE. Exact "
-    "twin is agg_percentiles_order_value.",
+    oracle=_digest_oracle(),
+    doc="Mergeable quantile digest (E4): per-shard equal-weight centroid "
+    "compression, global merge, weighted-interpolation finish. FULL "
+    "value oracle as of r9: the registered query pins the compression "
+    "layout to md5(o_orderkey) shards — the same make-the-artifact-"
+    "deterministic trick that de-flagged ann-lsh — so DuckDB replays "
+    "chunking, sequential-fold chunk means, merge and interpolation and "
+    "the ESTIMATES are hash-checked values, no rank-bound flag left. "
+    "The pinned layout costs one (batch, price) hash shuffle; the "
+    "scan-fused mergeable path (quantile_digest_centroids/estimates, "
+    "arbitrary Arrow batches, zero extra shuffle) remains the library "
+    "API and keeps its rank-error-bound tests in test_sketches.py.",
 )
 def sketch_quantile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest with a PINNED deterministic layout: shard by md5 of the
+    rowkey, rank within shard, chunk ranks into <= DIGEST_K equal-weight
+    chunks (chunk = rank * k_eff DIV n — the same +-1-row equal split),
+    sequential-fold chunk means, then the standard midpoint-rank
+    interpolation over the merged centroid set. Every reduction is a
+    strict left fold over an explicitly ordered list so the DuckDB
+    oracle replays it bit-for-bit (see _digest_oracle). All stages are
+    JVM-side expressions — no Python in the hot path; the centroid merge
+    windows over <= DIGEST_SHARDS*DIGEST_K rows (a bounded artifact)."""
     orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_totalprice").cast("double").alias("price")
-    )
-    ests = quantile_digest_estimates(
-        quantile_digest_centroids(orders, "price")
-    )
-    # Re-rank each of the 5 estimates in one broadcast pass over the data.
-    return (
-        orders.crossJoin(F.broadcast(ests))
-        .groupBy("q")
-        .agg(
-            F.sum((F.col("price") < F.col("est")).cast("long")).alias(
-                "rank"
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.conv(
+            F.substring(
+                F.md5(F.col("o_orderkey").cast("string").cast("binary")),
+                1,
+                4,
             ),
-            F.count(F.lit(1)).alias("n"),
+            16,
+            10,
+        ).cast("int")
+        .__mod__(F.lit(DIGEST_SHARDS))
+        .alias("batch"),
+    )
+    wb = Window.partitionBy("batch")
+    ranked = orders.select(
+        "batch",
+        "price",
+        (F.row_number().over(wb.orderBy("price")) - 1).alias("i"),
+        F.count(F.lit(1)).over(wb).alias("n"),
+    )
+    cents = (
+        ranked.withColumn(
+            "chunk",
+            F.expr(f"CAST((i * LEAST({DIGEST_K}, n)) DIV n AS INT)"),
+        )
+        .groupBy("batch", "chunk")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list("price")),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            ).alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+        .select(
+            "batch", "chunk", (F.col("s") / F.col("cnt")).alias("mean"), "cnt"
+        )
+    )
+    # Bounded merge: <= DIGEST_SHARDS * DIGEST_K centroid rows — the
+    # single-partition window is over the sketch, never the data.
+    ws = Window.orderBy("mean", "batch", "chunk")
+    mids = cents.select(
+        "mean",
+        "batch",
+        "chunk",
+        (
+            F.sum("cnt").over(ws.rowsBetween(Window.unboundedPreceding, 0))
+            - (F.col("cnt") + F.lit(1)) / F.lit(2.0)
+        ).alias("mid"),
+        F.sum("cnt").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    br = mids.select(
+        "mean",
+        "mid",
+        "n",
+        F.lead("mean").over(ws).alias("nmean"),
+        F.lead("mid").over(ws).alias("nmid"),
+        F.row_number().over(ws).alias("rw"),
+    )
+    qs = spark.createDataFrame([(q,) for q in DIGEST_QS], "q double")
+    t = F.col("q") * (F.col("n") - 1)
+    sel = (
+        qs.join(
+            F.broadcast(br),
+            (F.col("mid") <= t)
+            & (F.col("nmid").isNull() | (F.col("nmid") > t)),
         )
         .select(
             "q",
-            (
-                F.abs(F.col("rank") - F.col("q") * (F.col("n") - 1))
-                <= 2.0 * F.col("n") / DIGEST_K + 8
-            ).alias("within_rank_bound"),
+            F.when(F.col("nmid").isNull(), F.col("mean"))
+            .otherwise(
+                F.col("mean")
+                + (F.col("nmean") - F.col("mean"))
+                * ((t - F.col("mid")) / (F.col("nmid") - F.col("mid")))
+            )
+            .alias("est"),
         )
     )
+    low = qs.join(
+        F.broadcast(br), (F.col("rw") == 1) & (t < F.col("mid"))
+    ).select("q", F.col("mean").alias("est"))
+    return sel.unionByName(low).select("q", F.round("est", 4).alias("est"))
 
 
 # ---------------------------------------------------------------------------

@@ -159,3 +159,59 @@ def test_misra_gries_flags_hold_under_any_partitioning(spark):
         assert "hot" in got
         assert got["hot"] <= 400
         assert 400 - got["hot"] <= 1000 / (MG_K + 1)
+
+
+def test_pinned_digest_estimates_satisfy_rank_bound(spark, sf_correctness):
+    """The r9 registered digest pins its layout (md5 shards) to earn a
+    full value oracle; the estimates must still be DIGEST-quality, not
+    just replayable. Re-rank each estimate against the data: with
+    DIGEST_SHARDS shards of <= ceil(n_s * 1.0 / K)-row chunks the total
+    rank error is bounded by n/K + shards (+ interpolation slack)."""
+    from hbase_hadoop_flightsearch_spark.operators.sketches import (
+        DIGEST_K,
+        DIGEST_SHARDS,
+        sketch_quantile_digest,
+    )
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    ests = {
+        r["q"]: r["est"]
+        for r in sketch_quantile_digest(spark, sf_correctness).collect()
+    }
+    prices = sorted(
+        r["o_totalprice"]
+        for r in load_table(spark, sf_correctness, "orders")
+        .select("o_totalprice")
+        .collect()
+    )
+    n = len(prices)
+    assert len(ests) == 5
+    for q, est in ests.items():
+        rank = sum(1 for p in prices if p < est)
+        bound = 2.0 * n / DIGEST_K + DIGEST_SHARDS + 8
+        assert abs(rank - q * (n - 1)) <= bound, (q, rank, q * (n - 1))
+
+
+def test_pinned_digest_is_partitioning_invariant(spark, sf_correctness):
+    """The pinned layout is a pure function of o_orderkey, so the result
+    must not depend on how the scan is partitioned (the property the
+    arbitrary-Arrow-batch library path can only promise up to the rank
+    bound, the pinned path promises exactly)."""
+    from hbase_hadoop_flightsearch_spark.operators.sketches import (
+        sketch_quantile_digest,
+    )
+
+    base = sorted(
+        map(tuple, sketch_quantile_digest(spark, sf_correctness).collect())
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        again = sorted(
+            map(
+                tuple, sketch_quantile_digest(spark, sf_correctness).collect()
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == again
