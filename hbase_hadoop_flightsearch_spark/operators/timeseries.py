@@ -3533,6 +3533,11 @@ def _hw_tdiv(a: int, b: int) -> int:
 
 @register(
     "ts_holt_winters_additive",
+    headline=True,  # bench seat (r9, VERDICT r8 #3): the keyed-Python-
+    # recursion plan class — ONE applyInPandas per series key, millions
+    # of independent series at 100 TB — previously had zero bench
+    # representation and is the likeliest to regress from an
+    # Arrow/pandas-boundary change.
     oracle=f"""
 WITH RECURSIVE days AS (
   SELECT (SELECT MIN(CAST(ts AS DATE)) FROM events) AS d

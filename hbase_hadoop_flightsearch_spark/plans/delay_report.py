@@ -213,6 +213,10 @@ OTP_THRESHOLD_MIN = 15  # DOT definition: on time = arrival delay <= 15 min
 
 @register(
     "flight_otp_ranking",
+    headline=True,  # bench seat (r9, VERDICT r8 stretch #7): second
+    # flights-domain seat — keeps the namesake surface honest under load
+    # alongside flight_connection_search; pure partial-agg + window
+    # ranking over the derived-flights scan, the cheap-scan class.
     oracle=FLIGHTS_CTE
     + f"""
 SELECT carrier,
