@@ -349,9 +349,6 @@ def test_ivf_centroids_cross_engine_parity(spark, sf_correctness):
     import duckdb
 
     from hbase_hadoop_flightsearch_spark.operators.similarity import (
-        IVF_N_CELLS,
-        IVF_TRAIN_ITERS,
-        IVF_TRAIN_SAMPLE,
         _embeddings,
         _ivf_centroids,
     )
@@ -363,33 +360,11 @@ def test_ivf_centroids_cross_engine_parity(spark, sf_correctness):
         ).collect()
     }
 
-    d2 = (
-        "list_reduce(list_transform(range(1, 65), i -> "
-        "(s.v[i] - c.cv[i]) * (s.v[i] - c.cv[i])), (a, b) -> a + b)"
+    from hbase_hadoop_flightsearch_spark.operators.similarity import (
+        _ivf_training_sql,
     )
-    stages = []
-    for t in range(1, IVF_TRAIN_ITERS + 1):
-        prev = f"c{t - 1}"
-        stages.append(f"""
-a{t} AS (
-  SELECT vec_id, v, cent_id FROM (
-    SELECT s.vec_id, s.v, c.cent_id,
-           ROW_NUMBER() OVER (PARTITION BY s.vec_id
-                              ORDER BY {d2}, c.cent_id) AS rn
-    FROM samp s CROSS JOIN {prev} c
-  ) WHERE rn = 1
-),
-c{t} AS (
-  SELECT p.cent_id, COALESCE(n.cv, p.cv) AS cv
-  FROM {prev} p LEFT JOIN (
-    SELECT cent_id,
-           list_transform(range(1, 65), i ->
-             list_reduce(list_transform(vs, x -> x[i]), (a, b) -> a + b)
-               / CAST(len(vs) AS DOUBLE)) AS cv
-    FROM (SELECT cent_id, list(v ORDER BY vec_id) AS vs
-          FROM a{t} GROUP BY cent_id)
-  ) n USING (cent_id)
-)""")
+
+    training, final = _ivf_training_sql()
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW embeddings AS SELECT * FROM"
@@ -397,14 +372,67 @@ c{t} AS (
     )
     want = dict(
         con.execute(f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {IVF_TRAIN_SAMPLE}),
-c0 AS (
-  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cent_id,
-         v AS cv
-  FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT {IVF_N_CELLS})
-),{",".join(stages)}
-SELECT cent_id, cv FROM c{IVF_TRAIN_ITERS}
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),{training}
+SELECT cent_id, cv FROM {final}
         """).fetchall()
     )
     assert got == {k: list(v) for k, v in want.items()}
+
+
+def test_ivfpq_recall_vs_bruteforce(spark, sf_correctness):
+    """The composed IVFADC recall floor moved from the retired flag
+    oracle to a test contract when similarity_ann_ivfpq gained its full
+    value oracle (r9). Floor = IVF cell recall x PQ shortlist recall."""
+    from hbase_hadoop_flightsearch_spark.operators.similarity import (
+        IVFPQ_RECALL_FLOOR,
+        similarity_ann_ivfpq,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity_knn_bruteforce(spark, sf_correctness).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity_ann_ivfpq(spark, sf_correctness).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= IVFPQ_RECALL_FLOOR, recall
+
+
+def test_pq_codebook_cross_engine_parity(spark, sf_correctness):
+    """Pin the trained PQ codebook itself across engines (the analogue
+    of test_ivf_centroids_cross_engine_parity) so drift in either
+    training replay fails here, localized, rather than as an opaque
+    neighbor-list hash mismatch in the PQ/IVFPQ oracles."""
+    import duckdb
+
+    from hbase_hadoop_flightsearch_spark.operators.similarity import (
+        _embeddings,
+        _pq_codebook,
+        _pq_training_sql,
+    )
+
+    book = _pq_codebook(_embeddings(spark, sf_correctness))
+    got = {
+        (m, c): [float(x) for x in book[m, c]]
+        for m in range(book.shape[0])
+        for c in range(book.shape[1])
+    }
+
+    training, final = _pq_training_sql()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM"
+        f" read_parquet('{sf_correctness}/embeddings.parquet')"
+    )
+    want = {
+        (m, c): list(cw)
+        for m, c, cw in con.execute(f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),{training}
+SELECT m, c, cw FROM {final}
+        """).fetchall()
+    }
+    assert got == want
