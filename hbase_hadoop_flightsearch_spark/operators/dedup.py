@@ -1754,13 +1754,19 @@ def semdedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         vecs = np.array(list(pdf["v"]), dtype=np.float64)
-        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        # strict sequential folds (np.cumsum) for norm and dots so the
+        # r9 full value oracle's recursive-CTE replay is bit-identical
+        # (same parity argument as the IVF/PQ trainings)
+        nrm = np.sqrt(np.cumsum(vecs * vecs, axis=1)[:, -1:])
+        vecs = vecs / nrm
         ids = pdf["vec_id"].to_numpy()
         kept_rows: list[int] = []
         out = []
         for i in range(len(pdf)):
             if kept_rows:
-                cos = vecs[kept_rows] @ vecs[i]
+                cos = np.cumsum(
+                    vecs[kept_rows] * vecs[i][None, :], axis=1
+                )[:, -1]
                 j = int(cos.argmax())
                 if cos[j] >= SEMDEDUP_TAU:
                     out.append(
@@ -1793,54 +1799,91 @@ def semdedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdedup_oracle() -> str:
+    """FULL value oracle for dedup_semdedup (r9): the trained quantizer
+    replays via the shared IVF training/assignment CTEs, and the
+    inherently sequential per-cell greedy replays as a RECURSIVE CTE —
+    iteration t processes each cell's rank-t vector against the kept
+    set carried as list-of-struct state, exactly the applyInPandas
+    loop's data dependency. Every reduction is a strict left fold, so
+    the per-vector keep/remove decisions, witnesses and floor-micro
+    cosines are hash-checked values — the strongest check this operator
+    can have (the r3-r8 flag oracle asserted only set-level booleans)."""
+    from .similarity import _ivf_assign_sql
+
+    tau = SEMDEDUP_TAU
+    dot = (
+        "list_reduce(list_transform(list_zip(k.nv, r.nv), "
+        "z -> z[1] * z[2]), (acc, el) -> acc + el)"
+    )
+    return f"""
+WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),{_ivf_assign_sql()},
+ranked AS MATERIALIZED (
+  SELECT h.cent_id AS cell_id, e.vec_id,
+         list_transform(e.v, x -> x / sqrt(list_reduce(
+            list_transform(e.v, y -> y * y),
+            (acc, el) -> acc + el))) AS nv,
+         ROW_NUMBER() OVER (PARTITION BY h.cent_id
+                            ORDER BY e.vec_id) AS rk
+  FROM e JOIN home h USING (vec_id)
+),
+g AS (
+  SELECT cell_id, 1 AS t,
+         [struct_pack(vid := vec_id, nv := nv)] AS kept,
+         vec_id, TRUE AS is_kept,
+         CAST(NULL AS BIGINT) AS witness_id,
+         CAST(NULL AS BIGINT) AS witness_cos_micro
+  FROM ranked WHERE rk = 1
+  UNION ALL
+  SELECT r.cell_id, g.t + 1,
+         CASE WHEN wp.mx >= {tau} THEN g.kept
+              ELSE list_append(g.kept,
+                     struct_pack(vid := r.vec_id, nv := r.nv)) END,
+         r.vec_id,
+         wp.mx < {tau},
+         CASE WHEN wp.mx >= {tau} THEN wp.wid ELSE NULL END,
+         CASE WHEN wp.mx >= {tau}
+              THEN CAST(floor(wp.mx * 1000000) AS BIGINT) ELSE NULL END
+  FROM g
+  JOIN ranked r ON r.cell_id = g.cell_id AND r.rk = g.t + 1,
+  LATERAL (
+    SELECT list_max(list_transform(prs, p -> p.c)) AS mx,
+           list_filter(prs, p -> p.c = list_max(
+              list_transform(prs, p2 -> p2.c)))[1].vid AS wid
+    FROM (SELECT list_transform(g.kept, k ->
+            struct_pack(vid := k.vid, c := {dot})) AS prs)
+  ) wp
+)
+SELECT vec_id, CAST(cell_id AS INT) AS cell_id, is_kept AS kept,
+       witness_id, witness_cos_micro
+FROM g
+"""
+
+
 @register(
     "dedup_semdedup",
-    oracle="SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, "
-    "TRUE AS accounted, TRUE AS witnesses_valid, "
-    "TRUE AS cells_bounded, TRUE AS removal_effective "
-    "FROM embeddings",
+    oracle=_semdedup_oracle(),
     doc="SemDeDup (Abbas et al. 2023 — semantic dedup for LLM corpora, "
     "the method behind the 'LAION dedup at scale' result): embeddings "
     "are bucketed by the trained 32-cell coarse quantizer (the same "
     "bounded artifact the IVF tier broadcasts), then each cell runs "
     "the paper's greedy in-memory pass removing any vector whose "
     f"cosine to an already-kept cell member reaches {EMB_DEDUP_THRESH} "
-    "(vec_id order, witness recorded). Bound-flag oracle: exact "
-    "n_vectors plus booleans — kept+removed accounts for every "
-    "vector, every removal has a lower-id witness at/above the "
-    "threshold, cell count is bounded by the quantizer constant, and "
-    "removal is non-vacuous. Cell membership is quantizer-defined, so "
-    "per-vector decisions are test-compared against a sequential "
-    "NumPy reference, not the SQL oracle. Scale: one broadcast "
-    "assignment scan + one applyInPandas task per cell; production "
-    "sizes the cell count so a cell fits a task (the paper's own "
-    "cost model) — no pairwise shuffle at any size.",
+    "(vec_id order, witness recorded). FULL value oracle as of r9: the "
+    "quantizer training replays via the shared IVF CTE stages and the "
+    "sequential greedy replays as a recursive CTE carrying each cell's "
+    "kept set — every PER-VECTOR decision, witness id and floor-micro "
+    "cosine is hash-checked (the old flag oracle checked set-level "
+    "booleans only). The sequential NumPy reference comparison stays "
+    "in tests/test_dedup.py. Scale: one broadcast assignment scan + "
+    "one applyInPandas task per cell; production sizes the cell count "
+    "so a cell fits a task (the paper's own cost model) — no pairwise "
+    "shuffle at any size.",
 )
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity import IVF_N_CELLS
-
-    d = semdedup_decisions(spark, sf_dir)
-    removed = F.sum(F.when(~F.col("kept"), 1).otherwise(0))
-    kept = F.sum(F.when(F.col("kept"), 1).otherwise(0))
-    bad_witness = F.sum(
-        F.when(
-            (~F.col("kept"))
-            & (
-                F.col("witness_id").isNull()
-                | (F.col("witness_id") >= F.col("vec_id"))
-                | (F.col("witness_cos_micro") < int(SEMDEDUP_TAU * 1000000))
-            ),
-            1,
-        ).otherwise(0)
-    )
-    return d.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
-        ((kept + removed) == F.count(F.lit(1))).alias("accounted"),
-        (bad_witness == 0).alias("witnesses_valid"),
-        (F.count_distinct("cell_id") <= IVF_N_CELLS).alias(
-            "cells_bounded"
-        ),
-        (removed > 0).alias("removal_effective"),
+    return semdedup_decisions(spark, sf_dir).select(
+        "vec_id", "cell_id", "kept", "witness_id", "witness_cos_micro"
     )
 
 
