@@ -890,3 +890,57 @@ def test_hill_estimator_tracks_true_pareto_exponent(spark, alpha10):
         A.load_table = orig
     alpha_hat = r["alpha_micro"] / 1e6
     assert abs(alpha_hat - alpha) <= 0.2 * alpha + 0.1, (alpha, alpha_hat)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e12,
+            max_value=1e12,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_cumsum_sequential_fold_property(vals):
+    """Property form of the fold-parity pin that five r9 full value
+    oracles rest on (IVF/PQ/IVFPQ/SemDeDup/quantile-digest): np.cumsum's
+    last element must equal the strict left-to-right Python fold for
+    ANY float64 contents — magnitudes mixed by hypothesis, where a
+    pairwise/blocked summation would diverge."""
+    import numpy as np
+
+    s = 0.0
+    for x in vals:
+        s = s + x
+    assert float(np.cumsum(np.array(vals, dtype=np.float64))[-1]) == s
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e9,
+            max_value=1e9,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+def test_listreduce_matches_zero_seeded_fold_property(vals):
+    """DuckDB list_reduce (first-element-seeded) == 0.0-seeded Python
+    fold, for any float64 list: 0.0 + x == x exactly in IEEE 754."""
+    import duckdb
+
+    got = duckdb.connect().execute(
+        "SELECT list_reduce(CAST(? AS DOUBLE[]), (a, b) -> a + b)", [vals]
+    ).fetchone()[0]
+    s = 0.0
+    for x in vals:
+        s = s + x
+    assert got == s
