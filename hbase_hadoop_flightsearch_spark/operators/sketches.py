@@ -339,7 +339,16 @@ def sketch_quantile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     strict left fold over an explicitly ordered list so the DuckDB
     oracle replays it bit-for-bit (see _digest_oracle). All stages are
     JVM-side expressions — no Python in the hot path; the centroid merge
-    windows over <= DIGEST_SHARDS*DIGEST_K rows (a bounded artifact)."""
+    windows over <= DIGEST_SHARDS*DIGEST_K rows (a bounded artifact).
+
+    Scale note: DIGEST_SHARDS is the parallelism knob — the semantics
+    (and the oracle construction) hold for ANY shard count, so at
+    100 TB you size it to the cluster (data / target-task-bytes shards,
+    e.g. tens of thousands) instead of this fixture's 8; the rank error
+    stays ~N/K per the same argument. For a pure-scan pipeline with no
+    pinned-layout requirement, the mapInPandas mergeable path above
+    (quantile_digest_centroids/estimates) compresses inside the scan
+    with zero extra shuffle and is the library default."""
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_totalprice").cast("double").alias("price"),
         F.conv(
