@@ -974,3 +974,112 @@ def ml_eval_conformal_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage_ppm"
         ),
     )
+
+
+@register(
+    "ml_eval_brier_decomposition",
+    oracle=f"""
+WITH m AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         NTILE({CALIB_BINS}) OVER (ORDER BY n_chars, doc_id) AS bin
+  FROM documents
+),
+g AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS nk, CAST(SUM(y) AS BIGINT) AS sk
+  FROM m GROUP BY bin
+),
+tot AS (
+  SELECT CAST(SUM(nk) AS BIGINT) AS n, CAST(SUM(sk) AS BIGINT) AS s FROM g
+),
+t AS (
+  SELECT g.bin, g.nk,
+         (2 * g.bin - 1) / {2 * CALIB_BINS}.0 AS fk,
+         CAST(g.sk AS DOUBLE) / g.nk AS ok,
+         CAST(tot.s AS DOUBLE) / tot.n AS o,
+         tot.n AS n
+  FROM g, tot
+),
+terms AS (
+  SELECT bin, nk * ((fk - ok) * (fk - ok)) AS relt,
+         nk * ((ok - o) * (ok - o)) AS rest, o, n
+  FROM t
+),
+folded AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         list_reduce(list(relt ORDER BY bin), (a, b) -> a + b)
+           / CAST(MAX(n) AS DOUBLE) AS rel,
+         list_reduce(list(rest ORDER BY bin), (a, b) -> a + b)
+           / CAST(MAX(n) AS DOUBLE) AS res,
+         MAX(o) * (1 - MAX(o)) AS unc
+  FROM terms
+)
+SELECT n, ROUND(rel, 6) AS reliability, ROUND(res, 6) AS resolution,
+       ROUND(unc, 6) AS uncertainty,
+       ROUND(rel - res + unc, 6) AS brier
+FROM folded
+""",
+    doc="Murphy decomposition of the Brier score (reliability - "
+    "resolution + uncertainty) for the lang='en' event forecast by "
+    f"deterministic NTILE-{CALIB_BINS} score bins (midpoint forecast "
+    "(2k-1)/2K per bin) — the forecast-evaluation complement of "
+    "ml_eval_calibration_bins: reliability says how far the forecast "
+    "curve sits from the observed rates, resolution how much the bins "
+    "separate the base rate, uncertainty the irreducible floor. One "
+    "NTILE window + one grouped pass; the K per-bin terms fold in "
+    "explicit bin order (F.aggregate over sort_array vs list_reduce "
+    "over list(ORDER BY bin)) so both engines sum identically and the "
+    "decomposition identity Brier = REL - RES + UNC is exact by "
+    "construction. At 100 TB the bin cuts come from approx_percentile "
+    "and the same grouped pass.",
+)
+def ml_eval_brier_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.ntile(CALIB_BINS)
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .alias("bin"),
+    )
+    g = m.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nk"),
+        F.sum("y").cast("bigint").alias("sk"),
+    )
+    tot = g.agg(
+        F.sum("nk").cast("bigint").alias("n"),
+        F.sum("sk").cast("bigint").alias("s"),
+    )
+    fk = (2 * F.col("bin") - 1) / F.lit(float(2 * CALIB_BINS))
+    ok = F.col("sk").cast("double") / F.col("nk")
+    o = F.col("s").cast("double") / F.col("n")
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        o.alias("o"),
+        (F.col("nk") * ((fk - ok) * (fk - ok))).alias("relt"),
+        (F.col("nk") * ((ok - o) * (ok - o))).alias("rest"),
+    )
+
+    def fold(field: str):
+        return F.aggregate(
+            F.sort_array(F.collect_list(F.struct("bin", field))),
+            F.lit(0.0),
+            lambda s, x: s + x[field],
+        )
+
+    folded = terms.agg(
+        F.max("n").cast("bigint").alias("n"),
+        (fold("relt") / F.max("n").cast("double")).alias("rel"),
+        (fold("rest") / F.max("n").cast("double")).alias("res"),
+        (F.max("o") * (1 - F.max("o"))).alias("unc"),
+    )
+    return folded.select(
+        "n",
+        F.round("rel", 6).alias("reliability"),
+        F.round("res", 6).alias("resolution"),
+        F.round("unc", 6).alias("uncertainty"),
+        F.round(F.col("rel") - F.col("res") + F.col("unc"), 6).alias(
+            "brier"
+        ),
+    )

@@ -588,3 +588,37 @@ def incremental_countmin_merge(
             "token", "exact_count", "est_merged", "n_shards", "tokens_total"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile-digest shards: the incremental complement of the
+# count-min shard merge above, riding the r9 pinned-layout digest.
+# ---------------------------------------------------------------------------
+
+from .sketches import _digest_oracle, pinned_digest_estimates  # noqa: E402
+
+_DIGEST_SNAP_SQL = "CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END"
+
+
+@register(
+    "incremental_digest_merge",
+    oracle=_digest_oracle(snap_expr=_DIGEST_SNAP_SQL),
+    doc="Mergeable quantile-digest shards: the corpus splits into a "
+    "base snapshot and a late-arriving delta (o_orderkey % 4 = 0 — the "
+    "incremental unit that re-sketches alone on backfill), each "
+    "snapshot compresses into its own pinned-layout centroid set, and "
+    "the sets merge by CONCATENATION before the interpolation finish — "
+    "the defining mergeable-sketch property (centroid union commutes "
+    "and re-sketches only the touched snapshot; state is O(snapshots x "
+    "shards x K) centroids regardless of data volume). FULL value "
+    "oracle: same replay as sketch_quantile_digest with the snapshot "
+    "key threaded through chunking, merge order and interpolation. "
+    "test_sketches.py asserts the merged estimates stay within the "
+    "digest rank-error bound of the exact quantiles.",
+)
+def incremental_digest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-snapshot pinned digests merged at finish: identical plan
+    shape to sketch_quantile_digest with (snap, batch) compression
+    keys — one narrow hash shuffle, bounded centroid-level merge."""
+    snap = (F.col("o_orderkey") % 4 == 0).cast("int")
+    return pinned_digest_estimates(spark, sf_dir, snap=snap)

@@ -246,8 +246,8 @@ def quantile_digest_estimates(centroids: DataFrame, qs=DIGEST_QS) -> DataFrame:
 DIGEST_SHARDS = 8  # pinned md5 shard count for the registered query
 
 
-def _digest_oracle() -> str:
-    """FULL value oracle for sketch_quantile_digest (r9, closing r8
+def _digest_oracle(snap_expr: str = "0") -> str:
+    """FULL value oracle for the pinned-layout digest (r9, closing r8
     verdict #4): with the compression layout PINNED to md5 shards (the
     trick that de-flagged ann-lsh: make the arbitrary artifact a
     deterministic one), every stage is replayable — per-shard rank
@@ -255,7 +255,12 @@ def _digest_oracle() -> str:
     the bracketed linear interpolation. Estimates become hash-checked
     values instead of a rank-bound flag. Fold parity: Spark F.aggregate
     over sort_array(collect_list()) and DuckDB list_reduce(list(...
-    ORDER BY ...)) are both strict left folds over ascending values."""
+    ORDER BY ...)) are both strict left folds over ascending values.
+
+    ``snap_expr`` partitions compression one level above the shards —
+    "0" yields the one-shot digest; a snapshot predicate yields the
+    incremental variant whose per-snapshot centroid sets merge by
+    concatenation (incremental_digest_merge)."""
     interp = (
         "CASE WHEN br.nmid IS NULL THEN br.mean "
         "ELSE br.mean + (br.nmean - br.mean) "
@@ -265,38 +270,40 @@ def _digest_oracle() -> str:
     return f"""
 WITH src AS (
   SELECT CAST(o_totalprice AS DOUBLE) AS price,
+         CAST({snap_expr} AS INT) AS snap,
          ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::INT
            % {DIGEST_SHARDS} AS batch
   FROM orders
 ),
 ranked AS (
-  SELECT batch, price,
-         ROW_NUMBER() OVER (PARTITION BY batch ORDER BY price) - 1 AS i,
-         COUNT(*) OVER (PARTITION BY batch) AS n
+  SELECT snap, batch, price,
+         ROW_NUMBER() OVER (PARTITION BY snap, batch
+                            ORDER BY price) - 1 AS i,
+         COUNT(*) OVER (PARTITION BY snap, batch) AS n
   FROM src
 ),
 cents AS (
-  SELECT batch, chunk,
+  SELECT snap, batch, chunk,
          list_reduce(list(price ORDER BY price), (a, b) -> a + b)
            / CAST(COUNT(*) AS DOUBLE) AS mean,
          CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM (SELECT batch, price,
+  FROM (SELECT snap, batch, price,
                CAST((i * LEAST({DIGEST_K}, n)) // n AS INT) AS chunk
         FROM ranked)
-  GROUP BY batch, chunk
+  GROUP BY snap, batch, chunk
 ),
 mids AS (
-  SELECT mean, batch, chunk, cnt,
-         SUM(cnt) OVER (ORDER BY mean, batch, chunk
+  SELECT mean, snap, batch, chunk, cnt,
+         SUM(cnt) OVER (ORDER BY mean, snap, batch, chunk
                         ROWS UNBOUNDED PRECEDING) - (cnt + 1) / 2.0 AS mid,
          CAST(SUM(cnt) OVER () AS BIGINT) AS n
   FROM cents
 ),
 br AS (
   SELECT mean, mid, n,
-         LEAD(mean) OVER (ORDER BY mean, batch, chunk) AS nmean,
-         LEAD(mid)  OVER (ORDER BY mean, batch, chunk) AS nmid,
-         ROW_NUMBER() OVER (ORDER BY mean, batch, chunk) AS rw
+         LEAD(mean) OVER (ORDER BY mean, snap, batch, chunk) AS nmean,
+         LEAD(mid)  OVER (ORDER BY mean, snap, batch, chunk) AS nmid,
+         ROW_NUMBER() OVER (ORDER BY mean, snap, batch, chunk) AS rw
   FROM mids
 ),
 qs(q) AS (VALUES {", ".join(f"({q})" for q in DIGEST_QS)}),
@@ -349,8 +356,22 @@ def sketch_quantile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned-layout requirement, the mapInPandas mergeable path above
     (quantile_digest_centroids/estimates) compresses inside the scan
     with zero extra shuffle and is the library default."""
+    return pinned_digest_estimates(spark, sf_dir, snap=F.lit(0))
+
+
+def pinned_digest_estimates(
+    spark: SparkSession, sf_dir: str, snap
+) -> DataFrame:
+    """Pinned-layout digest over orders.o_totalprice, compression keyed
+    by (snap, md5-batch). ``snap = F.lit(0)`` is the one-shot digest;
+    a snapshot predicate column makes each snapshot compress alone and
+    the finish MERGE their centroid sets by concatenation — the
+    mergeable-sketch property incremental_digest_merge demonstrates.
+    Shared by sketch_quantile_digest and incremental_digest_merge; the
+    DuckDB twin is _digest_oracle(snap_expr)."""
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_totalprice").cast("double").alias("price"),
+        snap.cast("int").alias("snap"),
         F.conv(
             F.substring(
                 F.md5(F.col("o_orderkey").cast("string").cast("binary")),
@@ -363,8 +384,9 @@ def sketch_quantile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .__mod__(F.lit(DIGEST_SHARDS))
         .alias("batch"),
     )
-    wb = Window.partitionBy("batch")
+    wb = Window.partitionBy("snap", "batch")
     ranked = orders.select(
+        "snap",
         "batch",
         "price",
         (F.row_number().over(wb.orderBy("price")) - 1).alias("i"),
@@ -375,7 +397,7 @@ def sketch_quantile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk",
             F.expr(f"CAST((i * LEAST({DIGEST_K}, n)) DIV n AS INT)"),
         )
-        .groupBy("batch", "chunk")
+        .groupBy("snap", "batch", "chunk")
         .agg(
             F.aggregate(
                 F.sort_array(F.collect_list("price")),
@@ -385,14 +407,20 @@ def sketch_quantile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("cnt"),
         )
         .select(
-            "batch", "chunk", (F.col("s") / F.col("cnt")).alias("mean"), "cnt"
+            "snap",
+            "batch",
+            "chunk",
+            (F.col("s") / F.col("cnt")).alias("mean"),
+            "cnt",
         )
     )
-    # Bounded merge: <= DIGEST_SHARDS * DIGEST_K centroid rows — the
-    # single-partition window is over the sketch, never the data.
-    ws = Window.orderBy("mean", "batch", "chunk")
+    # Bounded merge: <= snapshots * DIGEST_SHARDS * DIGEST_K centroid
+    # rows — the single-partition window is over the sketch, never the
+    # data.
+    ws = Window.orderBy("mean", "snap", "batch", "chunk")
     mids = cents.select(
         "mean",
+        "snap",
         "batch",
         "chunk",
         (

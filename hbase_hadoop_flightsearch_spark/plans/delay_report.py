@@ -279,6 +279,52 @@ MIN_LAYOVER_MIN = 45
 MAX_LAYOVER_MIN = 240
 
 
+def _connection_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All feasible one-stop itinerary pairs via the day-banded SMJ —
+    the shared core of flight_connection_search and
+    flight_missed_connections. Columns: first-leg origin/dest/dep_min/
+    arr_min plus second-leg b_origin/b_dest/b_dep_min/b_arr_min."""
+    from ..sources.flights import flights_extended
+
+    legs = (
+        flights_extended(spark, sf_dir)
+        .filter((F.col("cancelled") == 0.0) & (F.col("diverted") == 0.0))
+        .drop("cancelled", "diverted")
+    )
+    a = legs.withColumn(
+        "day",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(f"(arr_min + {MIN_LAYOVER_MIN}) div 1440"),
+                    F.expr(f"(arr_min + {MAX_LAYOVER_MIN}) div 1440"),
+                )
+            )
+        ),
+    )
+    b = legs.select(
+        F.col("origin").alias("b_origin"),
+        F.col("dest").alias("b_dest"),
+        F.col("dep_min").alias("b_dep_min"),
+        F.col("arr_min").alias("b_arr_min"),
+        F.expr("dep_min div 1440").alias("b_day"),
+    )
+    # shuffle_merge hint: BOTH sides are fact-sized (the exploded arrivals
+    # side doubly so), so Catalyst's size estimate otherwise picks a
+    # BroadcastHashJoin whose 1.2M-row single-threaded build costs 4x the
+    # whole distributed SMJ (measured 3.7s -> 0.86s at sf0.1) — and at
+    # 100 TB a broadcast of either side is impossible anyway. SMJ on the
+    # (airport, day) band key is the honest plan at every scale.
+    return a.join(
+        b.hint("shuffle_merge"),
+        (F.col("dest") == F.col("b_origin"))
+        & (F.col("day") == F.col("b_day"))
+        & (F.col("b_dep_min") >= F.col("arr_min") + MIN_LAYOVER_MIN)
+        & (F.col("b_dep_min") <= F.col("arr_min") + MAX_LAYOVER_MIN)
+        & (F.col("b_dest") != F.col("origin")),
+    )
+
+
 @register(
     "flight_connection_search",
     headline=True,  # bench seat: the namesake banded range-self-join
@@ -340,45 +386,7 @@ FROM pairs GROUP BY origin, via, final_dest
     "total travel, all exact integer minutes.",
 )
 def flight_connection_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.flights import flights_extended
-
-    legs = (
-        flights_extended(spark, sf_dir)
-        .filter((F.col("cancelled") == 0.0) & (F.col("diverted") == 0.0))
-        .drop("cancelled", "diverted")
-    )
-    a = legs.withColumn(
-        "day",
-        F.explode(
-            F.array_distinct(
-                F.array(
-                    F.expr(f"(arr_min + {MIN_LAYOVER_MIN}) div 1440"),
-                    F.expr(f"(arr_min + {MAX_LAYOVER_MIN}) div 1440"),
-                )
-            )
-        ),
-    )
-    b = legs.select(
-        F.col("origin").alias("b_origin"),
-        F.col("dest").alias("b_dest"),
-        F.col("dep_min").alias("b_dep_min"),
-        F.col("arr_min").alias("b_arr_min"),
-        F.expr("dep_min div 1440").alias("b_day"),
-    )
-    # shuffle_merge hint: BOTH sides are fact-sized (the exploded arrivals
-    # side doubly so), so Catalyst's size estimate otherwise picks a
-    # BroadcastHashJoin whose 1.2M-row single-threaded build costs 4x the
-    # whole distributed SMJ (measured 3.7s -> 0.86s at sf0.1) — and at
-    # 100 TB a broadcast of either side is impossible anyway. SMJ on the
-    # (airport, day) band key is the honest plan at every scale.
-    pairs = a.join(
-        b.hint("shuffle_merge"),
-        (F.col("dest") == F.col("b_origin"))
-        & (F.col("day") == F.col("b_day"))
-        & (F.col("b_dep_min") >= F.col("arr_min") + MIN_LAYOVER_MIN)
-        & (F.col("b_dep_min") <= F.col("arr_min") + MAX_LAYOVER_MIN)
-        & (F.col("b_dest") != F.col("origin")),
-    )
+    pairs = _connection_pairs(spark, sf_dir)
     return pairs.groupBy(
         "origin",
         F.col("dest").alias("via"),
@@ -391,6 +399,82 @@ def flight_connection_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("b_arr_min") - F.col("dep_min"))
         .cast("bigint")
         .alias("min_total_min"),
+    )
+
+
+MIN_CONNECT_MIN = 30  # realized connection floor: less than this after
+# the first leg's delay lands and the itinerary is missed
+
+# Deterministic synthetic arrival delay for the extended legs (minutes,
+# 0..90): a fixed integer function of the leg's own schedule, so both
+# engines derive it identically (the base flights table's delays are
+# keyed columns the extended projection deliberately drops).
+_LEG_DELAY = "((dep_min * 13 + (arr_min - dep_min)) % 91)"
+# a-qualified twin for the oracle's pairs CTE, where both legs are in scope
+_LEG_DELAY_A = "((a.dep_min * 13 + (a.arr_min - a.dep_min)) % 91)"
+
+
+@register(
+    "flight_missed_connections",
+    oracle=FLIGHTS_EXT_CTE.rstrip()
+    + f""",
+legs AS (
+  SELECT origin, dest, dep_min, arr_min
+  FROM flights_ext WHERE cancelled = 0.0 AND diverted = 0.0
+),
+a AS (
+  SELECT legs.*, unnest(list_distinct(
+    [(arr_min + {MIN_LAYOVER_MIN}) // 1440,
+     (arr_min + {MAX_LAYOVER_MIN}) // 1440])) AS day
+  FROM legs
+),
+pairs AS (
+  SELECT a.dest AS via,
+         CASE WHEN b.dep_min - (a.arr_min + {_LEG_DELAY_A})
+                   < {MIN_CONNECT_MIN}
+              THEN 1 ELSE 0 END AS missed
+  FROM a JOIN legs b
+    ON a.dest = b.origin
+   AND b.dep_min // 1440 = a.day
+   AND b.dep_min BETWEEN a.arr_min + {MIN_LAYOVER_MIN}
+                     AND a.arr_min + {MAX_LAYOVER_MIN}
+   AND b.dest <> a.origin
+)
+SELECT via,
+  CAST(COUNT(*) AS BIGINT) AS n_itineraries,
+  CAST(SUM(missed) AS BIGINT) AS n_missed,
+  CAST((SUM(missed) * 1000000) // COUNT(*) AS BIGINT) AS missed_ppm
+FROM pairs GROUP BY via
+""",
+    doc="Missed-connection audit per hub — composes the namesake "
+    "connection search with realized delays: every feasible scheduled "
+    f"one-stop itinerary (layover {MIN_LAYOVER_MIN}-{MAX_LAYOVER_MIN} "
+    "min, same day-banded SMJ plan as flight_connection_search) is "
+    "classified MISSED when the first leg's deterministic synthetic "
+    f"arrival delay leaves under {MIN_CONNECT_MIN} min of realized "
+    "connect time. Per-via-airport itinerary counts, missed counts and "
+    "integer-ppm miss rates — the operational question the reference's "
+    "delay report exists to feed. Delay is an exact integer function "
+    "of the leg's own schedule, so the oracle replays it verbatim; "
+    "the banding depends only on SCHEDULED times, so the join plan "
+    "(and its 100 TB posture) is identical to the search seat's.",
+)
+def flight_missed_connections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _connection_pairs(spark, sf_dir)
+    missed = (
+        F.col("b_dep_min")
+        - (F.col("arr_min") + F.expr(_LEG_DELAY))
+        < MIN_CONNECT_MIN
+    ).cast("int")
+    return (
+        pairs.select(F.col("dest").alias("via"), missed.alias("missed"))
+        .groupBy("via")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_itineraries"),
+            F.sum("missed").cast("bigint").alias("n_missed"),
+            F.expr("CAST((sum(missed) * 1000000) DIV count(1) AS BIGINT)")
+            .alias("missed_ppm"),
+        )
     )
 
 

@@ -215,3 +215,36 @@ def test_pinned_digest_is_partitioning_invariant(spark, sf_correctness):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert base == again
+
+
+def test_merged_digest_estimates_satisfy_rank_bound(spark, sf_correctness):
+    """incremental_digest_merge concatenates per-snapshot centroid sets
+    before the finish; the merged estimates must stay digest-quality
+    against the exact quantiles (the mergeable-sketch guarantee — same
+    bound class as the one-shot pinned digest, with one extra shard
+    level)."""
+    from hbase_hadoop_flightsearch_spark.operators.incremental import (
+        incremental_digest_merge,
+    )
+    from hbase_hadoop_flightsearch_spark.operators.sketches import (
+        DIGEST_K,
+        DIGEST_SHARDS,
+    )
+    from hbase_hadoop_flightsearch_spark.sources.catalog import load_table
+
+    ests = {
+        r["q"]: r["est"]
+        for r in incremental_digest_merge(spark, sf_correctness).collect()
+    }
+    prices = sorted(
+        r["o_totalprice"]
+        for r in load_table(spark, sf_correctness, "orders")
+        .select("o_totalprice")
+        .collect()
+    )
+    n = len(prices)
+    assert len(ests) == 5
+    for q, est in ests.items():
+        rank = sum(1 for p in prices if p < est)
+        bound = 2.0 * n / DIGEST_K + 2 * DIGEST_SHARDS + 8
+        assert abs(rank - q * (n - 1)) <= bound, (q, rank, q * (n - 1))
