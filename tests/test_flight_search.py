@@ -68,3 +68,28 @@ def test_connection_search_matches_bruteforce(spark, sf_smoke):
     assert (
         got["min_layover_min"].values == want["min_layover_min"].values
     ).all()
+
+
+def test_missed_connections_mass_balance(spark, sf_smoke):
+    """flight_missed_connections classifies the SAME itinerary universe
+    flight_connection_search counts: summed per-hub itineraries must
+    equal the search's total, misses must be a proper subset, and every
+    miss rate must be a floor-exact ppm of its hub's counts."""
+    from hbase_hadoop_flightsearch_spark.plans.delay_report import (
+        flight_connection_search,
+        flight_missed_connections,
+    )
+
+    search_total = sum(
+        r["n_itineraries"]
+        for r in flight_connection_search(spark, sf_smoke).collect()
+    )
+    rows = flight_missed_connections(spark, sf_smoke).collect()
+    assert sum(r["n_itineraries"] for r in rows) == search_total
+    assert search_total > 0
+    for r in rows:
+        assert 0 <= r["n_missed"] <= r["n_itineraries"]
+        assert r["missed_ppm"] == (r["n_missed"] * 1000000) // r[
+            "n_itineraries"
+        ]
+    assert any(r["n_missed"] > 0 for r in rows), "delay never bit"
