@@ -62,33 +62,54 @@ def main() -> None:
     chunk_size = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     names = [n for n in sorted(load_all()) if n not in SKIP]
     ok = fail = timeout = 0
-    for i in range(0, len(names), chunk_size):
-        chunk = names[i: i + chunk_size]
-        out = ""
+    lost: list[str] = []
+
+    def run_chunk(chunk: list[str]) -> list[str]:
+        """Run one child; returns chunk names that produced NO OK/FAIL
+        line (child crashed mid-chunk — e.g. an OOM kill — which the
+        r9 sweep showed can silently swallow names)."""
+        nonlocal ok, fail, timeout
+        out, rc = "", None
         try:
             p = subprocess.run(
                 [sys.executable, "-c", CHILD, ",".join(chunk)],
-                capture_output=True, text=True, timeout=1200,
+                capture_output=True, text=True, timeout=1800,
             )
-            out = p.stdout
+            out, rc = p.stdout, p.returncode
         except subprocess.TimeoutExpired as e:
             raw = e.stdout or ""
             out = raw.decode() if isinstance(raw, bytes) else raw
-            done = {
-                line.split()[1] for line in out.splitlines()
-                if line.startswith(("OK", "FAIL"))
-            }
-            for name in chunk:
-                if name not in done:
-                    print(f"TIMEOUT {name}", flush=True)
-                    timeout += 1
+        done = set()
         for line in out.splitlines():
             if line.startswith(("OK", "FAIL")):
                 print(line, flush=True)
+                done.add(line.split()[1])
                 if line.startswith("OK"):
                     ok += 1
                 else:
                     fail += 1
+        missing = [n for n in chunk if n not in done]
+        if missing and rc is None:  # timeout path
+            for name in missing:
+                print(f"TIMEOUT {name}", flush=True)
+                timeout += 1
+            return []
+        if missing:
+            print(
+                f"CHILD EXITED rc={rc} with unaccounted names: {missing}",
+                flush=True,
+            )
+        return missing
+
+    for i in range(0, len(names), chunk_size):
+        lost.extend(run_chunk(names[i: i + chunk_size]))
+    # Second pass: every lost name gets its own fresh child, so one
+    # crashing or pathological name costs exactly itself.
+    for name in lost:
+        still = run_chunk([name])
+        for n in still:
+            print(f"LOST {n} (singleton child died twice)", flush=True)
+            fail += 1
     print(
         f"SWEEP DONE: ok={ok} fail={fail} timeout={timeout} "
         f"skipped={len(SKIP)}",
