@@ -18,6 +18,12 @@ from hbase_hadoop_flightsearch_spark.schemas import TABLE_NAMES
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # DuckDB prints a progress bar to STDOUT (no trailing newline) for
+    # long queries; in the sf0.1 sweep it glued itself onto the child's
+    # "OK <name>" lines and the parent's startswith parse silently
+    # dropped three names (r9). Harness output must stay machine-
+    # parseable, so the bar is off for every oracle connection.
+    con.execute("SET enable_progress_bar = false")
     for name in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {name} AS "

@@ -12,6 +12,7 @@ Usage: python tools/sweep_sf01.py [chunk_size] > sweep.log
 
 from __future__ import annotations
 
+import re
 import subprocess
 import sys
 
@@ -81,10 +82,15 @@ def main() -> None:
             out = raw.decode() if isinstance(raw, bytes) else raw
         done = set()
         for line in out.splitlines():
-            if line.startswith(("OK", "FAIL")):
-                print(line, flush=True)
-                done.add(line.split()[1])
-                if line.startswith("OK"):
+            # match anywhere in the line, not just at the start: DuckDB's
+            # progress bar used to glue "100% ▕...▏ " in front of the
+            # child's OK print (the r9 silent-loss bug — the bar is now
+            # disabled in oracle_utils, this keeps the parse robust)
+            m = re.search(r"\b(OK|FAIL) (\S+)", line)
+            if m:
+                print(line[m.start():], flush=True)
+                done.add(m.group(2))
+                if m.group(1) == "OK":
                     ok += 1
                 else:
                     fail += 1
