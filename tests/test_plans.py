@@ -1337,3 +1337,32 @@ def test_theil_decomposition_identity_within_quantization(
     )
     # tolerance: nano floors over ~1500 terms + ppm share rounding
     assert abs(t_total - t_decomp) < 5e-4, (t_total, t_decomp)
+
+
+def test_holt_winters_plan_contract(spark):
+    """The r9 bench seat's scale posture: the events scan must prune to
+    the two needed columns, daily counts must partial-aggregate before
+    their exchange, the spine/bounds sides must broadcast, and exactly
+    ONE FlatMapGroupsInPandas runs the per-series recursion (the
+    applyInPandas-per-series-key class the seat exists to watch)."""
+    plan = _plan(spark, "ts_holt_winters_additive")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert physical.count("FlatMapGroupsInPandas") == 1
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    assert "BroadcastExchange" in plan  # bounds + daily counts broadcast
+    # column pruning: no events scan may read beyond ts/event_type
+    import re
+
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols <= {"ts", "event_type"}, cols
+
+
+def test_otp_ranking_plan_contract(spark):
+    """The second flights seat must stay the cheap-scan class: one
+    partial-aggregated Exchange on carrier feeding the rank window —
+    no join, no Python stage."""
+    plan = _plan(spark, "flight_otp_ranking")
+    assert "partial_count" in plan
+    assert "Join" not in plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
