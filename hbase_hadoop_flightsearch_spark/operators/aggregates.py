@@ -171,6 +171,7 @@ def agg_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct_customers",
+    flag_oracle=True,
     oracle="""
 SELECT o_orderpriority AS priority,
   COUNT(DISTINCT o_custkey) AS exact_customers,
@@ -316,6 +317,7 @@ def agg_pivot_unpivot_roundtrip(
 
 @register(
     "agg_hll_sketch_union",
+    flag_oracle=True,
     oracle="""
 SELECT c_nationkey, COUNT(DISTINCT c_custkey) AS exact_customers,
   TRUE AS hll_within_5pct
@@ -807,6 +809,7 @@ SLIDING_HOURS = 3  # trailing window width for the sliding distinct count
 
 @register(
     "agg_hll_sliding_distinct",
+    flag_oracle=True,
     oracle=f"""
 WITH pairs AS (
   SELECT DISTINCT date_trunc('hour', ts) AS hour, user_id FROM events

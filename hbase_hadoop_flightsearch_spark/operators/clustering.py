@@ -486,6 +486,7 @@ def pca_top_component(emb: DataFrame) -> dict[str, float]:
 
 @register(
     "ml_pca_top_component",
+    flag_oracle=True,
     oracle=f"""
 WITH q AS (
   SELECT CAST(round(u * {PCA_Q}) AS BIGINT) AS qx

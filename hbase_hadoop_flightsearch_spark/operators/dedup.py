@@ -1718,6 +1718,31 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_TAU = EMB_DEDUP_THRESH  # within-cell semantic-duplicate cosine
 
 
+def _semdedup_greedy_guard_check(vecs, cell_id: int):
+    """Sequential-fold norms for one cell + the zero-norm PRECONDITION
+    (ADVICE r9): a zero-norm embedding has no cosine; numpy's
+    "NaN >= tau" (False -> kept) silently diverges from DuckDB's
+    NaN-sorts-above-all ("mx >= tau" -> removed). Fail loudly instead.
+    (Under the session's ANSI mode the upstream cell-assignment cosine
+    already raises DIVIDE_BY_ZERO; this guard covers non-ANSI
+    deployments where the NaN would flow through to the greedy.)
+    Returns the (n, 1) norm column for normalization."""
+    import numpy as np
+
+    sq = np.asarray(vecs, dtype=np.float64)
+    sq = sq * sq
+    acc = np.zeros(sq.shape[0], dtype=np.float64)
+    for j in range(sq.shape[1]):  # strict left fold over dims
+        acc = acc + sq[:, j]
+    nrm = np.sqrt(acc)[:, None]
+    if not (nrm > 0.0).all():
+        raise ValueError(
+            f"semdedup: zero-norm embedding(s) in cell {cell_id} — "
+            "cosine undefined; drop or repair zero vectors upstream"
+        )
+    return nrm
+
+
 def semdedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector keep/remove decision: assign each embedding to its
     nearest trained coarse centroid (the bounded 32-cell quantizer shared
@@ -1751,22 +1776,35 @@ def semdedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v", F.col("cent_id").alias("cell_id"))
     )
 
+    def _seq_sum_rows(x: "np.ndarray") -> "np.ndarray":
+        # strict 0.0-seeded left fold over the dim axis via an explicit
+        # loop (not np.cumsum — its sequential accumulation is a numpy
+        # internal, not an API guarantee; ADVICE r9). Elementwise adds
+        # over the row axis never reassociate, so this is bit-identical
+        # to DuckDB list_reduce per row.
+        acc = np.zeros(x.shape[:-1], dtype=np.float64)
+        for j in range(x.shape[-1]):
+            acc = acc + x[..., j]
+        return acc
+
     def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         vecs = np.array(list(pdf["v"]), dtype=np.float64)
-        # strict sequential folds (np.cumsum) for norm and dots so the
-        # r9 full value oracle's recursive-CTE replay is bit-identical
-        # (same parity argument as the IVF/PQ trainings)
-        nrm = np.sqrt(np.cumsum(vecs * vecs, axis=1)[:, -1:])
+        # strict sequential folds for norm and dots so the r9 full value
+        # oracle's recursive-CTE replay is bit-identical (same parity
+        # argument as the IVF/PQ trainings)
+        nrm = _semdedup_greedy_guard_check(
+            vecs, cell_id=int(pdf["cell_id"].iloc[0])
+        )
         vecs = vecs / nrm
         ids = pdf["vec_id"].to_numpy()
         kept_rows: list[int] = []
         out = []
         for i in range(len(pdf)):
             if kept_rows:
-                cos = np.cumsum(
-                    vecs[kept_rows] * vecs[i][None, :], axis=1
-                )[:, -1]
+                cos = _seq_sum_rows(
+                    vecs[kept_rows] * vecs[i][None, :]
+                )
                 j = int(cos.argmax())
                 if cos[j] >= SEMDEDUP_TAU:
                     out.append(

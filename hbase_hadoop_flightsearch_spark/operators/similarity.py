@@ -143,9 +143,9 @@ def _ivf_centroids(spark: SparkSession, emb: DataFrame) -> DataFrame:
     independent of corpus size. Returns a (cent_id, cv) DataFrame small
     enough that every use broadcasts it.
 
-    Every reduction is a STRICT LEFT-TO-RIGHT sequential fold (np.cumsum,
-    which accumulates sequentially — pinned by
-    test_cumsum_is_sequential_fold) so DuckDB's first-element-seeded
+    Every reduction is a STRICT LEFT-TO-RIGHT sequential fold (an
+    explicit loop fold, _seq_sum — pinned by
+    test_seq_sum_is_sequential_fold) so DuckDB's first-element-seeded
     ``list_reduce`` replays the training bit-for-bit and the registry
     oracle can re-derive the centroids from the table instead of trusting
     a flag (r8 verdict #4: the same determinism that let ann-lsh embed
@@ -159,14 +159,14 @@ def _ivf_centroids(spark: SparkSession, emb: DataFrame) -> DataFrame:
     for _ in range(IVF_TRAIN_ITERS):
         diff = mat[:, None, :] - cents[None, :, :]
         # sequential fold over dims == list_reduce over the per-dim terms
-        d2 = np.cumsum(diff * diff, axis=2)[:, :, -1]
+        d2 = _seq_sum(diff * diff, axis=2)
         assign = d2.argmin(axis=1)  # first-min == ORDER BY d2, cent_id
         for k in range(IVF_N_CELLS):
             members = mat[assign == k]  # boolean mask keeps vec_id order
             if len(members):  # empty cells keep their old centroid
                 # sequential per-dim sum in vec_id order, then divide —
                 # matches list_reduce(list(v ORDER BY vec_id)) / count
-                cents[k] = np.cumsum(members, axis=0)[-1] / float(
+                cents[k] = _seq_sum(members, axis=0) / float(
                     len(members)
                 )
     return spark.createDataFrame(
@@ -587,10 +587,10 @@ def _ivf_oracle() -> str:
     then replays home-cell assignment, the nprobe-cell query probing,
     the candidate join and the exact cosine re-rank. Neighbor
     lists become hash-checked values instead of a recall flag. Fold-order
-    parity: Spark's F.aggregate / driver-side np.cumsum and DuckDB's
-    list_reduce are all strict left folds (0.0-seeded vs first-element-
-    seeded folds agree because 0.0 + x == x in IEEE 754); pinned by
-    test_cumsum_is_sequential_fold and test_listreduce_fold_parity."""
+    parity: Spark's F.aggregate / the driver-side _seq_sum loop fold and
+    DuckDB's list_reduce are all strict left folds (0.0-seeded vs first-
+    element-seeded folds agree because 0.0 + x == x in IEEE 754); pinned
+    by test_seq_sum_is_sequential_fold and test_listreduce_fold_parity."""
     cos = (
         "list_reduce(list_transform(range(1, 65), i -> qe.v[i] * ce.v[i]),"
         " (a, b) -> a + b)"
@@ -982,13 +982,24 @@ PQ_TRAIN_ITERS = 8     # Lloyd iterations per subspace
 
 
 def _seq_sum(x, axis=-1):
-    """Strict left-to-right sequential sum along ``axis`` (np.cumsum's
-    accumulation order — pinned by test_cumsum_is_sequential_fold), so
-    every reduction in the PQ path is bit-identical to DuckDB's
-    list_reduce replay in the full value oracles (r9)."""
+    """Strict left-to-right sequential sum along ``axis`` via an explicit
+    0.0-seeded Python loop fold, so every reduction in the IVF/PQ/IVFPQ
+    trainings is bit-identical to DuckDB's list_reduce replay in the full
+    value oracles (r9) WITHOUT leaning on np.cumsum's internal
+    accumulation order — a numpy implementation detail, not an API
+    guarantee (ADVICE r9). Parity: 0.0 + x == x exactly in IEEE 754, so
+    the 0-seeded fold equals list_reduce's first-element-seeded fold
+    (pinned by test_seq_sum_is_sequential_fold /
+    test_listreduce_fold_parity); the adds are elementwise over the
+    remaining axes, so numpy never reassociates them."""
     import numpy as np
 
-    return np.cumsum(x, axis=axis).take(-1, axis=axis)
+    x = np.asarray(x, dtype=np.float64)
+    xm = np.moveaxis(x, axis, -1)
+    acc = np.zeros(xm.shape[:-1], dtype=np.float64)
+    for j in range(xm.shape[-1]):
+        acc = acc + xm[..., j]
+    return acc
 
 
 def _pq_codebook(emb: DataFrame):
@@ -1024,7 +1035,7 @@ def _pq_codebook(emb: DataFrame):
             for k in range(PQ_KS):
                 members = xm[assign == k]  # mask keeps vec_id order
                 if len(members):  # empty cells keep their old codeword
-                    cents[k] = np.cumsum(members, axis=0)[-1] / float(
+                    cents[k] = _seq_sum(members, axis=0) / float(
                         len(members)
                     )
         books.append(cents)

@@ -612,6 +612,7 @@ HLL_INTER_TOL = 0.05  # inclusion-exclusion tolerance vs exact (each HLL
 
 @register(
     "sketch_hll_intersection",
+    flag_oracle=True,
     oracle="""
 WITH ua AS (
   SELECT DISTINCT event_type, user_id FROM events

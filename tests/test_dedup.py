@@ -508,3 +508,39 @@ def test_semdedup_matches_sequential_reference(spark, sf_smoke):
         if not r.kept:
             assert r.witness_id < r.vec_id
             assert r.witness_cos_micro >= int(SEMDEDUP_TAU * 1000000)
+
+
+def test_semdedup_zero_norm_embedding_fails_loudly(spark, tmp_path):
+    """PRECONDITION test (ADVICE r9): a zero-norm embedding has no
+    cosine; numpy's "NaN >= tau" (False -> kept) and DuckDB's NaN-sorts-
+    highest ("mx >= tau" -> removed) would silently diverge. The pipeline
+    must refuse loudly instead: under ANSI mode the cell-assignment
+    cosine raises DIVIDE_BY_ZERO before the greedy even runs, and the
+    in-cell greedy carries its own zero-norm ValueError as a second line
+    of defense (for non-ANSI deployments where the NaN flows through)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from hbase_hadoop_flightsearch_spark.operators.dedup import (
+        semdedup_decisions,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = [rng.normal(size=64).tolist() for _ in range(40)]
+    vecs[17] = [0.0] * 64  # the poisoned row
+    pd.DataFrame(
+        {"vec_id": list(range(40)), "embedding": vecs}
+    ).to_parquet(tmp_path / "embeddings.parquet", index=False)
+    with pytest.raises(Exception, match="zero-norm|DIVIDE_BY_ZERO"):
+        semdedup_decisions(spark, str(tmp_path)).collect()
+
+    # ... and the greedy's own guard (second line of defense) directly:
+    from hbase_hadoop_flightsearch_spark.operators.dedup import (
+        _semdedup_greedy_guard_check,
+    )
+
+    with pytest.raises(ValueError, match="zero-norm"):
+        _semdedup_greedy_guard_check(
+            np.array([[0.0, 0.0], [1.0, 0.0]]), cell_id=3
+        )

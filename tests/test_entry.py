@@ -254,3 +254,37 @@ def test_frozen_manifests_are_subsets_of_live_registry():
     for i, tier in enumerate(tiers):
         missing = tier - reg
         assert not missing, f"manifest tier {i} names not in registry: {sorted(missing)[:5]}"
+
+
+def test_seen_tier_rotation_varies_with_seed():
+    """VERDICT r9 #3: after the r10 drain, prefix slots fall to
+    already-green names again for the first time since r6, and the
+    seed-rotated interleave must sweep DIFFERENT greens each round —
+    otherwise 341 old greens wait forever for a recheck. With every name
+    checked (the post-drain regime), consecutive round seeds (10 vs 11)
+    must produce prefixes that differ in MEMBERSHIP, not just order."""
+    allq = _synthetic_pool()  # 120 names, 6 families
+    names = {q.name for q in allq}
+    prefixes = {}
+    for seed in (10, 11):
+        order = entrymod._ordered_queries(allq, names, set(), set(), seed)
+        got = [q.name for q in order]
+        assert sorted(got) == sorted(q.name for q in allq)
+        prefixes[seed] = got[:50]
+    assert set(prefixes[10]) != set(prefixes[11]), (
+        "seen-tier prefix membership did not rotate between seeds 10/11"
+    )
+    # Rotation must also hold round-over-round for MANY consecutive seeds
+    # (a rotation that only varies at some seeds still starves greens).
+    seen_sets = [
+        frozenset(
+            q.name
+            for q in entrymod._ordered_queries(
+                allq, names, set(), set(), seed
+            )[:50]
+        )
+        for seed in range(9, 16)
+    ]
+    assert len(set(seen_sets)) == len(seen_sets), (
+        "two consecutive-round prefixes selected identical green sets"
+    )

@@ -907,16 +907,22 @@ def test_hill_estimator_tracks_true_pareto_exponent(spark, alpha10):
 )
 def test_cumsum_sequential_fold_property(vals):
     """Property form of the fold-parity pin that five r9 full value
-    oracles rest on (IVF/PQ/IVFPQ/SemDeDup/quantile-digest): np.cumsum's
-    last element must equal the strict left-to-right Python fold for
-    ANY float64 contents — magnitudes mixed by hypothesis, where a
-    pairwise/blocked summation would diverge."""
+    oracles rest on (IVF/PQ/IVFPQ/SemDeDup/quantile-digest): the
+    engine's _seq_sum (an explicit 0.0-seeded loop fold since r10 —
+    ADVICE r9 removed the np.cumsum-internals dependency) must equal
+    the strict left-to-right Python scalar fold for ANY float64
+    contents — magnitudes mixed by hypothesis, where a pairwise/blocked
+    summation would diverge."""
     import numpy as np
+
+    from hbase_hadoop_flightsearch_spark.operators.similarity import (
+        _seq_sum,
+    )
 
     s = 0.0
     for x in vals:
         s = s + x
-    assert float(np.cumsum(np.array(vals, dtype=np.float64))[-1]) == s
+    assert float(_seq_sum(np.array(vals, dtype=np.float64))) == s
 
 
 @settings(max_examples=30, deadline=None)

@@ -281,15 +281,20 @@ def test_lsh_signature_cross_engine_sign_parity(spark, sf_correctness):
     assert got == {k: list(v) for k, v in want.items()}
 
 
-def test_cumsum_is_sequential_fold():
-    """The r9 full-value IVF oracle rests on np.cumsum accumulating as a
-    strict left-to-right sequential fold (so driver-side Lloyd training
-    is bit-identical to DuckDB's list_reduce replay). Pin that numpy
-    implementation detail with magnitude-diverse operands where pairwise
-    summation WOULD diverge."""
+def test_seq_sum_is_sequential_fold():
+    """The r9 full-value IVF/PQ oracles rest on every driver-side
+    reduction being a strict left-to-right 0.0-seeded sequential fold
+    (so Lloyd training is bit-identical to DuckDB's list_reduce replay).
+    _seq_sum is now an explicit loop fold (ADVICE r9 — no dependency on
+    np.cumsum internals); pin that it equals the scalar fold on
+    magnitude-diverse operands where pairwise summation WOULD diverge."""
     import random
 
     import numpy as np
+
+    from hbase_hadoop_flightsearch_spark.operators.similarity import (
+        _seq_sum,
+    )
 
     rng = random.Random(0x17F)
     for _ in range(50):
@@ -302,7 +307,7 @@ def test_cumsum_is_sequential_fold():
         s = 0.0
         for x in vals:
             s = s + x
-        assert float(np.cumsum(arr)[-1]) == s
+        assert float(_seq_sum(arr)) == s
     # the 2-D axis forms _ivf_centroids actually uses
     m = np.array(
         [[rng.uniform(-1, 1) * 10.0 ** rng.randint(-3, 3) for _ in range(8)]
@@ -312,11 +317,11 @@ def test_cumsum_is_sequential_fold():
         s = 0.0
         for x in row.tolist():
             s = s + x
-        assert float(np.cumsum(row)[-1]) == s
+        assert float(_seq_sum(row)) == s
     col_seq = [0.0] * 8
     for row in m.tolist():
         col_seq = [a + b for a, b in zip(col_seq, row)]
-    assert [float(v) for v in np.cumsum(m, axis=0)[-1]] == col_seq
+    assert [float(v) for v in _seq_sum(m, axis=0)] == col_seq
 
 
 def test_listreduce_fold_parity():

@@ -87,7 +87,10 @@ def main() -> None:
             # child's OK print (the r9 silent-loss bug — the bar is now
             # disabled in oracle_utils, this keeps the parse robust)
             m = re.search(r"\b(OK|FAIL) (\S+)", line)
-            if m:
+            # require the captured token to be a name of THIS chunk, so a
+            # stray log/exception line containing "OK <word>" mid-text
+            # cannot mark a crashed name as accounted (ADVICE r9)
+            if m and m.group(2) in chunk:
                 print(line[m.start():], flush=True)
                 done.add(m.group(2))
                 if m.group(1) == "OK":
