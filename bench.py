@@ -24,13 +24,35 @@ from hbase_hadoop_flightsearch_spark.plans.registry import load_all
 from hbase_hadoop_flightsearch_spark.session import get_spark
 
 
+# Per-seat conf pins for the TIMED runs only (VERDICT r9 #5): the
+# connection seat's banded SortMergeJoin was re-planned by AQE partition
+# coalescing every run, giving a 1.2-2.3 s spread on identical code — a
+# noise band wider than the 2x regression bar is worth. With coalescing
+# pinned off for this seat the measured spread is 1.38-1.53 s (+-5%,
+# median unchanged), so the seat regains regression-detection value.
+# Correctness never depends on these knobs (the whole corpus is swept
+# with AQE fully off — SCALE.md robustness sweeps).
+PINNED_CONFS: dict[str, dict[str, str]] = {
+    "flight_connection_search": {
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    },
+}
+
+
 def time_query(spark, q, sf_dir: str, runs: int) -> float:
-    samples = []
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        samples.append(time.perf_counter() - t0)
-    return statistics.median(samples)
+    pins = PINNED_CONFS.get(q.name, {})
+    for k, v in pins.items():
+        spark.conf.set(k, v)
+    try:
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        return statistics.median(samples)
+    finally:
+        for k in pins:
+            spark.conf.unset(k)
 
 
 def main() -> None:

@@ -413,7 +413,126 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PCA via power iteration — the representative *linear-algebra* iterative job
 # ---------------------------------------------------------------------------
 
-PCA_Q = 1 << 15  # quantization scale for the integer-exact oracle anchor
+PCA_Q = 1 << 12  # quantization scale (power of 2: exact double scaling)
+PCA_SWEEPS = 8  # fixed cyclic sweep count — the DEFINED output, replayable
+PCA_DIM = 64
+
+
+def _pca_quant_gram(emb: DataFrame) -> tuple[list, list, int]:
+    """Distributed EXACT integer Gram of the half-up-quantized embedding
+    matrix: one mapInPandas scan emits per-batch int64 partials
+    [n, sums(d), G(d*d)] (same shape as gram_stats), summed exactly as
+    BIGINTs by a posexplode + groupBy aggregate. floor(u*Q + 0.5) is the
+    engine-UNAMBIGUOUS half-up rounding (np.round's half-to-even vs SQL
+    round's half-away diverge on exact .5 — observed on a real fixture
+    value 0.1983642578125 * 4096 == 812.5).
+
+    Overflow budget (int64): |qx| <= ~2^16 at Q=2^12, so G entries stay
+    under 2^32 * n and n*G - s*s under ~2^63 through n ~ 10^7 vectors;
+    beyond that promote the accumulators to DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) — the construction is unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    d = PCA_DIM
+    schema = "part array<long>"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            qx = np.floor(X * PCA_Q + 0.5).astype(np.int64)
+            part = np.concatenate(
+                [[len(qx)], qx.sum(axis=0), (qx.T @ qx).ravel()]
+            )
+            yield pd.DataFrame([{"part": part.tolist()}])
+
+    rows = (
+        emb.mapInPandas(gen, schema)
+        .select(F.posexplode("part").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("x"))
+        .collect()
+    )
+    flat = [0] * (1 + d + d * d)
+    for r in rows:
+        flat[r["i"]] = int(r["x"])
+    return flat[1 + d:], flat[1: 1 + d], flat[0]
+
+
+def _pca_partner_list(r: int) -> list[int]:
+    """Round-robin (circle method) perfect matching for round r of 63:
+    index 63 is the fixed player; the rest pair by (2r - i) mod 63.
+    32 DISJOINT pivot pairs per round; 63 rounds cover all C(64,2)
+    pairs — the classic parallel-ordered Jacobi schedule (Brent/Luk)."""
+    pl = [0] * 64
+    for i in range(64):
+        if i == 63:
+            pl[i] = r
+        elif i == r:
+            pl[i] = 63
+        else:
+            pl[i] = (126 + 2 * r - i) % 63
+    return pl
+
+
+def _pca_parallel_jacobi(A_int, sweeps: int = PCA_SWEEPS):
+    """Fixed-sweep PARALLEL-ORDERED cyclic Jacobi eigensolve (VERDICT r9
+    #6): each of the 63 rounds per sweep applies 32 disjoint rotations
+    as ONE two-phase elementwise update (B = J^T A, then A' = B J), so
+    the whole solve is sweeps*63 deterministic dense steps — exactly
+    replayable as a DuckDB recursive CTE (one iteration per step, the
+    matrix as a flat 4096-double list). Every operation is +,-,*,/ and
+    sqrt — all IEEE-754 correctly rounded, so with identical expression
+    order the replay is BIT-IDENTICAL (verified at sf0.001/0.01/0.1).
+    Angles use the standard tangent form t = sgn(th)/(|th|+sqrt(th^2+1))
+    — no trig calls, whose libm results would NOT be cross-engine
+    stable. numpy here does only ELEMENTWISE arithmetic (never a
+    reduction), which cannot reassociate, so vectorization preserves
+    bit-parity with the scalar SQL lambdas; angle scalars use math.sqrt
+    (= C sqrt, correctly rounded; ** 0.5 is pow and is NOT)."""
+    import math
+
+    import numpy as np
+
+    A = np.array(A_int, dtype=np.float64).reshape(PCA_DIM, PCA_DIM)
+    idx = np.arange(PCA_DIM)
+    for it in range(sweeps * 63):
+        pl = _pca_partner_list(it % 63)
+        cl, sl = [0.0] * 64, [0.0] * 64
+        for i in range(64):
+            pi = pl[i]
+            p, q = (i, pi) if i < pi else (pi, i)
+            app = float(A[p, p])
+            apq = float(A[p, q])
+            aqq = float(A[q, q])
+            if apq == 0.0:
+                c, s_ = 1.0, 0.0
+            else:
+                theta = (aqq - app) / (2.0 * apq)
+                if theta >= 0.0:
+                    t = 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+                else:
+                    t = -1.0 / (-theta + math.sqrt(theta * theta + 1.0))
+                c = 1.0 / math.sqrt(t * t + 1.0)
+                s_ = t * c
+            cl[i], sl[i] = c, s_
+        C = np.array(cl)
+        S = np.array(sl)
+        P = np.array(pl)
+        isp = idx < P
+        B = np.where(
+            isp[:, None],
+            C[:, None] * A - S[:, None] * A[P],
+            S[:, None] * A[P] + C[:, None] * A,
+        )
+        A = np.where(
+            isp[None, :],
+            C[None, :] * B - S[None, :] * B[:, P],
+            S[None, :] * B[:, P] + C[None, :] * B,
+        )
+    return A
 
 
 def gram_stats(emb: DataFrame) -> tuple[np.ndarray, np.ndarray, int]:
@@ -484,54 +603,212 @@ def pca_top_component(emb: DataFrame) -> dict[str, float]:
     }
 
 
+def _pca_oracle() -> str:
+    """FULL value oracle (r10, closing VERDICT r9 #6 — the last non-HLL
+    flag): DuckDB re-derives the EXACT integer scatter matrix
+    A = n*G - s*s^T from the table (half-up quantization, HUGEINT sums,
+    one correctly-rounded cast to DOUBLE), then replays the fixed
+    8-sweep parallel-ordered Jacobi as a recursive CTE — one iteration
+    per 32-rotation round, the matrix riding as a flat 4096-double list,
+    each round staged as hoisted CTEs (schedule -> pivots -> theta -> t
+    -> c -> s -> row phase -> column phase). All arithmetic is
+    +,-,*,/,sqrt in the same expression order as the Spark driver's
+    numpy twin, so the final matrix is BIT-IDENTICAL (verified at
+    sf0.001/0.01/0.1) and the eigenvalues are hash-checked VALUES."""
+    iters = PCA_SWEEPS * 63
+    q2 = PCA_Q * PCA_Q
+    return f"""
+WITH RECURSIVE
+e AS (
+  SELECT list_transform(embedding,
+                        u -> CAST(floor(u * {PCA_Q} + 0.5) AS BIGINT)) AS qx
+  FROM embeddings
+),
+nrow AS (SELECT COUNT(*) AS n FROM e),
+gsum AS (
+  SELECT i, j, SUM(qx[i + 1] * qx[j + 1]) AS g
+  FROM e, range(0, 64) ii(i), range(0, 64) jj(j)
+  GROUP BY i, j
+),
+csum AS (
+  SELECT i, SUM(qx[i + 1]) AS s FROM e, range(0, 64) ii(i) GROUP BY i
+),
+a0 AS (
+  SELECT list(CAST(n.n * g.g - ci.s * cj.s AS DOUBLE)
+              ORDER BY g.i * 64 + g.j) AS m
+  FROM gsum g
+  JOIN csum ci ON ci.i = g.i
+  JOIN csum cj ON cj.i = g.j
+  CROSS JOIN nrow n
+),
+trq AS (
+  SELECT CAST(SUM(n.n * g.g - ci.s * ci.s) AS BIGINT) AS v
+  FROM gsum g JOIN csum ci ON ci.i = g.i CROSS JOIN nrow n
+  WHERE g.i = g.j
+),
+ssq AS (
+  SELECT CAST(SUM(qx[i + 1] * qx[i + 1]) AS BIGINT) AS v
+  FROM e, range(0, 64) ii(i)
+),
+jac AS (
+  SELECT 0 AS it, m FROM a0
+  UNION ALL
+  SELECT jac.it + 1,
+    (WITH
+     h AS (SELECT jac.it AS oit, jac.m AS om),
+     sch AS (
+       SELECT om,
+         list_transform(range(0, 64), i ->
+                CASE WHEN i = 63 THEN oit % 63
+                     WHEN i = oit % 63 THEN 63
+                     ELSE (126 + 2 * (oit % 63) - i) % 63 END) AS pl
+       FROM h
+     ),
+     piv AS (
+       SELECT om, pl,
+         list_transform(range(0, 64), i ->
+           om[least(i, pl[i + 1]) * 65 + 1]) AS appl,
+         list_transform(range(0, 64), i ->
+           om[least(i, pl[i + 1]) * 64 + greatest(i, pl[i + 1]) + 1]) AS apql,
+         list_transform(range(0, 64), i ->
+           om[greatest(i, pl[i + 1]) * 65 + 1]) AS aqql
+       FROM sch
+     ),
+     th AS (
+       SELECT om, pl,
+         list_transform(range(0, 64), i -> apql[i + 1] = 0.0) AS zl,
+         list_transform(range(0, 64), i -> CASE WHEN apql[i + 1] = 0.0
+           THEN 0.0
+           ELSE (aqql[i + 1] - appl[i + 1]) / (2.0 * apql[i + 1]) END) AS thl
+       FROM piv
+     ),
+     tt AS (
+       SELECT om, pl, zl,
+         list_transform(range(0, 64), i -> CASE
+           WHEN zl[i + 1] THEN 0.0
+           WHEN thl[i + 1] >= 0.0
+             THEN 1.0 / (thl[i + 1] + sqrt(thl[i + 1] * thl[i + 1] + 1.0))
+           ELSE -1.0 / (-thl[i + 1] + sqrt(thl[i + 1] * thl[i + 1] + 1.0))
+           END) AS tl
+       FROM th
+     ),
+     cs AS (
+       SELECT om, pl, tl,
+         list_transform(range(0, 64), i -> CASE WHEN zl[i + 1] THEN 1.0
+           ELSE 1.0 / sqrt(tl[i + 1] * tl[i + 1] + 1.0) END) AS cl
+       FROM tt
+     ),
+     cs2 AS (
+       SELECT om, pl, cl,
+         list_transform(range(0, 64), i -> tl[i + 1] * cl[i + 1]) AS sl
+       FROM cs
+     ),
+     bb AS (
+       SELECT pl, cl, sl,
+         list_transform(range(0, 4096), k -> CASE
+           WHEN (k // 64) < pl[(k // 64) + 1]
+           THEN cl[(k // 64) + 1] * om[k + 1]
+                - sl[(k // 64) + 1] * om[pl[(k // 64) + 1] * 64 + (k % 64) + 1]
+           ELSE sl[(k // 64) + 1] * om[pl[(k // 64) + 1] * 64 + (k % 64) + 1]
+                + cl[(k // 64) + 1] * om[k + 1]
+           END) AS bm
+       FROM cs2
+     ),
+     st3 AS (
+       SELECT list_transform(range(0, 4096), k -> CASE
+           WHEN (k % 64) < pl[(k % 64) + 1]
+           THEN cl[(k % 64) + 1] * bm[k + 1]
+                - sl[(k % 64) + 1] * bm[(k // 64) * 64 + pl[(k % 64) + 1] + 1]
+           ELSE sl[(k % 64) + 1] * bm[(k // 64) * 64 + pl[(k % 64) + 1] + 1]
+                + cl[(k % 64) + 1] * bm[k + 1]
+           END) AS nm
+       FROM bb
+     )
+     SELECT nm FROM st3) AS m
+  FROM jac
+  WHERE jac.it < {iters}
+),
+diag AS (
+  SELECT list_sort(list_transform(range(0, 64), i -> m[i * 65 + 1]),
+                   'DESC') AS dg
+  FROM jac WHERE it = {iters}
+)
+SELECT CAST(nrow.n AS BIGINT) AS n_vectors,
+       ssq.v AS ssq_q,
+       trq.v AS trace_q,
+       dg[1] / CAST(nrow.n * (nrow.n - 1) * {q2} AS DOUBLE) AS top_eig_cov,
+       dg[2] / CAST(nrow.n * (nrow.n - 1) * {q2} AS DOUBLE)
+         AS second_eig_cov,
+       dg[1] / CAST(trq.v AS DOUBLE) AS explained_ratio
+FROM diag, nrow, ssq, trq
+"""
+
+
 @register(
     "ml_pca_top_component",
-    flag_oracle=True,
-    oracle=f"""
-WITH q AS (
-  SELECT CAST(round(u * {PCA_Q}) AS BIGINT) AS qx
-  FROM (SELECT unnest(embedding) AS u FROM embeddings)
-)
-SELECT (SELECT COUNT(*) FROM embeddings) AS n_vectors,
-       (SELECT CAST(SUM(qx * qx) AS BIGINT) FROM q) AS ssq_q,
-       TRUE AS eig_positive,
-       TRUE AS rayleigh_ok,
-       TRUE AS residual_ok,
-       TRUE AS explained_in_01
-""",
-    doc="PCA top principal component (E11 extension): one mapInPandas "
-    "scan accumulates the d x d Gram + column sums as per-batch partials "
-    "(O(d^2) scalars shuffle and reach the driver — the distributed "
-    "linear-algebra pattern of MLlib RowMatrix); the d x d eigensolve "
-    "runs driver-side. Bound-flag oracle: an integer-exact quantized "
-    "sum-of-squares anchors the query to the data value-exactly, plus "
-    "eigen-invariant flags (lambda > 0, Rayleigh agreement 1e-9, "
-    "residual <= 1e-8*trace, explained ratio in (0,1]); NumPy "
-    "full-matrix agreement is pinned in tests/test_clustering.py.",
+    oracle=_pca_oracle(),
+    doc="PCA top principal components (E11 extension) — FULL VALUE "
+    "oracle as of r10 (the r9 lesson applied once more: make the "
+    "artifact deterministic, then replay it). One distributed "
+    "mapInPandas scan folds the corpus into the EXACT integer scatter "
+    "matrix A = n*G - s*s^T of the half-up-quantized embeddings "
+    "(floor(u*2^12 + 0.5) — half-up because np.round's half-to-even "
+    "and SQL round's half-away disagree on exact .5, observed on a "
+    "real fixture value); the d x d eigensolve is a FIXED-8-SWEEP "
+    "parallel-ordered cyclic Jacobi (round-robin schedule, 32 disjoint "
+    "rotations per round applied as one two-phase elementwise update, "
+    "tangent-form angles — no libm trig), run driver-side on the "
+    "O(d^2) collected artifact exactly like the k-means trainings. "
+    "Every operation is IEEE correctly-rounded (+,-,*,/,sqrt), so the "
+    "DuckDB oracle's 504-iteration recursive-CTE replay reproduces the "
+    "final matrix BIT-FOR-BIT and the top/second eigenvalues and "
+    "explained ratio are hash-checked VALUES (verified bit-exact at "
+    "sf0.001/0.01/0.1). Convergence to the true spectrum (the quantity "
+    "the fixed sweep count must earn) is pinned separately in "
+    "tests/test_clustering.py: 8 sweeps leave the sorted diagonal "
+    "within ~1e-15 relative of numpy eigh on these near-isotropic "
+    "fixtures (power iteration was measured unusable here — eigen-gap "
+    "1.013). The float eigh library path (gram_stats/"
+    "pca_top_component) remains the production API for consumers who "
+    "want raw-float PCA. Scale: the scan shuffles O(d^2) int64 "
+    "scalars per batch; the eigensolve cost is d^3-ish on CONSTANTS — "
+    "independent of corpus size; int64 accumulators hold to ~10^7 "
+    "vectors at Q=2^12, beyond which they promote to DECIMAL(38,0)/"
+    "HUGEINT unchanged.",
 )
 def ml_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
     emb = _embeddings(spark, sf_dir)
-    stats = pca_top_component(emb)
-    # Integer-exact anchor computed IN-QUERY (not from the float Gram):
-    # quantize each component identically to the oracle and sum squares.
+    G, sums, n = _pca_quant_gram(emb)
+    d = PCA_DIM
+    A0 = [
+        n * G[i * d + j] - sums[i] * sums[j]
+        for i in range(d)
+        for j in range(d)
+    ]  # exact Python-int scatter matrix
+    trace_q = sum(n * G[i * d + i] - sums[i] * sums[i] for i in range(d))
+    Af = _pca_parallel_jacobi(A0)
+    dg = np.sort(np.diag(Af))[::-1]
+    denom = float(n * (n - 1) * PCA_Q * PCA_Q)
+    top, second = float(dg[0]), float(dg[1])
+    # ssq anchor computed IN-QUERY (distributed), like the r9 shape
     ssq = (
         emb.select(F.posexplode("v").alias("dim", "u"))
-        .select(F.round(F.col("u") * PCA_Q, 0).cast("bigint").alias("qx"))
+        .select(
+            F.expr(
+                f"CAST(floor(u * {PCA_Q} + 0.5) AS BIGINT)"
+            ).alias("qx")
+        )
         .agg(F.sum(F.col("qx") * F.col("qx")).alias("ssq_q"))
     )
-    lam, ray, res, tr = (
-        stats["eigenvalue"],
-        stats["rayleigh"],
-        stats["residual"],
-        stats["trace"],
-    )
     return ssq.select(
-        F.lit(stats["n_vectors"]).cast("bigint").alias("n_vectors"),
-        F.col("ssq_q"),
-        F.lit(lam > 0).alias("eig_positive"),
-        F.lit(abs(ray - lam) <= 1e-9 * max(tr, 1e-12)).alias("rayleigh_ok"),
-        F.lit(res <= 1e-8 * max(tr, 1e-12)).alias("residual_ok"),
-        F.lit(0.0 < lam / tr <= 1.0).alias("explained_in_01"),
+        F.lit(n).cast("bigint").alias("n_vectors"),
+        F.col("ssq_q").cast("bigint").alias("ssq_q"),
+        F.lit(trace_q).cast("bigint").alias("trace_q"),
+        F.lit(top / denom).alias("top_eig_cov"),
+        F.lit(second / denom).alias("second_eig_cov"),
+        F.lit(top / float(trace_q)).alias("explained_ratio"),
     )
 
 

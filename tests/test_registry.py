@@ -8,13 +8,14 @@ from hbase_hadoop_flightsearch_spark.plans.registry import load_all
 
 # The documented invariant-flag list (COVERAGE.md): the only oracles that
 # carry self-asserted `TRUE AS ...` booleans because no exact SQL twin
-# exists (engine-private HLL register hashes; the dense eigensolve until
-# its r10 conversion attempt).
+# exists — all four wrap Spark/DataSketches HLL register internals
+# (engine-private hash functions DuckDB cannot reproduce; a real
+# boundary). ml_pca_top_component left the list in r10: its fixed-sweep
+# parallel Jacobi replays bit-exactly as a recursive CTE.
 DOCUMENTED_FLAG_ORACLES = {
     "agg_approx_distinct_customers",
     "agg_hll_sketch_union",
     "agg_hll_sliding_distinct",
-    "ml_pca_top_component",
     "sketch_hll_intersection",
 }
 
