@@ -67,6 +67,21 @@ def main() -> None:
     # during the run means the timings are contended).
     load_before = os.getloadavg()[0]
 
+    def _cpu_ticks() -> tuple[int, int]:
+        """(busy, steal) jiffies from /proc/stat. Guest loadavg is blind
+        to HOST contention: on 2026-08-15 a quiet guest (loadavg 0.3)
+        measured 20% of busy cycles stolen by the hypervisor and every
+        seat read 20-40% over its pin with the PIN-ERA CODE (interleaved
+        A/B) — steal share is the indicator that adjudicates such a day
+        from the artifact alone."""
+        try:
+            v = list(map(int, open("/proc/stat").readline().split()[1:]))
+            return v[0] + v[2], v[7]
+        except (OSError, ValueError, IndexError):
+            return 0, 0
+
+    busy0, steal0 = _cpu_ticks()
+
     spark = get_spark(app_name="bench")
     registry = load_all()
     headline = [q for q in registry.values() if q.headline]
@@ -99,6 +114,9 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     load_after = os.getloadavg()[0]
+    busy1, steal1 = _cpu_ticks()
+    db, ds = busy1 - busy0, steal1 - steal0
+    steal_pct_busy = round(100.0 * ds / (db + ds), 2) if (db + ds) else 0.0
     print(
         json.dumps(
             {
@@ -110,6 +128,7 @@ def main() -> None:
                 "loadavg_1m_before": round(load_before, 2),
                 "loadavg_1m_after": round(load_after, 2),
                 "n_cpus": os.cpu_count(),
+                "steal_pct_busy": steal_pct_busy,
                 "loaded_box_medians": sorted(PY_STAGE)
                 if loaded_box
                 else [],
