@@ -1157,14 +1157,39 @@ ORDER BY d1, d2
     "replays hash + all-pairs in SQL from the pixel law.",
 )
 def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 rewrite after the first measured SUPERLINEAR seat (the 5x
+    scale-slope sweep read 28.9x wall growth at 5x docs): the old plan
+    band-joined at DOC granularity and .distinct()-ed the candidate set,
+    so duplicate-heavy corpora — the NORMAL case for image dedup — paid
+    a quadratic shuffle (270M candidate rows at 25k docs, one 7.2k-doc
+    band bucket). The scale-safe shape is DISTINCT-HASH COMPRESSION:
+
+      1. one decode scan -> (doc_id, ahash), localCheckpoint;
+      2. the pigeonhole band join runs over DISTINCT hashes only
+         (3.2k uniques vs 25k docs on the 5x corpus: 2.7M cheap
+         candidates instead of 270M);
+      3. duplicate candidates are eliminated by the FIRST-EQUAL-BAND
+         rule — keep the join row only where band = the lowest b with
+         byte b of (h1 XOR h2) zero — an exact, shuffle-free dedup
+         (no .distinct() anywhere);
+      4. the hamming filter runs on hash pairs BEFORE any doc-level
+         work, so only qualifying pairs (124k of 2.7M) expand;
+      5. two output-sized joins fan qualifying hash pairs back out to
+         doc pairs, plus the trivial same-hash within-group pairs.
+
+    Candidate work now scales with DISTINCT-hash diversity (duplicate
+    mass compresses away); the doc-level stages are output-bound, which
+    is the floor any exact pair-listing pays. Pigeonhole losslessness
+    (hamming <= PHASH_HAM_T over PHASH_BANDS bands -> >= 1 equal band)
+    is unchanged and stays proven vs brute force in tests."""
     from ..functions.multimodal import BMP_H_MOD, BMP_W_MOD  # noqa: F401
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     hashes = docs.mapInPandas(
         _phash_batches, schema="doc_id bigint, ahash bigint"
-    ).localCheckpoint(eager=True)  # decode scan runs once, feeds 8 bands
-    bands = hashes.select(
-        "doc_id",
+    ).localCheckpoint(eager=True)  # decode scan runs once, feeds all stages
+    uniq = hashes.groupBy("ahash").agg(F.count(F.lit(1)).alias("mult"))
+    ubands = uniq.select(
         "ahash",
         F.explode(
             F.array(
@@ -1179,31 +1204,60 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bv"),
-    ).select("doc_id", "ahash", "bv.band", "bv.val")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
+    ).select("ahash", "bv.band", "bv.val")
+    a = ubands.alias("a")
+    b = ubands.alias("b")
+    first_eq = "CASE " + " ".join(
+        f"WHEN ((h1 ^ h2) >> {8 * bb}) & 255 = 0 THEN {bb}"
+        for bb in range(PHASH_BANDS)
+    ) + " ELSE -1 END"
+    pairs_h = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.ahash") < F.col("b.ahash")),
         )
         .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
             F.col("a.ahash").alias("h1"),
             F.col("b.ahash").alias("h2"),
+            F.col("a.band").alias("band"),
         )
-        .distinct()
-    )
-    ham = F.bit_count(F.expr("h1 ^ h2")).cast("int")
-    return (
-        cand.withColumn("hamming", ham)
+        .filter(F.col("band") == F.expr(first_eq))  # exact pair dedup
+        .withColumn("hamming", F.bit_count(F.expr("h1 ^ h2")).cast("int"))
         .filter(F.col("hamming") <= PHASH_HAM_T)
-        .select("d1", "d2", "hamming")
-        .orderBy("d1", "d2")
+        .select("h1", "h2", "hamming")
     )
+    cross = (
+        pairs_h.join(
+            hashes.select(
+                F.col("ahash").alias("h1"), F.col("doc_id").alias("da")
+            ),
+            "h1",
+        )
+        .join(
+            hashes.select(
+                F.col("ahash").alias("h2"), F.col("doc_id").alias("db")
+            ),
+            "h2",
+        )
+        .select(
+            F.least("da", "db").alias("d1"),
+            F.greatest("da", "db").alias("d2"),
+            "hamming",
+        )
+    )
+    x, y = hashes.alias("x"), hashes.alias("y")
+    same = x.join(
+        y,
+        (F.col("x.ahash") == F.col("y.ahash"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(
+        F.col("x.doc_id").alias("d1"),
+        F.col("y.doc_id").alias("d2"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    return cross.unionByName(same).orderBy("d1", "d2")
 
 
 # ---------------------------------------------------------------------------
