@@ -2908,3 +2908,142 @@ def ml_eval_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p2m").alias("bleu2_p_micro"),
         F.expr(_BLEU_FINISH).alias("bleu2_r6"),
     )
+
+
+@register(
+    "text_simpson_diversity",
+    oracle="""
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT lang, token, COUNT(*) AS n FROM tok
+  WHERE token <> '' GROUP BY lang, token
+),
+per_lang AS (
+  SELECT lang,
+         SUM(n) AS total,
+         SUM(n * (n - 1)) AS coll,
+         COUNT(*) AS vocab
+  FROM tf GROUP BY lang
+)
+SELECT lang,
+  CAST(total AS BIGINT) AS n_tokens,
+  CAST(vocab AS BIGINT) AS vocab,
+  CAST((coll * 1000000) // (total * (total - 1)) AS BIGINT)
+    AS simpson_ppm,
+  CAST((1000000 - (coll * 1000000) // (total * (total - 1))) AS BIGINT)
+    AS gini_simpson_ppm
+FROM per_lang ORDER BY lang
+""",
+    doc="Simpson / Gini-Simpson lexical diversity per language (E12 "
+    "extension — the ecology-derived corpus-concentration measure "
+    "quality pipelines track next to MATTR and hapax rate): "
+    "D = sum n_t(n_t-1) / (N(N-1)) — the probability two sampled "
+    "tokens coincide — computed entirely in exact BIGINTs with one "
+    "floor-division to integer ppm at the end, so no float can flip a "
+    "digit. Spark shape: scan -> split/explode -> partial-agg "
+    "Exchange(lang, token) term frequencies -> O(langs) rollup. At "
+    "100 TB the only row-count-scale shuffle carries (lang, token) "
+    "partial counts — the same map-side-combined shape as every tf "
+    "pass in the text family.",
+)
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    tf = (
+        docs.select(
+            "lang", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per = tf.groupBy("lang").agg(
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("coll"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    simpson = F.expr("CAST((coll * 1000000) DIV (total * (total - 1)) AS BIGINT)")
+    return per.select(
+        "lang",
+        F.col("total").cast("bigint").alias("n_tokens"),
+        F.col("vocab").cast("bigint").alias("vocab"),
+        simpson.alias("simpson_ppm"),
+        (F.lit(1000000) - simpson).cast("bigint").alias("gini_simpson_ppm"),
+    ).orderBy("lang")
+
+
+@register(
+    "text_burstiness_dispersion",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS c FROM tok
+  WHERE token <> '' GROUP BY doc_id, token
+),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+per_tok AS (
+  SELECT token,
+         COUNT(*) AS df,
+         SUM(c) AS s1,
+         SUM(c * c) AS s2
+  FROM tf GROUP BY token
+)
+SELECT token,
+  CAST(df AS BIGINT) AS doc_freq,
+  CAST(s1 AS BIGINT) AS total_count,
+  CAST(((nd.n * s2 - s1 * s1) * 1000000) // (nd.n * s1) AS BIGINT)
+    AS vmr_micro
+FROM per_tok CROSS JOIN nd
+WHERE s1 >= 20
+ORDER BY vmr_micro DESC, token
+LIMIT 25
+""",
+    doc="Per-token burstiness (variance-to-mean dispersion over the "
+    "per-document count distribution, zeros included) — Church & Gale's "
+    "classic signal separating topical content words (bursty, VMR >> 1) "
+    "from function words (Poisson-ish, VMR ~ 1); quality pipelines use "
+    "it to pick keyword candidates and spot boilerplate. Exact "
+    "integers end to end: across all N docs (zero counts included via "
+    "the algebraic form), VMR = (N*sum(c^2) - sum(c)^2) / (N*sum(c)), "
+    "emitted as one floor-division to micro units — no float variance. "
+    "Top-25 bursty tokens with total count >= 20. Spark shape: "
+    "scan -> explode -> partial-agg Exchange(doc_id, token) tf -> "
+    "partial-agg Exchange(token) moment sums -> 1-row doc count "
+    "broadcast -> TakeOrderedAndProject. At 100 TB both shuffles are "
+    "map-side combined and the output is top-k bounded.",
+)
+def text_burstiness_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("n"))
+    per = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    return (
+        per.join(F.broadcast(nd))
+        .filter(F.col("s1") >= 20)
+        .select(
+            "token",
+            F.col("df").cast("bigint").alias("doc_freq"),
+            F.col("s1").cast("bigint").alias("total_count"),
+            F.expr(
+                "CAST(((n * s2 - s1 * s1) * 1000000) DIV (n * s1) AS BIGINT)"
+            ).alias("vmr_micro"),
+        )
+        .orderBy(F.desc("vmr_micro"), "token")
+        .limit(25)
+    )

@@ -2320,3 +2320,98 @@ def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_between_nano",
         )
     )
+
+
+@register(
+    "agg_winsorized_trimmed_mean",
+    oracle="""
+WITH c AS (
+  SELECT o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+rk AS (
+  SELECT priority, cents,
+         ROW_NUMBER() OVER (PARTITION BY priority ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY priority) AS n
+  FROM c
+),
+bounds AS (
+  SELECT priority, n,
+         MAX(CASE WHEN rn = CAST(ceil(0.1 * n) AS BIGINT)
+                  THEN cents END) AS lo,
+         MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                  THEN cents END) AS hi
+  FROM rk GROUP BY priority, n
+),
+agg AS (
+  SELECT r.priority, b.n, b.lo, b.hi,
+    SUM(LEAST(GREATEST(r.cents, b.lo), b.hi)) AS wsum,
+    SUM(CASE WHEN r.rn > CAST(ceil(0.1 * b.n) AS BIGINT)
+              AND r.rn <= CAST(ceil(0.9 * b.n) AS BIGINT)
+             THEN r.cents ELSE 0 END) AS tsum,
+    SUM(CASE WHEN r.rn > CAST(ceil(0.1 * b.n) AS BIGINT)
+              AND r.rn <= CAST(ceil(0.9 * b.n) AS BIGINT)
+             THEN 1 ELSE 0 END) AS tn
+  FROM rk r JOIN bounds b USING (priority)
+  GROUP BY r.priority, b.n, b.lo, b.hi
+)
+SELECT priority, CAST(n AS BIGINT) AS n,
+       CAST(lo AS BIGINT) AS lo_cents, CAST(hi AS BIGINT) AS hi_cents,
+       CAST((wsum * 1000000) // n AS BIGINT) AS winsorized_mean_micro,
+       CAST((tsum * 1000000) // tn AS BIGINT) AS trimmed_mean_micro
+FROM agg ORDER BY priority
+""",
+    doc="Winsorized + trimmed mean per group (E4 robust-stats "
+    "completion): rank-based 10th/90th bounds — k-th smallest with "
+    "k = ceil(q*n), exact integer cents so no interpolation ambiguity "
+    "— values clamped (winsorize) or dropped (trim) and the means "
+    "emitted as exact floor-division micro-cents. Ties are safe by "
+    "construction: row_number tie order is arbitrary but tied ranks "
+    "hold EQUAL values, so bounds, clamped sums and trimmed sums are "
+    "all tie-order invariant. Spark shape: ONE Exchange(priority) "
+    "shared by the rank window and count window, a 5-row bounds "
+    "aggregate broadcast back, one final partial agg. At 100 TB the "
+    "honest exact cost is the per-group sort (same class as "
+    "agg_histogram_equidepth); the approx path swaps in "
+    "approx_percentile bounds on the same skeleton.",
+)
+def agg_winsorized_trimmed_mean(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..sources.catalog import load_table
+
+    c = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    rk = c.withColumn(
+        "rn", F.row_number().over(W.partitionBy("priority").orderBy("cents"))
+    ).withColumn("n", F.count(F.lit(1)).over(W.partitionBy("priority")))
+    k_lo = F.expr("CAST(ceil(0.1 * n) AS BIGINT)")
+    k_hi = F.expr("CAST(ceil(0.9 * n) AS BIGINT)")
+    bounds = rk.groupBy("priority", "n").agg(
+        F.max(F.when(F.col("rn") == k_lo, F.col("cents"))).alias("lo"),
+        F.max(F.when(F.col("rn") == k_hi, F.col("cents"))).alias("hi"),
+    )
+    joined = rk.join(F.broadcast(bounds.drop("n")), "priority")
+    in_trim = (F.col("rn") > k_lo) & (F.col("rn") <= k_hi)
+    agg = joined.groupBy("priority", "n", "lo", "hi").agg(
+        F.sum(F.least(F.greatest("cents", "lo"), "hi")).alias("wsum"),
+        F.sum(F.when(in_trim, F.col("cents")).otherwise(0)).alias("tsum"),
+        F.sum(F.when(in_trim, 1).otherwise(0)).alias("tn"),
+    )
+    return agg.select(
+        "priority",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("lo").cast("bigint").alias("lo_cents"),
+        F.col("hi").cast("bigint").alias("hi_cents"),
+        F.expr("CAST((wsum * 1000000) DIV n AS BIGINT)").alias(
+            "winsorized_mean_micro"
+        ),
+        F.expr("CAST((tsum * 1000000) DIV tn AS BIGINT)").alias(
+            "trimmed_mean_micro"
+        ),
+    ).orderBy("priority")

@@ -760,3 +760,120 @@ def flight_eb_cancellation_shrinkage(
             "CAST(x AS DOUBLE) / n > (k * mu + x) / (k + n)"
         ).alias("shrunk_down"),
     )
+
+
+# Delay-state Markov transitions: the operational "does a bad flight
+# predict the next one" question, as an exact per-carrier transition
+# matrix. States: 0 = on-time (delay < 15), 1 = late (15-59), 2 = severe
+# (>= 60) — the DOT 15-minute convention plus a severe tier.
+
+
+@register(
+    "flight_delay_markov_transition",
+    oracle=f"""
+WITH legs AS (
+  SELECT
+    (SELECT list(c) FROM (VALUES ('AA'),('AS'),('B6'),('CO'),('DL'),('EV'),
+      ('F9'),('FL'),('HA'),('MQ'),('NW'),('OH'),('OO'),('UA'),('US'),('WN'),
+      ('XE'),('YV')) t(c))[CAST(l_suppkey % 18 AS INT) + 1] AS carrier,
+    CAST(epoch_us(l_shipdate) // 60000000
+         + (l_orderkey * 11 + l_linenumber * 17) % 1440 AS BIGINT)
+      AS dep_min,
+    CAST((l_orderkey * 7 + l_linenumber * 13) % 120 AS BIGINT) AS delay
+  FROM lineitem
+  WHERE l_orderkey % 50 <> 0 AND l_orderkey % 97 <> 3
+),
+st AS (
+  SELECT carrier, dep_min,
+         CASE WHEN delay < 15 THEN 0 WHEN delay < 60 THEN 1 ELSE 2 END
+           AS state,
+         delay
+  FROM legs
+),
+seq AS (
+  SELECT carrier, state,
+         LAG(state) OVER (PARTITION BY carrier
+                          ORDER BY dep_min, delay, state) AS prev_state
+  FROM st
+),
+trans AS (
+  SELECT carrier, prev_state AS from_state, state AS to_state,
+         COUNT(*) AS n
+  FROM seq WHERE prev_state IS NOT NULL
+  GROUP BY carrier, prev_state, state
+),
+tot AS (
+  SELECT carrier, from_state, SUM(n) AS row_n FROM trans
+  GROUP BY carrier, from_state
+)
+SELECT t.carrier, CAST(t.from_state AS INT) AS from_state,
+       CAST(t.to_state AS INT) AS to_state,
+       CAST(t.n AS BIGINT) AS n_transitions,
+       CAST((t.n * 1000000) // tt.row_n AS BIGINT) AS prob_ppm
+FROM trans t JOIN tot tt USING (carrier, from_state)
+ORDER BY carrier, from_state, to_state
+""",
+    doc="Per-carrier delay-state Markov transition matrix — the flights-"
+    "domain sequence operator (does a late flight predict the next "
+    "one?): completed flights ordered by schedule within carrier, "
+    "states on-time/late/severe by the DOT 15-minute convention, LAG "
+    "for consecutive pairs, exact transition counts and integer-ppm "
+    "row-conditional probabilities. The window ORDER BY includes the "
+    "delay and state tiebreaks so ties are only among interchangeable "
+    "rows (identical ordering columns imply identical lagged state — "
+    "partition-order independent, like every window query here). Spark "
+    "shape: scan-fused projection -> ONE Exchange(carrier) -> Sort -> "
+    "LAG -> partial-agg counts -> broadcast row-total re-join. At "
+    "100 TB the shuffle carries (carrier, dep_min, state) triples and "
+    "everything after the LAG is O(carriers x 9) rows.",
+)
+def flight_delay_markov_transition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..sources.catalog import load_table
+    from ..sources.flights import CARRIERS
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_orderkey") % 50 != 0) & (F.col("l_orderkey") % 97 != 3)
+    )
+    carrier_arr = F.array(*[F.lit(c) for c in CARRIERS])
+    dep_min = (
+        F.expr("unix_micros(cast(l_shipdate as timestamp)) div 60000000")
+        + (F.col("l_orderkey") * 11 + F.col("l_linenumber") * 17) % 1440
+    )
+    delay = (F.col("l_orderkey") * 7 + F.col("l_linenumber") * 13) % 120
+    st = li.select(
+        F.element_at(
+            carrier_arr, (F.col("l_suppkey") % 18 + 1).cast("int")
+        ).alias("carrier"),
+        dep_min.cast("bigint").alias("dep_min"),
+        F.when(delay < 15, 0).when(delay < 60, 1).otherwise(2).alias("state"),
+        delay.cast("bigint").alias("delay"),
+    )
+    w = W.partitionBy("carrier").orderBy("dep_min", "delay", "state")
+    seq = st.withColumn("prev_state", F.lag("state").over(w)).filter(
+        F.col("prev_state").isNotNull()
+    )
+    trans = seq.groupBy(
+        "carrier",
+        F.col("prev_state").alias("from_state"),
+        F.col("state").alias("to_state"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = trans.groupBy("carrier", "from_state").agg(
+        F.sum("n").alias("row_n")
+    )
+    return (
+        trans.join(F.broadcast(tot), ["carrier", "from_state"])
+        .select(
+            "carrier",
+            F.col("from_state").cast("int").alias("from_state"),
+            F.col("to_state").cast("int").alias("to_state"),
+            F.col("n").cast("bigint").alias("n_transitions"),
+            F.expr("CAST((n * 1000000) DIV row_n AS BIGINT)").alias(
+                "prob_ppm"
+            ),
+        )
+        .orderBy("carrier", "from_state", "to_state")
+    )

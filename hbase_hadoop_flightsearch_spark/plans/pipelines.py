@@ -1160,3 +1160,71 @@ def pipeline_mixture_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.col("entropy_nano") / F.lit(1000000000.0)), 6)
             .alias("effective_sources_r6"),
     )
+
+
+@register(
+    "pipeline_dedup_survivorship",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, n_chars,
+         md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS cluster_id
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, cluster_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rk,
+         FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
+                                   ORDER BY n_chars DESC, doc_id) AS survivor_id,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM fp
+)
+SELECT doc_id, cluster_id,
+       rk = 1 AS is_survivor,
+       CAST(survivor_id AS BIGINT) AS survivor_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked
+ORDER BY doc_id
+""",
+    doc="Dedup SURVIVORSHIP policy (E10 extension) — the decision a "
+    "training-data pipeline must make after clustering near-duplicates: "
+    "which copy ships. Clusters key on the md5 8-token prefix "
+    "fingerprint (the dataset-card first-pass signal; swap in MinHash "
+    "band CC for stricter tiers — the policy stage is identical); the "
+    "survivor is the deterministic best copy (longest n_chars, then "
+    "lowest doc_id), and every document gets an auditable row: cluster, "
+    "keep/drop, which survivor replaced it, cluster size. Spark shape: "
+    "one scan -> ONE Exchange(cluster_id) shared by the row_number, "
+    "first_value and count windows — O(docs) rows end to end, no joins. "
+    "At 100 TB the fingerprint keys the shuffle (never raw text) and "
+    "survivorship is embarrassingly per-cluster.",
+)
+def pipeline_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "text"
+    )
+    fp = docs.withColumn(
+        "cluster_id",
+        F.md5(F.array_join(F.slice(F.split("text", " "), 1, 8), " ")),
+    ).drop("text")
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        fp.withColumn("rk", F.row_number().over(w))
+        .withColumn("survivor_id", F.first("doc_id").over(w))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(W.partitionBy("cluster_id")),
+        )
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("rk") == 1).alias("is_survivor"),
+            F.col("survivor_id").cast("bigint").alias("survivor_id"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        )
+        .orderBy("doc_id")
+    )
