@@ -404,8 +404,10 @@ FROM pairs GROUP BY origin, via, final_dest
     "day, pairs meet on (airport, day) and the BETWEEN is a residual — "
     "each pair meets exactly once (a departure has one day bucket), so "
     "no dedup pass. Shuffle partners are bounded per (airport, day); "
-    "hub-airport skew is the knob (narrow to (airport, hour) bands at "
-    "100 TB). Aggregated to per-route itinerary counts + min layover/"
+    "hub-airport skew is the knob — the (airport, hour) regime is "
+    "IMPLEMENTED and value-oracled as flight_connection_search_hourband "
+    "(band_min=60), with cross-regime equality and per-bucket bounds "
+    "proven on a mega-hub fixture. Aggregated to per-route itinerary counts + min layover/"
     "total travel, all exact integer minutes.",
 )
 def flight_connection_search(spark: SparkSession, sf_dir: str) -> DataFrame:
