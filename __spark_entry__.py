@@ -97,10 +97,20 @@ def _manifest_tiers() -> list[set[str]]:
     first (VERDICT r6 #1, generalized for round 8+)."""
     import glob
     import os
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+
+    def round_no(path: str) -> int:
+        # NUMERIC sort: lexicographic glob order would place r10 before
+        # r6 and invert the age priority (caught by the r7 manifest test
+        # the moment registry_names_r10.txt was frozen).
+        m = re.search(r"registry_names_r(\d+)\.txt$", path)
+        return int(m.group(1)) if m else 0
+
     tiers: list[set[str]] = []
-    for path in sorted(glob.glob(os.path.join(here, "tools", "registry_names_r*.txt"))):
+    paths = glob.glob(os.path.join(here, "tools", "registry_names_r*.txt"))
+    for path in sorted(paths, key=round_no):
         try:
             with open(path) as f:
                 tiers.append({line.strip() for line in f if line.strip()})
