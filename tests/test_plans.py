@@ -779,6 +779,18 @@ def test_connection_search_smj_on_band_key_no_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_connection_hourband_same_smj_contract(spark):
+    """The r10 hour-band regime must inherit the day seat's physical
+    contract exactly — SortMergeJoin on the (airport, bucket) key, no
+    nested loop, no cartesian — since the band width only changes the
+    key granularity, never the join strategy (both sides stay
+    fact-sized at every band width)."""
+    plan = _plan(spark, "flight_connection_search_hourband")
+    assert "SortMergeJoin" in plan, plan[-2000:]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_mixture_entropy_uniform_and_collapsed_fixtures(spark):
     """A 4-way uniform token mix must read diversity ~1e6 ppm and
     effective_sources ~4; a mix collapsing onto one dominant source
