@@ -870,14 +870,17 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
     )
     edges = edges.localCheckpoint()
-    core, core_edges, rounds, converged = kcore_peel(edges, KCORE_K)
+    _, core_edges, rounds, converged = kcore_peel(edges, KCORE_K)
+    # The degree aggregate's keys ARE the core vertex set (every core
+    # vertex owns >= k >= 1 edges), so the old core-set join was a
+    # redundant distinct + exchange + join — r10 drops it (same rows).
     core_deg = (
         core_edges.select(F.col("a").alias("v"))
         .unionAll(core_edges.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
     )
-    return core.join(core_deg, "v").select(
+    return core_deg.select(
         F.col("v").cast("bigint").alias("v"),
         "core_degree",
         F.lit(rounds).cast("bigint").alias("peel_rounds"),
