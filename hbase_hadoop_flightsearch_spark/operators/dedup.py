@@ -1454,9 +1454,28 @@ EMB_DEDUP_RECALL_FLOOR = 0.5  # sampled-audit floor. Measured FULL recall
 # small at test SFs.
 
 
-def embedding_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_ann_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    planes_n: int | None = None,
+    bands_n: int | None = None,
+) -> DataFrame:
     """Candidate pairs from banded hyperplane LSH + exact cosine verify.
-    Returns (d1, d2, cosine) with d1 < d2, cosine >= EMB_DEDUP_THRESH."""
+    Returns (d1, d2, cosine) with d1 < d2, cosine >= EMB_DEDUP_THRESH.
+
+    ``planes_n``/``bands_n`` are THE density knob (r10): the registered
+    query's 12-plane/4-band default is sized for the driver fixture's
+    pair density (~0.05% of pairs at cos >= 0.4), where it prunes well.
+    On a DENSE corpus the same signature passes nearly every pair —
+    measured on the 5x altseed corpus (10% of ALL pairs genuinely
+    qualify): ~94% of candidate pairs survive banding, so the exact
+    verify becomes near-all-pairs no matter how it executes. Widening
+    the signature (more planes -> wider bands) restores pruning at the
+    price of recall at the LOW end of the threshold range — the classic
+    LSH operating-point trade; test_embedding_ann_wider_signature_
+    prunes_dense_corpus pins the knob's effect. At real corpus sizes
+    pick planes so the expected band-collision count, density x
+    collision-prob x C(n,2), stays O(true pairs)."""
     from .similarity import (
         LSH_BANDS,
         LSH_PLANES,
@@ -1465,6 +1484,11 @@ def embedding_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm,
     )
 
+    if planes_n is None:
+        planes_n = LSH_PLANES
+    if bands_n is None:
+        bands_n = LSH_BANDS
+    LSH_PLANES, LSH_BANDS = planes_n, bands_n  # local shadows
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -1500,9 +1524,37 @@ def embedding_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (~66deg) rises ~0.54 -> ~0.9 for the cost of 4x probe-side rows
     # only, the identical asymmetric multi-probe trade similarity_ann_lsh
     # makes.
-    bands = sig.select(
+    # Packed 12-bit signature int: lets the joined row decide, from the
+    # two sigs alone, which band is the pair's FIRST qualifying band
+    # (hamming <= 1 on that 3-bit segment) — the exact, SHUFFLE-FREE
+    # replacement for the old dropDuplicates pass, which re-shuffled
+    # every candidate row carrying two 64-double vectors (~0.5 KB each;
+    # the r10 5x slope scan measured that dedup exchange as the seat's
+    # scale-killer). Within one band a pair meets EXACTLY once (keys
+    # equal -> only the unflipped probe matches; hamming 1 -> only the
+    # one flip that repairs the differing bit), so duplicates arise only
+    # ACROSS bands and "band == first qualifying band" keeps each pair
+    # exactly once. Output identical; the oracle (which states the
+    # candidate SET) is untouched.
+    sigi = sig.withColumn(
+        "sigi",
+        sum(
+            (
+                F.element_at("sig", i + 1).cast("long")
+                * F.lit(1 << i).cast("long")
+            )
+            for i in range(LSH_PLANES)
+        ),
+    ).localCheckpoint(eager=True)
+    # ^ materialized ONCE: sig is 12 x 64-dim dot products per vector —
+    # without the checkpoint Catalyst inlines that expression into every
+    # exploded probe row AND into the join's first-band filter, i.e.
+    # recomputes the signature per CANDIDATE (measured 3x the whole
+    # seat at sf0.1). Same decode-once pattern as the phash scan.
+    bands = sigi.select(
         "vec_id",
         "v",
+        "sigi",
         F.explode(
             F.array(
                 *[
@@ -1513,10 +1565,11 @@ def embedding_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("vec_id", "v", "bk.band", "bk.bkey")
-    probes = sig.select(
+    ).select("vec_id", "v", "sigi", "bk.band", "bk.bkey")
+    probes = sigi.select(
         "vec_id",
         "v",
+        "sigi",
         F.explode(
             F.array(
                 *[
@@ -1529,8 +1582,22 @@ def embedding_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("vec_id", "v", "bk.band", "bk.bkey")
+    ).select("vec_id", "v", "sigi", "bk.band", "bk.bkey")
+    # Spread the streamed side across the cluster BEFORE the join: the
+    # checkpointed corpus materializes in O(scan) partitions (ONE at
+    # bench scale), and the fused join -> first-match -> cosine pipeline
+    # inherits that parallelism — profiled 52 s single-task vs 13 s
+    # spread at sf0.1. The shuffle moves only the 16n tiny probe rows,
+    # never candidates; at 100 TB the sides are naturally wide and this
+    # repartition is the same (band, bkey) distribution the join wants.
+    probes = probes.repartition("band", "bkey")
     a, b = probes.alias("a"), bands.alias("b")
+    mask = (1 << bits_per_band) - 1
+    first_band = "CASE " + " ".join(
+        f"WHEN bit_count((sig1 ^ sig2) >> {bits_per_band * bb} "
+        f"& {mask}) <= 1 THEN {bb}"
+        for bb in range(LSH_BANDS)
+    ) + " ELSE -1 END"
     cands = (
         a.join(
             b,
@@ -1543,8 +1610,11 @@ def embedding_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("d2"),
             F.col("a.v").alias("v1"),
             F.col("b.v").alias("v2"),
+            F.col("a.sigi").alias("sig1"),
+            F.col("b.sigi").alias("sig2"),
+            F.col("a.band").alias("band"),
         )
-        .dropDuplicates(["d1", "d2"])
+        .filter(F.col("band") == F.expr(first_band))
     )
     return (
         cands.withColumn(
