@@ -252,3 +252,31 @@ def test_pca_round_robin_schedule_is_valid(spark):
         assert not (pairs & seen)  # never repeats a pair
         seen |= pairs
     assert len(seen) == 64 * 63 // 2
+
+
+def test_pca_jacobi_property_random_symmetric(spark):
+    """Property: the fixed-8-sweep parallel-ordered Jacobi must
+    diagonalize ARBITRARY 64x64 integer symmetric matrices (not just
+    the fixtures' scatter shapes) to numpy eigvalsh agreement — the
+    engine is a general eigensolver, and the schedule/two-phase update
+    must not depend on PSD-ness, magnitude, or sign structure."""
+    import numpy as np
+
+    from hbase_hadoop_flightsearch_spark.operators.clustering import (
+        PCA_DIM,
+        _pca_parallel_jacobi,
+    )
+
+    rng = np.random.default_rng(0xA11CE)
+    for scale in (1, 10**6, 10**12):
+        M = rng.integers(-scale, scale, size=(PCA_DIM, PCA_DIM))
+        A = (M + M.T) // 2  # integer symmetric
+        Af = _pca_parallel_jacobi([int(x) for x in A.ravel()])
+        diag = np.sort(np.diag(Af))
+        ref = np.sort(np.linalg.eigvalsh(A.astype(np.float64)))
+        denom = max(abs(ref).max(), 1.0)
+        np.testing.assert_allclose(
+            diag / denom, ref / denom, rtol=0, atol=1e-10
+        )
+        off = Af - np.diag(np.diag(Af))
+        assert np.abs(off).max() <= 1e-9 * denom
