@@ -264,7 +264,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash: shuffle key space is (band, band-hash) — bounded and
     dense regardless of corpus size, unlike the raw shingle index."""
     sh = doc_shingles(spark, sf_dir)
-    sigs = minhash_signatures(sh, MINHASH_BANDS * MINHASH_ROWS)
+    # Materialize the signatures ONCE: sig is 64 x array_min-over-
+    # shingles xxhash64 expressions, and without the checkpoint Catalyst
+    # collapses the projection and inlines that whole expression into
+    # EACH of the 16 band structs — 16x the minhashing work (measured
+    # 16.7 s -> 7.6 s at sf0.1 and 67 s -> 30 s at 5x; same lazy-
+    # expression pathology the r10 ANN fix documents).
+    sigs = minhash_signatures(
+        sh, MINHASH_BANDS * MINHASH_ROWS
+    ).localCheckpoint(eager=True)
     bands = sigs.select(
         "doc_id",
         F.explode(
