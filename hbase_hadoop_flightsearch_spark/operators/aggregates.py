@@ -219,26 +219,87 @@ def agg_approx_distinct_customers(
 @register(
     "agg_percentiles_order_value",
     oracle="""
-SELECT o_orderpriority AS priority,
-  ROUND(median(o_totalprice), 2) AS p50,
-  ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
-  ROUND(MIN(o_totalprice), 2) AS min_price,
-  ROUND(MAX(o_totalprice), 2) AS max_price
-FROM orders
-GROUP BY o_orderpriority
+WITH rk AS (
+  SELECT o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+),
+pick AS (
+  SELECT priority, n,
+    MAX(CASE WHEN rn = (n - 1) * 5 // 10 + 1 THEN cents END) AS a50,
+    MAX(CASE WHEN rn = (n - 1) * 5 // 10 + 2 THEN cents END) AS b50,
+    MAX(CASE WHEN rn = (n - 1) * 9 // 10 + 1 THEN cents END) AS a90,
+    MAX(CASE WHEN rn = (n - 1) * 9 // 10 + 2 THEN cents END) AS b90,
+    MIN(cents) AS mn, MAX(cents) AS mx
+  FROM rk GROUP BY priority, n
+)
+SELECT priority,
+  ROUND((a50 * 1000000
+         + (COALESCE(b50, a50) - a50) * 100000 * ((n - 1) * 5 % 10))
+        / 100000000.0, 2) AS p50,
+  ROUND((a90 * 1000000
+         + (COALESCE(b90, a90) - a90) * 100000 * ((n - 1) * 9 % 10))
+        / 100000000.0, 2) AS p90,
+  ROUND(mn / 100.0, 2) AS min_price,
+  ROUND(mx / 100.0, 2) AS max_price
+FROM pick
 """,
-    doc="Exact percentiles (E4) via sort-based percentile; approx_percentile "
-    "is the documented scale path.",
+    doc="Exact percentiles (E4) via explicit rank-based linear "
+    "interpolation over INTEGER CENTS (r10 hardening: the altseed-777 "
+    "differential caught the engines' built-in interpolations — "
+    "a + (b-a)*f vs a*(1-f) + b*f — diverging by 1 ulp at a ROUND "
+    "boundary; with h = (n-1)*q held in exact tenths and the "
+    "interpolation done in exact micro-cent integers, the ONLY float "
+    "op is one final division of identical integers, so no corpus can "
+    "flip a digit). Same mathematical definition as percentile/"
+    "quantile_cont; approx_percentile is the documented scale path.",
 )
 def agg_percentiles_order_value(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
-        F.round(F.min("o_totalprice"), 2).alias("min_price"),
-        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    rk = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.col("o_totalprice").alias("p"),
+    )
+    w = Window.partitionBy("priority").orderBy("p")
+    rk = (
+        rk.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("priority")))
+        .drop("p")
+    )
+    def at(rank_expr: str):
+        return F.max(F.when(F.expr(f"rn = {rank_expr}"), F.col("cents")))
+    pick = rk.groupBy("priority", "n").agg(
+        at("(n - 1) * 5 div 10 + 1").alias("a50"),
+        at("(n - 1) * 5 div 10 + 2").alias("b50"),
+        at("(n - 1) * 9 div 10 + 1").alias("a90"),
+        at("(n - 1) * 9 div 10 + 2").alias("b90"),
+        F.min("cents").alias("mn"),
+        F.max("cents").alias("mx"),
+    )
+    return pick.select(
+        "priority",
+        F.round(
+            F.expr(
+                "(a50 * 1000000 + (COALESCE(b50, a50) - a50) * 100000"
+                " * ((n - 1) * 5 % 10)) / CAST(100000000 AS DOUBLE)"
+            ),
+            2,
+        ).alias("p50"),
+        F.round(
+            F.expr(
+                "(a90 * 1000000 + (COALESCE(b90, a90) - a90) * 100000"
+                " * ((n - 1) * 9 % 10)) / CAST(100000000 AS DOUBLE)"
+            ),
+            2,
+        ).alias("p90"),
+        F.round(F.expr("mn / CAST(100 AS DOUBLE)"), 2).alias("min_price"),
+        F.round(F.expr("mx / CAST(100 AS DOUBLE)"), 2).alias("max_price"),
     )
 
 
@@ -621,45 +682,118 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_robust_stats",
     oracle="""
-WITH med AS (
-  SELECT o_orderpriority AS priority, median(o_totalprice) AS med
-  FROM orders GROUP BY 1
+WITH rk AS (
+  SELECT o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+),
+st AS (
+  SELECT priority, n,
+    MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN cents END)
+      + MAX(CASE WHEN rn = n // 2 + 1 THEN cents END) AS med2,
+    MAX(CASE WHEN rn = (n - 1) * 1 // 4 + 1 THEN cents END) AS a25,
+    MAX(CASE WHEN rn = (n - 1) * 1 // 4 + 2 THEN cents END) AS b25,
+    MAX(CASE WHEN rn = (n - 1) * 3 // 4 + 1 THEN cents END) AS a75,
+    MAX(CASE WHEN rn = (n - 1) * 3 // 4 + 2 THEN cents END) AS b75
+  FROM rk GROUP BY priority, n
+),
+dev AS (
+  SELECT r.priority, abs(2 * r.cents - s.med2) AS d2,
+         ROW_NUMBER() OVER (PARTITION BY r.priority
+                            ORDER BY abs(2 * r.cents - s.med2)) AS rn,
+         r.n
+  FROM rk r JOIN st s USING (priority)
+),
+madq AS (
+  SELECT priority,
+    MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN d2 END)
+      + MAX(CASE WHEN rn = n // 2 + 1 THEN d2 END) AS mad4
+  FROM dev GROUP BY priority, n
 )
-SELECT m.priority,
-  ROUND(m.med, 2) AS p50,
-  ROUND(median(abs(o.o_totalprice - m.med)), 2) AS mad,
-  ROUND(quantile_cont(o.o_totalprice, 0.75)
-        - quantile_cont(o.o_totalprice, 0.25), 2) AS iqr
-FROM orders o JOIN med m ON o.o_orderpriority = m.priority
-GROUP BY m.priority, m.med
+SELECT s.priority,
+  ROUND(s.med2 / 200.0, 2) AS p50,
+  ROUND(m.mad4 / 400.0, 2) AS mad,
+  ROUND(((4 * a75 + (COALESCE(b75, a75) - a75) * ((n - 1) * 3 % 4))
+         - (4 * a25 + (COALESCE(b25, a25) - a25) * ((n - 1) * 1 % 4)))
+        / 400.0, 2) AS iqr
+FROM st s JOIN madq m USING (priority)
 """,
     doc="Robust dispersion stats (E4): per-group median, MAD, IQR. MAD is "
     "inherently two-pass (median of deviations from the median) — pass 1 "
-    "aggregates per-group medians, pass 2 re-joins them broadcast so the "
-    "fact table is scanned twice but shuffled on the group key only once "
-    "more; moment stats (exact skew/kurtosis) are the one-pass twin.",
+    "ranks the group and derives the exact DOUBLED median (c_lo + c_hi "
+    "in integer cents, so a .5-cent median is still an integer), pass 2 "
+    "re-joins it broadcast and ranks |2x - med2| — EXACT half-cent "
+    "integers — for the MAD median; quartiles interpolate in exact "
+    "quarter-cent integers ((n-1)*q held in fourths). r10 hardening: "
+    "the altseed-777 differential caught the engines' built-in "
+    "percentile interpolations diverging by 1 ulp at a ROUND boundary; "
+    "now the only float op is one final division of identical "
+    "integers. Moment stats (exact skew/kurtosis) are the one-pass "
+    "twin.",
 )
 def agg_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    med = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    rk = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.col("o_totalprice").alias("p"),
     )
-    return (
-        orders.join(
-            F.broadcast(med),
-            orders["o_orderpriority"] == med["priority"],
+    rk = (
+        rk.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("priority").orderBy("p")),
         )
-        .groupBy("priority", "med")
-        .agg(
-            F.expr("percentile(abs(o_totalprice - med), 0.5)").alias("mad_raw"),
-            F.expr("percentile(o_totalprice, 0.75)").alias("q75"),
-            F.expr("percentile(o_totalprice, 0.25)").alias("q25"),
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("priority"))
         )
+        .drop("p")
+    )
+    def at(rank_expr: str, col: str = "cents"):
+        return F.max(F.when(F.expr(f"rn = {rank_expr}"), F.col(col)))
+    st = rk.groupBy("priority", "n").agg(
+        (at("(n - 1) div 2 + 1") + at("n div 2 + 1")).alias("med2"),
+        at("(n - 1) * 1 div 4 + 1").alias("a25"),
+        at("(n - 1) * 1 div 4 + 2").alias("b25"),
+        at("(n - 1) * 3 div 4 + 1").alias("a75"),
+        at("(n - 1) * 3 div 4 + 2").alias("b75"),
+    )
+    dev = (
+        rk.join(F.broadcast(st.select("priority", "med2")), "priority")
         .select(
             "priority",
-            F.round("med", 2).alias("p50"),
-            F.round("mad_raw", 2).alias("mad"),
-            F.round(F.col("q75") - F.col("q25"), 2).alias("iqr"),
+            "n",
+            F.abs(2 * F.col("cents") - F.col("med2")).alias("d2"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("priority").orderBy("d2")
+            ),
+        )
+    )
+    madq = dev.groupBy("priority", "n").agg(
+        (at("(n - 1) div 2 + 1", "d2") + at("n div 2 + 1", "d2")).alias(
+            "mad4"
+        )
+    ).select("priority", "mad4")
+    return (
+        st.join(madq, "priority")
+        .select(
+            "priority",
+            F.round(F.expr("med2 / CAST(200 AS DOUBLE)"), 2).alias("p50"),
+            F.round(F.expr("mad4 / CAST(400 AS DOUBLE)"), 2).alias("mad"),
+            F.round(
+                F.expr(
+                    "((4 * a75 + (COALESCE(b75, a75) - a75)"
+                    " * ((n - 1) * 3 % 4))"
+                    " - (4 * a25 + (COALESCE(b25, a25) - a25)"
+                    " * ((n - 1) * 1 % 4))) / CAST(400 AS DOUBLE)"
+                ),
+                2,
+            ).alias("iqr"),
         )
     )
 
