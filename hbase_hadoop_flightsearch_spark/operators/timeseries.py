@@ -1202,17 +1202,34 @@ delays AS (
   FROM views v JOIN purchases p
     ON p.user_id = v.user_id AND p.ts > v.ts
   GROUP BY v.user_id, v.event_id
+),
+sel AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(MAX(delay_us) AS BIGINT) AS mx,
+         list_sort(list(CAST(delay_us AS BIGINT))) AS arr
+  FROM delays
 )
-SELECT
-  CAST(COUNT(*) AS BIGINT) AS n_converted_views,
-  quantile_cont(delay_us, 0.5) AS p50_us,
-  quantile_cont(delay_us, 0.9) AS p90_us,
-  CAST(MAX(delay_us) AS BIGINT) AS max_us
-FROM delays
+SELECT n AS n_converted_views,
+  (arr[CAST((n - 1) * 5 // 10 AS INT) + 1]
+   + (COALESCE(arr[CAST((n - 1) * 5 // 10 AS INT) + 2],
+               arr[CAST((n - 1) * 5 // 10 AS INT) + 1])
+      - arr[CAST((n - 1) * 5 // 10 AS INT) + 1])
+     * CAST((n - 1) * 5 % 10 AS DOUBLE) / CAST(10 AS DOUBLE)) AS p50_us,
+  (arr[CAST((n - 1) * 9 // 10 AS INT) + 1]
+   + (COALESCE(arr[CAST((n - 1) * 9 // 10 AS INT) + 2],
+               arr[CAST((n - 1) * 9 // 10 AS INT) + 1])
+      - arr[CAST((n - 1) * 9 // 10 AS INT) + 1])
+     * CAST((n - 1) * 9 % 10 AS DOUBLE) / CAST(10 AS DOUBLE)) AS p90_us,
+  mx AS max_us
+FROM sel
 """,
     doc="Funnel latency distribution: for every view that eventually "
     "converts, the delay to that user's NEXT purchase, summarized as "
-    "dyadic-exact integer-microsecond percentiles. The Spark side "
+    "integer-microsecond percentiles via the explicit rank formula "
+    "((n-1)*q in exact tenths over the globally ranked delays — r10 "
+    "hardening: built-in interpolations are 1 ulp apart cross-engine "
+    "at non-dyadic q=0.9; the global rank window is the honest exact "
+    "cost, same class as agg_histogram_equidepth, and approx_percentile "
+    "is the scale path). The Spark side "
     "computes next-purchase via the FORWARD as-of machinery "
     "(frame-reversed union + last-over-window — one sort, no join), "
     "while the oracle deliberately uses the quadratic join-then-min "
@@ -1254,11 +1271,38 @@ def events_time_to_convert_pctl(
     delays = joined.select(
         (F.col("next_p_ts") - F.col("ts_us")).alias("delay_us")
     )
-    return delays.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_converted_views"),
-        F.expr("percentile(delay_us, 0.5)").alias("p50_us"),
-        F.expr("percentile(delay_us, 0.9)").alias("p90_us"),
-        F.max("delay_us").cast("bigint").alias("max_us"),
+    rk = delays.withColumn(
+        "rn", F.row_number().over(Window.orderBy("delay_us"))
+    )
+
+    def at(rank_expr: str):
+        return F.max(F.when(F.expr(f"rn = {rank_expr}"), F.col("delay_us")))
+
+    def interp(mult: int) -> str:
+        return (
+            f"a{mult} + (COALESCE(b{mult}, a{mult}) - a{mult})"
+            f" * CAST((n - 1) * {mult} % 10 AS DOUBLE)"
+            f" / CAST(10 AS DOUBLE)"
+        )
+
+    return (
+        rk.withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy())
+        )
+        .groupBy("n")
+        .agg(
+            at("(n - 1) * 5 div 10 + 1").alias("a5"),
+            at("(n - 1) * 5 div 10 + 2").alias("b5"),
+            at("(n - 1) * 9 div 10 + 1").alias("a9"),
+            at("(n - 1) * 9 div 10 + 2").alias("b9"),
+            F.max("delay_us").cast("bigint").alias("max_us"),
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n_converted_views"),
+            F.expr(interp(5)).alias("p50_us"),
+            F.expr(interp(9)).alias("p90_us"),
+            "max_us",
+        )
     )
 
 

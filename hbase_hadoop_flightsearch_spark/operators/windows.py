@@ -401,25 +401,46 @@ WITH gaps AS (
     epoch_us(ts) - epoch_us(LAG(ts) OVER (
       PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
   FROM events
+),
+arrs AS (
+  SELECT user_id,
+    CAST(COUNT(*) AS BIGINT) AS n_gaps,
+    CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+    CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+    list_sort(list(CAST(gap_us AS BIGINT))) AS arr
+  FROM gaps WHERE gap_us IS NOT NULL
+  GROUP BY user_id
+  HAVING COUNT(*) >= 20
 )
-SELECT user_id,
-  CAST(COUNT(*) AS BIGINT) AS n_gaps,
-  CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
-  CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
-  quantile_cont(gap_us, 0.5) AS p50_gap_us,
-  quantile_cont(gap_us, 0.9) AS p90_gap_us
-FROM gaps WHERE gap_us IS NOT NULL
-GROUP BY user_id
-HAVING COUNT(*) >= 20
+SELECT user_id, n_gaps, min_gap_us, max_gap_us,
+  (arr[CAST((n_gaps - 1) * 5 // 10 AS INT) + 1]
+   + (COALESCE(arr[CAST((n_gaps - 1) * 5 // 10 AS INT) + 2],
+               arr[CAST((n_gaps - 1) * 5 // 10 AS INT) + 1])
+      - arr[CAST((n_gaps - 1) * 5 // 10 AS INT) + 1])
+     * CAST((n_gaps - 1) * 5 % 10 AS DOUBLE) / CAST(10 AS DOUBLE))
+    AS p50_gap_us,
+  (arr[CAST((n_gaps - 1) * 9 // 10 AS INT) + 1]
+   + (COALESCE(arr[CAST((n_gaps - 1) * 9 // 10 AS INT) + 2],
+               arr[CAST((n_gaps - 1) * 9 // 10 AS INT) + 1])
+      - arr[CAST((n_gaps - 1) * 9 // 10 AS INT) + 1])
+     * CAST((n_gaps - 1) * 9 % 10 AS DOUBLE) / CAST(10 AS DOUBLE))
+    AS p90_gap_us
+FROM arrs
 ORDER BY user_id
 """,
     doc="Per-user inter-arrival-time distribution (min/max/p50/p90 gap "
     "in integer microseconds) for users with enough history — the "
     "activity-cadence profile behind engagement scoring and "
-    "bot-vs-human screens. Integer microsecond gaps make the "
-    "interpolated percentiles dyadic-exact (same argument as the MAD "
-    "query). One Exchange(user_id) shared by the LAG window and the "
-    "per-user aggregate; output O(users).",
+    "bot-vs-human screens. r10 hardening: p50/p90 interpolate via the "
+    "explicit rank formula over the sorted per-user gap array — h = "
+    "(n-1)*q held in exact tenths, neighbors from integer ranks, ONE "
+    "final division of identical integers — because the engines' "
+    "built-in interpolations (a + (b-a)*f vs a*(1-f) + b*f) are 1 ulp "
+    "apart at non-dyadic q = 0.9 (the boundary class the altseed-777 "
+    "differential caught on the money percentiles). One "
+    "Exchange(user_id) shared by the LAG window and the per-user "
+    "aggregate; the collected gap array is per-user-history-bounded. "
+    "Output O(users).",
 )
 def events_inter_arrival_stats(
     spark: SparkSession, sf_dir: str
@@ -433,16 +454,34 @@ def events_inter_arrival_stats(
             - F.unix_micros(F.lag("ts").over(w))
         ).alias("gap_us"),
     ).filter(F.col("gap_us").isNotNull())
+    def interp(mult: int) -> str:
+        lo = f"element_at(arr, CAST((n_gaps - 1) * {mult} div 10 AS INT) + 1)"
+        hi = (
+            f"COALESCE(element_at(arr, CAST((n_gaps - 1) * {mult} div 10"
+            f" AS INT) + 2), {lo})"
+        )
+        return (
+            f"{lo} + ({hi} - {lo})"
+            f" * CAST((n_gaps - 1) * {mult} % 10 AS DOUBLE)"
+            f" / CAST(10 AS DOUBLE)"
+        )
     return (
         gaps.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
             F.min("gap_us").cast("bigint").alias("min_gap_us"),
             F.max("gap_us").cast("bigint").alias("max_gap_us"),
-            F.expr("percentile(gap_us, 0.5)").alias("p50_gap_us"),
-            F.expr("percentile(gap_us, 0.9)").alias("p90_gap_us"),
+            F.sort_array(F.collect_list("gap_us")).alias("arr"),
         )
         .filter(F.col("n_gaps") >= 20)
+        .select(
+            "user_id",
+            "n_gaps",
+            "min_gap_us",
+            "max_gap_us",
+            F.expr(interp(5)).alias("p50_gap_us"),
+            F.expr(interp(9)).alias("p90_gap_us"),
+        )
         .orderBy("user_id")
     )
 
