@@ -24,35 +24,88 @@ from ..sources.catalog import load_table, register_views
 @register(
     "agg_q1_pricing_summary",
     oracle="""
+WITH q AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(round(l_quantity) AS BIGINT) AS qty,
+    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+    CAST(round(l_discount * 100) AS BIGINT) AS d100
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
 SELECT l_returnflag, l_linestatus,
-  ROUND(SUM(l_quantity), 2) AS sum_qty,
-  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-  ROUND(AVG(l_quantity), 4) AS avg_qty,
-  ROUND(AVG(l_extendedprice), 4) AS avg_price,
-  ROUND(AVG(l_discount), 4) AS avg_disc,
+  ROUND(CAST(SUM(qty) AS DOUBLE), 2) AS sum_qty,
+  ROUND(SUM(pc) / CAST(100 AS DOUBLE), 2) AS sum_base_price,
+  ROUND(SUM(pc * (100 - d100)) / CAST(10000 AS DOUBLE), 2)
+    AS sum_disc_price,
+  ROUND(CAST(SUM(qty) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+  ROUND(CAST(SUM(pc) AS DOUBLE) / (CAST(100 AS DOUBLE) * COUNT(*)), 4)
+    AS avg_price,
+  ROUND(CAST(SUM(d100) AS DOUBLE) / (CAST(100 AS DOUBLE) * COUNT(*)), 4)
+    AS avg_disc,
   COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+FROM q
 GROUP BY l_returnflag, l_linestatus
 """,
     headline=True,
-    doc="TPC-H Q1: the canonical wide hash aggregate over the fact table.",
+    doc="TPC-H Q1: the canonical wide hash aggregate over the fact "
+    "table. r10 hardening (the seed-5 differential caught join_q9's "
+    "float product-sum flipping a ROUND boundary — this is the same "
+    "summand class): quantities/prices/discounts quantize to exact "
+    "integers per row (cents / discount-hundredths), every SUM is "
+    "exact BIGINT (disc-price in exact ten-thousandths: "
+    "pc * (100 - d100)), and the only float ops are final divisions "
+    "of identical integers — summation order can never move a digit. "
+    "Still one partial-aggregated shuffle of O(groups) rows.",
 )
 def agg_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= "1998-09-02"
     )
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("sum_disc_price"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-        F.count(F.lit(1)).alias("count_order"),
+    q = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("l_quantity", 0).cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("pc"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("d100"),
+    )
+    return (
+        q.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty").alias("sqty"),
+            F.sum("pc").alias("spc"),
+            F.sum(F.col("pc") * (100 - F.col("d100"))).alias("sdp"),
+            F.sum("d100").alias("sd"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round(F.expr("CAST(sqty AS DOUBLE)"), 2).alias("sum_qty"),
+            F.round(F.expr("spc / CAST(100 AS DOUBLE)"), 2).alias(
+                "sum_base_price"
+            ),
+            F.round(F.expr("sdp / CAST(10000 AS DOUBLE)"), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.expr("CAST(sqty AS DOUBLE) / count_order"), 4
+            ).alias("avg_qty"),
+            F.round(
+                F.expr(
+                    "CAST(spc AS DOUBLE)"
+                    " / (CAST(100 AS DOUBLE) * count_order)"
+                ),
+                4,
+            ).alias("avg_price"),
+            F.round(
+                F.expr(
+                    "CAST(sd AS DOUBLE)"
+                    " / (CAST(100 AS DOUBLE) * count_order)"
+                ),
+                4,
+            ).alias("avg_disc"),
+            "count_order",
+        )
     )
 
 

@@ -36,11 +36,28 @@ def _dec(c: str) -> F.Column:
     return F.col(c).cast("decimal(18,2)")
 
 
+def _rev_e4() -> F.Column:
+    """Discounted revenue per row in EXACT integer ten-thousandths of a
+    dollar: cents(price) * (100 - hundredths(discount)). r10 hardening —
+    the seed-5 differential caught the float product-sum flipping a
+    ROUND boundary on join_q9 (summation order differs cross-engine by
+     1 ulp; ROUND absorbs it except exactly at .xx5): with BIGINT sums
+    the only float op left is one final division of identical integers.
+    Magnitude: <= ~1e9 per row; promote to DECIMAL(38,0) beyond ~1e9
+    rows per group at 100 TB."""
+    return (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100, 0).cast("bigint"))
+    )
+
+
 @register(
     "join_q3_shipping_priority",
     oracle="""
 SELECT l_orderkey,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  ROUND(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        / CAST(10000 AS DOUBLE), 2) AS revenue,
   CAST(o_orderdate AS DATE) AS order_date
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -76,14 +93,12 @@ def join_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.sum(_rev_e4()).alias("rev_e4"))
         .select(
             "l_orderkey",
-            "revenue",
+            F.round(F.expr("rev_e4 / CAST(10000 AS DOUBLE)"), 2).alias(
+                "revenue"
+            ),
             F.col("o_orderdate").cast("date").alias("order_date"),
         )
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -95,7 +110,9 @@ def join_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_q5_region_revenue",
     oracle="""
 SELECT n_name,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  ROUND(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        / CAST(10000 AS DOUBLE), 2) AS revenue,
   COUNT(*) AS n_lineitems
 FROM region
 JOIN nation ON n_regionkey = r_regionkey
@@ -145,10 +162,15 @@ def join_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.sum(_rev_e4()).alias("rev_e4"),
             F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .select(
+            "n_name",
+            F.round(F.expr("rev_e4 / CAST(10000 AS DOUBLE)"), 2).alias(
+                "revenue"
+            ),
+            "n_lineitems",
         )
     )
 
@@ -157,9 +179,13 @@ def join_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_q14_promo_share",
     oracle="""
 SELECT ROUND(
-    100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-    / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct,
+    CAST(SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))
+             ELSE 0 END) AS DOUBLE) * CAST(100 AS DOUBLE)
+    / CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+           AS DOUBLE), 4) AS promo_share_pct,
   COUNT(*) AS n_rows
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -174,17 +200,27 @@ def join_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < "1997-07-01")
     )
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = _rev_e4()
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).alias("promo_e4"),
+            F.sum(rev).alias("total_e4"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
             F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                F.expr(
+                    "CAST(promo_e4 AS DOUBLE) * CAST(100 AS DOUBLE)"
+                    " / CAST(total_e4 AS DOUBLE)"
+                ),
                 4,
             ).alias("promo_share_pct"),
-            F.count(F.lit(1)).alias("n_rows"),
+            "n_rows",
         )
     )
 
@@ -575,8 +611,11 @@ def join_full_outer_nation_presence(
     oracle="""
 SELECT n_name AS nation,
   CAST(EXTRACT(year FROM l_shipdate) AS INT) AS o_year,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)
-            - 0.01 * p_retailprice * l_quantity), 2) AS profit
+  ROUND(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT))
+            - CAST(round(p_retailprice * 100) AS BIGINT)
+              * CAST(round(l_quantity) AS BIGINT))
+        / CAST(10000 AS DOUBLE), 2) AS profit
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 JOIN supplier ON s_suppkey = l_suppkey
@@ -600,9 +639,10 @@ def join_q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - (
-        F.lit(0.01) * F.col("p_retailprice") * F.col("l_quantity")
-    )
+    profit = _rev_e4() - (
+        F.round(F.col("p_retailprice") * 100, 0).cast("bigint")
+        * F.round(F.col("l_quantity"), 0).cast("bigint")
+    )  # exact ten-thousandths of a dollar (supply cost 1% of retail)
     return (
         li.join(
             F.broadcast(part.select("p_partkey", "p_retailprice")),
@@ -614,7 +654,11 @@ def join_q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("l_shipdate").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .agg(
+            F.round(
+                F.sum(profit) / F.lit(10000).cast("double"), 2
+            ).alias("profit")
+        )
     )
 
 

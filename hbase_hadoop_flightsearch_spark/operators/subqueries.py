@@ -549,16 +549,19 @@ def join_q4_priority_order_counts(
     "join_q11_important_parts",
     oracle="""
 WITH pv AS (
-  SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS value
+  SELECT l_partkey,
+    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS value_e4
   FROM lineitem
   JOIN supplier ON s_suppkey = l_suppkey
   JOIN nation ON n_nationkey = s_nationkey
   WHERE n_name IN ('NATION_3', 'NATION_7')
   GROUP BY l_partkey
 )
-SELECT l_partkey, ROUND(value, 2) AS part_value
+SELECT l_partkey,
+  ROUND(value_e4 / CAST(10000 AS DOUBLE), 2) AS part_value
 FROM pv
-WHERE value > (SELECT SUM(value) * 0.002 FROM pv)
+WHERE value_e4 * 500 > (SELECT SUM(value_e4) FROM pv)
 """,
     doc="TPC-H Q11 shape (important stock identification): per-part value "
     "within a nation group, kept when above a scalar-subquery fraction of "
@@ -588,13 +591,26 @@ def join_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(
             F.sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).alias("value")
+                F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+                * (
+                    100
+                    - F.round(F.col("l_discount") * 100, 0).cast("bigint")
+                )
+            ).alias("value_e4")
         )
     )
-    total = pv.agg((F.sum("value") * 0.002).alias("threshold"))
+    # r10 hardening: the 0.002-of-total membership test is an INTEGER
+    # cross-multiplication (value*500 > total) — a float threshold here
+    # could flip whole ROWS in or out across engines, the worst case of
+    # the summation-order class the seed-5 differential exposed.
+    total = pv.agg(F.sum("value_e4").alias("total_e4"))
     return (
         pv.join(F.broadcast(total))
-        .filter(F.col("value") > F.col("threshold"))
-        .select("l_partkey", F.round("value", 2).alias("part_value"))
+        .filter(F.col("value_e4") * 500 > F.col("total_e4"))
+        .select(
+            "l_partkey",
+            F.round(
+                F.expr("value_e4 / CAST(10000 AS DOUBLE)"), 2
+            ).alias("part_value"),
+        )
     )
