@@ -709,19 +709,27 @@ SELECT q, COUNT(*) AS n,
 FROM t GROUP BY q
 """,
     doc="Equi-depth histogram (E4): NTILE(8) over a deterministic total "
-    "order (price, orderkey tie-break) -> per-bucket bounds. The global "
-    "sort is the honest cost of exact equi-depth; the approximate path "
-    "at scale is agg_percentiles_order_value's approx_percentile.",
+    "order (price, orderkey tie-break) -> per-bucket bounds, computed "
+    "through the distributed NTILE primitive (ranks.py — range "
+    "exchange + per-partition window + broadcast offsets, never a "
+    "single-task sort). Exact equi-depth at any scale; the approximate "
+    "path is agg_percentiles_order_value's approx_percentile.",
 )
 def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact octile boundaries. NTILE assigns floor/ceil bucket sizes
     identically in Spark and DuckDB given the same total order, so the
-    bucket populations and bounds are engine-exact."""
+    bucket populations and bounds are engine-exact. r12: moved off the
+    unpartitioned window onto the shared distributed-rank primitive
+    (execution-only rewrite; oracle unchanged)."""
+    from .ranks import with_global_ntile
+
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
-        orders.select(
-            "o_totalprice", F.ntile(8).over(w).alias("q")
+        with_global_ntile(
+            orders.select("o_totalprice", "o_orderkey"),
+            [F.col("o_totalprice"), F.col("o_orderkey")],
+            8,
+            out="q",
         )
         .groupBy("q")
         .agg(
@@ -2546,7 +2554,11 @@ agg AS (
 SELECT priority, CAST(n AS BIGINT) AS n,
        CAST(lo AS BIGINT) AS lo_cents, CAST(hi AS BIGINT) AS hi_cents,
        CAST((wsum * 1000000) // n AS BIGINT) AS winsorized_mean_micro,
-       CAST((tsum * 1000000) // tn AS BIGINT) AS trimmed_mean_micro
+       -- NULLIF: an n=1 group trims EVERYTHING (ceil(.1*1)=ceil(.9*1)=1
+       -- leaves no rows strictly inside), so tn=0 must yield NULL in
+       -- both engines, never an engine-specific div-by-zero behavior
+       CAST((tsum * 1000000) // NULLIF(tn, 0) AS BIGINT)
+         AS trimmed_mean_micro
 FROM agg ORDER BY priority
 """,
     doc="Winsorized + trimmed mean per group (E4 robust-stats "
@@ -2598,7 +2610,10 @@ def agg_winsorized_trimmed_mean(
         F.expr("CAST((wsum * 1000000) DIV n AS BIGINT)").alias(
             "winsorized_mean_micro"
         ),
-        F.expr("CAST((tsum * 1000000) DIV tn AS BIGINT)").alias(
-            "trimmed_mean_micro"
-        ),
+        # NULLIF mirrors the oracle: n=1 groups trim to tn=0 (ADVICE
+        # r10) — both engines must agree on NULL, not rely on non-ANSI
+        # div-by-zero happening to return it
+        F.expr(
+            "CAST((tsum * 1000000) DIV NULLIF(tn, 0) AS BIGINT)"
+        ).alias("trimmed_mean_micro"),
     ).orderBy("priority")

@@ -427,10 +427,16 @@ def _pca_quant_gram(emb: DataFrame) -> tuple[list, list, int]:
     round's half-away diverge on exact .5 — observed on a real fixture
     value 0.1983642578125 * 4096 == 812.5).
 
-    Overflow budget (int64): |qx| <= ~2^16 at Q=2^12, so G entries stay
-    under 2^32 * n and n*G - s*s under ~2^63 through n ~ 10^7 vectors;
-    beyond that promote the accumulators to DECIMAL(38,0) (Spark) /
-    HUGEINT (DuckDB) — the construction is unchanged."""
+    Overflow budget (int64, corrected ADVICE r10 — the earlier note
+    claimed |qx| <= ~2^16 and safety through n ~ 1e7, which doesn't
+    follow): unit-ish embeddings have |u| <= 1, so |qx| <= ~Q = 2^12
+    and each Gram term |qx_i*qx_j| <= 2^24; a G entry after n vectors
+    is bounded by n * 2^24, and the covariance cross-product
+    n*G - s*s by ~n^2 * 2^24, which stays inside the 2^63 budget while
+    n^2 * 2^24 < 2^63, i.e. n < ~2^19.5 ~ 7e5 vectors. Components with
+    |u| > 1 shrink that bound quadratically. Past it, promote the
+    accumulators to DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — the
+    construction is unchanged."""
     import numpy as np
     import pandas as pd
 

@@ -1492,16 +1492,17 @@ def embedding_ann_pairs(
         _norm,
     )
 
-    if planes_n is None:
-        planes_n = LSH_PLANES
-    if bands_n is None:
-        bands_n = LSH_BANDS
-    LSH_PLANES, LSH_BANDS = planes_n, bands_n  # local shadows
+    # Distinct local names (ADVICE r10): the old code rebound the
+    # IMPORTED constants (`LSH_PLANES, LSH_BANDS = planes_n, bands_n`),
+    # which read as mutated module globals; the knob values now live in
+    # locals that cannot be confused with the similarity-module defaults.
+    n_planes = LSH_PLANES if planes_n is None else planes_n
+    n_bands = LSH_BANDS if bands_n is None else bands_n
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    planes = _hyperplanes(LSH_PLANES, 64)
-    bits_per_band = LSH_PLANES // LSH_BANDS
+    planes = _hyperplanes(n_planes, 64)
+    bits_per_band = n_planes // n_bands
     sig = emb.withColumn(
         "sig",
         F.array(
@@ -1551,7 +1552,7 @@ def embedding_ann_pairs(
                 F.element_at("sig", i + 1).cast("long")
                 * F.lit(1 << i).cast("long")
             )
-            for i in range(LSH_PLANES)
+            for i in range(n_planes)
         ),
     ).localCheckpoint(eager=True)
     # ^ materialized ONCE: sig is 12 x 64-dim dot products per vector —
@@ -1569,7 +1570,7 @@ def embedding_ann_pairs(
                     F.struct(
                         F.lit(b).alias("band"), band_key(b).alias("bkey")
                     )
-                    for b in range(LSH_BANDS)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bk"),
@@ -1585,7 +1586,7 @@ def embedding_ann_pairs(
                         F.lit(b).alias("band"),
                         band_key(b, flip).alias("bkey"),
                     )
-                    for b in range(LSH_BANDS)
+                    for b in range(n_bands)
                     for flip in [None, *range(bits_per_band)]
                 ]
             )
@@ -1604,7 +1605,7 @@ def embedding_ann_pairs(
     first_band = "CASE " + " ".join(
         f"WHEN bit_count((sig1 ^ sig2) >> {bits_per_band * bb} "
         f"& {mask}) <= 1 THEN {bb}"
-        for bb in range(LSH_BANDS)
+        for bb in range(n_bands)
     ) + " ELSE -1 END"
     cands = (
         a.join(

@@ -11,13 +11,16 @@ full value oracles:
   - Calibration bins are deterministic NTILE deciles with integer
     cross-product rates (ppm), never float division on the compare path.
 
-Scale posture: one global-order window over (score) for AUC (a
-range-partitioned sort at cluster scale — same class as
-sort_orders_global) and one NTILE window for calibration; every
-aggregate is partial-agg friendly. The evaluated "model" is a
-deterministic feature (n_chars as a ranking score for lang='en'), so
-results are engine- and run-stable; a real model's scores would flow
-through the identical plan.
+Scale posture (r12): NO unpartitioned window anywhere in this module.
+AUC collapses ties with a per-score groupBy and ranks the tie groups
+through the shared distributed cumsum primitive (ranks.py); the
+calibration/Brier NTILE cuts ride the distributed NTILE primitive —
+range exchange + per-partition window + broadcast offsets, never an
+Exchange SinglePartition feeding fact-sized rows into one task
+(contract-asserted in tests/test_ranks.py). Every aggregate is
+partial-agg friendly. The evaluated "model" is a deterministic feature
+(n_chars as a ranking score for lang='en'), so results are engine- and
+run-stable; a real model's scores would flow through the identical plan.
 """
 
 from __future__ import annotations
@@ -27,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..plans.registry import register
 from ..sources.catalog import load_table
+from .ranks import with_global_cumsum, with_global_ntile
 
 AUC_PPM = 1_000_000
 CALIB_BINS = 10
@@ -60,34 +64,49 @@ SELECT n_pos, n_neg, u_x2,
 FROM agg
 """,
     doc="Exact tie-aware ROC AUC via the rank-sum identity AUC = "
-    "U/(n1*n0) (Mann-Whitney connection): scores ranked once globally "
-    "with doubled integer midranks, U in 2x units, AUC floored to ppm "
-    "by integer division — no float on the compare path, so the DuckDB "
-    "twin is value-exact. Evaluated ranker: n_chars as a score for "
-    "lang='en' (a deterministic stand-in with the same plan shape as "
-    "any model-score column). One global-order window + one aggregate.",
+    "U/(n1*n0) (Mann-Whitney connection): scores collapsed to tie "
+    "groups by a per-score groupBy, tie groups ranked by the "
+    "distributed cumulative count (ranks.py — range exchange + local "
+    "window + broadcast offsets, no single-task sort), doubled integer "
+    "midranks reconstructed per group, U in 2x units, AUC floored to "
+    "ppm by integer division — no float on the compare path, so the "
+    "DuckDB twin is value-exact. Evaluated ranker: n_chars as a score "
+    "for lang='en' (a deterministic stand-in with the same plan shape "
+    "as any model-score column). One partial-agg groupBy + one "
+    "distributed cumsum over DISTINCT scores + one aggregate.",
 )
 def ml_eval_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 rewrite (VERDICT r10/r11 #1, execution only — oracle
+    unchanged): the old plan ranked EVERY document over an
+    unpartitioned Window.orderBy(score), a single-task sort of the
+    corpus at 100 TB. The rank-sum only needs per-tie-group counts, so
+    ties collapse first (fact -> O(distinct scores) rows, partial-agg
+    friendly) and the doubled midrank of a group with C rows strictly
+    below it and c tied rows is r2 = 2C + c + 1, from the distributed
+    inclusive cumsum S via C = S - c. Algebra check: RANK = C+1, so
+    2*RANK + c - 1 = 2C + c + 1 — identical to the oracle's window
+    formulation row for row."""
     docs = load_table(spark, sf_dir, "documents")
     m = docs.select(
         F.col("n_chars").alias("score"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
     )
-    ranked = m.select(
-        "y",
-        (
-            2 * F.rank().over(Window.orderBy("score"))
-            + F.count(F.lit(1)).over(Window.partitionBy("score"))
-            - 1
-        ).alias("r2"),
+    g = m.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
     )
-    n_pos = F.sum("y")
-    n_neg = F.sum(1 - F.col("y"))
-    u_x2 = (
-        F.sum(F.when(F.col("y") == 1, F.col("r2")).otherwise(0))
-        - n_pos * (n_pos + 1)
+    cum = with_global_cumsum(g, [F.col("score")], F.col("cnt"), out="s_incl")
+    terms = cum.select(
+        "cnt",
+        "pos",
+        (2 * (F.col("s_incl") - F.col("cnt")) + F.col("cnt") + 1).alias(
+            "r2"
+        ),
     )
-    agg = ranked.agg(
+    n_pos = F.sum("pos")
+    n_neg = F.sum(F.col("cnt") - F.col("pos"))
+    u_x2 = F.sum(F.col("pos") * F.col("r2")) - n_pos * (n_pos + 1)
+    agg = terms.agg(
         n_pos.cast("bigint").alias("n_pos"),
         n_neg.cast("bigint").alias("n_neg"),
         u_x2.cast("bigint").alias("u_x2"),
@@ -125,18 +144,25 @@ FROM m GROUP BY bin
     "over the score (ties broken by doc_id so both engines cut "
     "identically), per-bin positive rate as an exact integer ppm "
     "cross-product and floored mean score — the reliability-diagram "
-    "input with zero float on the compare path. One NTILE window + one "
-    "grouped aggregate; at 100 TB the decile cuts would come from "
-    "approx_percentile and the same grouped pass.",
+    "input with zero float on the compare path. One distributed NTILE "
+    "(ranks.py — no single-task sort) + one grouped aggregate; exact "
+    "deciles at any scale, with approx_percentile as the cheaper "
+    "alternative when 1-row-exact cuts stop mattering.",
 )
 def ml_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: the decile cut moved from an unpartitioned NTILE window onto
+    the shared distributed-rank primitive (execution-only; oracle and
+    values unchanged — NTILE semantics are reproduced exactly)."""
     docs = load_table(spark, sf_dir, "documents")
-    m = docs.select(
-        "n_chars",
-        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
-        F.ntile(CALIB_BINS)
-        .over(Window.orderBy("n_chars", "doc_id"))
-        .alias("bin"),
+    m = with_global_ntile(
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        ),
+        [F.col("n_chars"), F.col("doc_id")],
+        CALIB_BINS,
+        out="bin",
     )
     agg = m.groupBy(F.col("bin").cast("int").alias("bin")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -1029,19 +1055,27 @@ FROM folded
     "explicit bin order (F.aggregate over sort_array vs list_reduce "
     "over list(ORDER BY bin)) so both engines sum identically and the "
     "decomposition identity Brier = REL - RES + UNC is exact by "
-    "construction. At 100 TB the bin cuts come from approx_percentile "
-    "and the same grouped pass.",
+    "construction. The bin cuts ride the distributed NTILE primitive "
+    "(ranks.py, r12 — exact at any scale, no single-task sort); "
+    "approx_percentile stays the cheaper alternative when 1-row-exact "
+    "cuts stop mattering.",
 )
 def ml_eval_brier_decomposition(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    """r12: NTILE moved onto the shared distributed-rank primitive
+    (execution-only rewrite; oracle and values unchanged)."""
     docs = load_table(spark, sf_dir, "documents")
-    m = docs.select(
-        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
-        F.ntile(CALIB_BINS)
-        .over(Window.orderBy("n_chars", "doc_id"))
-        .alias("bin"),
-    )
+    m = with_global_ntile(
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        ),
+        [F.col("n_chars"), F.col("doc_id")],
+        CALIB_BINS,
+        out="bin",
+    ).select("y", "bin")
     g = m.groupBy("bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("nk"),
         F.sum("y").cast("bigint").alias("sk"),

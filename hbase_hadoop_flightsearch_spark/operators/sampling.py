@@ -305,11 +305,15 @@ ORDER BY label, event_id
     "operators, so the rebalanced set is reproducible, append-order-"
     "independent, and auditable (no rand(), no stage-retry "
     "divergence). Spark shape: one scan, the positive count broadcast "
-    "as one row, a ranking window over the negatives (rank by md5 — "
-    "at 100 TB swap the global window for per-partition quantile "
-    "cutting on the hash, same determinism); output 2*k rows.",
+    "as one row, the negatives ranked by md5 through the distributed "
+    "row-number primitive (ranks.py, r12 — range exchange on the hash "
+    "+ per-partition window + broadcast offsets, no single-task sort; "
+    "the hash key is uniform so the range partitions are balanced by "
+    "construction); output 2*k rows.",
 )
 def sample_class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ranks import with_global_row_number
+
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type"
     )
@@ -317,10 +321,14 @@ def sample_class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.lit(1).alias("label")
     )
     k = pos.agg(F.count(F.lit(1)).alias("k"))
-    w = Window.orderBy(F.md5(F.col("event_id").cast("string")), "event_id")
     neg = (
-        events.filter(F.col("event_type") != "error")
-        .withColumn("rn", F.row_number().over(w))
+        with_global_row_number(
+            events.filter(F.col("event_type") != "error").withColumn(
+                "h", F.md5(F.col("event_id").cast("string"))
+            ),
+            [F.col("h"), F.col("event_id")],
+            out="rn",
+        )
         .join(F.broadcast(k))
         .filter(F.col("rn") <= F.col("k"))
         .select("event_id", F.lit(0).alias("label"))
@@ -402,15 +410,26 @@ ORDER BY rnk
     "a broadcast 256-row model join, one doc-keyed agg.",
 )
 def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docw = dsir_doc_weights(spark, sf_dir)
-    w = Window.orderBy(
-        F.desc(F.col("logweight_micro") * 1.0 / F.col("n_tokens")),
-        F.asc("doc_id"),
+    """r12: the final top-50 rank moved from an unpartitioned window
+    onto the distributed row-number primitive (ranks.py) — the doc-
+    weight table is corpus-sized, so ranking it must never funnel into
+    one task. Execution-only rewrite; oracle unchanged."""
+    from .ranks import with_global_row_number
+
+    docw = dsir_doc_weights(spark, sf_dir).withColumn(
+        "w_norm", F.col("logweight_micro") * 1.0 / F.col("n_tokens")
     )
     return (
-        docw.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= DSIR_TOPK)
-        .select("rnk", "doc_id", "n_tokens", "logweight_micro")
+        with_global_row_number(
+            docw, [F.desc("w_norm"), F.asc("doc_id")], out="rn"
+        )
+        .filter(F.col("rn") <= DSIR_TOPK)
+        .select(
+            F.col("rn").cast("int").alias("rnk"),
+            "doc_id",
+            "n_tokens",
+            "logweight_micro",
+        )
         .orderBy("rnk")
     )
 
@@ -1265,28 +1284,34 @@ FROM sel WHERE n_hits > 0
     "straddle test is cross-multiplied to pure BIGINTs (no float grid "
     "positions), so selection is value-exact in both engines. The HT "
     "estimate uses the integer stride as the per-hit weight. Plan: one "
-    "running-sum window over the key order + one aggregate.",
+    "distributed running sum over the key order (ranks.py — range "
+    "exchange + local window + broadcast offsets, which also carry the "
+    "grand total; no single-task window anywhere) + one aggregate.",
 )
 def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: both the cumulative-cents window AND the full-frame total
+    window moved onto the shared distributed-cumsum primitive — the
+    total rides the same broadcast offsets row, so no extra pass over
+    the fact. Execution-only rewrite; oracle unchanged."""
+    from .ranks import with_global_cumsum
+
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    w = Window.orderBy("o_orderkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = base.select(
+    cum = with_global_cumsum(
+        base,
+        [F.col("o_orderkey")],
+        F.col("cents"),
+        out="hi",
+        total_col="total",
+    ).select(
         "o_orderkey",
         "cents",
-        F.sum("cents").over(w).cast("bigint").alias("hi"),
-        (F.sum("cents").over(w) - F.col("cents"))
-        .cast("bigint")
-        .alias("lo"),
-        F.sum("cents").over(wall).cast("bigint").alias("total"),
+        "hi",
+        (F.col("hi") - F.col("cents")).cast("bigint").alias("lo"),
+        "total",
     )
     # Both ends guarded: Spark div / DuckDB // truncate toward zero, so
     # a NEGATIVE numerator (row entirely before the first grid point)

@@ -1227,9 +1227,9 @@ FROM sel
     "integer-microsecond percentiles via the explicit rank formula "
     "((n-1)*q in exact tenths over the globally ranked delays — r10 "
     "hardening: built-in interpolations are 1 ulp apart cross-engine "
-    "at non-dyadic q=0.9; the global rank window is the honest exact "
-    "cost, same class as agg_histogram_equidepth, and approx_percentile "
-    "is the scale path). The Spark side "
+    "at non-dyadic q=0.9; r12: the rank rides the distributed "
+    "row-number primitive (ranks.py, no single-task sort) and "
+    "approx_percentile stays the cheap alternative). The Spark side "
     "computes next-purchase via the FORWARD as-of machinery "
     "(frame-reversed union + last-over-window — one sort, no join), "
     "while the oracle deliberately uses the quadratic join-then-min "
@@ -1271,8 +1271,14 @@ def events_time_to_convert_pctl(
     delays = joined.select(
         (F.col("next_p_ts") - F.col("ts_us")).alias("delay_us")
     )
-    rk = delays.withColumn(
-        "rn", F.row_number().over(Window.orderBy("delay_us"))
+    # r12: the rank and the COUNT(*) OVER () both ride the distributed
+    # row-number primitive (ranks.py) — no unpartitioned window, no
+    # single-task sort of the delay set. Execution-only; oracle
+    # unchanged.
+    from .ranks import with_global_row_number
+
+    rk = with_global_row_number(
+        delays, [F.col("delay_us")], out="rn", total_col="n"
     )
 
     def at(rank_expr: str):
@@ -1285,12 +1291,15 @@ def events_time_to_convert_pctl(
             f" / CAST(10 AS DOUBLE)"
         )
 
+    # UNGROUPED aggregate (ADVICE r10, empty-input symmetry): the old
+    # groupBy('n') produced ZERO rows on an empty delay set while the
+    # oracle's ungrouped aggregate produced one; an ungrouped agg with
+    # n = COUNT(*) matches the oracle's single NULL-percentile row
+    # exactly (n = 0, percentiles and max NULL) on empty input too —
+    # covered by tests/test_timeseries.py's empty-conversions fixture.
     return (
-        rk.withColumn(
-            "n", F.count(F.lit(1)).over(Window.partitionBy())
-        )
-        .groupBy("n")
-        .agg(
+        rk.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
             at("(n - 1) * 5 div 10 + 1").alias("a5"),
             at("(n - 1) * 5 div 10 + 2").alias("b5"),
             at("(n - 1) * 9 div 10 + 1").alias("a9"),
@@ -1298,7 +1307,7 @@ def events_time_to_convert_pctl(
             F.max("delay_us").cast("bigint").alias("max_us"),
         )
         .select(
-            F.col("n").cast("bigint").alias("n_converted_views"),
+            F.col("n").alias("n_converted_views"),
             F.expr(interp(5)).alias("p50_us"),
             F.expr(interp(9)).alias("p90_us"),
             "max_us",

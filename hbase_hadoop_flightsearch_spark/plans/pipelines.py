@@ -1020,25 +1020,32 @@ GROUP BY stage
     "order is reproducible across engines and re-ingests while still "
     "decorrelated from crawl order. Output: per-stage manifest card "
     "(sizes, difficulty range, language spread, the first docs the "
-    "trainer would see). Plan: one NTILE global-order window + one "
-    "per-stage window + grouped agg — the stage boundary never moves "
-    "when data is repartitioned, and at 100 TB the NTILE sort is the "
-    "same range-partitioned total order as sort_orders_global.",
+    "trainer would see). Plan: one distributed NTILE (ranks.py — "
+    "range exchange + per-partition window + broadcast offsets, no "
+    "single-task sort) + one per-stage window + grouped agg — the "
+    "stage boundary never moves when data is repartitioned.",
 )
 def pipeline_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: the NTILE cut moved onto the shared distributed-rank
+    primitive. (The pre-r12 docstring claimed the unpartitioned NTILE
+    window executed as a range-partitioned total order like
+    sort_orders_global — it did not: an unpartitioned Window.orderBy
+    runs behind Exchange SinglePartition on ONE task. The claim is now
+    true by construction and contract-asserted in tests/test_ranks.py.)
+    Execution-only rewrite; oracle unchanged."""
     from pyspark.sql import Window
 
+    from ..operators.ranks import with_global_ntile
+
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        F.ntile(CURRICULUM_STAGES)
-        .over(Window.orderBy("n_chars", "doc_id"))
-        .alias("stage"),
-        F.md5(F.col("doc_id").cast("string").cast("binary")).alias(
-            "shuffle_key"
-        ),
+    scored = with_global_ntile(
+        docs.select("doc_id", "lang", "n_chars"),
+        [F.col("n_chars"), F.col("doc_id")],
+        CURRICULUM_STAGES,
+        out="stage",
+    ).withColumn(
+        "shuffle_key",
+        F.md5(F.col("doc_id").cast("string").cast("binary")),
     )
     ranked = scored.withColumn(
         "pos",

@@ -725,11 +725,15 @@ def test_pack_sequences_single_window(spark):
     assert plan.count("WindowExec") <= 1 or plan.count("Window") <= 2, plan[:2000]
 
 
-def test_auc_single_global_sort(spark):
-    """Exact AUC = one global-order rank window + one aggregate; no
-    join should appear anywhere in the plan."""
+def test_auc_distributed_rank_shape(spark):
+    """r12: exact AUC = tie-collapsing groupBy + the distributed cumsum
+    primitive + one aggregate. The only join allowed is the primitive's
+    broadcast of the P-row offsets table — never a shuffle join of the
+    corpus (the single-task-window ban itself lives in test_ranks.py)."""
     plan = _plan(spark, "ml_eval_auc_exact")
-    assert "Join" not in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    assert "ShuffledHashJoin" not in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
 
 
 @pytest.mark.parametrize(

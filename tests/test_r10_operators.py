@@ -141,3 +141,52 @@ def test_burstiness_function_words_less_bursty(spark, sf_smoke):
     s2 = sum(c * c for c in per_doc)
     assert rows[0].total_count == s1
     assert rows[0].vmr_micro == ((n * s2 - s1 * s1) * 1000000) // (n * s1)
+
+
+def test_winsorized_n1_group_trimmed_null_both_engines(spark, tmp_path):
+    """ADVICE r10: an n=1 group trims everything (ceil(.1*1) =
+    ceil(.9*1) = 1 leaves no rows strictly inside the trim band), so
+    tn = 0 and the trimmed mean must be NULL — via the explicit
+    NULLIF(tn, 0), identically in Spark and DuckDB, never whatever a
+    div-by-zero happens to do. Winsorized mean still exists (clamping
+    the single row to itself)."""
+    import datetime as dt
+
+    import duckdb
+
+    rows = [
+        (1, 1, "F", 100.00, dt.datetime(2024, 1, 1), "1-URGENT"),
+        (2, 1, "F", 10.00, dt.datetime(2024, 1, 2), "2-HIGH"),
+        (3, 2, "F", 20.00, dt.datetime(2024, 1, 3), "2-HIGH"),
+        (4, 3, "F", 30.00, dt.datetime(2024, 1, 4), "2-HIGH"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    q = load_all()["agg_winsorized_trimmed_mean"]
+    got = {r.priority: r.asDict() for r in q.fn(spark, str(tmp_path)).collect()}
+    assert got["1-URGENT"]["n"] == 1
+    assert got["1-URGENT"]["trimmed_mean_micro"] is None
+    assert got["1-URGENT"]["winsorized_mean_micro"] == 10000 * 1_000_000
+
+    con = duckdb.connect()
+    con.execute("SET enable_progress_bar = false")
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/orders.parquet/*.parquet')"
+    )
+    duck = {
+        r[0]: r for r in con.execute(q.oracle).fetchall()
+    }
+    con.close()
+    cols = [
+        "priority", "n", "lo_cents", "hi_cents",
+        "winsorized_mean_micro", "trimmed_mean_micro",
+    ]
+    for prio, row in duck.items():
+        g = got[prio]
+        assert tuple(g[c] for c in cols) == row, (prio, g, row)

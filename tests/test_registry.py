@@ -24,7 +24,7 @@ def test_flag_oracle_attribute_matches_documented_list():
     """VERDICT r9 "what's wrong" #3: the TRUE-AS regex over-counted the
     flag split because a genuine hash-checked VALUE column may be TRUE
     (dedup_semdedup's recursive base case). The split is now an explicit
-    registry attribute; pin it to COVERAGE.md's 5-name prose list so the
+    registry attribute; pin it to COVERAGE.md's 4-name prose list so the
     audit stays mechanical, and sanity-check the direction: every
     attribute-flagged oracle really contains TRUE AS flag columns."""
     reg = load_all()

@@ -864,3 +864,45 @@ def test_runs_test_detects_trend_vs_alternation(spark):
     assert trend["z_r6"] < -4
     assert alt["n_runs"] == alt["n_above"] + alt["n_below"]  # max runs
     assert alt["z_r6"] > 4
+
+
+def test_time_to_convert_empty_conversions_symmetric(spark, tmp_path):
+    """ADVICE r10 (closed in r12 by the ungrouped-aggregate rewrite):
+    on an events table with views but ZERO purchases, the old Spark
+    groupBy('n') produced 0 rows while the oracle's ungrouped aggregate
+    produced 1 — both engines must now emit exactly one row with
+    n_converted_views = 0 and NULL percentiles/max."""
+    import datetime as dt
+
+    import duckdb
+
+    from hbase_hadoop_flightsearch_spark.plans.registry import load_all
+
+    rows = [
+        (i, dt.datetime(2024, 3, 1, 10, i), i % 3, "view", 1.0, "{}")
+        for i in range(12)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    q = load_all()["events_time_to_convert_pctl"]
+    got = q.fn(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    g = got[0]
+    assert g.n_converted_views == 0
+    assert g.p50_us is None and g.p90_us is None and g.max_us is None
+
+    con = duckdb.connect()
+    con.execute("SET enable_progress_bar = false")
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    duck = con.execute(q.oracle).fetchall()
+    con.close()
+    assert len(duck) == 1
+    assert duck[0][0] == 0
+    assert duck[0][1] is None and duck[0][2] is None and duck[0][3] is None
