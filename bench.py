@@ -36,6 +36,12 @@ PINNED_CONFS: dict[str, dict[str, str]] = {
     "flight_connection_search": {
         "spark.sql.adaptive.coalescePartitions.enabled": "false",
     },
+    # Hour-band twin (bench seat since r12, VERDICT r11 #5): same banded
+    # SortMergeJoin plan family as the day-band seat, so it inherits the
+    # same AQE-coalesce re-plan noise and the same pin.
+    "flight_connection_search_hourband": {
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    },
 }
 
 

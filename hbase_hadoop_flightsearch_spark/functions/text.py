@@ -2056,14 +2056,14 @@ FROM per_dec
     "novelty rate is an exact integer ppm cross-product.",
 )
 def text_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     from ..operators.dedup import doc_shingles
+    from ..operators.ranks import with_global_ntile
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    dec = docs.select(
-        "doc_id",
-        F.ntile(NOVELTY_DECILES).over(W.orderBy("doc_id")).alias("decile"),
+    # corpus-position deciles over O(docs) ride the distributed NTILE
+    # (operators/ranks.py) — never a single-task sort of the corpus.
+    dec = with_global_ntile(
+        docs, [F.col("doc_id")], NOVELTY_DECILES, out="decile"
     )
     sh = (
         doc_shingles(spark, sf_dir)

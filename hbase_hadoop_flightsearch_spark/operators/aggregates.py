@@ -1299,19 +1299,31 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recency_days", F.datediff(F.col("anchor"), F.col("last_order"))
         )
     )
-    scored = per_cust.select(
-        "o_custkey", "recency_days", "frequency", "monetary_cents",
-        F.ntile(5)
-        .over(Window.orderBy("recency_days", "o_custkey"))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(
-            Window.orderBy(F.col("monetary_cents").desc(), "o_custkey")
-        )
-        .alias("m_score"),
+    # three independent quintile assignments over O(customers), each on
+    # the distributed NTILE (operators/ranks.py) — three range exchanges
+    # instead of three single-task sorts.
+    from .ranks import with_global_ntile
+
+    scored = with_global_ntile(
+        with_global_ntile(
+            with_global_ntile(
+                per_cust.select(
+                    "o_custkey",
+                    "recency_days",
+                    "frequency",
+                    "monetary_cents",
+                ),
+                [F.col("recency_days"), F.col("o_custkey")],
+                5,
+                out="r_score",
+            ),
+            [F.col("frequency").desc(), F.col("o_custkey")],
+            5,
+            out="f_score",
+        ),
+        [F.col("monetary_cents").desc(), F.col("o_custkey")],
+        5,
+        out="m_score",
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
@@ -1424,20 +1436,23 @@ FROM ranked
     "tenant in production), O(1) output.",
 )
 def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ranks import with_global_order_stats
+
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
         .cast("bigint")
         .alias("cents")
     )
-    w_rank = Window.orderBy("cents", "o_custkey")
-    w_all = Window.partitionBy()
-    ranked = per_cust.select(
-        "cents",
-        F.row_number().over(w_rank).alias("i"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
-        F.sum("cents").over(w_all).alias("total"),
-    )
+    # rank-sum Gini needs every customer's global revenue rank — the
+    # distributed row number + same-broadcast grand totals
+    # (operators/ranks.py), never a single-task sort of O(customers).
+    ranked = with_global_order_stats(
+        per_cust,
+        [F.col("cents"), F.col("o_custkey")],
+        row_number="i",
+        totals={"n": F.lit(1), "total": F.col("cents")},
+    ).select("cents", "i", "n", "total")
     return ranked.agg(
         F.max("n").cast("bigint").alias("n_customers"),
         F.max("total").cast("bigint").alias("total_cents"),
@@ -1573,7 +1588,7 @@ FROM atv, na, nb GROUP BY na.na, nb.nb
     "same one-sort shape as any exact quantile.",
 )
 def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from .ranks import with_global_order_stats
 
     orders = load_table(spark, sf_dir, "orders")
     urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -1583,21 +1598,22 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(urgent, 1).otherwise(0).alias("ca"),
         F.when(urgent, 0).otherwise(1).alias("cb"),
     )
-    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = merged.select(
-        "v",
-        F.sum("ca").over(w).alias("fa"),
-        F.sum("cb").over(w).alias("fb"),
+    # Both ECDFs in one distributed pass (operators/ranks.py): collapse
+    # to per-distinct-value counts, then running sums of each sample's
+    # counts + both grand totals through one range exchange — the
+    # inclusive cumsum at each distinct v equals the old per-row
+    # window's max-per-v, with no single-task sort of O(rows).
+    g = merged.groupBy("v").agg(
+        F.sum("ca").alias("na_v"), F.sum("cb").alias("nb_v")
     )
-    atv = cum.groupBy("v").agg(
-        F.max("fa").alias("fa"), F.max("fb").alias("fb")
-    )
-    na = merged.agg(F.sum("ca").alias("na"))
-    nb = merged.agg(F.sum("cb").alias("nb"))
+    atv = with_global_order_stats(
+        g,
+        [F.col("v")],
+        cumsums={"fa": F.col("na_v"), "fb": F.col("nb_v")},
+        totals={"na": F.col("na_v"), "nb": F.col("nb_v")},
+    ).select("v", "fa", "fb", "na", "nb")
     return (
-        atv.crossJoin(F.broadcast(na))
-        .crossJoin(F.broadcast(nb))
-        .groupBy("na", "nb")
+        atv.groupBy("na", "nb")
         .agg(
             F.max(
                 F.abs(F.col("fa") * F.col("nb") - F.col("fb") * F.col("na"))
@@ -1650,11 +1666,14 @@ FROM ranked
     "once globally with DOUBLED midranks (2*min_rank + ties - 1 — an "
     "integer even when ties make the midrank a half), U for each side "
     "in the same 2x units, plus the U_a + U_b = n_a*n_b identity as "
-    "an in-query invariant flag. No float anywhere. One global-order "
-    "window (range-partitioned sort at scale) + one aggregate.",
+    "an in-query invariant flag. No float anywhere. Ranks come from "
+    "the grouped form — per distinct value, doubled midrank "
+    "r2 = 2*cum_count - ties + 1 off the distributed prefix sum "
+    "(operators/ranks.py) — so the plan is one grouped agg + one "
+    "range exchange + one aggregate, never a single-task sort.",
 )
 def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from .ranks import with_global_order_stats
 
     orders = load_table(spark, sf_dir, "orders")
     urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -1662,21 +1681,22 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
         F.when(urgent, 1).otherwise(0).alias("grp_a"),
     )
-    ranked = m.select(
-        "grp_a",
-        (
-            2 * F.rank().over(W.orderBy("v"))
-            + F.count(F.lit(1)).over(W.partitionBy("v"))
-            - 1
-        ).alias("r2"),
+    g = m.groupBy("v").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("grp_a").alias("cnt_a")
     )
-    na = F.sum("grp_a")
-    nb = F.sum(1 - F.col("grp_a"))
-    ra = F.sum(F.when(F.col("grp_a") == 1, F.col("r2")).otherwise(0))
-    rb = F.sum(F.when(F.col("grp_a") == 0, F.col("r2")).otherwise(0))
+    # min_rank(v) = cum_count(<=v) - ties + 1, so the doubled midrank
+    # 2*min_rank + ties - 1 collapses to 2*cum - cnt + 1 — one value
+    # per distinct v, shared by all its rows.
+    cum = with_global_order_stats(
+        g, [F.col("v")], cumsums={"c": F.col("cnt")}
+    ).withColumn("r2", 2 * F.col("c") - F.col("cnt") + 1)
+    na = F.sum("cnt_a")
+    nb = F.sum(F.col("cnt") - F.col("cnt_a"))
+    ra = F.sum(F.col("cnt_a") * F.col("r2"))
+    rb = F.sum((F.col("cnt") - F.col("cnt_a")) * F.col("r2"))
     ua = ra - na * (na + 1)
     ub = rb - nb * (nb + 1)
-    return ranked.agg(
+    return cum.agg(
         na.cast("bigint").alias("n_a"),
         nb.cast("bigint").alias("n_b"),
         ua.cast("bigint").alias("u_a_x2"),
@@ -2022,16 +2042,20 @@ FROM cum
     "one O(10) window.",
 )
 def agg_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ranks import with_global_ntile
+
     orders = load_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
         .cast("bigint")
         .alias("cents")
     )
-    deciled = rev.select(
-        "cents",
-        F.ntile(10).over(Window.orderBy("cents", "o_custkey")).alias("d"),
-    )
+    # decile assignment over O(customers) rides the distributed NTILE
+    # (operators/ranks.py); the cumulative-share windows below run over
+    # the 10 DECILE rows the groupBy leaves — bounded by construction.
+    deciled = with_global_ntile(
+        rev, [F.col("cents"), F.col("o_custkey")], 10, out="d"
+    ).select("cents", "d")
     per = deciled.groupBy("d").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cust"),
         F.sum("cents").cast("bigint").alias("cents"),
@@ -2190,34 +2214,34 @@ FROM mapped m JOIN a ON a.rn = m.a_idx
 def agg_quantile_normalization(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from .ranks import with_global_order_stats
+
     docs = load_table(spark, sf_dir, "documents")
-    a = docs.filter(F.col("source") == "src0").select(
-        F.col("n_chars").alias("v"),
-        F.row_number()
-        .over(Window.orderBy("n_chars", "doc_id"))
-        .alias("rn"),
-    )
-    a_n = a.agg(F.max("rn").alias("n"))
-    b = docs.filter(F.col("source") == "src1").select(
+    # Both sources' ranks ride the distributed row number + same-pass
+    # counts (operators/ranks.py) — never a single-task sort of either
+    # corpus slice; the rank-to-rank map is then a plain equi join on
+    # a_idx (NOT broadcast: the reference side is corpus-sized too).
+    a = with_global_order_stats(
+        docs.filter(F.col("source") == "src0").select("n_chars", "doc_id"),
+        [F.col("n_chars"), F.col("doc_id")],
+        row_number="rn",
+        totals={"na": F.lit(1)},
+    ).select(F.col("n_chars").alias("v"), "rn", "na")
+    b = with_global_order_stats(
+        docs.filter(F.col("source") == "src1").select("n_chars", "doc_id"),
+        [F.col("n_chars"), F.col("doc_id")],
+        row_number="rn",
+        totals={"nb": F.lit(1)},
+    ).select("doc_id", F.col("n_chars").alias("v"), "rn", "nb")
+    a_n = a.agg(F.max("na").alias("na"))
+    mapped = b.crossJoin(F.broadcast(a_n)).select(
         "doc_id",
-        F.col("n_chars").alias("v"),
-        F.row_number()
-        .over(Window.orderBy("n_chars", "doc_id"))
-        .alias("rn"),
-    )
-    b_n = b.agg(F.max("rn").alias("n"))
-    mapped = (
-        b.crossJoin(F.broadcast(a_n.select(F.col("n").alias("na"))))
-        .crossJoin(F.broadcast(b_n.select(F.col("n").alias("nb"))))
-        .select(
-            "doc_id",
-            F.col("v").alias("raw_value"),
-            "rn",
-            F.expr("((rn - 1) * na) div nb + 1").alias("a_idx"),
-        )
+        F.col("v").alias("raw_value"),
+        "rn",
+        F.expr("((rn - 1) * na) div nb + 1").alias("a_idx"),
     )
     return mapped.join(
-        F.broadcast(a.select(F.col("rn").alias("a_idx"), "v")), "a_idx"
+        a.select(F.col("rn").alias("a_idx"), "v"), "a_idx"
     ).select(
         "doc_id",
         "raw_value",

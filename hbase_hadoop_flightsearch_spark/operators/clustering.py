@@ -1065,9 +1065,8 @@ LIMIT {STUMP_TOPK}
     "split's majority-vote accuracy in exact ppm.",
 )
 def ml_decision_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from ..sources.catalog import load_table
+    from .ranks import with_global_order_stats
 
     orders = load_table(spark, sf_dir, "orders")
     pts = orders.select(
@@ -1080,17 +1079,15 @@ def ml_decision_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
         F.sum("y").cast("bigint").alias("pos"),
     )
-    w_cum = Window.orderBy("x_cents").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.partitionBy()
-    pre = grp.select(
-        "x_cents",
-        F.sum("cnt").over(w_cum).alias("n_left"),
-        F.sum("pos").over(w_cum).alias("pos_left"),
-        F.sum("cnt").over(w_all).alias("n"),
-        F.sum("pos").over(w_all).alias("pos_tot"),
-    )
+    # sort-and-scan over distinct thresholds, distributed: running
+    # (count, positives) + grand totals through one range exchange
+    # (operators/ranks.py) — never a single-task cumulative window.
+    pre = with_global_order_stats(
+        grp,
+        [F.col("x_cents")],
+        cumsums={"n_left": F.col("cnt"), "pos_left": F.col("pos")},
+        totals={"n": F.col("cnt"), "pos_tot": F.col("pos")},
+    ).select("x_cents", "n_left", "pos_left", "n", "pos_tot")
     cost = pre.filter(F.col("n_left") < F.col("n")).select(
         F.col("x_cents").alias("threshold_cents"),
         F.col("n_left").cast("bigint").alias("n_left"),
@@ -1211,9 +1208,8 @@ FROM best2
     "and the chosen split, every value DuckDB-replayed.",
 )
 def ml_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from ..sources.catalog import load_table
+    from .ranks import with_global_order_stats
 
     orders = load_table(spark, sf_dir, "orders")
     pts = orders.select(
@@ -1235,17 +1231,18 @@ def ml_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "div (n_left * (n - n_left) * n)"
     )
 
-    w_cum = Window.orderBy("x_cents").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.partitionBy()
-    pre = grp.select(
-        "x_cents",
-        F.sum("cnt").over(w_cum).alias("n_left"),
-        F.sum("pos").over(w_cum).alias("pos_left"),
-        F.sum("cnt").over(w_all).alias("n"),
-        F.sum("pos").over(w_all).alias("pos_tot"),
-    )
+    def sweep(g: DataFrame) -> DataFrame:
+        """Distributed sort-and-scan over one node's thresholds
+        (operators/ranks.py) — the depth-1 inner step, never a
+        single-task (or single-task-per-node) cumulative window."""
+        return with_global_order_stats(
+            g,
+            [F.col("x_cents")],
+            cumsums={"n_left": F.col("cnt"), "pos_left": F.col("pos")},
+            totals={"n": F.col("cnt"), "pos_tot": F.col("pos")},
+        ).select("x_cents", "n_left", "pos_left", "n", "pos_tot")
+
+    pre = sweep(grp)
     root = (
         pre.filter(F.col("n_left") < F.col("n"))
         .withColumn("cost", cost_expr)
@@ -1261,33 +1258,34 @@ def ml_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("x_cents") <= F.col("t0"), "L").otherwise("R").alias(
             "side"
         ),
-    )
-    w2_cum = (
-        Window.partitionBy("side")
-        .orderBy("x_cents")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w2_all = Window.partitionBy("side")
-    pre2 = sided.select(
-        "side",
-        "x_cents",
-        F.sum("cnt").over(w2_cum).alias("n_left"),
-        F.sum("pos").over(w2_cum).alias("pos_left"),
-        F.sum("cnt").over(w2_all).alias("n"),
-        F.sum("pos").over(w2_all).alias("pos_tot"),
+    ).persist()
+    # Each child node sweeps independently through the same distributed
+    # primitive (two bounded fan-outs, not a 2-task side-partitioned
+    # window over all thresholds); at depth d this generalizes to 2^d
+    # filtered sweeps — or per-node range partitioning when node count
+    # outgrows the scheduler.
+    pre2 = (
+        sweep(sided.filter(F.col("side") == "L"))
+        .withColumn("side", F.lit("L"))
+    ).unionByName(
+        sweep(sided.filter(F.col("side") == "R"))
+        .withColumn("side", F.lit("R"))
     )
     cost2 = (
         pre2.filter(F.col("n_left") < F.col("n"))
         .withColumn("cost", cost_expr)
     )
-    best2 = cost2.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("side").orderBy(
-                F.asc("cost"), F.asc("x_cents")
-            )
-        ),
-    ).filter(F.col("rn") == 1)
+    best2 = (
+        cost2.groupBy("side")
+        .agg(
+            F.min(
+                F.struct(
+                    "cost", "x_cents", "n_left", "pos_left", "n", "pos_tot"
+                )
+            ).alias("b")
+        )
+        .select("side", "b.*")
+    )
 
     def shape(df: DataFrame, node_col) -> DataFrame:
         return df.select(

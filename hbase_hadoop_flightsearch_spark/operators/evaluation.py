@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 
 from ..plans.registry import register
 from ..sources.catalog import load_table
-from .ranks import with_global_cumsum, with_global_ntile
+from .ranks import (
+    with_global_cumsum,
+    with_global_ntile,
+    with_global_order_stats,
+)
 
 AUC_PPM = 1_000_000
 CALIB_BINS = 10
@@ -219,11 +223,12 @@ FROM cum
     "ranker score (threshold = score >= t), with precision, recall, "
     "and F1 all as floored integer ppm — F1 via its 2TP/(k+P) identity "
     "so no rational intermediate ever forms. Same sort-and-scan shape "
-    "as the exact AUC: one grouped agg collapses ties, one descending "
-    "global-order cumulative window produces every cutoff in a single "
-    "pass (range-partitioned sort at cluster scale) — never a "
-    "per-threshold loop. Completes the threshold-free AUC with the "
-    "threshold-CHOOSING artifact every deployed classifier needs.",
+    "as the exact AUC: one grouped agg collapses ties, then the "
+    "distributed multi-measure prefix sum (operators/ranks.py) "
+    "produces every cutoff's running k / running tp / total positives "
+    "through ONE range exchange — never a per-threshold loop and "
+    "never a single-task sort. Completes the threshold-free AUC with "
+    "the threshold-CHOOSING artifact every deployed classifier needs.",
 )
 def ml_eval_pr_curve_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -235,15 +240,11 @@ def ml_eval_pr_curve_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
         F.sum("y").cast("bigint").alias("pos"),
     )
-    w_cum = Window.orderBy(F.desc("score")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.partitionBy()
-    cum = g.select(
-        "score",
-        F.sum("cnt").over(w_cum).alias("k"),
-        F.sum("pos").over(w_cum).alias("tp"),
-        F.sum("pos").over(w_all).alias("p_tot"),
+    cum = with_global_order_stats(
+        g,
+        [F.desc("score")],
+        cumsums={"k": F.col("cnt"), "tp": F.col("pos")},
+        totals={"p_tot": F.col("pos")},
     )
     return cum.select(
         F.col("score").alias("threshold_score"),
@@ -615,16 +616,16 @@ FROM best WHERE rn = 1
 """,
     doc="Cost-optimal operating point on the exact PR sweep: at every "
     "distinct-score cutoff, total cost = FP + 5*FN from the same "
-    "single descending cumulative window as ml_eval_pr_curve_exact, "
-    "argmin with deterministic score tie-break. Exact integers; the "
-    "decision-theoretic column the curve itself leaves to the reader. "
-    "One grouped agg + one window + a top-1.",
+    "distributed descending prefix sum as ml_eval_pr_curve_exact "
+    "(operators/ranks.py — never a single-task sort), argmin with "
+    "deterministic score tie-break via one min(struct) aggregate "
+    "(map-side partial, no ranking window at all). Exact integers; "
+    "the decision-theoretic column the curve itself leaves to the "
+    "reader.",
 )
 def ml_eval_cost_optimal_threshold(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     g = docs.select(
         F.col("n_chars").alias("score"),
@@ -633,18 +634,11 @@ def ml_eval_cost_optimal_threshold(
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
         F.sum("y").cast("bigint").alias("pos"),
     )
-    wdesc = Window.orderBy(F.desc("score")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = g.select(
-        "score",
-        F.sum("cnt").over(wdesc).alias("k"),
-        F.sum("pos").over(wdesc).alias("tp"),
-        F.sum("pos").over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("p_tot"),
+    cum = with_global_order_stats(
+        g,
+        [F.desc("score")],
+        cumsums={"k": F.col("cnt"), "tp": F.col("pos")},
+        totals={"p_tot": F.col("pos")},
     )
     cost = cum.select(
         F.col("score").alias("threshold_score"),
@@ -657,11 +651,16 @@ def ml_eval_cost_optimal_threshold(
         .cast("bigint")
         .alias("total_cost"),
     )
-    w = Window.orderBy("total_cost", "threshold_score")
-    return (
-        cost.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("threshold_score", "n_fp", "n_fn", "total_cost")
+    best = cost.agg(
+        F.min(
+            F.struct("total_cost", "threshold_score", "n_fp", "n_fn")
+        ).alias("b")
+    )
+    return best.select(
+        F.col("b.threshold_score").alias("threshold_score"),
+        F.col("b.n_fp").alias("n_fp"),
+        F.col("b.n_fn").alias("n_fn"),
+        F.col("b.total_cost").alias("total_cost"),
     )
 
 

@@ -332,16 +332,17 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("slice"),
     )
     ref = c.filter(F.col("slice") == 0)
-    w = Window.orderBy("cents")
-    ranked = ref.select(
-        "cents",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n"),
-    )
+    # exact decile cut ranks over the reference slice ride the
+    # distributed row number + same-broadcast count (operators/ranks.py)
+    # — never a single-task sort of O(reference rows).
+    from .ranks import with_global_order_stats
+
+    ranked = with_global_order_stats(
+        ref.select("cents"),
+        [F.col("cents")],
+        row_number="rn",
+        totals={"n": F.lit(1)},
+    ).select("cents", "rn", "n")
     cuts = (
         ranked.filter(
             F.expr(
@@ -955,21 +956,31 @@ ORDER BY rnk
     "per-range top-k, which range-partitioned storage gives for free.",
 )
 def dq_id_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ranks import with_global_lead
+
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("id")
+    # LEAD over the sorted key space is the distributed rn+1 self-join
+    # (operators/ranks.py) — never a single-task sort of O(keys); the
+    # top-10 pick is a TakeOrdered limit, and its rank column is a
+    # window over exactly GAP_TOPK rows.
     gaps = (
-        orders.select(F.col("o_orderkey").alias("id"))
-        .withColumn("next_id", F.lead("id").over(w))
+        with_global_lead(
+            orders.select(F.col("o_orderkey").alias("id")),
+            [F.col("id")],
+            {"next_id": "id"},
+        )
         .filter(F.col("next_id") - F.col("id") > 1)
         .select(
             F.col("id").alias("gap_after"),
             (F.col("next_id") - F.col("id") - 1).alias("missing"),
         )
     )
+    top = gaps.orderBy(F.desc("missing"), F.asc("gap_after")).limit(
+        GAP_TOPK
+    )
     wr = Window.orderBy(F.desc("missing"), F.asc("gap_after"))
     return (
-        gaps.withColumn("rnk", F.row_number().over(wr).cast("int"))
-        .filter(F.col("rnk") <= GAP_TOPK)
+        top.withColumn("rnk", F.row_number().over(wr).cast("int"))
         .select(
             "rnk",
             F.col("gap_after").cast("bigint").alias("gap_after"),
@@ -1257,19 +1268,29 @@ def dq_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("h1").cast("bigint").alias("c1"),
         F.sum(1 - F.col("h1")).cast("bigint").alias("c2"),
     )
-    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    # Both ECDFs + both totals + the adjacent-value gap in one
+    # distributed construction (operators/ranks.py): running sums and
+    # the row number come off one range exchange, and LEAD(cents) is
+    # the rn+1 equi self-join — no single-task sort of O(distinct
+    # values) anywhere.
+    from .ranks import with_global_order_stats
+
+    cum0 = with_global_order_stats(
+        g,
+        [F.col("cents")],
+        cumsums={"f1": F.col("c1"), "f2": F.col("c2")},
+        totals={"n1": F.col("c1"), "n2": F.col("c2")},
+        row_number="rn",
     )
-    cum = g.select(
-        "cents",
-        F.sum("c1").over(wc).cast("bigint").alias("f1"),
-        F.sum("c2").over(wc).cast("bigint").alias("f2"),
-        F.sum("c1").over(wall).cast("bigint").alias("n1"),
-        F.sum("c2").over(wall).cast("bigint").alias("n2"),
-        (F.lead("cents").over(Window.orderBy("cents")) - F.col("cents"))
-        .cast("bigint")
-        .alias("gap"),
+    nxt = cum0.select(
+        (F.col("rn") - 1).alias("rn"), F.col("cents").alias("next_cents")
+    )
+    cum = (
+        cum0.join(nxt, "rn", "left")
+        .withColumn(
+            "gap", (F.col("next_cents") - F.col("cents")).cast("bigint")
+        )
+        .select("cents", "f1", "f2", "n1", "n2", "gap")
     )
     terms = cum.filter(F.col("gap").isNotNull()).select(
         (

@@ -61,71 +61,158 @@ _TOT = "__gr_tot"
 _LOC = "__gr_loc"
 _RN = "__gr_rn"
 
-_OFFSETS_SCHEMA = StructType(
-    [
-        StructField(_PID, IntegerType(), False),
-        StructField(_OFF, LongType(), False),
-        StructField(_TOT, LongType(), False),
-    ]
-)
-
-
-def _prefix_offsets(
-    batches: "Iterator[pd.DataFrame]",
-) -> "Iterator[pd.DataFrame]":
-    """Exclusive prefix sums over the per-partition totals (one bounded
-    batch: at most `shuffle.partitions` rows). Runs as a single task by
-    construction (coalesce(1)) — that is fine, its input is O(P)."""
-    import pandas as pd
-
-    frames = [b for b in batches if len(b)]
-    if not frames:
-        return
-    df = pd.concat(frames).sort_values(_PID)
-    n = df[_N].astype("int64")
-    yield pd.DataFrame(
-        {
-            _PID: df[_PID].astype("int32"),
-            _OFF: n.cumsum() - n,
-            _TOT: n.sum(),
-        }
+def _make_prefix_offsets(outs: Sequence[str]):
+    """Build the multi-measure exclusive-prefix-sum fold and its schema:
+    one (_OFF/_TOT) column pair per measure name in `outs`. The fold
+    sees at most `shuffle.partitions` rows (one per range partition) in
+    ONE bounded Arrow batch — a single task by construction
+    (coalesce(1)), which is fine because its input is O(P)."""
+    schema = StructType(
+        [StructField(_PID, IntegerType(), False)]
+        + [
+            StructField(pre + out, LongType(), False)
+            for out in outs
+            for pre in (_OFF, _TOT)
+        ]
     )
 
+    def fold(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
 
-def _annotate(
+        frames = [b for b in batches if len(b)]
+        if not frames:
+            return
+        df = pd.concat(frames).sort_values(_PID)
+        cols = {_PID: df[_PID].astype("int32")}
+        for out in outs:
+            n = df[_N + out].astype("int64")
+            cols[_OFF + out] = n.cumsum() - n
+            cols[_TOT + out] = n.sum()
+        yield pd.DataFrame(cols)
+
+    return fold, schema
+
+
+def with_global_order_stats(
     df: DataFrame,
     order_exprs: Sequence[Column],
-    measure: Column,
-    local_over,
+    *,
+    cumsums: "dict[str, Column] | None" = None,
+    totals: "dict[str, Column] | None" = None,
+    row_number: str | None = None,
 ) -> DataFrame:
-    """Shared engine: returns df + _LOC (per-partition local value),
-    _OFF (sum of `measure` over all earlier range partitions) and _TOT
-    (grand total of `measure`). Callers combine and drop."""
+    """The multi-measure engine behind every helper here: ONE range
+    exchange + ONE pid-hash window + ONE O(P)-row broadcast, producing
+    any combination of
+
+      - ``cumsums[out] = value``: SUM(value) OVER (ORDER BY *order ROWS
+        UNBOUNDED PRECEDING) as long column `out` (inclusive running
+        sum; exact when the order is total),
+      - ``row_number = out``: ROW_NUMBER() OVER (ORDER BY *order),
+      - ``totals[out] = value``: SUM(value) OVER () — the grand total,
+        carried on the same P-row broadcast (zero extra passes).
+
+    This exists because most call sites need SEVERAL of these at once
+    (an ECDF needs the running count AND the grand count; a PR sweep
+    needs running k, running tp, and total positives) — computing them
+    through one shared range partitioning costs the same as computing
+    one. All measure names must be distinct and absent from df."""
+    cumsums = dict(cumsums or {})
+    totals = dict(totals or {})
     spark = df.sparkSession
     try:
         nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         nparts = 32
     order_exprs = list(order_exprs)
-    base = df.repartitionByRange(nparts, *order_exprs).withColumn(
-        _PID, F.spark_partition_id()
+    # The ranged base MUST be persisted: both branches below key on
+    # spark_partition_id() over this exchange, and repartitionByRange
+    # SAMPLES its bounds from the input's row order. Without a pin,
+    # Catalyst's column pruning narrows the offsets branch's projection,
+    # the two exchange subplans stop canonicalizing identically,
+    # ReuseExchange never fires, and each branch re-samples bounds
+    # independently — silently inconsistent pids whenever the upstream
+    # row order is nondeterministic (any hash-aggregate input; caught
+    # by agg_mann_whitney_u flipping values run to run in r12). The
+    # persist makes pid consistency unconditional on optimizer behavior:
+    # one materialization of the ranked input (MEMORY_AND_DISK, spills,
+    # LRU-evicted; an evicted partition recomputes from the already-
+    # written shuffle files, so its pid and contents are stable). On a
+    # real cluster, executor loss that forces a full shuffle recompute
+    # re-samples bounds — every consumer then sees the SAME new
+    # partitioning, so results stay consistent, merely re-ranged.
+    from pyspark import StorageLevel
+
+    base = (
+        df.repartitionByRange(nparts, *order_exprs)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     w = Window.partitionBy(_PID).orderBy(*order_exprs)
-    local = base.withColumn(_LOC, local_over(w))
-    counts = base.groupBy(_PID).agg(measure.cast("long").alias(_N))
-    offsets = counts.coalesce(1).mapInPandas(
-        _prefix_offsets, _OFFSETS_SCHEMA
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    measures: list[tuple[str, Column]] = []  # (out, per-partition agg)
+    local = base
+    for out, v in cumsums.items():
+        local = local.withColumn(
+            _LOC + out, F.sum(v).over(w_cum).cast("long")
+        )
+        measures.append((out, F.sum(v)))
+    if row_number is not None:
+        local = local.withColumn(
+            _LOC + row_number, F.row_number().over(w).cast("long")
+        )
+        measures.append((row_number, F.count(F.lit(1))))
+    for out, v in totals.items():
+        if out in cumsums or out == row_number:
+            raise ValueError(f"duplicate measure name: {out}")
+        measures.append((out, F.sum(v)))
+
+    counts = base.groupBy(_PID).agg(
+        *[m.cast("long").alias(_N + out) for out, m in measures]
     )
-    return local.join(F.broadcast(offsets), _PID, "inner")
+    fold, schema = _make_prefix_offsets([out for out, _ in measures])
+    offsets = counts.coalesce(1).mapInPandas(fold, schema)
+    res = local.join(F.broadcast(offsets), _PID, "inner")
+
+    drop = [_PID]
+    for out in cumsums:
+        res = res.withColumn(
+            out, (F.col(_LOC + out) + F.col(_OFF + out)).cast("long")
+        )
+        drop += [_LOC + out, _OFF + out, _TOT + out]
+    if row_number is not None:
+        res = res.withColumn(
+            row_number,
+            (F.col(_LOC + row_number) + F.col(_OFF + row_number)).cast(
+                "long"
+            ),
+        )
+        drop += [_LOC + row_number, _OFF + row_number, _TOT + row_number]
+    for out in totals:
+        res = res.withColumn(out, F.col(_TOT + out))
+        drop += [_OFF + out, _TOT + out]
+    return res.drop(*drop)
 
 
-def _finish(
-    ann: DataFrame, out: str, total_col: str | None
+def with_global_lead(
+    df: DataFrame,
+    order_exprs: Sequence[Column],
+    cols: "dict[str, str]",
 ) -> DataFrame:
-    res = ann.withColumn(out, (F.col(_LOC) + F.col(_OFF)).cast("long"))
-    if total_col is not None:
-        res = res.withColumn(total_col, F.col(_TOT))
-    return res.drop(_PID, _LOC, _OFF, _TOT)
+    """LEAD(src, 1) OVER (ORDER BY *order_exprs) for each `out -> src`
+    in cols, with no single-task stage: the distributed global row
+    number keys an equi self-join on rn+1 (rn is unique and dense, so
+    the join shuffle is perfectly balanced — no boundary-row special
+    cases, empty range partitions included). The last row gets NULLs,
+    exactly the built-in default. Costs one extra hash shuffle over
+    the window form — the price of never funnelling through one task."""
+    rn = with_global_row_number(df, order_exprs, out=_RN)
+    nxt = rn.select(
+        (F.col(_RN) - 1).alias(_RN),
+        *[F.col(src).alias(out) for out, src in cols.items()],
+    )
+    return rn.join(nxt, _RN, "left").drop(_RN)
 
 
 def with_global_row_number(
@@ -139,13 +226,12 @@ def with_global_row_number(
     ties (if the order is not total) are broken arbitrarily but rows
     with distinct keys rank exactly. `total_col` optionally attaches
     COUNT(*) OVER () (the same broadcast, zero extra passes)."""
-    ann = _annotate(
+    return with_global_order_stats(
         df,
         order_exprs,
-        F.count(F.lit(1)),
-        lambda w: F.row_number().over(w).cast("long"),
+        row_number=out,
+        totals={total_col: F.lit(1)} if total_col is not None else None,
     )
-    return _finish(ann, out, total_col)
 
 
 def with_global_cumsum(
@@ -161,15 +247,12 @@ def with_global_cumsum(
     from the same broadcast (no extra full-frame window, no extra
     pass). The order should be total if per-row values must be exact
     (ties within the local window are summed in window order)."""
-    ann = _annotate(
+    return with_global_order_stats(
         df,
         order_exprs,
-        F.sum(value),
-        lambda w: F.sum(value)
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("long"),
+        cumsums={out: value},
+        totals={total_col: value} if total_col is not None else None,
     )
-    return _finish(ann, out, total_col)
 
 
 def with_global_ntile(

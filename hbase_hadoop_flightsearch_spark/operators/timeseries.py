@@ -1147,9 +1147,9 @@ ORDER BY s.share_pct
     "partitions). The threshold test is the integer cross-product "
     "cum*100 >= share*total (no float percentages), ranking ties "
     "broken by user_id. Spark shape: one shuffle to per-user counts, "
-    "then windows over O(users) rows; the single-partition ranking "
-    "window is the honest exact cost at profile time (the counts "
-    "table is tiny relative to the event log).",
+    "then the distributed rank/cumsum primitive (operators/ranks.py) "
+    "over O(users) rows — a range exchange, never a single-task sort "
+    "(per-user counts still scale with the corpus).",
 )
 def events_pareto_concentration(
     spark: SparkSession, sf_dir: str
@@ -1158,16 +1158,18 @@ def events_pareto_concentration(
     per_user = events.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    w_rank = Window.orderBy(F.col("n").desc(), "user_id")
-    w_all = Window.partitionBy()
-    ranked = per_user.select(
-        "n",
-        F.sum("n").over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cum_n"),
-        F.row_number().over(w_rank).alias("rnk"),
-        F.sum("n").over(w_all).alias("total_n"),
-        F.count(F.lit(1)).over(w_all).alias("total_users"),
-    )
+    # running event share, user rank, and both grand totals over
+    # O(users) in one distributed pass (operators/ranks.py) — the
+    # "honest exact cost" is now a range exchange, not one task.
+    from .ranks import with_global_order_stats
+
+    ranked = with_global_order_stats(
+        per_user,
+        [F.col("n").desc(), F.col("user_id")],
+        cumsums={"cum_n": F.col("n")},
+        totals={"total_n": F.col("n"), "total_users": F.lit(1)},
+        row_number="rnk",
+    ).select("n", "cum_n", "rnk", "total_n", "total_users")
     shares = spark.createDataFrame(
         [(s,) for s in PARETO_SHARES], "share_pct int"
     )
@@ -4366,8 +4368,10 @@ FROM sweep
     "classic interval sweep kept scale-honest: intervals become +1/-1 "
     "DELTA events (ends at start+1800s tie-grouped with starts on the "
     "same instant, end-before-start resolved by the per-instant SUM), "
-    "pre-aggregated to O(distinct instants) rows, then ONE running-sum "
-    "window — never an interval self-join. Exact integers end to end.",
+    "pre-aggregated to O(distinct instants) rows, then ONE distributed "
+    "running sum (operators/ranks.py — distinct instants grow with the "
+    "log, so no single-task window) — never an interval self-join. "
+    "Exact integers end to end.",
 )
 def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -4379,10 +4383,14 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
     )
     agg = pts.groupBy("t").agg(F.sum("d").cast("bigint").alias("delta"))
-    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    sweep = agg.select(
-        "t", F.sum("delta").over(w).cast("bigint").alias("concurrent")
-    )
+    # the sweep's running sum over O(distinct instants) — which grows
+    # with the event log — rides the distributed prefix sum
+    # (operators/ranks.py), not a single-task window.
+    from .ranks import with_global_cumsum
+
+    sweep = with_global_cumsum(
+        agg, [F.col("t")], F.col("delta"), out="concurrent"
+    ).select("t", "concurrent")
     peak = sweep.agg(F.max("concurrent").alias("pk"))
     return (
         sweep.crossJoin(F.broadcast(peak))

@@ -429,6 +429,12 @@ def flight_connection_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "flight_connection_search_hourband",
+    headline=True,  # bench seat (r12, VERDICT r11 #5): the hub-skew
+    # hour-band regime is what the connection search would run at
+    # 100 TB, so it earns its own pin rather than an informational
+    # reading. Same coalescing pin as the day-band seat (bench.py
+    # PINNED_CONFS) — identical banded-SMJ plan family, same AQE
+    # re-plan noise source.
     oracle=f"""
 WITH flights_ext AS (
   SELECT

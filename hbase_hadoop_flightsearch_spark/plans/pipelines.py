@@ -792,23 +792,28 @@ GROUP BY t.seq_id, tot.total_tokens
     "reports how many documents touch it, start in it, and are SPLIT "
     "across its boundary (the attention-contamination metric that "
     "motivates doc-boundary masking), plus its fill (only the tail "
-    "sequence is partial). All integer arithmetic off one prefix-sum "
-    "window and a bounded per-doc span explode (a doc fans out to "
-    "ceil(tokens/len)+1 rows at most) — at 100 TB the prefix sum runs "
-    "per shard with shard offsets composed broadcast-side.",
+    "sequence is partial). All integer arithmetic off ONE distributed "
+    "prefix sum (operators/ranks.py — range exchange + broadcast "
+    "offsets, never a single-task window over the corpus) and a "
+    "bounded per-doc span explode (a doc fans out to "
+    "ceil(tokens/len)+1 rows at most).",
 )
 def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from ..operators.ranks import with_global_cumsum
 
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
-    off = d.select(
+    # the global token axis is an EXCLUSIVE prefix sum over O(docs):
+    # inclusive distributed cumsum (operators/ranks.py) minus the row's
+    # own tokens — never a single-task window over the corpus.
+    off = with_global_cumsum(
+        d, [F.col("doc_id")], F.col("n_tokens"), out="cum"
+    ).select(
         "doc_id",
         "n_tokens",
-        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("off0"),
+        (F.col("cum") - F.col("n_tokens")).alias("off0"),
     )
     spans = off.select(
         "doc_id",

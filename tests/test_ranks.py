@@ -122,15 +122,19 @@ def test_empty_input(skewed_df):
     )
 
 
-def test_range_exchange_reused_not_rescanned(spark, tmp_path):
-    """The primitive's two branches (local ranks, per-partition counts)
-    must share ONE materialized range shuffle of the input — at 100 TB
-    a second scan+shuffle doubles the dominant cost. AQE's stage cache
-    surfaces this as a ReusedExchange in the final adaptive plan.
-    Asserted over a parquet source because that is what every call site
-    reads (AQE declines to reuse LocalRelation/ExistingRDD-backed
-    exchanges — their canonicalized plans carry distinct RDD lineage —
-    so a createDataFrame fixture would false-alarm)."""
+def test_ranged_base_pinned_once(spark, tmp_path):
+    """The primitive's two branches (local ranks, per-partition offsets)
+    key on spark_partition_id() over the range exchange, and
+    repartitionByRange SAMPLES its bounds from the input's row order —
+    so both branches MUST read ONE materialization of the ranged base.
+    r12 found the optimizer-reuse version of this guarantee silently
+    broken for hash-aggregate inputs (column pruning de-canonicalizes
+    the two exchange subplans, ReuseExchange never fires, each branch
+    re-samples bounds independently — agg_mann_whitney_u flipped values
+    run to run); the engine now persists the base, asserted here via
+    the two InMemoryTableScans in the executed plan (both consumers
+    cache-read; the cached child still shows the single range exchange,
+    and the source is scanned at most once)."""
     path = str(tmp_path / "t.parquet")
     spark.range(0, 2000).select(
         F.col("id"), (F.col("id") % 97).alias("k")
@@ -139,10 +143,13 @@ def test_range_exchange_reused_not_rescanned(spark, tmp_path):
     out = with_global_row_number(df, [F.col("k"), F.col("id")], "rn")
     out.collect()
     final = out._jdf.queryExecution().executedPlan().toString()
-    assert "isFinalPlan=true" in final, final
-    body = final.split("== Initial Plan ==")[0]
-    assert "ReusedExchange" in body, body
-    assert body.count("FileScan") == 1, body
+    # two TableCacheQueryStages = both branches consume the ONE cached
+    # ranged base; the cached child's printed plan carries the single
+    # range exchange. (FileScan counts are meaningless here: every
+    # InMemoryRelation print nests the full child plan again.)
+    assert final.count("TableCacheQueryStage") >= 2, final
+    assert "InMemoryTableScan" in final, final
+    assert "rangepartitioning" in final, final
 
 
 def _window_fed_by_single_partition(plan: str) -> list[str]:
@@ -188,3 +195,106 @@ def test_contract_catches_the_old_shape(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert _window_fed_by_single_partition(plan), plan
+
+
+def test_order_stats_multi_measure_matches_builtins(spark):
+    """with_global_order_stats: several running sums + row number +
+    grand totals in ONE pass must match the built-in window forms
+    value-for-value (ties, negative values, multiple measures)."""
+    from hbase_hadoop_flightsearch_spark.operators.ranks import (
+        with_global_order_stats,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (rng.randint(0, 300), rng.randint(-5, 5), i) for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "v int, a int, id int").repartition(11)
+    g = df.groupBy("v").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("a").alias("sa")
+    )
+    got = with_global_order_stats(
+        g,
+        [F.col("v")],
+        cumsums={"c": F.col("cnt"), "cs": F.col("sa")},
+        totals={"t": F.col("cnt"), "ts": F.col("sa")},
+        row_number="rn",
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    exp = g.select(
+        "v",
+        F.sum("cnt").over(w).cast("long").alias("c"),
+        F.sum("sa").over(w).cast("long").alias("cs"),
+        F.row_number().over(Window.orderBy("v")).cast("long").alias("rn"),
+        F.sum("cnt").over(w_all).cast("long").alias("t"),
+        F.sum("sa").over(w_all).cast("long").alias("ts"),
+    )
+    cols = ["c", "cs", "rn", "t", "ts"]
+    a = {r["v"]: tuple(r[c] for c in cols) for r in got.collect()}
+    b = {r["v"]: tuple(r[c] for c in cols) for r in exp.collect()}
+    assert a == b
+
+
+def test_order_stats_deterministic_over_hash_agg_input(spark):
+    """Regression (r12): with a hash-AGGREGATE input, the two branches
+    of the primitive used to re-sample range bounds independently
+    (ReuseExchange de-canonicalized by column pruning), pairing local
+    ranks with the WRONG partition offsets — nondeterministically.
+    The persisted base makes the result identical across repeated
+    evaluations, checked here via the doubled-midrank identity
+    sum(cnt * (2*cum - cnt + 1)) == n * (n + 1), which is violated
+    almost surely when pids mismatch, plus run-to-run equality."""
+    from hbase_hadoop_flightsearch_spark.operators.ranks import (
+        with_global_order_stats,
+    )
+
+    rng = random.Random(3)
+    rows = [(rng.randint(0, 5000),) for _ in range(20000)]
+    df = spark.createDataFrame(rows, "v int").repartition(17)
+    g = df.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def run() -> tuple:
+        cum = with_global_order_stats(
+            g, [F.col("v")], cumsums={"c": F.col("cnt")}
+        )
+        row = cum.agg(
+            F.sum(
+                F.col("cnt") * (2 * F.col("c") - F.col("cnt") + 1)
+            ).alias("s"),
+            F.sum("cnt").alias("n"),
+        ).collect()[0]
+        return row["s"], row["n"]
+
+    results = [run() for _ in range(3)]
+    for s, n in results:
+        assert s == n * (n + 1), (s, n)
+    assert len(set(results)) == 1, results
+
+
+def test_global_lead_matches_builtin(spark):
+    """with_global_lead: LEAD(1) semantics including the NULL last row
+    and duplicate order keys (arbitrary-but-consistent tie order is
+    made total here with a tiebreak column, as every call site does)."""
+    from hbase_hadoop_flightsearch_spark.operators.ranks import (
+        with_global_lead,
+    )
+
+    rng = random.Random(5)
+    rows = [(rng.randint(0, 500) * 3, i) for i in range(3000)]
+    df = spark.createDataFrame(rows, "k long, id int").repartition(9)
+    got = with_global_lead(
+        df, [F.col("k"), F.col("id")], {"next_k": "k", "next_id": "id"}
+    )
+    w = Window.orderBy("k", "id")
+    exp = df.select(
+        "k",
+        "id",
+        F.lead("k").over(w).alias("next_k"),
+        F.lead("id").over(w).alias("next_id"),
+    )
+    a = {(r["k"], r["id"]): (r["next_k"], r["next_id"])
+         for r in got.collect()}
+    b = {(r["k"], r["id"]): (r["next_k"], r["next_id"])
+         for r in exp.collect()}
+    assert a == b
