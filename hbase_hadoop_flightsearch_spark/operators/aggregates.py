@@ -1279,8 +1279,9 @@ ORDER BY r_score, f_score, m_score
     "with customer-key tiebreaks so quintile boundaries are "
     "engine-deterministic; rolled up to the 125-cell segment cube. "
     "Spark shape: one shuffle to per-customer stats, the 1-row max "
-    "date broadcast, three ranking windows over O(customers) rows "
-    "(partition by tenant in production), O(125) output.",
+    "date broadcast, three DISTRIBUTED quintile assignments over "
+    "O(customers) rows (operators/ranks.py NTILE — three range "
+    "exchanges, never a single-task sort), O(125) output.",
 )
 def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -1431,9 +1432,10 @@ FROM ranked
     "over cents sorted ascending with customer-key tiebreaks — every "
     "term is an exact BIGINT product until the single final division. "
     "Complements events_pareto_concentration (one number vs the "
-    "curve). One shuffle to per-customer cents, one ranking window "
-    "over O(customers) rows (profile-time single partition; shard by "
-    "tenant in production), O(1) output.",
+    "curve). One shuffle to per-customer cents, then the distributed "
+    "rank + totals primitive (operators/ranks.py) over O(customers) "
+    "rows — a range exchange, never a single-task sort — and O(1) "
+    "output.",
 )
 def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ranks import with_global_order_stats
@@ -1583,9 +1585,10 @@ FROM atv, na, nb GROUP BY na.na, nb.nb
     "|cum_a * n_b - cum_b * n_a| (exact), maxed, and reported both "
     "raw and as micro-units via bigint div. ECDFs evaluated at each "
     "distinct value's last tied row (the sup over the right-"
-    "continuous step function). Plan: one union scan, one global-"
-    "order window (range-partitioned sort at scale), one max — the "
-    "same one-sort shape as any exact quantile.",
+    "continuous step function). Plan: one union scan, one grouped "
+    "agg, the distributed multi-measure prefix sum "
+    "(operators/ranks.py — a genuine range-partitioned sort, never "
+    "a single-task window), one max.",
 )
 def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ranks import with_global_order_stats
@@ -2038,8 +2041,9 @@ FROM cum
     "(deterministic NTILE with custkey tie-break): cumulative revenue "
     "share vs cumulative population share in exact integer ppm — the "
     "curve agg_gini_revenue integrates and events_pareto_concentration "
-    "reads from the other end. One customer rollup, one NTILE sort, "
-    "one O(10) window.",
+    "reads from the other end. One customer rollup, one DISTRIBUTED "
+    "NTILE (operators/ranks.py — never a single-task sort of "
+    "O(customers)), one O(10) window.",
 )
 def agg_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ranks import with_global_ntile
@@ -2206,10 +2210,12 @@ FROM mapped m JOIN a ON a.rn = m.a_idx
     doc="Quantile normalization of src1's length distribution onto "
     "src0's (the batch-effect-removal op: after mapping, src1's "
     "distribution EQUALS src0's, a property the test asserts): ranks "
-    "via deterministic windows, quantile index as a pure integer "
-    "floor((rn-1)*n_a/n_b)+1, one equi join on the index. The "
-    "cross-source score harmonizer for corpus-prep quality features. "
-    "Two sorts + one broadcast-sized join.",
+    "via the distributed row-number primitive (operators/ranks.py — "
+    "two range exchanges, never a single-task sort of either slice), "
+    "quantile index as a pure integer floor((rn-1)*n_a/n_b)+1, one "
+    "plain equi join on the index (not broadcast: the reference side "
+    "is corpus-sized too). The cross-source score harmonizer for "
+    "corpus-prep quality features.",
 )
 def agg_quantile_normalization(
     spark: SparkSession, sf_dir: str

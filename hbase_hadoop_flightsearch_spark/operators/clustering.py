@@ -1055,9 +1055,10 @@ LIMIT {STUMP_TOPK}
     "the exact best threshold on o_totalprice for predicting URGENT "
     "priority, by minimum weighted binary Gini impurity over ALL "
     "distinct feature values. The classic sort-and-scan algorithm "
-    "becomes one grouped aggregate + one global-order cumulative "
-    "window (range-partitioned sort at cluster scale, same class as "
-    "the exact-AUC plan) — never a per-threshold pass. The cost is "
+    "becomes one grouped aggregate + the distributed prefix-sum "
+    "primitive (operators/ranks.py — a genuine range-partitioned "
+    "sort, same class as the exact-AUC plan, never a single-task "
+    "window) — never a per-threshold pass. The cost is "
     "put over the common denominator nL*nR*n so the per-mille scaled "
     "floor is pure BIGINT (fits through sf0.1; beyond that the same "
     "expression lifts to DECIMAL(38,0)); ties break on the smaller "

@@ -949,11 +949,11 @@ ORDER BY rnk
     doc="Key-space gap-island audit (DQ family; the 'did ingestion drop "
     "a range' check every CDC/backfill pipeline runs): orderkeys are "
     "deliberately sparse, and the audit reports the top-10 largest "
-    "contiguous missing ranges via one LEAD over the sorted key — "
-    "gap-and-island analysis with no self-join. Exact integers "
-    "throughout. The global sort is the only exchange; at 100 TB run "
-    "it per partition-key range first (same expression) and merge the "
-    "per-range top-k, which range-partitioned storage gives for free.",
+    "contiguous missing ranges via a DISTRIBUTED LEAD over the sorted "
+    "key (operators/ranks.py — range exchange + rn+1 equi self-join, "
+    "never a single-task sort of the key space). Exact integers "
+    "throughout; the top-10 pick is a TakeOrdered limit and its rank "
+    "column a window over exactly those 10 rows.",
 )
 def dq_id_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ranks import with_global_lead
@@ -1243,8 +1243,10 @@ FROM terms
     "denominator so the numerator is a pure BIGINT — the drift METRIC "
     "psi approximates in buckets (dq_drift_psi) and KS reads only at "
     "the max (agg_ks_two_sample); W1 is the one with transport "
-    "semantics (dollars moved per unit mass). One value rollup, one "
-    "ordered window pass.",
+    "semantics (dollars moved per unit mass). One value rollup, then "
+    "both ECDFs + totals + the adjacent-value gap off one distributed "
+    "prefix-sum pass (operators/ranks.py — never a single-task sort "
+    "of O(distinct values)).",
 )
 def dq_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")

@@ -753,12 +753,20 @@ def test_r8_batch3_no_cartesian(spark, name):
 
 
 def test_decision_stump_single_sort_no_join(spark):
-    """The stump's sort-and-scan plan is one grouped aggregate plus ONE
-    global-order cumulative window; the per-threshold cost is window
-    arithmetic, not a join — a Join node would mean the O(thresholds x
-    rows) formulation leaked in from the oracle."""
+    """The stump's sort-and-scan plan is one grouped aggregate plus the
+    distributed prefix sum (operators/ranks.py); the per-threshold cost
+    is arithmetic, not a join — a fact-to-fact Join node would mean the
+    O(thresholds x rows) formulation leaked in from the oracle. The
+    primitive's own BroadcastHashJoin is allowed ONLY on its __gr_pid
+    offsets key (an O(shuffle.partitions)-row broadcast)."""
     plan = _plan(spark, "ml_decision_stump_gini")
-    assert "Join" not in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    assert "ShuffledHashJoin" not in plan, plan[:1500]
+    assert "NestedLoopJoin" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line:
+            assert "__gr_pid" in line, line
 
 
 def test_did_lift_single_aggregate_no_shuffle_fanout(spark):
