@@ -2033,8 +2033,14 @@ cum AS (
   FROM per
 )
 SELECT CAST(d AS INT) AS decile, n_cust, cents AS decile_cents,
-  CAST((cum_cents * 1000000) // total AS BIGINT) AS cum_share_ppm,
-  CAST((cum_cust * 1000000) // n_total AS BIGINT) AS cum_pop_ppm
+  -- cum_cents * 1e6 outgrows BIGINT once total revenue passes ~9e12
+  -- cents (caught by the r12 5x-corpus differential): lift the product
+  -- to HUGEINT / DECIMAL(38,0) — identical positive floor-div in both
+  -- engines, headroom to ~1e32 cents.
+  CAST((CAST(cum_cents AS HUGEINT) * 1000000) // total AS BIGINT)
+    AS cum_share_ppm,
+  CAST((CAST(cum_cust AS HUGEINT) * 1000000) // n_total AS BIGINT)
+    AS cum_pop_ppm
 FROM cum
 """,
     doc="Lorenz curve at decile resolution over per-customer revenue "
@@ -2081,12 +2087,16 @@ def agg_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("int").alias("decile"),
         "n_cust",
         F.col("cents").alias("decile_cents"),
-        F.expr("CAST((cum_cents * 1000000) div total AS BIGINT)").alias(
-            "cum_share_ppm"
-        ),
-        F.expr("CAST((cum_cust * 1000000) div n_total AS BIGINT)").alias(
-            "cum_pop_ppm"
-        ),
+        # DECIMAL(38,0) lift mirrors the oracle's HUGEINT (r12 5x
+        # finding: cum_cents * 1e6 overflows BIGINT past ~9e12 cents)
+        F.expr(
+            "CAST((CAST(cum_cents AS DECIMAL(38,0)) * 1000000)"
+            " div total AS BIGINT)"
+        ).alias("cum_share_ppm"),
+        F.expr(
+            "CAST((CAST(cum_cust AS DECIMAL(38,0)) * 1000000)"
+            " div n_total AS BIGINT)"
+        ).alias("cum_pop_ppm"),
     )
 
 

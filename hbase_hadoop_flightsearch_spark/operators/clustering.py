@@ -1034,13 +1034,19 @@ cost AS (
     CAST(pos_tot - pos_left AS BIGINT) AS pos_right,
     -- weighted binary Gini, common-denominator integer form:
     --   cost = 2*(posL*negL/nL + posR*negR/nR)
-    -- scaled per-mille and floored; all terms positive BIGINTs
+    -- scaled per-mille and floored; the triple products outgrow BIGINT
+    -- past n ~ 1.6e6 rows (caught by the r12 5x-corpus differential),
+    -- so both numerator and denominator are lifted to HUGEINT —
+    -- identical positive floor-div to Spark's DECIMAL(38,0) twin,
+    -- headroom to n ~ 4e12
     CAST(({STUMP_COST_SCALE} * 2 *
-          (pos_left * (n_left - pos_left) * (n - n_left)
-           + (pos_tot - pos_left) * ((n - n_left) - (pos_tot - pos_left))
+          (CAST(pos_left AS HUGEINT) * (n_left - pos_left) * (n - n_left)
+           + CAST(pos_tot - pos_left AS HUGEINT)
+             * ((n - n_left) - (pos_tot - pos_left))
              * n_left))
-         // (n_left * (n - n_left) * n) AS BIGINT) AS gini_cost_scaled,
-    CAST((1000000 *
+         // (CAST(n_left AS HUGEINT) * (n - n_left) * n) AS BIGINT)
+      AS gini_cost_scaled,
+    CAST((CAST(1000000 AS HUGEINT) *
           (GREATEST(pos_left, n_left - pos_left)
            + GREATEST(pos_tot - pos_left,
                       (n - n_left) - (pos_tot - pos_left))))
@@ -1097,15 +1103,21 @@ def ml_decision_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos_tot") - F.col("pos_left"))
         .cast("bigint")
         .alias("pos_right"),
+        # DECIMAL(38,0) lift mirrors the oracle's HUGEINT (r12 5x
+        # finding: the n^3-class products overflow BIGINT past ~1.6e6
+        # rows); positive floor-div is identical in both engines
         F.expr(
             f"CAST(({STUMP_COST_SCALE} * 2 * "
-            "(pos_left * (n_left - pos_left) * (n - n_left) "
-            " + (pos_tot - pos_left) * ((n - n_left) - (pos_tot - pos_left))"
+            "(CAST(pos_left AS DECIMAL(38,0)) * (n_left - pos_left)"
+            "   * (n - n_left) "
+            " + CAST(pos_tot - pos_left AS DECIMAL(38,0))"
+            "   * ((n - n_left) - (pos_tot - pos_left))"
             "   * n_left)) "
-            "div (n_left * (n - n_left) * n) AS BIGINT)"
+            "div (CAST(n_left AS DECIMAL(38,0)) * (n - n_left) * n)"
+            " AS BIGINT)"
         ).alias("gini_cost_scaled"),
         F.expr(
-            "CAST((1000000 * "
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * "
             "(GREATEST(pos_left, n_left - pos_left) "
             " + GREATEST(pos_tot - pos_left, "
             "            (n - n_left) - (pos_tot - pos_left)))) "
@@ -1144,11 +1156,15 @@ pre AS (
 ),
 rootcost AS (
   SELECT x_cents, n_left, pos_left, n, pos_tot,
+    -- HUGEINT lift: the n^3-class products overflow BIGINT past
+    -- n ~ 1.6e6 rows (r12 5x-corpus finding); floor-div on positives
+    -- matches Spark's DECIMAL(38,0) twin exactly
     ({STUMP_COST_SCALE} * 2 *
-     (pos_left * (n_left - pos_left) * (n - n_left)
-      + (pos_tot - pos_left) * ((n - n_left) - (pos_tot - pos_left))
+     (CAST(pos_left AS HUGEINT) * (n_left - pos_left) * (n - n_left)
+      + CAST(pos_tot - pos_left AS HUGEINT)
+        * ((n - n_left) - (pos_tot - pos_left))
         * n_left))
-    // (n_left * (n - n_left) * n) AS cost
+    // (CAST(n_left AS HUGEINT) * (n - n_left) * n) AS cost
   FROM pre WHERE n_left < n
 ),
 root AS (
@@ -1171,11 +1187,15 @@ pre2 AS (
 ),
 cost2 AS (
   SELECT side, x_cents, n_left, pos_left, n, pos_tot,
+    -- HUGEINT lift: the n^3-class products overflow BIGINT past
+    -- n ~ 1.6e6 rows (r12 5x-corpus finding); floor-div on positives
+    -- matches Spark's DECIMAL(38,0) twin exactly
     ({STUMP_COST_SCALE} * 2 *
-     (pos_left * (n_left - pos_left) * (n - n_left)
-      + (pos_tot - pos_left) * ((n - n_left) - (pos_tot - pos_left))
+     (CAST(pos_left AS HUGEINT) * (n_left - pos_left) * (n - n_left)
+      + CAST(pos_tot - pos_left AS HUGEINT)
+        * ((n - n_left) - (pos_tot - pos_left))
         * n_left))
-    // (n_left * (n - n_left) * n) AS cost
+    // (CAST(n_left AS HUGEINT) * (n - n_left) * n) AS cost
   FROM pre2 WHERE n_left < n
 ),
 best2 AS (
@@ -1224,12 +1244,16 @@ def ml_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("bigint").alias("pos"),
     ).persist()
 
+    # DECIMAL(38,0) lift mirrors the oracle's HUGEINT (r12 5x finding:
+    # the n^3-class products overflow BIGINT past ~1.6e6 rows)
     cost_expr = F.expr(
         f"({STUMP_COST_SCALE} * 2 * "
-        "(pos_left * (n_left - pos_left) * (n - n_left) "
-        " + (pos_tot - pos_left) * ((n - n_left) - (pos_tot - pos_left))"
+        "(CAST(pos_left AS DECIMAL(38,0)) * (n_left - pos_left)"
+        "   * (n - n_left) "
+        " + CAST(pos_tot - pos_left AS DECIMAL(38,0))"
+        "   * ((n - n_left) - (pos_tot - pos_left))"
         "   * n_left)) "
-        "div (n_left * (n - n_left) * n)"
+        "div (CAST(n_left AS DECIMAL(38,0)) * (n - n_left) * n)"
     )
 
     def sweep(g: DataFrame) -> DataFrame:
