@@ -4004,18 +4004,31 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
 # experiment readout upgrade: regress the experiment-period metric on the
 # pre-period covariate and report variance-adjusted means per arm.
 
-_CUPED_THETA = (
-    "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"
+# n * s{xy,xx,yy} are n^2-class cents products — they outgrow BIGINT at
+# the r12 5x corpus (denser per-user cents), so the integer differences
+# are formed in DECIMAL(38,0) and only then converted to DOUBLE. The
+# shared-verbatim strings parse identically in Spark and DuckDB, and
+# exact-integer -> nearest-double conversion is engine-identical.
+_CUPED_COV = (
+    "CAST(CAST(n AS DECIMAL(38,0)) * sxy"
+    " - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
 )
+_CUPED_VARX = (
+    "CAST(CAST(n AS DECIMAL(38,0)) * sxx"
+    " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
+)
+_CUPED_VARY = (
+    "CAST(CAST(n AS DECIMAL(38,0)) * syy"
+    " - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)"
+)
+_CUPED_THETA = f"{_CUPED_COV} / {_CUPED_VARX}"
 _CUPED_ADJ = (
     "ROUND(CAST(sy_a AS DOUBLE) / n_a - ({theta})"
     " * (CAST(sx_a AS DOUBLE) / n_a - CAST(sx AS DOUBLE) / n), 6)"
 ).format(theta=_CUPED_THETA)
 _CUPED_VARRED = (
-    "ROUND(CAST(n * sxy - sx * sy AS DOUBLE)"
-    " * CAST(n * sxy - sx * sy AS DOUBLE)"
-    " / (CAST(n * sxx - sx * sx AS DOUBLE)"
-    " * CAST(n * syy - sy * sy AS DOUBLE)), 6)"
+    f"ROUND({_CUPED_COV} * {_CUPED_COV}"
+    f" / ({_CUPED_VARX} * {_CUPED_VARY}), 6)"
 )
 
 
@@ -4045,9 +4058,11 @@ per_user AS (
 pooled AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(SUM(x * x) AS BIGINT) AS sxx,
-         CAST(SUM(x * y) AS BIGINT) AS sxy,
-         CAST(SUM(y * y) AS BIGINT) AS syy
+         -- cents-scale cross-moments carried in DECIMAL(38,0) (same
+         -- overflow class the r12 5x corpus caught in the mSPRT twin)
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
   FROM per_user
 ),
 arms AS (
@@ -4117,9 +4132,16 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
         F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        # DECIMAL(38,0) summand lift mirrors the oracle (r12 5x class)
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
     )
     arms = per_user.groupBy("arm").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_a"),
@@ -4167,15 +4189,24 @@ m AS (
     CAST(SUM(1 - arm) AS BIGINT) AS n_c, CAST(SUM(arm) AS BIGINT) AS n_t,
     CAST(SUM(CASE WHEN arm = 0 THEN v ELSE 0 END) AS BIGINT) AS s_c,
     CAST(SUM(CASE WHEN arm = 1 THEN v ELSE 0 END) AS BIGINT) AS s_t,
-    CAST(SUM(CASE WHEN arm = 0 THEN v * v ELSE 0 END) AS BIGINT) AS ss_c,
-    CAST(SUM(CASE WHEN arm = 1 THEN v * v ELSE 0 END) AS BIGINT) AS ss_t
+    -- v*v sums outgrow BIGINT on cents-scale per-user values (r12 5x
+    -- finding): summed and carried in DECIMAL(38,0) in both engines
+    CAST(SUM(CASE WHEN arm = 0 THEN CAST(v AS DECIMAL(38,0)) * v
+             ELSE 0 END) AS DECIMAL(38,0)) AS ss_c,
+    CAST(SUM(CASE WHEN arm = 1 THEN CAST(v AS DECIMAL(38,0)) * v
+             ELSE 0 END) AS DECIMAL(38,0)) AS ss_t
   FROM per_user
 ),
 d AS (
   SELECT n_c, n_t, LEAST(n_c, n_t) AS n_eff,
     CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c AS delta,
-    CAST(n_c * ss_c - s_c * s_c AS DOUBLE) / (n_c * (n_c - 1))
-      + CAST(n_t * ss_t - s_t * s_t AS DOUBLE) / (n_t * (n_t - 1)) AS vv
+    -- DECIMAL(38,0) lift (r12 5x finding: n * ss outgrows BIGINT on
+    -- cents-scale per-user moments); identical parse in both engines
+    CAST(CAST(n_c AS DECIMAL(38,0)) * ss_c
+         - CAST(s_c AS DECIMAL(38,0)) * s_c AS DOUBLE) / (n_c * (n_c - 1))
+      + CAST(CAST(n_t AS DECIMAL(38,0)) * ss_t
+             - CAST(s_t AS DECIMAL(38,0)) * s_t AS DOUBLE)
+        / (n_t * (n_t - 1)) AS vv
   FROM m
 )
 SELECT n_c, n_t, ROUND(delta, 6) AS delta_cents_r6,
@@ -4224,15 +4255,22 @@ def events_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("arm") == 1, F.col("v")).otherwise(0))
         .cast("bigint")
         .alias("s_t"),
+        # DECIMAL(38,0) summand lift mirrors the oracle (r12 5x finding)
         F.sum(
-            F.when(F.col("arm") == 0, F.col("v") * F.col("v")).otherwise(0)
+            F.when(
+                F.col("arm") == 0,
+                F.col("v").cast("decimal(38,0)") * F.col("v"),
+            ).otherwise(0)
         )
-        .cast("bigint")
+        .cast("decimal(38,0)")
         .alias("ss_c"),
         F.sum(
-            F.when(F.col("arm") == 1, F.col("v") * F.col("v")).otherwise(0)
+            F.when(
+                F.col("arm") == 1,
+                F.col("v").cast("decimal(38,0)") * F.col("v"),
+            ).otherwise(0)
         )
-        .cast("bigint")
+        .cast("decimal(38,0)")
         .alias("ss_t"),
     )
     d = m.select(
@@ -4242,9 +4280,13 @@ def events_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c"
         ).alias("delta"),
+        # DECIMAL(38,0) lift, mirroring the oracle (r12 5x finding)
         F.expr(
-            "CAST(n_c * ss_c - s_c * s_c AS DOUBLE) / (n_c * (n_c - 1))"
-            " + CAST(n_t * ss_t - s_t * s_t AS DOUBLE)"
+            "CAST(CAST(n_c AS DECIMAL(38,0)) * ss_c"
+            " - CAST(s_c AS DECIMAL(38,0)) * s_c AS DOUBLE)"
+            " / (n_c * (n_c - 1))"
+            " + CAST(CAST(n_t AS DECIMAL(38,0)) * ss_t"
+            " - CAST(s_t AS DECIMAL(38,0)) * s_t AS DOUBLE)"
             " / (n_t * (n_t - 1))"
         ).alias("vv"),
     )

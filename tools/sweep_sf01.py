@@ -7,7 +7,10 @@ oracle (the deliberately quadratic SQL formulations) costs its chunk a
 TIMEOUT record instead of hanging the sweep. Known-quadratic oracles are
 pre-skipped; anything newly slow surfaces as a named timeout.
 
-Usage: python tools/sweep_sf01.py [chunk_size] > sweep.log
+Usage: python tools/sweep_sf01.py [chunk_size] [sf_dir] > sweep.log
+       sf_dir defaults to /root/testdata/sf0.1; pass e.g. a
+       tools/gen_altseed.py scale corpus to sweep larger-than-official
+       fixtures (the r12 5x sweep that caught the BIGINT-overflow class).
 """
 
 from __future__ import annotations
@@ -34,6 +37,7 @@ SKIP = {
 
 CHILD = r"""
 import sys, time
+SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/root/repo/tests")
 from pyspark.sql import SparkSession
 from hbase_hadoop_flightsearch_spark.plans.registry import load_all
@@ -48,7 +52,7 @@ reg = load_all()
 for name in names:
     t0 = time.time()
     try:
-        compare_query_to_oracle(spark, reg[name], "/root/testdata/sf0.1")
+        compare_query_to_oracle(spark, reg[name], SF_DIR)
         print(f"OK {name} {time.time()-t0:.1f}s", flush=True)
     except Exception as ex:
         print(f"FAIL {name} {str(ex)[:250]}", flush=True)
@@ -61,6 +65,7 @@ def main() -> None:
     from hbase_hadoop_flightsearch_spark.plans.registry import load_all
 
     chunk_size = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     names = [n for n in sorted(load_all()) if n not in SKIP]
     ok = fail = timeout = 0
     lost: list[str] = []
@@ -73,7 +78,7 @@ def main() -> None:
         out, rc = "", None
         try:
             p = subprocess.run(
-                [sys.executable, "-c", CHILD, ",".join(chunk)],
+                [sys.executable, "-c", CHILD, ",".join(chunk), sf_dir],
                 capture_output=True, text=True, timeout=1800,
             )
             out, rc = p.stdout, p.returncode
