@@ -20,6 +20,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from hbase_hadoop_flightsearch_spark.operators.ranks import (
+    release_rank_bases,
+)
 from hbase_hadoop_flightsearch_spark.plans.registry import load_all
 from hbase_hadoop_flightsearch_spark.session import get_spark
 
@@ -59,6 +62,10 @@ def time_query(spark, q, sf_dir: str, runs: int) -> float:
     finally:
         for k in pins:
             spark.conf.unset(k)
+        # Drop rank-primitive correctness pins now the action has run,
+        # so cached ranged bases don't accumulate across seats/runs
+        # (operators/ranks.py lifecycle, ADVICE r12).
+        release_rank_bases()
 
 
 def main() -> None:

@@ -26,11 +26,16 @@ Construction (the classic two-pass distributed ranking):
    ever contains a Window fed by Exchange SinglePartition).
 5. ``global = local + broadcast offset[pid]``.
 
-Cost at scale: one range shuffle write of the input (REUSED by both
-branches via AQE's stage cache — asserted over a parquet source in
-tests/test_ranks.py; LocalRelation/ExistingRDD inputs re-scan instead,
-which only matters for driver-local test data), two shuffle reads, one
-hash exchange, one P-row broadcast. Skew caveat: the range partitioner
+Cost at scale: one range shuffle write of the input, materialized ONCE
+via an explicit ``persist(MEMORY_AND_DISK)`` pin on the ranged base —
+optimizer exchange reuse is NOT a correctness guarantee here (column
+pruning de-canonicalizes the two exchange subplans, each branch then
+re-samples range bounds independently; see the inline comment at the
+persist site and tests/test_ranks.py::test_ranged_base_pinned_once) —
+then two reads of that cached base, one pid-hash exchange, one P-row
+broadcast. The pin is released by ``release_rank_bases()`` (call it
+after the consuming action; bench/sweep harnesses do) or by
+``spark.catalog.clearCache()``. Skew caveat: the range partitioner
 co-locates equal keys, so a key holding a large fraction of all rows
 bounds parallelism — give row_number/ntile a high-cardinality tie-break
 column (every call site here does: doc_id / event_id / o_orderkey).
@@ -61,6 +66,44 @@ _TOT = "__gr_tot"
 _LOC = "__gr_loc"
 _RN = "__gr_rn"
 
+# Every persisted ranged base, strongest-ref'd here until released. The
+# persist is a correctness pin (see with_global_order_stats), so it can
+# only be dropped AFTER the consuming action has run — the operator
+# itself never knows when that is, hence this explicit lifecycle:
+# long-lived sessions (bench loops, registry sweeps) call
+# release_rank_bases() between queries so cached materializations don't
+# accumulate in the CacheManager (ADVICE r12).
+_LIVE_BASES: "list[DataFrame]" = []
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """Persist `df` (MEMORY_AND_DISK) and track it under the same
+    lifecycle as the ranged bases, for operators whose plans read an
+    intermediate twice (e.g. ml_decision_tree_depth2's per-threshold
+    histogram feeding both child sweeps). Released by
+    release_rank_bases()."""
+    from pyspark import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_BASES.append(out)
+    return out
+
+
+def release_rank_bases() -> int:
+    """Unpersist every ranged base pinned by with_global_order_stats
+    since the last release. Safe ONLY after the consuming action has
+    materialized its result (unpersisting earlier re-exposes the
+    bound-resampling race the pin exists to close). Returns the number
+    of bases released."""
+    n = len(_LIVE_BASES)
+    for b in _LIVE_BASES:
+        try:
+            b.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+    _LIVE_BASES.clear()
+    return n
+
 def _make_prefix_offsets(outs: Sequence[str]):
     """Build the multi-measure exclusive-prefix-sum fold and its schema:
     one (_OFF/_TOT) column pair per measure name in `outs`. The fold
@@ -85,7 +128,8 @@ def _make_prefix_offsets(outs: Sequence[str]):
         df = pd.concat(frames).sort_values(_PID)
         cols = {_PID: df[_PID].astype("int32")}
         for out in outs:
-            n = df[_N + out].astype("int64")
+            # defense in depth: the agg already coalesces NULL->0
+            n = df[_N + out].fillna(0).astype("int64")
             cols[_OFF + out] = n.cumsum() - n
             cols[_TOT + out] = n.sum()
         yield pd.DataFrame(cols)
@@ -119,6 +163,20 @@ def with_global_order_stats(
     one. All measure names must be distinct and absent from df."""
     cumsums = dict(cumsums or {})
     totals = dict(totals or {})
+    # Validate ALL measure names together up front: a name shared
+    # between any two measure families (or colliding with an input
+    # column) would silently produce duplicate _N+out agg aliases or a
+    # withColumn overwrite — wrong results, not an error (ADVICE r12).
+    all_outs = (
+        list(cumsums)
+        + ([row_number] if row_number is not None else [])
+        + list(totals)
+    )
+    if len(set(all_outs)) != len(all_outs):
+        raise ValueError(f"duplicate measure name in {all_outs}")
+    clash = set(all_outs) & set(df.columns)
+    if clash:
+        raise ValueError(f"measure names already in df: {sorted(clash)}")
     spark = df.sparkSession
     try:
         nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -148,6 +206,7 @@ def with_global_order_stats(
         .withColumn(_PID, F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _LIVE_BASES.append(base)
     w = Window.partitionBy(_PID).orderBy(*order_exprs)
     w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
@@ -164,12 +223,17 @@ def with_global_order_stats(
         )
         measures.append((row_number, F.count(F.lit(1))))
     for out, v in totals.items():
-        if out in cumsums or out == row_number:
-            raise ValueError(f"duplicate measure name: {out}")
         measures.append((out, F.sum(v)))
 
+    # Coalesce each per-partition agg to 0: F.sum over an all-NULL
+    # partition returns NULL, which would reach the Arrow fold as NaN
+    # and crash the int64 astype. SUM-over-NULLs-as-0 is exactly the
+    # exclusive-prefix semantics the offsets need (ADVICE r12).
     counts = base.groupBy(_PID).agg(
-        *[m.cast("long").alias(_N + out) for out, m in measures]
+        *[
+            F.coalesce(m.cast("long"), F.lit(0)).alias(_N + out)
+            for out, m in measures
+        ]
     )
     fold, schema = _make_prefix_offsets([out for out, _ in measures])
     offsets = counts.coalesce(1).mapInPandas(fold, schema)
@@ -270,7 +334,7 @@ def with_global_ntile(
     (matches both Spark's and DuckDB's NTILE; when n < B the first
     branch always applies, so the q=0 division is unreachable)."""
     b = int(n_buckets)
-    tot = _RN + "_tot"  # _TOT itself is dropped inside _finish
+    tot = _RN + "_tot"  # distinct from the engine's internal _TOT aliases
     res = with_global_row_number(df, order_exprs, out=_RN, total_col=tot)
     q = f"({tot} div {b})"
     r = f"({tot} % {b})"

@@ -147,9 +147,17 @@ def _normalize(cols: list[str], rows: list[tuple]) -> list[tuple]:
 
 def compare_query_to_oracle(spark, query, sf_dir: str) -> None:
     """Assert the Spark result of `query` matches its DuckDB oracle."""
+    from hbase_hadoop_flightsearch_spark.operators.ranks import (
+        release_rank_bases,
+    )
+
     sdf = query.fn(spark, sf_dir)
     spark_cols = list(sdf.columns)
     spark_rows = [tuple(r) for r in sdf.collect()]
+    # collect() above is the consuming action — the rank primitive's
+    # persisted bases can be dropped now, so a long differential run
+    # (the full suite, the sweep tool) doesn't accumulate them.
+    release_rank_bases()
 
     con = duckdb_con(sf_dir)
     # Guard against DuckDB's integer-widening types: SUM(BIGINT) returns

@@ -298,3 +298,66 @@ def test_global_lead_matches_builtin(spark):
     b = {(r["k"], r["id"]): (r["next_k"], r["next_id"])
          for r in exp.collect()}
     assert a == b
+
+
+def test_measure_name_validation(skewed_df):
+    """ADVICE r12: a name shared between measure families, or colliding
+    with an input column, must raise — not silently overwrite."""
+    from hbase_hadoop_flightsearch_spark.operators.ranks import (
+        with_global_order_stats,
+    )
+
+    with pytest.raises(ValueError, match="duplicate measure name"):
+        with_global_order_stats(
+            skewed_df,
+            [F.col("k"), F.col("id")],
+            cumsums={"x": F.col("v")},
+            row_number="x",
+        )
+    with pytest.raises(ValueError, match="already in df"):
+        with_global_order_stats(
+            skewed_df,
+            [F.col("k"), F.col("id")],
+            cumsums={"v": F.col("v")},
+        )
+
+
+def test_all_null_measure_partition(spark):
+    """ADVICE r12: SUM over an all-NULL partition returns NULL from the
+    per-partition agg; the offsets fold must treat it as 0 (exclusive-
+    prefix semantics), not crash the Arrow astype. Row-level semantics
+    stay exactly the built-in window's: SUM over an all-NULL prefix is
+    NULL until the first non-NULL value."""
+    from hbase_hadoop_flightsearch_spark.operators.ranks import (
+        with_global_cumsum,
+    )
+
+    # low keys all-NULL, high keys valued: with a range partitioner the
+    # leading partitions see only NULL measures
+    rows = [(i, None if i < 500 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(7)
+    got = {
+        r.id: (r.cum, r.tot)
+        for r in with_global_cumsum(
+            df, [F.col("id")], F.col("v"), "cum", total_col="tot"
+        ).collect()
+    }
+    assert got[0][0] is None and got[499][0] is None  # built-in parity
+    assert got[500][0] == 1 and got[999][0] == 500
+    assert all(t == 500 for _, t in got.values())
+
+
+def test_release_rank_bases_lifecycle(spark):
+    """The persist pin stays for correctness; release_rank_bases()
+    frees every tracked base after the consuming action (ADVICE r12)."""
+    from hbase_hadoop_flightsearch_spark.operators import ranks
+
+    ranks.release_rank_bases()  # clean slate from earlier tests
+    df = spark.range(100).withColumn("v", F.col("id") % 7)
+    with_global_row_number(df, [F.col("v"), F.col("id")], "rn").collect()
+    with_global_cumsum(df, [F.col("id")], F.col("v"), "cum").collect()
+    assert len(ranks._LIVE_BASES) == 2
+    assert ranks.release_rank_bases() == 2
+    assert ranks._LIVE_BASES == []
+    # idempotent and safe to call with nothing pinned
+    assert ranks.release_rank_bases() == 0
