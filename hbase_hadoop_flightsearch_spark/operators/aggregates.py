@@ -1422,15 +1422,19 @@ ranked AS (
 )
 SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
   CAST(MAX(total) AS BIGINT) AS total_cents,
-  ROUND((2.0 * SUM(i * cents) - (MAX(n) + 1.0) * MAX(total))
+  ROUND((2.0 * SUM(CAST(i AS HUGEINT) * cents) - (MAX(n) + 1.0) * MAX(total))
         / (MAX(n) * MAX(total)), 6) AS gini
 FROM ranked
 """,
     doc="Gini coefficient of per-customer revenue (the inequality "
     "measure behind whale-risk and fairness dashboards): the exact "
     "rank formula G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) "
-    "over cents sorted ascending with customer-key tiebreaks — every "
-    "term is an exact BIGINT product until the single final division. "
+    "over cents sorted ascending with customer-key tiebreaks — the "
+    "n^2-class rank-weighted product i*x_i accumulates in "
+    "DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), so the statistic is "
+    "exact to ~1e38 in the summand rather than overflowing int64 "
+    "near 3e9 customers (r12 5x residue, lifted r13; under ANSI the "
+    "old bound was a job-killing throw, not a wrong answer). "
     "Complements events_pareto_concentration (one number vs the "
     "curve). One shuffle to per-customer cents, then the distributed "
     "rank + totals primitive (operators/ranks.py) over O(customers) "
@@ -1455,12 +1459,16 @@ def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         row_number="i",
         totals={"n": F.lit(1), "total": F.col("cents")},
     ).select("cents", "i", "n", "total")
+    # DECIMAL(38,0) summand: i*cents is n^2-class (rank x revenue) and
+    # outgrows int64 past ~3e9 customers; decimal accumulation keeps the
+    # sum exact to 1e38 (mirrors the oracle's HUGEINT promotion).
+    rank_rev = F.col("i").cast("decimal(38,0)") * F.col("cents")
     return ranked.agg(
         F.max("n").cast("bigint").alias("n_customers"),
         F.max("total").cast("bigint").alias("total_cents"),
         F.round(
             (
-                2.0 * F.sum(F.col("i") * F.col("cents"))
+                2.0 * F.sum(rank_rev)
                 - (F.max("n") + 1.0) * F.max("total")
             )
             / (F.max("n") * F.max("total")),
@@ -1669,7 +1677,11 @@ FROM ranked
     "once globally with DOUBLED midranks (2*min_rank + ties - 1 — an "
     "integer even when ties make the midrank a half), U for each side "
     "in the same 2x units, plus the U_a + U_b = n_a*n_b identity as "
-    "an in-query invariant flag. No float anywhere. Ranks come from "
+    "an in-query invariant flag. No float anywhere; the n^2-class "
+    "rank-sums and n*(n+1) products accumulate in DECIMAL(38,0) "
+    "(DuckDB: HUGEINT), exact to 1e38 — the BIGINT outputs bind only "
+    "when U itself passes int64 (~9.2e18, i.e. n_a*n_b at ~3e9 each "
+    "side), not at the old int64 intermediate bound. Ranks come from "
     "the grouped form — per distinct value, doubled midrank "
     "r2 = 2*cum_count - ties + 1 off the distributed prefix sum "
     "(operators/ranks.py) — so the plan is one grouped agg + one "
@@ -1695,16 +1707,23 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("r2", 2 * F.col("c") - F.col("cnt") + 1)
     na = F.sum("cnt_a")
     nb = F.sum(F.col("cnt") - F.col("cnt_a"))
-    ra = F.sum(F.col("cnt_a") * F.col("r2"))
-    rb = F.sum((F.col("cnt") - F.col("cnt_a")) * F.col("r2"))
-    ua = ra - na * (na + 1)
-    ub = rb - nb * (nb + 1)
+    # DECIMAL(38,0) lift (r12 5x residue, lifted r13): the rank-sums
+    # SUM(cnt*r2) and the products n*(n+1) / 2*n_a*n_b are n^2-class —
+    # int64-exact only to ~3e9 subjects, and a job-killing ANSI throw
+    # past that. Decimal accumulation keeps every intermediate exact to
+    # 1e38; the BIGINT output casts now bind only when U itself exceeds
+    # int64 (n_a*n_b > 9.2e18), mirroring DuckDB's HUGEINT promotion.
+    dec = "decimal(38,0)"
+    ra = F.sum(F.col("cnt_a").cast(dec) * F.col("r2"))
+    rb = F.sum((F.col("cnt") - F.col("cnt_a")).cast(dec) * F.col("r2"))
+    ua = ra - na.cast(dec) * (na + 1)
+    ub = rb - nb.cast(dec) * (nb + 1)
     return cum.agg(
         na.cast("bigint").alias("n_a"),
         nb.cast("bigint").alias("n_b"),
         ua.cast("bigint").alias("u_a_x2"),
         ub.cast("bigint").alias("u_b_x2"),
-        ((ua + ub) == 2 * na * nb).alias("u_sum_identity_ok"),
+        ((ua + ub) == na.cast(dec) * nb * 2).alias("u_sum_identity_ok"),
     )
 
 
