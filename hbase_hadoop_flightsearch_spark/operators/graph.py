@@ -1343,32 +1343,39 @@ def hits_int(pairs: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
 
 
 def _hits_oracle() -> str:
+    # Every per-round CTE is MATERIALIZED: the raw CTEs are referenced
+    # twice (value + max), and DuckDB's default single-use inlining
+    # otherwise recomputes the entire upstream per reference — an
+    # exponential recompute tree over the unrolled rounds that spilled
+    # >45 GB at the 5x graph density (r12 sweep infra FAIL). Forcing
+    # materialization bounds per-round state at O(nodes + edges),
+    # mirroring the Spark side's per-round localCheckpoint.
     s = HITS_SCALE
     sql = f"""
-WITH pairs AS (
+WITH pairs AS MATERIALIZED (
   SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
-h0 AS (
+h0 AS MATERIALIZED (
   SELECT DISTINCT cust, CAST({s} AS BIGINT) AS h FROM pairs
 )"""
     prev_h = "h0"
     for i in range(1, HITS_ITERS + 1):
         sql += f""",
-a{i}r AS (
+a{i}r AS MATERIALIZED (
   SELECT supp, CAST(SUM(h) AS BIGINT) AS raw
   FROM pairs JOIN {prev_h} USING (cust) GROUP BY supp
 ),
 a{i}m AS (SELECT MAX(raw) AS mx FROM a{i}r),
-a{i} AS (
+a{i} AS MATERIALIZED (
   SELECT supp, CAST((raw * {s}) // mx AS BIGINT) AS a FROM a{i}r, a{i}m
 ),
-h{i}r AS (
+h{i}r AS MATERIALIZED (
   SELECT cust, CAST(SUM(a) AS BIGINT) AS raw
   FROM pairs JOIN a{i} USING (supp) GROUP BY cust
 ),
 h{i}m AS (SELECT MAX(raw) AS mx FROM h{i}r),
-h{i} AS (
+h{i} AS MATERIALIZED (
   SELECT cust, CAST((raw * {s}) // mx AS BIGINT) AS h FROM h{i}r, h{i}m
 )"""
         prev_h = f"h{i}"
