@@ -17,7 +17,19 @@ from hbase_hadoop_flightsearch_spark.schemas import TABLE_NAMES
 
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
+    # Optional resource caps for harness runs (tools/sweep_sf01.py sets
+    # these for its children): a runaway oracle replay then dies ALONE
+    # with a loud per-name error instead of exhausting the box — the
+    # r12 5x sweep lost a whole chunk to one >45 GB temp spill.
+    mem = os.environ.get("SWEEP_DUCK_MEM")
+    if mem:
+        con.execute(f"SET memory_limit = '{mem}'")
+    tmp = os.environ.get("SWEEP_DUCK_TMP")
+    if tmp:
+        con.execute(f"SET temp_directory = '{tmp}'")
     # DuckDB prints a progress bar to STDOUT (no trailing newline) for
     # long queries; in the sf0.1 sweep it glued itself onto the child's
     # "OK <name>" lines and the parent's startswith parse silently
