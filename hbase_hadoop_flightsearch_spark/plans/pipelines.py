@@ -252,14 +252,21 @@ def pipeline_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
          pid aligns with the partitioning);
       2. within-block running sum: window PARTITION BY block — parallel,
          one hash exchange on block;
-      3. per-block totals (O(n_docs/B) rows) get an exclusive running
-         offset — the only single-partition window, over block COUNT not
-         row count — and broadcast-join back:
-         global_cum = block_offset + local_cum.
-    B=256 gives ~20 blocks at sf0.1; at real scale pick B ~ id_range /
-    (10 x executors) from table stats. Result is identical for ANY B and
-    any partitioning (verified by the corpus-wide local[3] sweep). The
-    DuckDB oracle states the semantics with the naive window — same values.
+      3. per-block totals get an exclusive running offset — the only
+         single-partition window, over block COUNT not row count — and
+         broadcast-join back: global_cum = block_offset + local_cum.
+    The block width B is DERIVED from table stats (id span / (10 x
+    shuffle.partitions), one O(1)-result min/max pre-pass on the pruned
+    doc_id column), so the offset window's input is bounded at ~10 x
+    shuffle.partitions rows BY CONSTRUCTION at any corpus size — the
+    r12 deploy knob (fixed B=256) is retired (VERDICT r12 #4). Result
+    is identical for ANY B and any partitioning (verified by the
+    corpus-wide local[3] sweep and the r13 A/B in SCALE.md, which also
+    records why this single-shuffle ReusedExchange shape is kept over
+    operators/ranks.py: ~15% faster at sf0.1 AND the 5x corpus, same
+    values, and the remaining one-task stage is O(P) like the
+    primitive's own offsets fold). The DuckDB oracle states the
+    semantics with the naive window — same values.
     """
     from pyspark.sql import Window
 
@@ -269,11 +276,19 @@ def pipeline_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit("")))
         + 1
     ).cast("bigint")
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        nparts = 32
+    span = docs.agg(
+        (F.max("doc_id") - F.min("doc_id") + 1).alias("span")
+    ).first()["span"]
+    blk = max(1, -(-int(span or 1) // (10 * nparts)))  # ceil div
     toks = docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         # integer DIV, not `/` — double division loses exactness past 2^53
-        F.expr("doc_id DIV 256").alias("block"),
+        F.expr(f"doc_id DIV {blk}").alias("block"),
     ).filter(F.col("block").isNotNull())
     # ^ always true, but it mirrors the isnotnull the broadcast join infers
     # on the probe branch, so both branches canonicalize to the SAME

@@ -54,8 +54,9 @@ BOUNDED_INPUT = {
     ),
     "ml_eval_pinball_quantile": "seasonal-naive lag over O(hours)",
     "pipeline_pack_shards": (
-        "offset window over O(docs/B) block totals; B is the deploy "
-        "knob sized so blocks ~ O(10 x executors) (see its docstring)"
+        "offset window over block totals; block width derived from "
+        "table stats so blocks <= ~10 x shuffle.partitions BY "
+        "CONSTRUCTION (r13, knob retired; A/B vs ranks.py in SCALE.md)"
     ),
     "sample_neyman_allocation": "largest-remainder rank over O(strata)",
     "sketch_quantile_digest": (
