@@ -164,6 +164,98 @@ def rollup_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "batch_merge_upsert_rollup",
+    oracle="""
+WITH cut AS (
+  SELECT epoch_us(MIN(ts)) + 3 * (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 5
+      AS cut_hi,
+    epoch_us(MIN(ts)) + 2 * (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 5
+      AS cut_lo
+  FROM events
+),
+old_t AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) * 3600
+      AS window_start_s,
+    event_type, COUNT(*) AS n_events, SUM(value) AS sum_value
+  FROM events, cut WHERE epoch_us(ts) < cut_hi GROUP BY 1, 2
+),
+inc AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) * 3600
+      AS window_start_s,
+    event_type, COUNT(*) AS n_events, SUM(value) AS sum_value
+  FROM events, cut WHERE epoch_us(ts) >= cut_lo GROUP BY 1, 2
+)
+SELECT window_start_s, event_type,
+  CASE WHEN o.n_events IS NULL THEN 'insert'
+       WHEN n.n_events IS NULL THEN 'keep'
+       ELSE 'update' END AS merge_action,
+  CAST(COALESCE(o.n_events, 0) + COALESCE(n.n_events, 0) AS BIGINT)
+    AS n_events,
+  ROUND(COALESCE(o.sum_value, 0) + COALESCE(n.sum_value, 0), 2)
+    AS sum_value
+FROM old_t o FULL OUTER JOIN inc n USING (window_start_s, event_type)
+""",
+    doc="Batch MERGE INTO-style upsert of a materialized rollup (the "
+    "r11 #6 gap: the batch twin of this module's foreachBatch merge). "
+    "The 'table' is the hourly rollup of the oldest 60% of the event "
+    "log's ts range; the 'increment' is the newest 60%'s partials "
+    "(cut points are O(1)-result bounds carried in-plan on a 1-row "
+    "broadcast; the deliberate 20% overlap guarantees all three merge "
+    "actions appear at every SF). The merge is what Delta/Iceberg compile "
+    "MERGE INTO to: full outer join on the rollup key, additive fields "
+    "combined, with merge_action exposing the three-way semantics "
+    "(WHEN MATCHED -> update, WHEN NOT MATCHED -> insert, untouched "
+    "table rows -> keep). At 100 TB both sides partial-aggregate "
+    "map-side before the one key shuffle; the increment is typically "
+    "<< the table so AQE broadcasts it, and with the table bucketed on "
+    "the merge key the table-side exchange disappears entirely (same "
+    "posture as operators/cdc.py's row-level merge).",
+)
+def batch_merge_upsert_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.expr(
+            "unix_micros(min(ts)) + 3 * (unix_micros(max(ts)) "
+            "- unix_micros(min(ts))) div 5"
+        ).alias("cut_hi"),
+        F.expr(
+            "unix_micros(min(ts)) + 2 * (unix_micros(max(ts)) "
+            "- unix_micros(min(ts))) div 5"
+        ).alias("cut_lo"),
+    )
+    ev = events.crossJoin(F.broadcast(bounds))
+    old_t = hourly_rollup(ev.filter(F.unix_micros("ts") < F.col("cut_hi")))
+    inc = hourly_rollup(ev.filter(F.unix_micros("ts") >= F.col("cut_lo")))
+    keys = ["window_start_s", "event_type"]
+    merged = old_t.select(
+        *keys,
+        F.col("n_events").alias("o_n"),
+        F.col("sum_value").alias("o_s"),
+    ).join(
+        inc.select(
+            *keys,
+            F.col("n_events").alias("i_n"),
+            F.col("sum_value").alias("i_s"),
+        ),
+        keys,
+        "full_outer",
+    )
+    return merged.select(
+        *keys,
+        F.when(F.col("o_n").isNull(), "insert")
+        .when(F.col("i_n").isNull(), "keep")
+        .otherwise("update")
+        .alias("merge_action"),
+        (F.coalesce("o_n", F.lit(0)) + F.coalesce("i_n", F.lit(0)))
+        .cast("bigint")
+        .alias("n_events"),
+        F.round(
+            F.coalesce("o_s", F.lit(0.0)) + F.coalesce("i_s", F.lit(0.0)), 2
+        ).alias("sum_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Continuous OHLC bars — order-statistic state through foreachBatch
 # ---------------------------------------------------------------------------

