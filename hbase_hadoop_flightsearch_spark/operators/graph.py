@@ -376,34 +376,40 @@ def pagerank_int(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
 def _pagerank_oracle() -> str:
     s = PR_SCALE
     sql = f"""
-WITH pairs AS (
+WITH pairs AS MATERIALIZED (
   SELECT DISTINCT o_custkey AS cust,
          l_suppkey + {_SUPP_OFFSET} AS supp
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT cust AS src, supp AS dst FROM pairs
   UNION ALL SELECT supp, cust FROM pairs
 ),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
 nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
-deg AS (
+deg AS MATERIALIZED (
   SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
 ),
-b AS (SELECT CAST((15 * {s}) // (100 * n) AS BIGINT) AS base FROM nn),
+b AS MATERIALIZED (
+  SELECT CAST((15 * {s}) // (100 * n) AS BIGINT) AS base FROM nn
+),
 r0 AS (
   SELECT node, CAST({s} // n AS BIGINT) AS rank FROM nodes, nn
 )"""
     prev = "r0"
+    # MATERIALIZED per round (r13): DuckDB 1.0 re-plans inlined CTE
+    # references, so every round otherwise re-inlines edges/deg/nodes —
+    # each a replay of the pairs join — and the 5x-density replay
+    # timed out the r12 sweep chunk. Same fix class as _hits_oracle.
     for i in range(1, PAGERANK_ITERS + 1):
         sql += f""",
-c{i} AS (
+c{i} AS MATERIALIZED (
   SELECT e.dst, CAST(SUM(r.rank // d.deg) AS BIGINT) AS in_sum
   FROM edges e JOIN {prev} r ON e.src = r.node
   JOIN deg d ON e.src = d.src
   GROUP BY e.dst
 ),
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT n.node,
     CAST(b.base + (85 * COALESCE(c.in_sum, 0)) // 100 AS BIGINT) AS rank
   FROM nodes n LEFT JOIN c{i} c ON n.node = c.dst, b
@@ -571,26 +577,30 @@ MODULARITY_STRONG_MIN = 2  # pair_count >= 2 defines the strong subgraph
     "graph_modularity_strong",
     oracle=f"""
 WITH RECURSIVE
-items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-sized AS (
+-- MATERIALIZED (r13): all_edges (the co-purchase self-join) is
+-- referenced 7x and re-planned per reference under DuckDB's inlining —
+-- including once per recursive CC round through sym -> strong — the
+-- r12 5x chunk-timeout class (cf. _hits_oracle).
+items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sized AS MATERIALIZED (
   SELECT l_orderkey FROM items
   GROUP BY l_orderkey HAVING COUNT(*) BETWEEN 2 AND 64
 ),
-it AS (SELECT i.* FROM items i JOIN sized USING (l_orderkey)),
-all_edges AS (
+it AS MATERIALIZED (SELECT i.* FROM items i JOIN sized USING (l_orderkey)),
+all_edges AS MATERIALIZED (
   SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS w
   FROM it a JOIN it b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
 ),
-strong AS (
+strong AS MATERIALIZED (
   SELECT a, b FROM all_edges WHERE w >= {MODULARITY_STRONG_MIN}
 ),
-verts AS (
+verts AS MATERIALIZED (
   SELECT DISTINCT v FROM (
     SELECT a AS v FROM all_edges UNION ALL SELECT b FROM all_edges)
 ),
-sym AS (
+sym AS MATERIALIZED (
   SELECT a AS src, b AS dst FROM strong
   UNION ALL SELECT b, a FROM strong
 ),
@@ -599,7 +609,9 @@ reach(src, dst) AS (
   UNION
   SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src
 ),
-labels AS (SELECT src AS v, MIN(dst) AS c FROM reach GROUP BY src),
+labels AS MATERIALIZED (
+  SELECT src AS v, MIN(dst) AS c FROM reach GROUP BY src
+),
 m_cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM all_edges),
 internal AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS l_int
@@ -780,7 +792,10 @@ def kcore_vertices(edges: DataFrame, k: int = KCORE_K) -> DataFrame:
     # lineage/checkpoint change.
     oracle=f"""
 WITH RECURSIVE {_ITEMS_DUCK},
-edges AS (
+edges AS MATERIALIZED (
+  -- MATERIALIZED (r13): referenced inside the recursive peel term, so
+  -- inlining re-plans the co-purchase self-join ONCE PER ROUND — the
+  -- r12 5x chunk-timeout class (cf. _hits_oracle)
   SELECT a.l_partkey AS a, b.l_partkey AS b
   FROM it a JOIN it b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -993,24 +1008,27 @@ def _lpa_oracle() -> str:
     smallest label) over the support-2 co-purchase graph."""
     sql = f"""
 WITH {_ITEMS_DUCK},
-edges AS (
+edges AS MATERIALIZED (
   SELECT a.l_partkey AS a, b.l_partkey AS b
   FROM it a JOIN it b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2 HAVING COUNT(*) >= 2
 ),
-sym AS (
+sym AS MATERIALIZED (
   SELECT a AS v, b AS u FROM edges UNION ALL SELECT b, a FROM edges
 ),
 l0 AS (SELECT DISTINCT v, v AS label FROM sym)"""
     prev = "l0"
+    # MATERIALIZED per round (r13): inlined references otherwise replay
+    # sym -> edges -> it (the co-purchase self-join) once per round —
+    # the r12 5x sweep chunk-timeout class; cf. _hits_oracle.
     for i in range(1, LPA_ROUNDS + 1):
         sql += f""",
-n{i} AS (
+n{i} AS MATERIALIZED (
   SELECT s.v, l.label, COUNT(*) AS c
   FROM sym s JOIN {prev} l ON s.u = l.v GROUP BY 1, 2
 ),
-l{i} AS (
+l{i} AS MATERIALIZED (
   SELECT v, label FROM (
     SELECT v, label,
       ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn
@@ -1508,12 +1526,15 @@ RICH_CLUB_KS = [2, 4, 8, 16, 32]
     "graph_rich_club",
     oracle=f"""
 WITH {{items}},
-epairs AS (
+epairs AS MATERIALIZED (
+  -- MATERIALIZED (r13): epairs x3 and deg x6 are re-planned per
+  -- reference under inlining — each a replay of the co-purchase
+  -- self-join; the r12 5x chunk-timeout class (cf. _hits_oracle)
   SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
   FROM it a JOIN it b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 ),
-deg AS (
+deg AS MATERIALIZED (
   SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
     SELECT a AS v FROM epairs UNION ALL SELECT b FROM epairs
   ) GROUP BY v

@@ -990,22 +990,25 @@ DBSCAN_EPS = 2_000_000  # 2 degrees in microdegrees — tuned so the fixture
     "spatial_dbscan",
     oracle=f"""
 WITH RECURSIVE {_GEO_PTS_DUCK},
-pairs AS (
+pairs AS MATERIALIZED (
+  -- MATERIALIZED (r13): referenced by nbr/ce/border — DuckDB's
+  -- single-use inlining otherwise replays the all-pairs distance join
+  -- once per reference (the r12 5x chunk-timeout class)
   SELECT a.id AS i1, b.id AS i2
   FROM pts a JOIN pts b ON a.id != b.id
   WHERE (a.lat - b.lat) * (a.lat - b.lat)
           + (a.lon - b.lon) * (a.lon - b.lon)
         <= {DBSCAN_EPS}::BIGINT * {DBSCAN_EPS}
 ),
-nbr AS (
+nbr AS MATERIALIZED (
   SELECT i1 AS id, CAST(COUNT(*) AS BIGINT) AS n_nbr
   FROM pairs GROUP BY i1
 ),
-core AS (
+core AS MATERIALIZED (
   SELECT p.id FROM pts p LEFT JOIN nbr ON p.id = nbr.id
   WHERE COALESCE(nbr.n_nbr, 0) + 1 >= {DBSCAN_MINPTS}
 ),
-ce AS (
+ce AS MATERIALIZED (
   SELECT p.i1, p.i2 FROM pairs p
   JOIN core c1 ON p.i1 = c1.id JOIN core c2 ON p.i2 = c2.id
 ),

@@ -385,20 +385,23 @@ LINKPRED_TOPK = 20
     "graph_link_prediction_jaccard",
     oracle=f"""
 WITH {_ITEMS_DUCK},
-edges AS (
+edges AS MATERIALIZED (
+  -- MATERIALIZED (r13): edges x3 / neigh x3 / deg x3 are re-planned
+  -- per reference under DuckDB's inlining — each a replay of the
+  -- co-purchase self-join; the r12 5x chunk-timeout class
   SELECT a.l_partkey AS a, b.l_partkey AS b
   FROM it a JOIN it b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
   HAVING COUNT(*) >= {LINKPRED_MIN_SUPPORT}
 ),
-neigh AS (
+neigh AS MATERIALIZED (
   SELECT a AS v, b AS n FROM edges
   UNION ALL SELECT b AS v, a AS n FROM edges
 ),
-deg AS (SELECT v, COUNT(*) AS d FROM neigh GROUP BY v),
+deg AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM neigh GROUP BY v),
 centers AS (SELECT v FROM deg WHERE d <= {LINKPRED_HUB_CAP}),
-wedges AS (
+wedges AS MATERIALIZED (
   SELECT n1.n AS u, n2.n AS w, COUNT(*) AS common
   FROM neigh n1
   JOIN centers c ON c.v = n1.v

@@ -3388,7 +3388,9 @@ WITH seq AS (
   FROM events
 ),
 allowed(src, dst) AS (VALUES {", ".join(f"('{a}', '{b}')" for a, b in CONFORMANCE_ALLOWED)}),
-trans AS (
+trans AS MATERIALIZED (
+  -- MATERIALIZED (r13): trans is multi-referenced; inlining replays
+  -- the full-events LEAD window per reference (r12 5x timeout class)
   SELECT s.src, s.dst, COUNT(*) AS n,
     CASE WHEN a.src IS NOT NULL THEN TRUE ELSE FALSE END AS is_allowed
   FROM seq s LEFT JOIN allowed a ON s.src = a.src AND s.dst = a.dst
@@ -4649,7 +4651,7 @@ WITH bounds AS (
         // 2 AS split_d
   FROM events
 ),
-per AS (
+per AS MATERIALIZED (
   SELECT user_id,
     CASE WHEN CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
               < b.split_d THEN 'h1' ELSE 'h2' END AS half,
@@ -4657,7 +4659,9 @@ per AS (
   FROM events, bounds b
   GROUP BY 1, 2
 ),
-seg AS (
+-- seg MATERIALIZED (r13): h1/h2 both reference it; inlining replays
+-- the NTILE window + per-user aggregate per reference
+seg AS MATERIALIZED (
   SELECT user_id, half,
     NTILE(3) OVER (PARTITION BY half ORDER BY cents, user_id) AS tertile
   FROM per
