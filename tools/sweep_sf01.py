@@ -68,6 +68,21 @@ SKIP = {
 # with a measured solo timeout, never by hypothesis.
 ORACLE_HEAVY_5X: dict[str, str] = {
     # name -> one-line evidence citation, printed in the log
+    "dedup_embedding_ann": (
+        "TIMEOUT_ALONE >900s solo, r13 5x sweep; dense-default-knob "
+        "oracle replay adjudicated SCALE.md r10; Spark side LSH-banded, "
+        "value-proven sf0.001/0.01/0.1 + alt777/alt31337/alt5"
+    ),
+    "dedup_minhash_md5_estimate": (
+        "TIMEOUT_ALONE >900s solo, r13 5x sweep; per-doc md5-minhash "
+        "signature SQL replay is linear but constant-heavy at 25k docs; "
+        "Spark side banded, value-proven sf0.001/0.01/0.1 + altseeds"
+    ),
+    "events_multitouch_attribution": (
+        "TIMEOUT_ALONE >900s solo, r13 5x sweep; the oracle's 7-day "
+        "user-window theta join explodes with 5x event density; Spark "
+        "side time-banded, value-proven sf0.001/0.01/0.1 + altseeds"
+    ),
 }
 
 PER_NAME_TIMEOUT = int(os.environ.get("SWEEP_NAME_TIMEOUT", "900"))
