@@ -151,8 +151,10 @@ def main() -> None:
         names.append(n)
     only = os.environ.get("SWEEP_ONLY")  # targeted re-runs / smoke tests
     if only:
+        # an explicit target list overrides BOTH skip tiers — it exists
+        # precisely to re-probe skipped names under the watchdog
         keep = set(only.split(","))
-        names = [n for n in names if n in keep]
+        names = [n for n in all_names if n in keep]
 
     counts = {"ok": 0, "fail": 0, "timeout_alone": 0, "lost": 0}
     terminal: set[str] = set()  # names with an OK/FAIL/terminal record
