@@ -43,20 +43,20 @@ import subprocess
 import sys
 import threading
 
-# Oracles whose SQL formulation is deliberately all-pairs / correlated-
-# inequality: conclusive at sf <= 0.01 (the suite), impractical for
-# DuckDB at sf0.1. The SPARK side of each has sf0.1 evidence via bench
-# or the per-round sweeps.
+# Oracles MEASURED impractical for DuckDB at sf0.1 (r13 re-probe:
+# TIMEOUT_ALONE >900 s solo under the per-name watchdog, each twice
+# counting the r12-era chunks). All three share the recursive
+# transitive-closure CC replay, whose working set is quadratic in
+# component size; their Spark sides are CC-loop-bounded and bench-
+# seated (corpus_prep/cc_clusters) — value proof stands at
+# sf0.001/0.01 + three altseeds. The other FOURTEEN names this list
+# held through r12 were re-probed at sf0.1 in r13 and are GREEN
+# (1.2 s-674 s each; SCALE.md r13 table) — the early-round skip was
+# conservative and is retired for them.
 SKIP = {
-    "dedup_cross_source_matrix",
-    "asof_join_events_orders", "asof_join_forward_next_purchase",
-    "asof_join_tolerance", "dedup_ngram_jaccard",
-    "dedup_containment_prefix", "dedup_simhash", "dedup_cc_clusters",
-    "dedup_embedding_cosine", "dedup_levenshtein_blocked",
-    "dedup_levenshtein_block_stats", "dedup_chaining_audit",
-    "dedup_minhash_lsh",
-    "similarity_mmr_rerank", "pipeline_chunk_dedup",
-    "pipeline_corpus_prep_neardup", "join_interval_overlap_sessions",
+    "dedup_cc_clusters",        # >900s solo @ sf0.1, r13 probe
+    "dedup_chaining_audit",     # >900s solo @ sf0.1, r13 probe
+    "pipeline_corpus_prep_neardup",  # >900s solo @ sf0.1, r13 probe
 }
 
 # Oracle replays with MEASURED solo evidence of being impractical one
