@@ -991,7 +991,7 @@ DBSCAN_EPS = 2_000_000  # 2 degrees in microdegrees — tuned so the fixture
     oracle=f"""
 WITH RECURSIVE {_GEO_PTS_DUCK},
 pairs AS MATERIALIZED (
-  -- MATERIALIZED (r13): referenced by nbr/ce/border — DuckDB's
+  -- MATERIALIZED (r13): referenced by nbr, ce, and border — DuckDB's
   -- single-use inlining otherwise replays the all-pairs distance join
   -- once per reference (the r12 5x chunk-timeout class)
   SELECT a.id AS i1, b.id AS i2

@@ -386,7 +386,7 @@ LINKPRED_TOPK = 20
     oracle=f"""
 WITH {_ITEMS_DUCK},
 edges AS MATERIALIZED (
-  -- MATERIALIZED (r13): edges x3 / neigh x3 / deg x3 are re-planned
+  -- MATERIALIZED (r13): edges x3, neigh x3, deg x3 are re-planned
   -- per reference under DuckDB's inlining — each a replay of the
   -- co-purchase self-join; the r12 5x chunk-timeout class
   SELECT a.l_partkey AS a, b.l_partkey AS b

@@ -65,6 +65,7 @@ _OFF = "__gr_off"
 _TOT = "__gr_tot"
 _LOC = "__gr_loc"
 _RN = "__gr_rn"
+_CNT = "__gr_cnt"
 
 # Every persisted ranged base, strongest-ref'd here until released. The
 # persist is a correctness pin (see with_global_order_stats), so it can
@@ -216,7 +217,17 @@ def with_global_order_stats(
         local = local.withColumn(
             _LOC + out, F.sum(v).over(w_cum).cast("long")
         )
+        # Running NON-NULL count rides along so the final expression can
+        # reproduce the built-in window exactly when NULLs trail data:
+        # an all-NULL local prefix in a LATER partition must emit the
+        # carried global prefix sum (coalesce(local,0)+offset), not NULL
+        # — NULL is only correct while the GLOBAL prefix has seen zero
+        # non-null values (ADVICE r13).
+        local = local.withColumn(
+            _LOC + _CNT + out, F.count(v).over(w_cum).cast("long")
+        )
         measures.append((out, F.sum(v)))
+        measures.append((_CNT + out, F.count(v)))
     if row_number is not None:
         local = local.withColumn(
             _LOC + row_number, F.row_number().over(w).cast("long")
@@ -242,9 +253,17 @@ def with_global_order_stats(
     drop = [_PID]
     for out in cumsums:
         res = res.withColumn(
-            out, (F.col(_LOC + out) + F.col(_OFF + out)).cast("long")
+            out,
+            F.when(
+                F.col(_LOC + _CNT + out) + F.col(_OFF + _CNT + out) > 0,
+                F.coalesce(F.col(_LOC + out), F.lit(0))
+                + F.col(_OFF + out),
+            ).cast("long"),
         )
-        drop += [_LOC + out, _OFF + out, _TOT + out]
+        drop += [
+            _LOC + out, _OFF + out, _TOT + out,
+            _LOC + _CNT + out, _OFF + _CNT + out, _TOT + _CNT + out,
+        ]
     if row_number is not None:
         res = res.withColumn(
             row_number,

@@ -4659,7 +4659,7 @@ per AS MATERIALIZED (
   FROM events, bounds b
   GROUP BY 1, 2
 ),
--- seg MATERIALIZED (r13): h1/h2 both reference it; inlining replays
+-- seg MATERIALIZED (r13): h1 and h2 both reference it; inlining replays
 -- the NTILE window + per-user aggregate per reference
 seg AS MATERIALIZED (
   SELECT user_id, half,

@@ -35,8 +35,12 @@ def lint_oracle_sql(sql: str) -> list[str]:
       repo has a proven mapping for are allowed).
     """
     problems: list[str] = []
-    # Strip single-quoted string literals so 'text/plain' is not division.
+    # Strip single-quoted string literals so 'text/plain' is not division,
+    # then `--` line comments — a `/` in prose cannot cause the DuckDB
+    # integer-division bug this lint hunts (VERDICT r13 #1: three
+    # false-positives from `-- MATERIALIZED` annotations).
     stripped = re.sub(r"'[^']*'", "''", sql)
+    stripped = re.sub(r"--[^\n]*", "--", stripped)
     float_marker = re.compile(
         r"\d\.\d|DOUBLE|FLOAT|ROUND\s*\(|CAST\s*\(|::|"
         r"STDDEV|AVG\s*\(|VAR_|CORR\s*\(|log2|ln\s*\(|epoch|sqrt\s*\(",

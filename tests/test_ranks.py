@@ -347,6 +347,39 @@ def test_all_null_measure_partition(spark):
     assert all(t == 500 for _, t in got.values())
 
 
+def test_trailing_null_measure_partition(spark):
+    """ADVICE r13: the mirror case — non-null values FIRST, an all-NULL
+    tail last. The built-in window carries the prefix sum across the
+    NULL tail (SUM ignores NULLs); coalescing the per-partition agg to 0
+    alone would emit NULL there (local NULL + offset = NULL). Verified
+    row-for-row against the built-in unpartitioned window."""
+    from pyspark.sql import Window
+
+    from hbase_hadoop_flightsearch_spark.operators.ranks import (
+        with_global_cumsum,
+    )
+
+    rows = [(i, 1 if i < 500 else None) for i in range(1000)]
+    # interleave a NULL inside the valued half too (mixed partitions)
+    rows[123] = (123, None)
+    df = spark.createDataFrame(rows, "id long, v long").repartition(7)
+    got = {
+        r.id: r.cum
+        for r in with_global_cumsum(df, [F.col("id")], F.col("v"), "cum")
+        .collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.id: r.cum
+        for r in df.withColumn(
+            "cum", F.sum("v").over(w).cast("long")
+        ).collect()
+    }
+    assert got == want
+    assert got[999] == 499  # carried prefix, NOT NULL
+    assert got[500] == 499
+
+
 def test_release_rank_bases_lifecycle(spark):
     """The persist pin stays for correctness; release_rank_bases()
     frees every tracked base after the consuming action (ADVICE r12)."""

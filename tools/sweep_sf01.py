@@ -188,8 +188,12 @@ def main() -> None:
                 continue
             _say(line[m.start():] + label)
             done.add(m.group(2))
-            terminal.add(m.group(2))
-            counts["ok" if m.group(1) == "OK" else "fail"] += 1
+            # run_child is also called from the adjudicate thread pool:
+            # guard the shared tallies — `counts[k] += 1` is a lost-
+            # update race without it (ADVICE r13)
+            with _print_lock:
+                terminal.add(m.group(2))
+                counts["ok" if m.group(1) == "OK" else "fail"] += 1
         missing = [n for n in chunk if n not in done]
         culprit = None
         if rc is None:  # timed out: last STARTed-but-unaccounted name
@@ -227,7 +231,9 @@ def main() -> None:
             )
             if name not in missing:
                 return
-        terminal.add(name)
+        with _print_lock:
+            terminal.add(name)
+            counts["timeout_alone" if timed_out else "lost"] += 1
         _say(
             f"TIMEOUT_ALONE {name} (>{PER_NAME_TIMEOUT}s solo; "
             f"was {why}) — candidate for ORACLE_HEAVY_5X with this "
@@ -235,7 +241,6 @@ def main() -> None:
             if timed_out
             else f"LOST {name} (singleton child died twice; was {why})"
         )
-        counts["timeout_alone" if timed_out else "lost"] += 1
 
     if retry:
         from concurrent.futures import ThreadPoolExecutor
