@@ -31,27 +31,27 @@ from pyspark.sql import functions as F
 
 from ..plans.registry import register
 from ..sources.catalog import load_table
-from .dedup import _JACCARD_PAIRS_DUCK, dedup_ngram_jaccard
+from .dedup import (
+    _JACCARD_PAIRS_DUCK,
+    cc_minlabel_duck,
+    dedup_ngram_jaccard,
+)
 
 # The oracle re-derives the same >= 0.5 jaccard pairs (the pairs themselves
-# are oracle-verified in dedup_ngram_jaccard), then closes them transitively
-# with a recursive CTE: component id = min doc_id reachable.
+# are oracle-verified in dedup_ngram_jaccard), then labels components with
+# BOUNDED min-label propagation (cc_minlabel_duck): the r13-era recursive
+# transitive closure materialized one row per (vertex, reachable vertex) —
+# quadratic in component size, the measured >900 s sf0.1 class.
 _CC_ORACLE = f"""
-WITH RECURSIVE
-jp AS ({_JACCARD_PAIRS_DUCK}),
-edges AS (
+WITH
+jp AS MATERIALIZED ({_JACCARD_PAIRS_DUCK}),
+edges AS MATERIALIZED (
   SELECT d1 AS src, d2 AS dst FROM jp
   UNION ALL
   SELECT d2 AS src, d1 AS dst FROM jp
 ),
-reach(src, dst) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-),
-comp AS (
-  SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src
-)
+verts AS (SELECT doc_id FROM documents),
+{cc_minlabel_duck("verts", "edges")}
 SELECT doc_id, component_id,
   COUNT(*) OVER (PARTITION BY component_id) AS n_members,
   (doc_id = component_id) AS is_keeper

@@ -23,7 +23,7 @@ from ..functions.text import (
     ngram_lang_pred,
     ngram_lang_pred_duck,
 )
-from ..operators.dedup import _JACCARD_PAIRS_DUCK
+from ..operators.dedup import _JACCARD_PAIRS_DUCK, cc_minlabel_duck
 from ..sources.catalog import load_table
 from .registry import register
 
@@ -92,35 +92,32 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # components operator — so this composite cannot be one SQL statement,
 # but its ORACLE can: DuckDB closes the pair graph with a recursive CTE.
 _NEARDUP_ORACLE = f"""
-WITH RECURSIVE scored AS (
+WITH scored AS (
   SELECT doc_id, text,
     length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
     {{lang_pred}} AS lang_pred,
     len(regexp_extract_all(text, '{{bpe}}')) AS bpe_tokens
   FROM documents
 ),
-kept AS (
+kept AS MATERIALIZED (
+  -- MATERIALIZED: referenced by kp (twice), verts, and the final
+  -- keeper join — inlining would replay the per-doc lang-ID + BPE
+  -- regex scoring four times (the r13 CTE doctrine)
   SELECT * FROM scored
   WHERE n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
 ),
-jp AS ({{jaccard_pairs}}),
-kp AS (
+jp AS MATERIALIZED ({{jaccard_pairs}}),
+kp AS MATERIALIZED (
   SELECT d1, d2 FROM jp
   WHERE d1 IN (SELECT doc_id FROM kept)
     AND d2 IN (SELECT doc_id FROM kept)
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT d1 AS src, d2 AS dst FROM kp
   UNION ALL SELECT d2, d1 FROM kp
 ),
-reach(src, dst) AS (
-  SELECT doc_id, doc_id FROM kept
-  UNION
-  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-),
-comp AS (
-  SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src
-),
+verts AS (SELECT doc_id FROM kept),
+{{cc_chain}},
 members AS (
   SELECT component_id, COUNT(*) AS n_members FROM comp GROUP BY component_id
 )
@@ -143,6 +140,7 @@ GROUP BY k.lang_pred
         lang_pred=ngram_lang_pred_duck("text"),
         bpe=_BPE_SQL,
         jaccard_pairs=_JACCARD_PAIRS_DUCK,
+        cc_chain=cc_minlabel_duck("verts", "edges"),
     ),
     doc="Production corpus-prep composite: quality filter -> lang-ID -> "
     "NEAR-dup clustering (ngram-jaccard pairs + connected components) -> "

@@ -605,3 +605,112 @@ def test_embedding_ann_wider_signature_prunes_dense_corpus(spark, tmp_path):
     s12 = survivors(12, 4)
     s32 = survivors(32, 4)
     assert s32 * 3 <= s12, (s12, s32)
+
+
+def test_cc_minlabel_oracle_chain_vs_union_find():
+    """The bounded min-label CC oracle chain (cc_minlabel_duck, VERDICT
+    r13 #3) must label exactly like sequential union-find on topologies
+    that defeat its individual mechanisms: ordered/reversed/shuffled-id
+    paths (contraction is a no-op — labels shift without merging),
+    near-critical random graphs (the doc-level jump lands on
+    knowledge-poor local minima), stars and deep trees. Pure DuckDB —
+    no Spark session needed."""
+    import random
+    from collections import defaultdict
+
+    import duckdb
+
+    from hbase_hadoop_flightsearch_spark.operators.dedup import (
+        cc_minlabel_duck,
+    )
+
+    def uf_truth(n, E):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in E:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        mem = defaultdict(list)
+        for v in range(n):
+            mem[find(v)].append(v)
+        return {v: min(mem[find(v)]) for v in range(n)}
+
+    def run_chain(n, E):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE TABLE verts AS SELECT range AS doc_id FROM range({n})"
+        )
+        con.execute("CREATE TABLE raw (s BIGINT, d BIGINT)")
+        con.executemany("INSERT INTO raw VALUES (?, ?)", E)
+        con.execute(
+            "CREATE TABLE edges AS SELECT s AS src, d AS dst FROM raw "
+            "UNION ALL SELECT d, s FROM raw"
+        )
+        sql = (
+            f"WITH {cc_minlabel_duck('verts', 'edges')} "
+            "SELECT doc_id, component_id FROM comp"
+        )
+        return dict(con.execute(sql).fetchall())
+
+    cases = []
+    n = 5000
+    cases.append(("path", n, [(i, i + 1) for i in range(n - 1)]))
+    cases.append(
+        ("revpath", n, [(n - 1 - i, n - 2 - i) for i in range(n - 1)])
+    )
+    rng = random.Random(9)
+    perm = list(range(n))
+    rng.shuffle(perm)
+    cases.append(
+        ("shufpath", n, [(perm[i], perm[i + 1]) for i in range(n - 1)])
+    )
+    rng = random.Random(7)
+    cases.append(
+        ("nearcrit", 2000,
+         [(rng.randrange(2000), rng.randrange(2000)) for _ in range(1500)])
+    )
+    rng = random.Random(42)
+    cases.append(
+        ("dense", 3000,
+         [(rng.randrange(3000), rng.randrange(3000)) for _ in range(5000)])
+    )
+    cases.append(("star", 4096, [(0, i) for i in range(1, 4096)]))
+    cases.append(("btree", 4096, [(i, (i - 1) // 2) for i in range(1, 4096)]))
+    for name, n, E in cases:
+        got = run_chain(n, E)
+        want = uf_truth(n, E)
+        assert got, f"{name}: convergence gate fired (comp empty)"
+        assert got == want, f"{name}: labels differ from union-find"
+
+
+def test_cc_minlabel_gate_fails_loudly_when_unconverged():
+    """With too few rounds, the convergence gate must return an EMPTY
+    comp (loud row-count mismatch) — never a silently wrong labeling."""
+    import duckdb
+
+    from hbase_hadoop_flightsearch_spark.operators.dedup import (
+        cc_minlabel_duck,
+    )
+
+    n = 5000
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TABLE verts AS SELECT range AS doc_id FROM range({n})"
+    )
+    con.execute(
+        f"CREATE TABLE edges AS SELECT range AS src, range+1 AS dst "
+        f"FROM range({n - 1}) UNION ALL SELECT range+1, range "
+        f"FROM range({n - 1})"
+    )
+    sql = (
+        f"WITH {cc_minlabel_duck('verts', 'edges', rounds=2)} "
+        "SELECT COUNT(*) FROM comp"
+    )
+    assert con.execute(sql).fetchone()[0] == 0
