@@ -227,6 +227,15 @@ def batch_merge_upsert_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events.crossJoin(F.broadcast(bounds))
     old_t = hourly_rollup(ev.filter(F.unix_micros("ts") < F.col("cut_hi")))
     inc = hourly_rollup(ev.filter(F.unix_micros("ts") >= F.col("cut_lo")))
+    return merge_rollup(old_t, inc)
+
+
+def merge_rollup(old_t: DataFrame, inc: DataFrame) -> DataFrame:
+    """The MERGE INTO join itself, over any physical rollup input —
+    shared by batch_merge_upsert_rollup (in-plan aggregate table side)
+    and the bucketed-table plan contract in test_cdc.py, which proves
+    the docstring's claim: when old_t is a table bucketed on the merge
+    key, its side of this full-outer join plans with NO Exchange."""
     keys = ["window_start_s", "event_type"]
     merged = old_t.select(
         *keys,

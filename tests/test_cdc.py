@@ -127,3 +127,59 @@ def test_scd2_apply_version_chains(spark, sf_smoke):
         # seamless tiling for every chain
         for a, b in zip(vs, vs[1:]):
             assert a.valid_to_seq == b.valid_from_seq
+
+
+def test_bucketed_merge_table_side_has_no_exchange(spark, sf_smoke):
+    """VERDICT r13 #5: batch_merge_upsert_rollup's docstring (and this
+    module's 100 TB posture note) claim that materializing the rollup
+    as a table BUCKETED on the merge key eliminates the table-side
+    exchange of the MERGE's full-outer join. Proven on the executed
+    plan: same merge_rollup shape over (a) a plain-parquet rollup —
+    whose table side must shuffle to align — and (b) the same rollup
+    bucketed on (window_start_s, event_type) — whose table side must
+    feed the SortMergeJoin straight from the bucket-aligned scan.
+    Broadcast is disabled so the join cannot degenerate to a BHJ (the
+    bucketing claim is about the too-big-to-broadcast increment case).
+    Values must be identical across both layouts."""
+    from hbase_hadoop_flightsearch_spark.streaming.rollup import (
+        hourly_rollup,
+        merge_rollup,
+    )
+
+    events = load_table(spark, sf_smoke, "events")
+    rollup = hourly_rollup(events)
+    inc = hourly_rollup(events.filter(F.dayofmonth("ts") % 3 == 0))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        keys = ("window_start_s", "event_type")
+        rollup.write.mode("overwrite").bucketBy(8, *keys).sortBy(
+            *keys
+        ).saveAsTable("rollup_merge_b")
+        rollup.write.mode("overwrite").saveAsTable("rollup_merge_plain")
+
+        merged_b = merge_rollup(
+            spark.table("rollup_merge_b"), inc.hint("merge")
+        )
+        merged_p = merge_rollup(
+            spark.table("rollup_merge_plain"), inc.hint("merge")
+        )
+        plan_b = merged_b._jdf.queryExecution().executedPlan().toString()
+        plan_p = merged_p._jdf.queryExecution().executedPlan().toString()
+
+        # Bucketed: the table side reads bucket-aligned, so the ONLY
+        # exchange left in the whole plan is the increment aggregate's
+        # (which the join then reuses). Plain: one more — the table
+        # scan must be re-shuffled onto the merge key.
+        assert "Bucketed: true" in plan_b, plan_b
+        assert plan_b.count("Exchange") == 1, plan_b
+        assert plan_p.count("Exchange") == 2, plan_p
+
+        got_b = sorted(map(tuple, merged_b.collect()))
+        got_p = sorted(map(tuple, merged_p.collect()))
+        assert got_b == got_p and len(got_b) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS rollup_merge_b")
+        spark.sql("DROP TABLE IF EXISTS rollup_merge_plain")
