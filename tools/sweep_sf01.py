@@ -43,21 +43,15 @@ import subprocess
 import sys
 import threading
 
-# Oracles MEASURED impractical for DuckDB at sf0.1 (r13 re-probe:
-# TIMEOUT_ALONE >900 s solo under the per-name watchdog, each twice
-# counting the r12-era chunks). All three share the recursive
-# transitive-closure CC replay, whose working set is quadratic in
-# component size; their Spark sides are CC-loop-bounded and bench-
-# seated (corpus_prep/cc_clusters) — value proof stands at
-# sf0.001/0.01 + three altseeds. The other FOURTEEN names this list
-# held through r12 were re-probed at sf0.1 in r13 and are GREEN
-# (1.2 s-674 s each; SCALE.md r13 table) — the early-round skip was
-# conservative and is retired for them.
-SKIP = {
-    "dedup_cc_clusters",        # >900s solo @ sf0.1, r13 probe
-    "dedup_chaining_audit",     # >900s solo @ sf0.1, r13 probe
-    "pipeline_corpus_prep_neardup",  # >900s solo @ sf0.1, r13 probe
-}
+# EMPTY since r14: the sf0.1 differential covers the FULL registry.
+# The last three holdouts (dedup_cc_clusters, dedup_chaining_audit,
+# pipeline_corpus_prep_neardup — r13: TIMEOUT_ALONE >900 s solo on the
+# quadratic recursive transitive-closure CC replay) were restated as
+# bounded min-label propagation (operators/dedup.py cc_minlabel_duck,
+# VERDICT r13 #3) and re-probed solo at sf0.1 in r14: OK 559.8 s /
+# 554.2 s / 586.3 s. The FOURTEEN names held through r12 were likewise
+# retired green in r13 (SCALE.md tables).
+SKIP: set[str] = set()
 
 # Oracle replays with MEASURED solo evidence of being impractical one
 # scale above official (the 5x corpus: tools/gen_altseed.py OUT 4242 5.0
