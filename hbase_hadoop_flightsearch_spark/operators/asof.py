@@ -29,6 +29,33 @@ from ..plans.registry import register
 from ..sources.catalog import load_table
 
 
+def forward_running_window(partition_col: str, order_cols: list[str]):
+    """The FORWARD as-of frame, evaluated in O(partition) instead of
+    O(partition^2).
+
+    ``first(x, ignorenulls) OVER (ORDER BY ... ROWS BETWEEN CURRENT ROW
+    AND UNBOUNDED FOLLOWING)`` is quadratic per partition in Spark: the
+    UnboundedFollowing frame re-evaluates the aggregate from the current
+    row to the partition end for EVERY row (no incremental path exists
+    for a shrinking frame). Invisible on the driver fixtures (max 99
+    rows per user) — caught by the r14 25x hub-skew exec sweep, where
+    one 109k-event Zipf-head user turned each forward as-of plan into a
+    330-530 s single-task grind.
+
+    The identical value is the running ``last(x, ignorenulls)`` over
+    the REVERSED sort with the incremental
+    ``[unboundedPreceding, currentRow]`` frame (both frames include the
+    current row; rows tied on the full sort key carry no conflicting
+    non-null payloads at any call site here, so reversal is exact).
+    Costs one extra in-partition sort when a backward window shares the
+    plan — O(n log n) against the O(n^2) it removes."""
+    return (
+        Window.partitionBy(partition_col)
+        .orderBy(*[F.col(c).desc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+
 def _sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
@@ -147,8 +174,10 @@ WHERE e.event_type <> 'purchase'
     doc="FORWARD as-of join: each non-purchase event joined to the "
     "user's next purchase STRICTLY after it — time-to-conversion / "
     "attribution, the forward direction the backward operator can't "
-    "express. Same union + window machinery with the frame reversed "
-    "(first(ignorenulls) over (currentRow, unboundedFollowing)); "
+    "express. Same union + window machinery with the direction "
+    "reversed — evaluated as a running last(ignorenulls) over the "
+    "DESCENDING sort, because Spark's literal (currentRow, "
+    "unboundedFollowing) frame is O(partition^2); "
     "oracled against DuckDB's native ASOF JOIN with the < inequality.",
 )
 def asof_join_forward_next_purchase(
@@ -183,22 +212,20 @@ def asof_join_forward_next_purchase(
     # match it, so at equal ts purchases (is_left=0) sort FIRST and the
     # frame begins at 1 FOLLOWING... but a following-frame also skips
     # later same-ts purchases. Instead: purchases sort first and the
-    # frame is (currentRow, following) anchored on the left row — a
-    # same-ts purchase then sits BEFORE the left row, outside the frame,
-    # while any later-ts purchase is inside. Among simultaneous
-    # purchases the smallest event_id is first in sort order.
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts_us", "is_left", "p_id")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
+    # frame is anchored on the left row — a same-ts purchase then sits
+    # BEFORE the left row, outside the frame, while any later-ts
+    # purchase is inside. Among simultaneous purchases the smallest
+    # event_id is first in sort order. Evaluated as the reversed-sort
+    # running last() — see forward_running_window for why the literal
+    # (currentRow, unboundedFollowing) frame is O(partition^2).
+    w = forward_running_window("user_id", ["ts_us", "is_left", "p_id"])
     return (
         tagged.select(
             "user_id", "ts_us", "is_left", "event_id",
-            F.first("p_id", ignorenulls=True).over(w).alias(
+            F.last("p_id", ignorenulls=True).over(w).alias(
                 "next_purchase_id"
             ),
-            F.first("p_ts", ignorenulls=True).over(w).alias("p_ts_next"),
+            F.last("p_ts", ignorenulls=True).over(w).alias("p_ts_next"),
         )
         .filter(F.col("is_left") == 1)
         .select(
@@ -376,18 +403,17 @@ def asof_join_nearest_purchase(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_fwd = (
-        Window.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
+    # Forward half via the reversed-sort running frame (one extra
+    # in-partition sort; the literal forward frame is O(partition^2) —
+    # see forward_running_window).
+    w_fwd = forward_running_window("user_id", order)
     both = (
         tagged.select(
             "user_id", "ts_us", "is_left", "event_id",
             F.last("p_id", ignorenulls=True).over(w_back).alias("b_id"),
             F.last("p_ts", ignorenulls=True).over(w_back).alias("b_ts"),
-            F.first("p_id", ignorenulls=True).over(w_fwd).alias("f_id"),
-            F.first("p_ts", ignorenulls=True).over(w_fwd).alias("f_ts"),
+            F.last("p_id", ignorenulls=True).over(w_fwd).alias("f_id"),
+            F.last("p_ts", ignorenulls=True).over(w_fwd).alias("f_ts"),
         )
         .filter(F.col("is_left") == 1)
     )

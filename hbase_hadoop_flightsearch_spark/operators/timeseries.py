@@ -1261,14 +1261,15 @@ def events_time_to_convert_pctl(
             F.col("ts_us").alias("p_ts"),
         )
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts_us", "is_left")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
+    # Reversed-sort running frame: the literal (currentRow,
+    # unboundedFollowing) frame is O(partition^2) in Spark — see
+    # asof.forward_running_window (r14 hub-skew finding).
+    from .asof import forward_running_window
+
+    w = forward_running_window("user_id", ["ts_us", "is_left"])
     joined = tagged.select(
         "is_left", "ts_us",
-        F.first("p_ts", ignorenulls=True).over(w).alias("next_p_ts"),
+        F.last("p_ts", ignorenulls=True).over(w).alias("next_p_ts"),
     ).filter((F.col("is_left") == 1) & F.col("next_p_ts").isNotNull())
     delays = joined.select(
         (F.col("next_p_ts") - F.col("ts_us")).alias("delay_us")
@@ -2333,38 +2334,98 @@ def events_multitouch_attribution(
         "event_type",
         F.unix_micros("ts").alias("tts"),
     )
-    credited = (
-        purchases.join(touches, "user_id")
-        .filter(
-            (F.col("tts") < F.col("pts"))
-            & (F.col("tts") >= F.col("pts") - ATTR_WINDOW_US)
-        )
-        .withColumn(
-            "recency_rank",
-            F.row_number().over(
-                Window.partitionBy("purchase_id").orderBy(
-                    F.desc("tts"), F.asc("touch_id")
-                )
-            ),
-        )
-        .filter(F.col("recency_rank") <= 20)
+    # LINEAR plan — no (purchase x touch) pairing at all. The r13-era
+    # shape was purchases.join(touches, "user_id") THEN the band
+    # filter: per-user-quadratic candidate generation (r14 25x
+    # hub-skew sweep: one 109k-event Zipf-head user made it a
+    # 218-525 s grind; time-band bucketing barely helps because the
+    # fixture's whole span is ~4 windows). The semantics only ever
+    # need each purchase's TOP-20 most-recent touches, so:
+    #   1. every touch carries the <=20-struct history of the most
+    #      recent touches ending at itself — a BOUNDED rows[-19, 0]
+    #      sliding collect_list (O(20) per row, frame-size-bounded,
+    #      never partition-sized);
+    #   2. each purchase picks up the history of the latest touch
+    #      STRICTLY before it via the union + running-last as-of
+    #      (purchases sort before same-ts touches, so tts < pts);
+    #   3. reverse the array (most-recent first; array order
+    #      (tts ASC, touch_id DESC) reversed = the oracle's
+    #      (tts DESC, touch_id ASC) rank order) and keep the in-window
+    #      PREFIX — window survivors are always a prefix of the
+    #      recency order, so position+1 IS recency_rank and
+    #      size(kept) is the purchase's max rank: the per-purchase
+    #      rank/max windows disappear entirely.
+    # O(events x 20) work, hub-user-proof: 25x hub corpus 525 s -> ~2 s.
+    w20 = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("tts"), F.desc("touch_id"))
+        .rowsBetween(-19, 0)
     )
-    wmax = Window.partitionBy("purchase_id")
-    scaled = credited.select(
-        "event_type",
-        "cents",
-        F.pow(
-            F.lit(2.0),
-            (F.max("recency_rank").over(wmax) - F.col("recency_rank")),
+    hist_t = (
+        "array<struct<tts:bigint,touch_id:bigint,event_type:string>>"
+    )
+    touch_hist = touches.withColumn(
+        "hist",
+        F.collect_list(F.struct("tts", "touch_id", "event_type")).over(
+            w20
+        ),
+    )
+    tagged = touch_hist.select(
+        "user_id",
+        F.col("tts").alias("ts_us"),
+        F.lit(1).alias("is_touch"),
+        F.col("touch_id").alias("tid"),
+        F.lit(None).cast("long").alias("pts"),
+        F.lit(None).cast("long").alias("cents"),
+        "hist",
+    ).unionByName(
+        purchases.select(
+            "user_id",
+            F.col("pts").alias("ts_us"),
+            F.lit(0).alias("is_touch"),
+            F.lit(None).cast("long").alias("tid"),
+            "pts",
+            "cents",
+            F.lit(None).cast(hist_t).alias("hist"),
         )
+    )
+    # Running last = backward as-of; at equal ts the purchase (0) sorts
+    # before touches (1) so only strictly-earlier touches are visible.
+    # tid DESC matches w20's frame order, so the running last lands on
+    # the touch row whose history contains every same-ts sibling.
+    w_asof = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts_us"), F.asc("is_touch"), F.desc("tid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = (
+        tagged.withColumn(
+            "h", F.last("hist", ignorenulls=True).over(w_asof)
+        )
+        .filter((F.col("is_touch") == 0) & F.col("h").isNotNull())
+        .select(
+            "cents",
+            F.filter(
+                F.reverse("h"),
+                lambda s: s["tts"] >= F.col("pts") - ATTR_WINDOW_US,
+            ).alias("recent"),
+        )
+        .filter(F.size("recent") > 0)
+    )
+    scaled = kept.select(
+        "cents",
+        F.size("recent").alias("n_r"),
+        F.posexplode("recent").alias("pos", "s"),
+    ).select(
+        F.col("s.event_type").alias("event_type"),
+        "cents",
+        # recency_rank = pos + 1; w_scaled = 2^(n - rank)
+        F.pow(F.lit(2.0), F.col("n_r") - 1 - F.col("pos"))
         .cast("bigint")
         .alias("w_scaled"),
-        (
-            F.pow(F.lit(2.0), F.max("recency_rank").over(wmax)).cast(
-                "bigint"
-            )
-            - 1
-        ).alias("total_scaled"),
+        (F.pow(F.lit(2.0), F.col("n_r")).cast("bigint") - 1).alias(
+            "total_scaled"
+        ),
     )
     return (
         scaled.groupBy("event_type")

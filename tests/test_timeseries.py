@@ -906,3 +906,121 @@ def test_time_to_convert_empty_conversions_symmetric(spark, tmp_path):
     assert len(duck) == 1
     assert duck[0][0] == 0
     assert duck[0][1] is None and duck[0][2] is None and duck[0][3] is None
+
+
+def test_multitouch_attribution_linear_plan_vs_bruteforce(spark, tmp_path):
+    """r14: events_multitouch_attribution was rewritten from a
+    per-user-quadratic join-then-filter to the linear bounded-history
+    plan (20-row sliding collect_list + running-last as-of). Verify the
+    rewrite against an in-Python brute force on an adversarial fixture:
+    a hub user with >20 touches per purchase, same-instant
+    purchase/touch collisions (strict tts < pts must exclude),
+    same-timestamp touch pairs (tie rank by touch_id ASC), touches
+    older than the 7-day window, and purchases with no touches."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hbase_hadoop_flightsearch_spark.operators.timeseries import (
+        ATTR_WINDOW_US,
+        events_multitouch_attribution,
+    )
+
+    US = 1_000_000
+    HOUR = 3600 * US
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+
+    def add(user, t_us, etype, value=0.0):
+        nonlocal eid
+        eid += 1
+        rows.append(
+            (eid, user, base + dt.timedelta(microseconds=t_us), etype,
+             float(value))
+        )
+        return eid
+
+    # hub user 1: 30 touches then a purchase (only top-20 credit)
+    for i in range(30):
+        add(1, i * HOUR, "view" if i % 3 else "click")
+    add(1, 30 * HOUR, "purchase", 123.45)
+    # same-instant collision: touch at exactly the purchase ts (user 2)
+    add(2, 5 * HOUR, "view")
+    add(2, 9 * HOUR, "click")
+    t_same = 9 * HOUR
+    add(2, t_same, "purchase", 50.0)  # same ts as the click above
+    # same-ts touch pair (user 3): rank tie broken by touch_id ASC
+    add(3, 1 * HOUR, "view")
+    add(3, 1 * HOUR, "view")
+    add(3, 2 * HOUR, "purchase", 10.0)
+    # stale touches beyond the 7-day window (user 4)
+    add(4, 0, "view")
+    add(4, ATTR_WINDOW_US + 10 * HOUR, "purchase", 99.0)
+    add(4, ATTR_WINDOW_US + 9 * HOUR, "click")  # in window
+    # purchase with no touches at all (user 5)
+    add(5, 3 * HOUR, "purchase", 77.0)
+    # two purchases sharing touches (user 6)
+    add(6, 1 * HOUR, "view")
+    add(6, 2 * HOUR, "purchase", 20.0)
+    add(6, 3 * HOUR, "click")
+    add(6, 4 * HOUR, "purchase", 40.0)
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    path = str(tmp_path / "events.parquet")
+    spark.createDataFrame(pdf).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).write.parquet(path, mode="overwrite")
+    sf_dir = str(tmp_path)
+
+    got = {
+        r.event_type: (r.n_credited_touches, r.attributed_revenue)
+        for r in events_multitouch_attribution(spark, sf_dir).collect()
+    }
+
+    # brute force
+    purchases = [r for r in rows if r[3] == "purchase"]
+    touches = [r for r in rows if r[3] in ("view", "click")]
+    credit = {}
+    counts = {}
+    for pe, pu, pts, _, val in purchases:
+        pts_us = int((pts - dt.datetime(1970, 1, 1)).total_seconds() * US)
+        cands = [
+            (te, tt, ttype)
+            for te, tu, tt, ttype, _ in touches
+            if tu == pu
+        ]
+        cands = [
+            (te, tt, ttype)
+            for te, tt, ttype in cands
+            if (tt < pts)
+            and (
+                int((pts - tt).total_seconds() * US) <= ATTR_WINDOW_US
+            )
+        ]
+        cands.sort(key=lambda c: (-int(
+            (c[1] - dt.datetime(1970, 1, 1)).total_seconds() * US
+        ), c[0]))
+        cands = cands[:20]
+        n = len(cands)
+        if n == 0:
+            continue
+        cents = round(val * 100)
+        total = 2 ** n - 1
+        for rank, (te, tt, ttype) in enumerate(cands, 1):
+            w = 2 ** (n - rank)
+            credit[ttype] = credit.get(ttype, 0.0) + cents * w / total
+            counts[ttype] = counts.get(ttype, 0) + 1
+    want = {
+        k: (counts[k], round(credit[k] / 100.0, 6)) for k in credit
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], (k, got[k], want[k])
+        assert math.isclose(got[k][1], want[k][1], abs_tol=1e-6), (
+            k, got[k], want[k]
+        )
