@@ -75,7 +75,8 @@ ORACLE_HEAVY_5X: dict[str, str] = {
     "events_multitouch_attribution": (
         "TIMEOUT_ALONE >900s solo, r13 5x sweep; the oracle's 7-day "
         "user-window theta join explodes with 5x event density; Spark "
-        "side time-banded, value-proven sf0.001/0.01/0.1 + altseeds"
+        "side is the r14 linear bounded-history plan (O(events x 20), "
+        "hub-proof), value-proven sf0.001/0.01/0.1 + altseeds"
     ),
 }
 
