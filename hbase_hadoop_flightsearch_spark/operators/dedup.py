@@ -67,6 +67,50 @@ SELECT d1, d2, ROUND(jac, 4) AS jaccard
 FROM pairs WHERE jac >= {JACCARD_THRESHOLD}
 """
 
+# Large-corpus restatement of the SAME pair set (VERDICT r14 #1): posting-
+# list intersection counting instead of the O(n^2) document cross join.
+# Equivalence is structural: every pair at jac >= 0.5 shares at least one
+# shingle, so it appears in the shingle-equality join; |intersection| =
+# COUNT of shared distinct shingles (shingle lists are list_distinct);
+# the union/round arithmetic is identical text. Pairs with ZERO shared
+# shingles — the only ones the posting join cannot see — have jac = 0 (or
+# NULL/NULL on empty-vs-empty), below any positive threshold in BOTH
+# formulations. tests/test_oracle_scale.py executes both in DuckDB and
+# diffs row multisets; measured sf0.1: 0.97 s vs ~550 s all-pairs, values
+# identical. The strict sf0.01 tier keeps the all-pairs formulation for
+# algorithmic independence from the Spark posting-list plan.
+_JACCARD_PAIRS_DUCK_POSTING = f"""
+WITH sh AS MATERIALIZED ({_SHINGLE_SQL_DUCK}),
+feat AS MATERIALIZED (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+),
+doclen AS MATERIALIZED (SELECT doc_id, len(shingles) AS n FROM sh),
+inter AS MATERIALIZED (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM feat a JOIN feat b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.d1, i.d2,
+         i.inter * 1.0 / (la.n + lb.n - i.inter) AS jac
+  FROM inter i
+  JOIN doclen la ON la.doc_id = i.d1
+  JOIN doclen lb ON lb.doc_id = i.d2
+)
+SELECT d1, d2, ROUND(jac, 4) AS jaccard
+FROM pairs WHERE jac >= {JACCARD_THRESHOLD}
+"""
+
+
+def scale_variant(oracle: str) -> str:
+    """Swap the all-pairs jaccard stage embedded verbatim in `oracle` for
+    the posting-list restatement. Asserting the swap happened guards
+    against a silent no-op (a drifted template would leave the quadratic
+    stage in the sf0.1-tier oracle and re-open the watchdog margin)."""
+    out = oracle.replace(_JACCARD_PAIRS_DUCK, _JACCARD_PAIRS_DUCK_POSTING)
+    assert out != oracle, "all-pairs jaccard stage not found verbatim"
+    return out
+
 
 def cc_minlabel_duck(verts: str, edges: str, rounds: int = 12) -> str:
     """Bounded min-label-propagation CTE chain for the three CC oracles
@@ -245,6 +289,7 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle=_JACCARD_PAIRS_DUCK,
+    oracle_scale=_JACCARD_PAIRS_DUCK_POSTING,
     headline=True,
     doc="Exact n-gram Jaccard near-dup pairs (E10) via posting-list pair "
     "counting — intersection sizes fall out of a groupBy, never an O(n^2) "
@@ -344,6 +389,9 @@ MINHASH_NEARDUP_THRESHOLD = 0.9  # the tier where 16x4 banding recall is
 @register(
     "dedup_minhash_lsh",
     oracle=_JACCARD_PAIRS_DUCK.replace(
+        f"WHERE jac >= {JACCARD_THRESHOLD}", "WHERE jac >= 0.9"
+    ),
+    oracle_scale=_JACCARD_PAIRS_DUCK_POSTING.replace(
         f"WHERE jac >= {JACCARD_THRESHOLD}", "WHERE jac >= 0.9"
     ),
     doc="MinHash+LSH near-dup pairs (E10): 64 minhashes, 16 bands x 4 rows, "
@@ -985,10 +1033,7 @@ CONTAINMENT_THRESHOLD = 0.8
 PREFIX_MOD = 5  # every 5th doc contributes a synthetic 40% prefix excerpt
 
 
-@register(
-    "dedup_containment_prefix",
-    oracle=f"""
-WITH aug AS (
+_CONTAINMENT_AUG_SQL = f"""aug AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 2000000,
@@ -996,13 +1041,45 @@ WITH aug AS (
   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
   WHERE doc_id % {PREFIX_MOD} = 0
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT doc_id, list_distinct(
     [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
   ) AS shingles
   FROM (SELECT doc_id, string_split(text, ' ') toks FROM aug)
   WHERE len(toks) >= 3
+)"""
+
+# Same posting-list restatement as _JACCARD_PAIRS_DUCK_POSTING, with the
+# containment normalizer LEAST(|A|, |B|) instead of the union size; any
+# pair at c >= 0.8 shares a shingle, so candidate generation via the
+# shingle-equality join is lossless (tests/test_oracle_scale.py diffs
+# both formulations' rows).
+_CONTAINMENT_ORACLE_POSTING = f"""
+WITH {_CONTAINMENT_AUG_SQL},
+feat AS MATERIALIZED (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
 ),
+doclen AS MATERIALIZED (SELECT doc_id, len(shingles) AS n FROM sh),
+inter AS MATERIALIZED (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM feat a JOIN feat b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.d1, i.d2, i.inter * 1.0 / LEAST(la.n, lb.n) AS c
+  FROM inter i
+  JOIN doclen la ON la.doc_id = i.d1
+  JOIN doclen lb ON lb.doc_id = i.d2
+)
+SELECT d1, d2, ROUND(c, 4) AS containment
+FROM pairs WHERE c >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_containment_prefix",
+    oracle=f"""
+WITH {_CONTAINMENT_AUG_SQL},
 pairs AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2,
     len(list_intersect(a.shingles, b.shingles)) * 1.0 /
@@ -1012,6 +1089,7 @@ pairs AS (
 SELECT d1, d2, ROUND(c, 4) AS containment
 FROM pairs WHERE c >= {CONTAINMENT_THRESHOLD}
 """,
+    oracle_scale=_CONTAINMENT_ORACLE_POSTING,
     doc="Containment near-dup (E10): |A n B| / min(|A|, |B|) >= 0.8 on "
     "word-3-gram sets — the excerpt/quotation detector. A 40% prefix of "
     "a doc has Jaccard ~ 0.4 against its source (UNDER the 0.5 Jaccard "
@@ -1465,9 +1543,7 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_chaining_audit",
-    oracle=f"""
+_CHAINING_AUDIT_ORACLE = f"""
 WITH
 jp AS MATERIALIZED ({_JACCARD_PAIRS_DUCK}),
 edges AS MATERIALIZED (
@@ -1486,7 +1562,13 @@ SELECT
     AS n_implied_pairs,
   CAST((SELECT COUNT(*) FROM sizes WHERE sz > 1) AS BIGINT) AS n_clusters,
   CAST((SELECT MAX(sz) FROM sizes) AS BIGINT) AS max_cluster
-""",
+"""
+
+
+@register(
+    "dedup_chaining_audit",
+    oracle=_CHAINING_AUDIT_ORACLE,
+    oracle_scale=scale_variant(_CHAINING_AUDIT_ORACLE),
     doc="Dedup chaining audit: transitive clustering declares C(size,2) "
     "implied duplicate pairs per cluster, but only n_direct_pairs were "
     "actually measured similar — the gap (implied vs direct) is the "
@@ -2177,9 +2259,7 @@ def _minhash_md5_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_md5_estimate",
-    oracle=f"""
+_MINHASH_MD5_ORACLE = f"""
 WITH sh AS ({_SHINGLE_SQL_DUCK}),
 ex AS (
   SELECT doc_id, unnest(shingles) AS sh FROM sh
@@ -2196,7 +2276,13 @@ SELECT jp.d1, jp.d2, jp.jaccard,
   CAST((1000000 * ({" + ".join(f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(MINHASH_MD5_K))}))
        // {MINHASH_MD5_K} AS BIGINT) AS est_jaccard_ppm
 FROM jp JOIN sig a ON jp.d1 = a.doc_id JOIN sig b ON jp.d2 = b.doc_id
-""",
+"""
+
+
+@register(
+    "dedup_minhash_md5_estimate",
+    oracle=_MINHASH_MD5_ORACLE,
+    oracle_scale=scale_variant(_MINHASH_MD5_ORACLE),
     doc=f"MinHash similarity ESTIMATION with engine-portable hashes: "
     f"{MINHASH_MD5_K} salted md5 min-hashes per document (md5 hex is "
     "byte-identical in Spark and DuckDB, unlike the xxhash64 "
@@ -2250,18 +2336,9 @@ def dedup_minhash_md5_estimate(
 # which source pair gets the aggressive dedup pass.
 
 
-@register(
-    "dedup_cross_source_matrix",
-    oracle=f"""
-WITH sh AS ({{shingle}}),
-pairs AS (
-  SELECT a.doc_id AS d1, b.doc_id AS d2
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-      (len(a.shingles) + len(b.shingles)
-       - len(list_intersect(a.shingles, b.shingles)))
-      >= {JACCARD_THRESHOLD}
-),
+_CROSS_SOURCE_ORACLE = f"""
+WITH jp AS MATERIALIZED ({_JACCARD_PAIRS_DUCK}),
+pairs AS (SELECT d1, d2 FROM jp),
 src AS (SELECT doc_id, source FROM documents),
 m AS (
   SELECT LEAST(s1.source, s2.source) AS src_a,
@@ -2277,7 +2354,13 @@ SELECT m.src_a, m.src_b, m.n_pairs,
   m.src_a = m.src_b AS within_source,
   CAST((m.n_pairs * 1000000) // tot.t AS BIGINT) AS share_ppm
 FROM m, tot
-""".format(shingle=_SHINGLE_SQL_DUCK.strip()),
+"""
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle=_CROSS_SOURCE_ORACLE,
+    oracle_scale=scale_variant(_CROSS_SOURCE_ORACLE),
     doc="Cross-source near-duplicate matrix over the exact j >= 0.5 "
     "3-gram Jaccard pairs: canonical (src_a <= src_b) cell counts + "
     "share of all dup mass — off-diagonal cells are mirrors/"

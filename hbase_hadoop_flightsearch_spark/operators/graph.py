@@ -35,6 +35,7 @@ from .dedup import (
     _JACCARD_PAIRS_DUCK,
     cc_minlabel_duck,
     dedup_ngram_jaccard,
+    scale_variant,
 )
 
 # The oracle re-derives the same >= 0.5 jaccard pairs (the pairs themselves
@@ -109,6 +110,7 @@ def connected_components(
 @register(
     "dedup_cc_clusters",
     oracle=_CC_ORACLE,
+    oracle_scale=scale_variant(_CC_ORACLE),
     doc="Connected components over near-dup pairs: every doc labeled with "
     "its duplicate-cluster id (min doc_id reachable), cluster size, and a "
     "deterministic keeper flag. Iterative min-label propagation vs a "

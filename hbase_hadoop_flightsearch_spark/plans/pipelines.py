@@ -23,7 +23,11 @@ from ..functions.text import (
     ngram_lang_pred,
     ngram_lang_pred_duck,
 )
-from ..operators.dedup import _JACCARD_PAIRS_DUCK, cc_minlabel_duck
+from ..operators.dedup import (
+    _JACCARD_PAIRS_DUCK,
+    cc_minlabel_duck,
+    scale_variant,
+)
 from ..sources.catalog import load_table
 from .registry import register
 
@@ -141,6 +145,14 @@ GROUP BY k.lang_pred
         bpe=_BPE_SQL,
         jaccard_pairs=_JACCARD_PAIRS_DUCK,
         cc_chain=cc_minlabel_duck("verts", "edges"),
+    ),
+    oracle_scale=scale_variant(
+        _NEARDUP_ORACLE.format(
+            lang_pred=ngram_lang_pred_duck("text"),
+            bpe=_BPE_SQL,
+            jaccard_pairs=_JACCARD_PAIRS_DUCK,
+            cc_chain=cc_minlabel_duck("verts", "edges"),
+        )
     ),
     doc="Production corpus-prep composite: quality filter -> lang-ID -> "
     "NEAR-dup clustering (ngram-jaccard pairs + connected components) -> "

@@ -40,6 +40,16 @@ class Query:
     # attribute mechanically (VERDICT r9 "what's wrong" #3 — a TRUE AS
     # regex over-counts, because a genuine value column may be TRUE).
     flag_oracle: bool = False
+    # Optional LARGE-CORPUS restatement of the SAME oracle (identical
+    # columns, identical rows on any corpus — equivalence is enforced by
+    # tests/test_oracle_scale.py, which executes BOTH formulations in
+    # DuckDB and diffs the row multisets). Used by sf0.1-class sweeps
+    # (tools/sweep_sf01.py) where the deliberately-quadratic strict
+    # formulation runs 400-650 s against the 900 s per-name watchdog
+    # (VERDICT r14 #1); the driver's sf0.01 gate and the differential
+    # tests keep using `oracle`, whose algorithmic independence from the
+    # Spark plan is the point of the strict tier.
+    oracle_scale: str | None = None
 
 
 QUERIES: dict[str, Query] = {}
@@ -90,12 +100,20 @@ def register(
     headline: bool = False,
     doc: str = "",
     flag_oracle: bool = False,
+    oracle_scale: str | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
+        if oracle_scale is not None and oracle is None:
+            raise ValueError(
+                f"{name!r}: oracle_scale requires a strict oracle — the "
+                "scale tier restates an existing oracle, never replaces "
+                "a rows-only check"
+            )
         QUERIES[name] = Query(
-            name, fn, oracle, headline, doc or (fn.__doc__ or ""), flag_oracle
+            name, fn, oracle, headline, doc or (fn.__doc__ or ""),
+            flag_oracle, oracle_scale,
         )
         return fn
 

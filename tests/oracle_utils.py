@@ -158,10 +158,30 @@ def _normalize(cols: list[str], rows: list[tuple]) -> list[tuple]:
 
 
 def compare_query_to_oracle(spark, query, sf_dir: str) -> None:
-    """Assert the Spark result of `query` matches its DuckDB oracle."""
+    """Assert the Spark result of `query` matches its DuckDB oracle.
+
+    Oracle-tier selection (VERDICT r14 #1): when SWEEP_ORACLE_TIER=scale
+    is set (by tools/sweep_sf01.py for sf0.1-class corpora) and the query
+    registered an `oracle_scale` restatement, that formulation replays
+    instead of the strict one — same columns, same rows (equivalence is
+    enforced in DuckDB by tests/test_oracle_scale.py), but posting-list
+    instead of all-pairs, so the heaviest sf0.1 replays drop from
+    400-650 s to seconds and stop crowding the 900 s per-name watchdog.
+    The driver's sf0.01 gate and the sf0.01 differential tests never set
+    the env var, so they keep the algorithmically-independent strict SQL.
+    """
+    import os
+
     from hbase_hadoop_flightsearch_spark.operators.ranks import (
         release_rank_bases,
     )
+
+    oracle = query.oracle
+    if (
+        os.environ.get("SWEEP_ORACLE_TIER") == "scale"
+        and getattr(query, "oracle_scale", None) is not None
+    ):
+        oracle = query.oracle_scale
 
     sdf = query.fn(spark, sf_dir)
     spark_cols = list(sdf.columns)
@@ -177,7 +197,7 @@ def compare_query_to_oracle(spark, query, sf_dir: str) -> None:
     # ("15000.0") while Spark emits int64 ("15000") — a value-hash mismatch
     # invisible to this fetchall()-based compare (fetchall gives Python
     # ints either way). Oracles must CAST such sums to BIGINT.
-    desc = con.execute(f"DESCRIBE {query.oracle}").fetchall()
+    desc = con.execute(f"DESCRIBE {oracle}").fetchall()
     huge = [(c[0], c[1]) for c in desc if "HUGEINT" in str(c[1]).upper()]
     assert not huge, (
         f"{query.name}: oracle emits HUGEINT column(s) {huge} — the driver "
@@ -185,7 +205,7 @@ def compare_query_to_oracle(spark, query, sf_dir: str) -> None:
         "int64; wrap the expression in CAST(... AS BIGINT)"
     )
     assert_type_classes_match(query, sdf.schema, desc)
-    res = con.execute(query.oracle)
+    res = con.execute(oracle)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
     con.close()

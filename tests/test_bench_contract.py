@@ -43,3 +43,15 @@ def test_pinned_confs_applied_during_run(spark):
     bench.time_query(spark, _Probe(), "/root/testdata/sf0.001", 1)
     assert seen["v"] == "false"  # pin active during the timed run
     assert spark.conf.get(key) == default  # restored afterwards
+
+
+def test_subsecond_pins_are_headline_seats_under_one_second():
+    """BASELINE.md sub-second-seat rule (VERDICT r14 #3): the seats bench.py
+    annotates must (a) be real headline seats and (b) carry pins < 1 s —
+    a stale entry would mislabel a >=1 s seat into the lenient absolute-
+    delta adjudication."""
+    from hbase_hadoop_flightsearch_spark.plans.registry import load_all
+
+    headline = {q.name for q in load_all().values() if q.headline}
+    assert set(bench.SUB_SECOND_PINS) <= headline
+    assert all(0 < pin < 1.0 for pin in bench.SUB_SECOND_PINS.values())

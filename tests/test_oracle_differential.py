@@ -21,6 +21,27 @@ ROWS_ONLY_QUERIES = [q for q in REGISTRY.values() if q.oracle is None]
 _SAFE_STRFTIME = {"%Y", "%m", "%d", "%H", "%M", "%S", "%j"}
 
 
+def _strip_comment_tail(line: str) -> str:
+    """Drop a `--` comment from `line`, ignoring `--` inside single-quoted
+    literals (tracks quote state, including '' escapes)."""
+    in_quote = False
+    i = 0
+    while i < len(line):
+        c = line[i]
+        if in_quote:
+            if c == "'":
+                if line[i + 1: i + 2] == "'":  # escaped '' stays inside
+                    i += 2
+                    continue
+                in_quote = False
+        elif c == "'":
+            in_quote = True
+        elif c == "-" and line[i: i + 2] == "--":
+            return line[:i]
+        i += 1
+    return line
+
+
 def lint_oracle_sql(sql: str) -> list[str]:
     """Static lint for the DuckDB-oracle bug classes that survive a local
     fetchall() compare but die at the driver's pandas hash (VERDICT r4 #3).
@@ -35,12 +56,17 @@ def lint_oracle_sql(sql: str) -> list[str]:
       repo has a proven mapping for are allowed).
     """
     problems: list[str] = []
-    # Strip single-quoted string literals so 'text/plain' is not division,
-    # then `--` line comments — a `/` in prose cannot cause the DuckDB
-    # integer-division bug this lint hunts (VERDICT r13 #1: three
-    # false-positives from `-- MATERIALIZED` annotations).
-    stripped = re.sub(r"'[^']*'", "''", sql)
-    stripped = re.sub(r"--[^\n]*", "--", stripped)
+    # Strip `--` comments and single-quoted literals LINE BY LINE, comment
+    # tail first: the old whole-string order (literals, then comments) let
+    # a comment with an odd apostrophe ("-- doesn't") pair with the
+    # opening quote of a later real literal and delete intervening SQL —
+    # hiding a bare '/' from the scan (ADVICE r14). Within a line the
+    # comment start is found with quote-state tracking so a '--' INSIDE a
+    # literal never truncates real SQL; '' escapes are handled.
+    stripped = "\n".join(
+        re.sub(r"'(?:[^']|'')*'", "''", _strip_comment_tail(line))
+        for line in sql.splitlines()
+    )
     float_marker = re.compile(
         r"\d\.\d|DOUBLE|FLOAT|ROUND\s*\(|CAST\s*\(|::|"
         r"STDDEV|AVG\s*\(|VAR_|CORR\s*\(|log2|ln\s*\(|epoch|sqrt\s*\(",
@@ -98,6 +124,25 @@ def test_oracle_lint_catches_injected_bug():
     assert lint_oracle_sql(bad), "lint missed the bare integer-division bug"
     good = "SELECT CAST(date_diff('day', a, b) // 7 AS BIGINT) AS w FROM t"
     assert not lint_oracle_sql(good)
+
+
+def test_oracle_lint_apostrophe_comment_cannot_hide_division():
+    """ADVICE r14: under the old strip order (literals before comments), a
+    comment with an odd apostrophe paired with the opening quote of a
+    later real literal and deleted the SQL between them — hiding a bare
+    '/' from the scan. The line-by-line order must still flag it."""
+    sql = (
+        "SELECT x -- doesn't\n"
+        " , y / 7 AS q\n"
+        " , 'lit' AS s FROM t"
+    )
+    assert lint_oracle_sql(sql), "apostrophe comment hid the bare '/'"
+    # and a '/' inside prose (comment or literal) still never flags
+    clean = (
+        "SELECT x -- a/b ratio, isn't it\n"
+        " , 'text/plain' AS mime FROM t"
+    )
+    assert not lint_oracle_sql(clean)
 
 
 @pytest.mark.parametrize("query", ORACLE_QUERIES, ids=lambda q: q.name)

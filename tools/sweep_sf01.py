@@ -134,6 +134,16 @@ def main() -> None:
     env = dict(os.environ)
     env.setdefault("SWEEP_DUCK_MEM", "24GB")
     env.setdefault("SWEEP_DUCK_TMP", "/tmp/sweep_duck_tmp")
+    # sf0.1-class corpora replay the registered `oracle_scale`
+    # restatements (posting-list instead of all-pairs jaccard; VERDICT
+    # r14 #1) so the heaviest replays stop running 400-650 s against the
+    # 900 s watchdog. The strict sf0.01/sf0.001 gates (driver + pytest
+    # differential) never see this env var; equivalence of the two
+    # formulations is enforced by tests/test_oracle_scale.py. Explicit
+    # SWEEP_ORACLE_TIER=strict forces the quadratic originals (used for
+    # the one-time identity measurements recorded in SCALE.md).
+    if not sf_dir.rstrip("/").endswith(("sf0.001", "sf0.01")):
+        env.setdefault("SWEEP_ORACLE_TIER", "scale")
 
     all_names = sorted(load_all())
     names = []
