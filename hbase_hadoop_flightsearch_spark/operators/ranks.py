@@ -64,7 +64,12 @@ _N = "__gr_n"
 _OFF = "__gr_off"
 _TOT = "__gr_tot"
 _LOC = "__gr_loc"
-_RN = "__gr_rn"
+# Pass-through output name used by this module's OWN wrappers (lead /
+# stage-split helpers) when they call the primitive internally. It lives
+# OUTSIDE the reserved "__gr_" scratch namespace on purpose: the r15
+# reservation check below rejects any "__gr_"-prefixed measure or input
+# column, and must not reject the module's own wrappers.
+_RN = "__grout_rn"
 _CNT = "__gr_cnt"
 
 # Every persisted ranged base, strongest-ref'd here until released. The
@@ -178,6 +183,20 @@ def with_global_order_stats(
     clash = set(all_outs) & set(df.columns)
     if clash:
         raise ValueError(f"measure names already in df: {sorted(clash)}")
+    # The internal scratch columns are all "__gr_"-prefixed, and cumsum
+    # measures additionally spawn derived "__gr_cnt<out>" siblings — a
+    # user measure named into that namespace (e.g. '__gr_cntX' next to
+    # cumsum 'X') would collide with a derived alias downstream of this
+    # check and corrupt results silently (ADVICE r14). Reserve the
+    # prefix outright; same for input columns, which ride the base
+    # through the offset join.
+    reserved = [c for c in all_outs + list(df.columns)
+                if c.startswith("__gr_")]
+    if reserved:
+        raise ValueError(
+            f"'__gr_' prefix is reserved for internal rank-primitive "
+            f"columns: {sorted(reserved)}"
+        )
     spark = df.sparkSession
     try:
         nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))

@@ -320,6 +320,22 @@ def test_measure_name_validation(skewed_df):
             [F.col("k"), F.col("id")],
             cumsums={"v": F.col("v")},
         )
+    # ADVICE r14: a measure named into the internal "__gr_" namespace
+    # (e.g. '__gr_cntX' next to cumsum 'X') would collide with a DERIVED
+    # _CNT alias downstream of the duplicate check — the prefix is
+    # reserved outright.
+    with pytest.raises(ValueError, match="__gr_.*reserved|reserved"):
+        with_global_order_stats(
+            skewed_df,
+            [F.col("k"), F.col("id")],
+            cumsums={"X": F.col("v"), "__gr_cntX": F.col("v")},
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        with_global_order_stats(
+            skewed_df.withColumn("__gr_pid", F.lit(1)),
+            [F.col("k"), F.col("id")],
+            cumsums={"x": F.col("v")},
+        )
 
 
 def test_all_null_measure_partition(spark):

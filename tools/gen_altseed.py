@@ -11,9 +11,18 @@ Hamming radius, blocking keys, lang-ID trigram margins — hold beyond the
 one corpus they were tuned on. Failures here are FINDINGS about fixture
 sensitivity, recorded in SCALE.md, not oracle bugs.
 
-Usage:  python tools/gen_altseed.py OUTDIR [SEED]
+Usage:  python tools/gen_altseed.py OUTDIR [SEED] [SCALE] [HUB_USERS]
 Then:   SPARK_GRAFT_SF_CORRECTNESS=OUTDIR python -m pytest \
             tests/test_oracle_differential.py -q -k matches_duckdb
+
+HUB_USERS (VERDICT r14 #6) pins the events-table user-id domain
+regardless of SCALE. Holding it small while events scale is the
+hub-entity stress test that found the r14 O(hub^2) window frames: at
+SCALE=25 with the default 150 users the Zipf-head user carries ~109k
+events — a regime the official driver fixtures (cap ~99 events/user)
+can never produce, but any bot/monitoring entity produces at 100 TB.
+Default keeps the historical fixed-150 behavior (the accident is now
+the documented knob).
 """
 
 from __future__ import annotations
@@ -42,10 +51,15 @@ N_CUST, N_SUPP, N_PART, N_ORD, N_LINE = 1500, 100, 2000, 15000, 60000
 N_EVT, N_DOC, N_EMB, N_USERS, EMB_DIM = 10000, 500, 500, 150, 64
 
 
-def main(outdir: str, seed: int, scale: float = 1.0) -> None:
+def main(
+    outdir: str, seed: int, scale: float = 1.0, hub_users: int | None = None
+) -> None:
     import os
 
     global N_CUST, N_SUPP, N_PART, N_ORD, N_LINE, N_EVT, N_DOC, N_EMB
+    global N_USERS
+    if hub_users is not None:
+        N_USERS = hub_users
     if scale != 1.0:  # optional size multiplier (intermediate-SF sweeps)
         N_CUST, N_PART = int(N_CUST * scale), int(N_PART * scale)
         N_ORD, N_LINE = int(N_ORD * scale), int(N_LINE * scale)
@@ -190,4 +204,5 @@ if __name__ == "__main__":
         sys.argv[1],
         int(sys.argv[2]) if len(sys.argv) > 2 else 1337,
         float(sys.argv[3]) if len(sys.argv) > 3 else 1.0,
+        int(sys.argv[4]) if len(sys.argv) > 4 else None,
     )
