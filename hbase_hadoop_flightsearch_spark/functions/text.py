@@ -933,10 +933,15 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = Window.orderBy(F.desc("c"), F.asc("token"))
-    ranked = cnt.select(
-        "c", F.row_number().over(w).alias("r")
-    ).filter(F.col("r") <= ZIPF_TOP_N)
+    # Top-N via TakeOrdered (per-partition heap), not a rank filter: the
+    # unpartitioned row_number idiom gets no WindowGroupLimit rewrite
+    # (r15 audit) and would single-task-sort the whole distinct-token
+    # aggregate — vocabulary-sized at 100 TB.
+    from ..operators.ranks import global_topk
+
+    ranked = global_topk(
+        cnt, [F.desc("c"), F.asc("token")], ZIPF_TOP_N, out="r"
+    ).select("c", "r")
     lx, ly = F.log2("r"), F.log2("c")
     m = ranked.agg(
         F.count(F.lit(1)).alias("n"),
@@ -2613,12 +2618,15 @@ def text_collocations_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cells.select(
         "w1", "w2", "k11", F.expr(_LLR_SUM).alias("g2_micro")
     )
-    w = Window.orderBy(F.desc("g2_micro"), "w1", "w2")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= LLR_TOP)
-        .select("rnk", "w1", "w2", F.col("k11").alias("pair_count"), "g2_micro")
-    )
+    # TakeOrdered top-k over the bigram aggregate (pair-vocabulary-sized
+    # at 100 TB) — see global_topk for why the rank-filter idiom would
+    # single-task-sort it instead.
+    from ..operators.ranks import global_topk
+
+    return global_topk(
+        scored, [F.desc("g2_micro"), F.col("w1"), F.col("w2")], LLR_TOP,
+        out="rnk",
+    ).select("rnk", "w1", "w2", F.col("k11").alias("pair_count"), "g2_micro")
 
 
 # ---------------------------------------------------------------------------

@@ -1989,12 +1989,15 @@ def agg_tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
         "o_orderkey",
     )
-    w = Window.orderBy(F.desc("cents"), "o_orderkey")
-    topk = (
-        v.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= HILL_K + 1)
-        .select("cents", "rn")
-    )
+    # TakeOrdered top-(k+1), not row_number-filter: the rank-filter idiom
+    # gets NO WindowGroupLimit rewrite for an unpartitioned window (r15
+    # audit), so it would single-task-sort every order at scale — the
+    # doc's heap-merge claim is made true by construction here.
+    from .ranks import global_topk
+
+    topk = global_topk(
+        v, [F.desc("cents"), F.col("o_orderkey")], HILL_K + 1, out="rn"
+    ).select("cents", "rn")
     xk = topk.filter(F.col("rn") == HILL_K + 1).select(
         F.col("cents").alias("x_k")
     )

@@ -983,10 +983,16 @@ def graph_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("subtree_nodes"),
         )
     )
-    w = Window.orderBy(F.desc("subtree_cents"), F.asc("anc"))
+    # TakeOrdered top-k over the ancestor rollup (node-cardinality-sized
+    # at 100 TB) — see ranks.global_topk for why the rank-filter idiom
+    # would single-task-sort it.
+    from .ranks import global_topk
+
     return (
-        roll.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= HIER_TOPK)
+        global_topk(
+            roll, [F.desc("subtree_cents"), F.asc("anc")], HIER_TOPK,
+            out="rnk",
+        )
         .select(
             "rnk",
             F.col("anc").cast("bigint").alias("node_id"),

@@ -336,6 +336,34 @@ def with_global_row_number(
     )
 
 
+def global_topk(
+    df: DataFrame,
+    order_exprs: Sequence[Column],
+    k: int,
+    out: str = "rn",
+) -> DataFrame:
+    """The global TOP-K rows under *order_exprs* with their 1-based rank
+    `out` — WITHOUT a full-data single-task window.
+
+    The natural Spark idiom — ``row_number().over(Window.orderBy(...))``
+    then ``filter(rn <= k)`` — does NOT get the optimizer's
+    InferWindowGroupLimit rewrite when the partitionSpec is EMPTY
+    (verified on this build, r15: the rank filter stays a plain Filter
+    above a full WindowExec, which plans Exchange SinglePartition + a
+    sort of EVERY input row — the r14 single-task class, hidden behind
+    a top-k that LOOKS bounded). ``orderBy().limit(k)`` instead plans
+    TakeOrderedAndProject: a bounded per-partition heap + driver-side
+    merge, O(n log k) work, no data shuffle. The row_number that
+    follows runs over k rows — the documented bounded-window class.
+
+    The order must be TOTAL (include a tie-break column); otherwise the
+    boundary rows of the k-th tie class are chosen arbitrarily — same
+    caveat as the filter idiom, stated instead of implied."""
+    limited = df.orderBy(*order_exprs).limit(k)
+    w = Window.orderBy(*order_exprs)
+    return limited.withColumn(out, F.row_number().over(w).cast("int"))
+
+
 def with_global_cumsum(
     df: DataFrame,
     order_exprs: Sequence[Column],

@@ -15,7 +15,7 @@ median — exactly the 100 TB failure shape).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
@@ -96,10 +96,13 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("n_rows"),
         F.max("cnt").alias("max_cnt"),
     )
-    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
-    top = (
-        per_key.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
+    # TakeOrdered top-10 over the per-key counts (key-cardinality-sized
+    # at 100 TB) — the unpartitioned rank-filter idiom would single-task
+    # sort it (no WindowGroupLimit for empty partitionSpec; r15 audit).
+    from .ranks import global_topk
+
+    top = global_topk(
+        per_key, [F.desc("cnt"), F.asc("key")], 10, out="rk"
     )
     return top.crossJoin(F.broadcast(stats)).select(
         "rk",

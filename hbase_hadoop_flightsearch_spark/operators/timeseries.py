@@ -1888,12 +1888,16 @@ def events_top_session_paths(
     counted = paths.groupBy("path").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sessions")
     )
-    w_rank = Window.orderBy(F.col("n_sessions").desc(), "path")
+    # TakeOrdered top-k over the path aggregate (path-vocabulary-sized
+    # at 100 TB) — see ranks.global_topk for why the rank-filter idiom
+    # would single-task-sort it.
+    from .ranks import global_topk
+
     return (
-        counted.withColumn(
-            "rnk", F.row_number().over(w_rank).cast("int")
+        global_topk(
+            counted, [F.col("n_sessions").desc(), F.col("path")],
+            PATH_TOPK, out="rnk",
         )
-        .filter(F.col("rnk") <= PATH_TOPK)
         .select("rnk", "path", "n_sessions")
         .orderBy("rnk")
     )

@@ -410,3 +410,52 @@ def test_release_rank_bases_lifecycle(spark):
     assert ranks._LIVE_BASES == []
     # idempotent and safe to call with nothing pinned
     assert ranks.release_rank_bases() == 0
+
+
+def test_global_topk_matches_rank_filter_idiom(spark):
+    """global_topk (r15): TakeOrdered top-k must equal the
+    row_number-filter idiom on data with heavy duplicate keys (total
+    order via tie-break), and the executed plan must contain
+    TakeOrderedAndProject with NO full-input single-task window."""
+    from hbase_hadoop_flightsearch_spark.operators.ranks import global_topk
+
+    df = spark.range(20000).select(
+        (F.col("id") % 37).alias("v"), F.col("id")
+    )
+    order = [F.desc("v"), F.col("id")]
+    got = global_topk(df, order, 25, out="rn")
+    w = Window.orderBy(*order)
+    want = (
+        df.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 25)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+TOPK_MIGRATED = [
+    "agg_tail_index_hill",
+    "text_zipf_slope",
+    "text_collocations_llr",
+    "diag_key_skew",
+    "graph_hierarchy_rollup",
+    "events_top_session_paths",
+]
+
+
+@pytest.mark.parametrize("name", TOPK_MIGRATED)
+def test_topk_migrated_plans_use_take_ordered(spark, sf_correctness, name):
+    """The r15 audit found Spark's InferWindowGroupLimit never fires for
+    an EMPTY partitionSpec, so every 'row_number over unpartitioned
+    window then filter <= K' top-k was a hidden single-task sort of an
+    unbounded aggregate (orders / token vocabulary / bigram pairs / key
+    counts / ancestor rollups / session paths). Pin the migrated plans:
+    TakeOrderedAndProject present — the per-partition-heap top-k."""
+    from hbase_hadoop_flightsearch_spark.plans.registry import load_all
+
+    df = load_all()[name].fn(spark, sf_correctness)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, f"{name}: no TakeOrdered\n{plan}"
