@@ -803,51 +803,50 @@ edges AS MATERIALIZED (
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2 HAVING COUNT(*) >= 2
 ),
--- Iterative peel as a recursive CTE (VERDICT r7 #4): round r carries the
--- vertex set surviving r bulk-removal rounds. The recursive term keeps
--- vertices whose degree over edges-within-the-surviving-set is >= k, and
--- only emits a NEW round when it actually removed something (the count
--- guard), so the recursion terminates at the fixpoint; the round cap
--- mirrors KCORE_MAX_ROUNDS.
-peel(round, v) AS (
-  SELECT 0, v FROM (SELECT a AS v FROM edges UNION SELECT b FROM edges)
+-- Iterative peel as a recursive CTE (VERDICT r7 #4), EDGE-based since
+-- r15: round r carries the EDGE set surviving r bulk-removal rounds —
+-- the exact state the Spark loop iterates — and emits a new round only
+-- when the edge count actually dropped. The r13-era vertex-set
+-- recursion over-counted rounds by one on topologies where a vertex is
+-- ISOLATED by the same round that removes its last neighbors: the
+-- engine's implicit edge-derived vertex set drops it with its edges,
+-- while an explicit vertex set pays one extra round to shed it (found
+-- by the r15 fresh-seed 5x differential: peel_rounds 8 vs 9, core
+-- identical; ground-truth bulk peel = 8 edge-changing rounds).
+peel(round, a, b) AS (
+  SELECT 0, a, b FROM edges
   UNION ALL
-  SELECT round + 1, v FROM (
-    WITH prev AS (SELECT round, v FROM peel),
-    live AS (
-      SELECT e.a, e.b FROM edges e
-      JOIN prev pa ON e.a = pa.v JOIN prev pb ON e.b = pb.v
-    ),
+  SELECT round + 1, a, b FROM (
+    WITH prev AS (SELECT round, a, b FROM peel),
     deg AS (
       SELECT v, COUNT(*) AS d FROM (
-        SELECT a AS v FROM live UNION ALL SELECT b FROM live
+        SELECT a AS v FROM prev UNION ALL SELECT b FROM prev
       ) GROUP BY v
+    ),
+    nxt AS MATERIALIZED (
+      SELECT p.round, p.a, p.b FROM prev p
+      JOIN deg da ON p.a = da.v JOIN deg db ON p.b = db.v
+      WHERE da.d >= {KCORE_K} AND db.d >= {KCORE_K}
     )
-    SELECT p.round, p.v FROM prev p JOIN deg d ON p.v = d.v
-    WHERE d.d >= {KCORE_K}
-      AND (SELECT COUNT(*) FROM deg WHERE d >= {KCORE_K})
-          < (SELECT COUNT(*) FROM prev)
-      AND p.round < {KCORE_MAX_ROUNDS}
+    SELECT round, a, b FROM nxt
+    WHERE (SELECT COUNT(*) FROM nxt) < (SELECT COUNT(*) FROM prev)
+      AND round < {KCORE_MAX_ROUNDS}
   )
 ),
 last AS (SELECT MAX(round) AS mr FROM peel),
-cand AS (SELECT v FROM peel, last WHERE round = mr),
-cand_live AS (
-  SELECT e.a, e.b FROM edges e
-  JOIN cand ca ON e.a = ca.v JOIN cand cb ON e.b = cb.v
-),
+core_e AS (SELECT a, b FROM peel, last WHERE round = mr),
 cand_deg AS (
   SELECT v, COUNT(*) AS d FROM (
-    SELECT a AS v FROM cand_live UNION ALL SELECT b FROM cand_live
+    SELECT a AS v FROM core_e UNION ALL SELECT b FROM core_e
   ) GROUP BY v
 ),
--- The last emitted round is the true core iff it is a fixpoint (every
--- member keeps degree >= k). The only way it is NOT is the empty-core
--- collapse (the empty set cannot be emitted) — unless the round cap was
--- hit, where the non-fixpoint residue IS the defined result.
+-- The last emitted edge set is the true core iff it is a fixpoint
+-- (every endpoint keeps degree >= k). The only way it is NOT is the
+-- empty-core collapse (an empty round cannot be emitted) — unless the
+-- round cap was hit, where the non-fixpoint residue IS the defined
+-- result.
 ok AS (
-  SELECT (SELECT COUNT(*) FROM cand) = (SELECT COUNT(*) FROM cand_deg)
-     AND COALESCE(MIN(CASE WHEN d >= {KCORE_K} THEN 1 ELSE 0 END), 0) = 1
+  SELECT COALESCE(MIN(CASE WHEN d >= {KCORE_K} THEN 1 ELSE 0 END), 0) = 1
      AS is_core
   FROM cand_deg
 ),
@@ -858,10 +857,10 @@ meta AS (
                {KCORE_MAX_ROUNDS}) <= {KCORE_MAX_ROUNDS - 1} AS converged
   FROM last, ok
 )
-SELECT CAST(c.v AS BIGINT) AS v,
+SELECT CAST(d.v AS BIGINT) AS v,
        CAST(d.d AS BIGINT) AS core_degree,
        meta.peel_rounds, meta.converged
-FROM cand c JOIN cand_deg d ON c.v = d.v, ok, meta
+FROM cand_deg d, ok, meta
 WHERE ok.is_core OR (SELECT mr FROM last) >= {KCORE_MAX_ROUNDS}
 """,
     doc=f"k-core decomposition (k={KCORE_K}; Seidman 1983 — the "

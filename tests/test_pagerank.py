@@ -256,3 +256,47 @@ def test_rich_club_ladder_is_monotone(spark, sf_correctness):
     assert all(
         r["e_k"] <= r["n_k"] * (r["n_k"] - 1) // 2 for r in rows
     )
+
+
+def test_kcore_isolation_round_accounting(spark, tmp_path):
+    """r15 fresh-seed 5x differential find: when a round's removals
+    ISOLATE a surviving vertex (all its neighbors die together), the
+    engine's edge-based loop drops it with its edges — no extra round —
+    while the old vertex-set oracle paid one more round (peel_rounds 8
+    vs 9, identical core). Minimal topology: triangle {1,2,3} (the
+    core) plus pendant star 10-11, 10-12 (11, 12 have degree 1; their
+    removal isolates 10 in the same round). The engine must report
+    peel_rounds=1 and the restated edge-based oracle must agree."""
+    import shutil
+
+    import pandas as pd
+
+    from hbase_hadoop_flightsearch_spark.plans.registry import load_all
+    from hbase_hadoop_flightsearch_spark.schemas import TABLE_NAMES
+
+    from .conftest import SF_SMOKE
+    from .oracle_utils import compare_query_to_oracle
+
+    # the oracle harness registers a view per table; only lineitem is
+    # interesting here, the rest ride along from sf0.001
+    for t in TABLE_NAMES:
+        if t != "lineitem":
+            shutil.copy(f"{SF_SMOKE}/{t}.parquet", tmp_path / f"{t}.parquet")
+    rows = []
+    order = 0
+    for p, q in [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12)]:
+        for _ in range(2):  # support >= 2 per co-purchase pair
+            order += 1
+            rows.append((order, p))
+            rows.append((order, q))
+    pd.DataFrame(
+        rows, columns=["l_orderkey", "l_partkey"]
+    ).to_parquet(tmp_path / "lineitem.parquet", index=False)
+
+    q = load_all()["graph_kcore"]
+    got = {r.v: r for r in q.fn(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2, 3}
+    assert all(r.core_degree == 2 for r in got.values())
+    assert all(r.peel_rounds == 1 for r in got.values()), got
+    assert all(r.converged for r in got.values())
+    compare_query_to_oracle(spark, q, str(tmp_path))

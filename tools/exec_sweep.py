@@ -164,6 +164,13 @@ def main() -> None:
             out = raw.decode() if isinstance(raw, bytes) else raw
         done, started = set(), []
         for line in out.splitlines():
+            # Forward the dense-knob announcements — the r15 25x run
+            # showed the START/OK/FAIL filter silently swallowed them,
+            # leaving the artifact without its self-documentation line.
+            dk = re.search(r"\bDENSE_KNOB \S+.*", line)
+            if dk and dk.group(0).split()[1] in chunk:
+                print(dk.group(0), flush=True)
+                continue
             m = re.search(r"\b(START|OK|FAIL) (\S+)", line)
             if not m or m.group(2) not in chunk:
                 continue

@@ -56,29 +56,23 @@ SKIP: set[str] = set()
 # Oracle replays with MEASURED solo evidence of being impractical one
 # scale above official (the 5x corpus: tools/gen_altseed.py OUT 4242 5.0
 # — 75k orders, 50k events, 2.5k docs). Applied ONLY for tier="5x".
-# Every entry cites its solo-run evidence (r13 sweep) and the Spark
-# side's independent value proof (sf0.001/0.01 + alt777/alt31337/alt5).
-# Populated from TIMEOUT_ALONE records — a name enters this set only
-# with a measured solo timeout, never by hypothesis.
-ORACLE_HEAVY_5X: dict[str, str] = {
-    # name -> one-line evidence citation, printed in the log
-    "dedup_embedding_ann": (
-        "TIMEOUT_ALONE >900s solo, r13 5x sweep; dense-default-knob "
-        "oracle replay adjudicated SCALE.md r10; Spark side LSH-banded, "
-        "value-proven sf0.001/0.01/0.1 + alt777/alt31337/alt5"
-    ),
-    "dedup_minhash_md5_estimate": (
-        "TIMEOUT_ALONE >900s solo, r13 5x sweep; per-doc md5-minhash "
-        "signature SQL replay is linear but constant-heavy at 25k docs; "
-        "Spark side banded, value-proven sf0.001/0.01/0.1 + altseeds"
-    ),
-    "events_multitouch_attribution": (
-        "TIMEOUT_ALONE >900s solo, r13 5x sweep; the oracle's 7-day "
-        "user-window theta join explodes with 5x event density; Spark "
-        "side is the r14 linear bounded-history plan (O(events x 20), "
-        "hub-proof), value-proven sf0.001/0.01/0.1 + altseeds"
-    ),
-}
+# A name enters this set only with a measured solo TIMEOUT_ALONE record,
+# never by hypothesis — and leaves it the same way:
+#
+# EMPTY since r15. The last three entries (each TIMEOUT_ALONE >900 s in
+# the r13 5x sweep) were re-probed solo on a fresh seed-4242 5x corpus
+# with the scale oracle tier live and ALL passed value-exact:
+#   dedup_minhash_md5_estimate   11.2 s  (its jp stage now replays as
+#                                         the posting-list scale oracle)
+#   events_multitouch_attribution 9.2 s  (the r13 timeout's culprit was
+#                                         the pre-r14 quadratic SPARK
+#                                         side, fixed r14 but the tier
+#                                         entry was never re-probed)
+#   dedup_embedding_ann          42.2 s  (solo on a quiet box; the r13
+#                                         record rode a contended
+#                                         parallel-chunk sweep)
+# The full 5x differential therefore runs with zero exclusion tiers.
+ORACLE_HEAVY_5X: dict[str, str] = {}
 
 PER_NAME_TIMEOUT = int(os.environ.get("SWEEP_NAME_TIMEOUT", "900"))
 CHUNK_TIMEOUT = int(os.environ.get("SWEEP_CHUNK_TIMEOUT", "1800"))
