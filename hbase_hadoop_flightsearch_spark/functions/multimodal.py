@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, widen_if_narrow
 
 MEDIA_SCHEMA = (
     "doc_id bigint, media_type string, byte_len int, width int, height int"
@@ -366,6 +366,7 @@ FROM documents
 )
 def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = widen_if_narrow(docs)
     return docs.mapInPandas(
         _decode_real_batches,
         schema="doc_id bigint, format string, width int, height int, "
@@ -566,6 +567,7 @@ def multimodal_wav_sample_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = widen_if_narrow(docs)
     return docs.mapInPandas(
         _wav_stats_batches,
         schema="doc_id bigint, n_samples bigint, min_amp int, max_amp int, "
@@ -723,6 +725,7 @@ FROM px GROUP BY doc_id
 )
 def multimodal_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = widen_if_narrow(docs)
     return docs.mapInPandas(
         _bmp_stats_batches,
         schema="doc_id bigint, n_px bigint, sum_b bigint, sum_g bigint, "
@@ -1062,6 +1065,7 @@ def multimodal_gif_pixel_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = widen_if_narrow(docs)
     return docs.mapInPandas(
         _gif_stats_batches,
         schema="doc_id bigint, n_px bigint, sum_idx bigint, "
@@ -1304,6 +1308,7 @@ def multimodal_png_pixel_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = widen_if_narrow(docs)
     return docs.mapInPandas(
         _png_stats_batches,
         schema="doc_id bigint, n_px bigint, sum_r bigint, sum_g bigint, "
@@ -1384,6 +1389,7 @@ def multimodal_integrity_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = widen_if_narrow(docs)
     audited = docs.mapInPandas(
         _audit_batches,
         schema="doc_id bigint, byte_len bigint, status string",
@@ -1521,6 +1527,7 @@ def multimodal_exif_orientation(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = widen_if_narrow(docs)
     return docs.mapInPandas(
         _exif_batches,
         schema="doc_id bigint, orientation int, width int, height int, "
@@ -1608,6 +1615,7 @@ def multimodal_audio_frame_features(
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars"
     )
+    docs = widen_if_narrow(docs)
     return docs.mapInPandas(
         _audio_frames_batches,
         schema="doc_id bigint, frame_idx bigint, sum_sq bigint, "
@@ -1652,18 +1660,30 @@ def _zigzag_order() -> list:
 _ZIGZAG = _zigzag_order()
 
 
+_IDCT_M = None
+
+
 def _idct_matrix():
-    """M[u, x] = C(u)/2 * cos((2x+1) u pi / 16); spatial = M.T @ S @ M."""
-    import math
+    """M[u, x] = C(u)/2 * cos((2x+1) u pi / 16); spatial = M.T @ S @ M.
 
-    import numpy as np
+    Memoized at module level (r15, guide §4.5): the matrix is a constant
+    of the codec, and rebuilding it per decoded image was ~5% of the
+    per-doc decode cost in the Arrow-batched stats pass."""
+    global _IDCT_M
+    if _IDCT_M is None:
+        import math
 
-    m = np.empty((8, 8))
-    for u in range(8):
-        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
-        for x in range(8):
-            m[u, x] = (cu / 2.0) * math.cos((2 * x + 1) * u * math.pi / 16)
-    return m
+        import numpy as np
+
+        m = np.empty((8, 8))
+        for u in range(8):
+            cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+            for x in range(8):
+                m[u, x] = (
+                    (cu / 2.0) * math.cos((2 * x + 1) * u * math.pi / 16)
+                )
+        _IDCT_M = m
+    return _IDCT_M
 
 
 def _jpeg_block_law(doc_id: int, bx: int, by: int) -> tuple:
@@ -1722,8 +1742,21 @@ _ENC_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
 _ENC_AC_EOB = ([0, 1] + [0] * 14, [0x00])
 
 
+_CANON_CACHE: dict = {}
+
+
 def _canonical_codes(bits: list, vals: list) -> dict:
-    """symbol -> (code, length) per the T.81 C.2 canonical construction."""
+    """symbol -> (code, length) per the T.81 C.2 canonical construction.
+
+    Memoized on the (bits, vals) table spec (r15, guide §4.5): the
+    construction is pure, every encoder call and every DHT segment with
+    the same table bytes yields the same mapping, and the per-image
+    rebuild was measurable in the Arrow-batched decode seats. The cache
+    is tiny (distinct Huffman tables seen by a task)."""
+    key = (bytes(bits), bytes(vals))
+    hit = _CANON_CACHE.get(key)
+    if hit is not None:
+        return hit
     codes = {}
     code = 0
     k = 0
@@ -1733,6 +1766,7 @@ def _canonical_codes(bits: list, vals: list) -> dict:
             code += 1
             k += 1
         code <<= 1
+    _CANON_CACHE[key] = codes
     return codes
 
 
@@ -1855,6 +1889,9 @@ class _MarkerHit(Exception):
         self.marker = marker
 
 
+_HUFF_INV_CACHE: dict = {}
+
+
 def _huff_decode(reader: _BitReader, table: dict) -> int:
     code = 0
     for length in range(1, 17):
@@ -1930,10 +1967,19 @@ def jpeg_decode(payload: bytes):
                 bits = list(seg[i + 1: i + 17])
                 nval = sum(bits)
                 vals = list(seg[i + 17: i + 17 + nval])
-                codes = _canonical_codes(bits, vals)
-                huff[(tc, th)] = {
-                    (ln, code): sym for sym, (code, ln) in codes.items()
-                }
+                # decode-direction table memo (r15, guide §4.5): same
+                # rationale as _CANON_CACHE — pure function of the DHT
+                # bytes, rebuilt per file pre-r15.
+                ikey = (bytes(bits), bytes(vals))
+                inv = _HUFF_INV_CACHE.get(ikey)
+                if inv is None:
+                    codes = _canonical_codes(bits, vals)
+                    inv = {
+                        (ln, code): sym
+                        for sym, (code, ln) in codes.items()
+                    }
+                    _HUFF_INV_CACHE[ikey] = inv
+                huff[(tc, th)] = inv
                 i += 17 + nval
         elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progr
             precision = seg[0]
@@ -2336,6 +2382,10 @@ def multimodal_jpeg_pixel_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # widen_if_narrow: the per-doc entropy decode otherwise runs in a
+    # single mapInPandas task on a single-file corpus (r15, guide §2.5;
+    # measured 2.44 s -> 0.48 s for this seat at sf0.1).
+    docs = widen_if_narrow(docs)
     return docs.mapInPandas(
         _jpeg_stats_batches,
         schema="doc_id bigint, n_px bigint, sum_y bigint, sum_cb bigint, "
@@ -2587,6 +2637,7 @@ def multimodal_video_frame_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = widen_if_narrow(docs)
     return docs.mapInPandas(
         _video_stats_batches,
         schema="doc_id bigint, frame_idx bigint, n_px bigint, "
@@ -2724,6 +2775,7 @@ def multimodal_scene_change(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = widen_if_narrow(docs)
     return docs.mapInPandas(
         _scene_change_batches,
         schema="doc_id bigint, n_frames bigint, n_cuts bigint, "
@@ -2844,6 +2896,7 @@ FROM cls GROUP BY doc_id ORDER BY doc_id
 )
 def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = widen_if_narrow(docs)
     return docs.mapInPandas(
         _wav_vad_batches,
         schema="doc_id bigint, n_frames bigint, n_silence_frames bigint, "
@@ -2991,6 +3044,7 @@ FROM px GROUP BY doc_id
 )
 def multimodal_ppm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = widen_if_narrow(docs)
     return docs.mapInPandas(
         _ppm_stats_batches,
         schema="doc_id bigint, n_px bigint, sum_r bigint, sum_g bigint, "

@@ -2061,7 +2061,7 @@ FROM per_dec
     "novelty rate is an exact integer ppm cross-product.",
 )
 def text_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import doc_shingles
+    from ..operators.dedup import doc_shingles, explode_shingles
     from ..operators.ranks import with_global_ntile
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -2071,8 +2071,7 @@ def text_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, [F.col("doc_id")], NOVELTY_DECILES, out="decile"
     )
     sh = (
-        doc_shingles(spark, sf_dir)
-        .select("doc_id", F.explode("shingles").alias("shingle"))
+        explode_shingles(doc_shingles(spark, sf_dir), ["doc_id"], "shingle")
         .join(dec, "doc_id")
         .select("decile", "shingle")
     )

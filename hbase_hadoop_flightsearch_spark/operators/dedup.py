@@ -232,6 +232,27 @@ def shingles_from(spark: SparkSession, docs: DataFrame) -> DataFrame:
     )
 
 
+def explode_shingles(sh: DataFrame, keep: list, alias: str) -> DataFrame:
+    """Explode the shingles array keeping `keep` columns/expressions.
+
+    Uses explode_outer + an explicit post-Generate null filter instead of
+    plain explode. A plain explode makes Catalyst infer
+    ``size(shingles) > 0 AND isnotnull(shingles)`` and push it below the
+    width-normalizing repartition in shingles_from, substituting the FULL
+    shingle expression (split + transform + concat_ws + array_distinct)
+    into a pre-Exchange filter — the CPU-heavy shingling then runs twice,
+    and the first pass at raw-scan parallelism (one task on a small
+    single-file corpus; guide §4.4's duplicated-evaluation hazard with
+    JVM expressions). shingles_from guarantees non-empty arrays by
+    construction (``size(tokens) >= 3`` pre-filter), so explode_outer
+    emits no null rows and the residual isNotNull filter keeps the plan
+    row-identical while blocking the inference (r15 plan audit:
+    array_distinct(transform(...)) occurrences 3 -> 1)."""
+    return sh.select(
+        *keep, F.explode_outer("shingles").alias(alias)
+    ).filter(F.col(alias).isNotNull())
+
+
 def _exact_jaccard(
     pairs: DataFrame, sh: DataFrame, threshold: float = JACCARD_THRESHOLD
 ) -> DataFrame:
@@ -330,10 +351,8 @@ def shingle_pair_intersections(
     the joinless posting-list pair counter shared by the Jaccard and
     containment operators (they differ only in the final normalizer)."""
     posting = (
-        sh.select(
-            "doc_id",
-            F.size("shingles").alias("n"),
-            F.explode("shingles").alias("s"),
+        explode_shingles(
+            sh, ["doc_id", F.size("shingles").alias("n")], "s"
         )
         .select("doc_id", "n", F.xxhash64("s").alias("h"))
         .groupBy("h")
@@ -1363,6 +1382,13 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.multimodal import BMP_H_MOD, BMP_W_MOD  # noqa: F401
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # NOT widened before the Python stage (r15, measured): unlike the
+    # JPEG-stats seat (entropy decode dominates; widening won 5x), the
+    # BMP decode here is trivial (<= 10x8-pixel images, ~50 ms for the
+    # whole sf0.1 corpus), and a 32-partition checkpoint feeds ~6
+    # downstream join/agg stages whose extra task scheduling measurably
+    # outweighs the decode parallelism (A/B: 1.66 s -> 2.70 s seat with
+    # the widen). At real scale the scan is already wide.
     hashes = docs.mapInPandas(
         _phash_batches, schema="doc_id bigint, ahash bigint"
     ).localCheckpoint(eager=True)  # decode scan runs once, feeds all stages
@@ -1960,7 +1986,24 @@ ORDER BY doc_id
     "full corpus audit, not just the dup tail.",
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 single-pass rewrite (guide §2.4): the r14 shape computed the
+    tokenize+explode+concat span pipeline THREE times (once for the
+    duplicated-span aggregate, once on the join-back probe side, once in
+    the coverage branch), each at raw-scan parallelism — a single-file
+    corpus ran them all single-task. Now: widen the scan, derive spans
+    ONCE, decide duplication with a count window over one (sh) exchange
+    instead of aggregate + join-back (one row per (sh, doc), so the
+    window count IS the distinct-doc count), and lazily checkpoint the
+    ints-only duplicated-position set so the span-count and coverage
+    branches read blocks instead of replaying the span pipeline. At
+    100 TB the checkpoint is dup-tail-sized (two ints per duplicated
+    position), never corpus-sized. Values unchanged (oracle untouched)."""
+    from pyspark.sql import Window as W
+
     docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     toks = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("t")
     ).select("doc_id", "t", F.size("t").alias("n"))
@@ -1975,13 +2018,15 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         F.concat_ws(" ", F.expr(f"slice(t, pos, {SUBSTR_K})")).alias("sh"),
     )
-    dups = (
-        spans.groupBy("sh")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("sh")
+    occ = spans.groupBy("sh", "doc_id").agg(
+        F.collect_list("pos").alias("poss")
     )
-    dspan = spans.join(dups, "sh").select("doc_id", "pos")
+    dspan = (
+        occ.withColumn("nd", F.count(F.lit(1)).over(W.partitionBy("sh")))
+        .filter(F.col("nd") >= 2)
+        .select("doc_id", F.explode("poss").alias("pos"))
+        .localCheckpoint(eager=False)
+    )
     cov = dspan.select(
         "doc_id",
         F.explode(
@@ -2242,9 +2287,7 @@ def _minhash_md5_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark and DuckDB, so unlike the xxhash64-based production LSH tier
     the SIGNATURE ITSELF replays in the oracle. One explode + one
     grouped 16-way min aggregate."""
-    ex = doc_shingles(spark, sf_dir).select(
-        "doc_id", F.explode("shingles").alias("sh")
-    )
+    ex = explode_shingles(doc_shingles(spark, sf_dir), ["doc_id"], "sh")
     return ex.groupBy("doc_id").agg(
         *[
             F.min(

@@ -73,9 +73,25 @@ def connected_components(
     edges = (
         pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
         .union(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
-        .localCheckpoint()  # pair mining runs ONCE, not once per round
+        # LAZY: pair mining still runs ONCE (blocks persist on first use,
+        # round 1's convergence job), but no separate materializing job.
+        .localCheckpoint(eager=False)
     )
-    labels = vertices.select("doc_id", F.col("doc_id").alias("component_id"))
+    # Iterate ONLY over pair endpoints (r15, guide §2.3 — shuffle fewer
+    # bytes): a vertex with no incident pair can never change its label,
+    # so carrying the full vertex set through every round's join + agg +
+    # convergence sum is pure overhead. Near-dup pair graphs are sparse —
+    # at 100 TB the active set is orders of magnitude smaller than the
+    # corpus. Isolated vertices re-join as their own singleton components
+    # after convergence, which is their label by definition. The
+    # symmetrized edge list's src column covers both endpoints. Round
+    # count is unchanged (isolated labels contributed a constant to the
+    # convergence sum); connected_components_star already had this shape
+    # (roots from edges, vertices left-joined at the end).
+    endpoints = edges.select(F.col("src").alias("doc_id")).distinct()
+    active = vertices.join(endpoints, "doc_id", "semi")
+    isolated = vertices.join(endpoints, "doc_id", "left_anti")
+    labels = active.select("doc_id", F.col("doc_id").alias("component_id"))
     prev_sum = None
     for _ in range(max_iters):
         nbr_min = (
@@ -94,7 +110,9 @@ def connected_components(
                     F.coalesce("nbr_min", F.col("component_id")),
                 ).alias("component_id"),
             )
-            .localCheckpoint()
+            # lazy checkpoint: the convergence sum below is the
+            # materializing action — one job per round, not two (r15).
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("component_id")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -104,7 +122,9 @@ def connected_components(
         raise RuntimeError(
             f"connected components did not converge in {max_iters} rounds"
         )
-    return labels
+    return labels.unionByName(
+        isolated.select("doc_id", F.col("doc_id").alias("component_id"))
+    )
 
 
 @register(
@@ -192,12 +212,15 @@ def connected_components_star(
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        # lazy: round 1's equality check is the materializing action
+        .localCheckpoint(eager=False)
     )
     prev = None
     for _ in range(max_iters):
         edges = _star_round(edges, large=True)
-        edges = _star_round(edges, large=False).localCheckpoint()
+        # lazy checkpoint: the exceptAll convergence counts below
+        # materialize it — one fewer job per round (r15).
+        edges = _star_round(edges, large=False).localCheckpoint(eager=False)
         # Exact set equality — a count/checksum signature is NOT sound
         # (distinct edge sets can collide and stop the loop early). Both
         # sides are already distinct, so two anti-joins decide equality;
@@ -482,7 +505,11 @@ def bfs_distances(
         )
         if nxt.isEmpty():
             break
-        settled = settled.unionAll(nxt).localCheckpoint()
+        # lazy: next round's frontier-expansion job (or the caller's
+        # action after the loop) materializes the union — one fewer job
+        # per round (r15). nxt itself stays eager: isEmpty() above is a
+        # take(1) that would only partially materialize a lazy block set.
+        settled = settled.unionAll(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return settled
 
@@ -738,7 +765,13 @@ def kcore_peel(
     is computed from the real loop exit, never assumed). If the cascade
     exhausts the bound, the non-fixpoint residue is returned with
     converged=False."""
-    prev_cnt = edges.count()
+    # LAZY checkpoint materialized by the count (r15, guide §1.2 "per-task
+    # work" applied to the driver loop): the eager-checkpoint-then-count
+    # idiom scheduled TWO jobs per materialization; marking the checkpoint
+    # lazy makes the count the materializing action — one pass over the
+    # edge plan, one job. Same blocks, same lineage truncation.
+    edges0 = edges.localCheckpoint(eager=False)
+    prev_cnt = edges0.count()
     # Right-size the iterate's partitioning to the DATA (~1M edges per
     # partition, capped): every peel round schedules O(partitions) tasks
     # per job, and the support-filtered edge set is typically orders of
@@ -746,9 +779,9 @@ def kcore_peel(
     # the scan's partitioning would pay 32+ near-empty tasks per round
     # at bench scale while the row-based target still fans out to
     # thousands of partitions at 100 TB. coalesce (no shuffle) only ever
-    # reduces partition count.
+    # reduces partition count, reading the already-checkpointed blocks.
     target = min(max(1, -(-prev_cnt // KCORE_EDGES_PER_PARTITION)), 4096)
-    cur = edges.coalesce(target).localCheckpoint()
+    cur = edges0.coalesce(target)
     rounds = 0
     converged = False
     for _ in range(max_rounds):
@@ -756,16 +789,24 @@ def kcore_peel(
             cur.select(F.col("b").alias("v"))
         )
         deg = neigh.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
-        bad = deg.filter(F.col("d") < k).select("v")
+        # lazy-checkpoint the removal set: it feeds BOTH anti-joins, and
+        # without the barrier each one rebuilds the full degree aggregate
+        # (two BroadcastExchange subtrees in the round plan — exchange
+        # reuse is not guaranteed across build sides). One degree pass
+        # per round instead of two; local A/B neutral (r15).
+        bad = deg.filter(F.col("d") < k).select("v").localCheckpoint(
+            eager=False
+        )
         # One materialization per round: the anti-join both applies the
         # removal AND reveals convergence via the edge-count delta (a
         # sub-k vertex always owns >= 1 edge, so "no edges removed" <=>
         # "removal set empty"), instead of a separate isEmpty() action
-        # that would evaluate the degree aggregate a second time.
+        # that would evaluate the degree aggregate a second time. The
+        # checkpoint is lazy, so the count IS the materializing job.
         nxt = (
             cur.join(bad, cur["a"] == bad["v"], "left_anti")
             .join(bad, cur["b"] == bad["v"], "left_anti")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cnt = nxt.count()
         if cnt == prev_cnt:
@@ -885,7 +926,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("part_a", "part_b")
         .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
     )
-    edges = edges.localCheckpoint()
+    # kcore_peel lazily checkpoints its input itself (materialized by its
+    # sizing count), so no pre-checkpoint here — the r14-era eager
+    # checkpoint paid one extra materialization pass of the copurchase
+    # aggregate plus a block copy.
     _, core_edges, rounds, converged = kcore_peel(edges, KCORE_K)
     # The degree aggregate's keys ARE the core vertex set (every core
     # vertex owns >= k >= 1 edges), so the old core-set join was a
@@ -1093,7 +1137,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             counts.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("v", "label")
-            .localCheckpoint()
+            # lazy: each round's blocks materialize under the next
+            # round's job (finally the caller's action) — the plan per
+            # round still builds on a truncated LogicalRDD, but the
+            # fixed {LPA_ROUNDS}-round loop schedules one job instead
+            # of one per round (r15). No persist lifecycle rides on
+            # round boundaries here (unlike pagerank, which must stay
+            # eager so edges.unpersist() runs after the rounds).
+            .localCheckpoint(eager=False)
         )
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("community_size")

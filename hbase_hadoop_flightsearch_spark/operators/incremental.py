@@ -430,11 +430,9 @@ FROM merged m, direct d
 def incremental_minhash_merge(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..operators.dedup import doc_shingles
+    from ..operators.dedup import doc_shingles, explode_shingles
 
-    ex = doc_shingles(spark, sf_dir).select(
-        "doc_id", F.explode("shingles").alias("sh")
-    )
+    ex = explode_shingles(doc_shingles(spark, sf_dir), ["doc_id"], "sh")
     hashes = [
         F.md5(
             F.concat(F.lit(str(i)), F.lit("|"), F.col("sh")).cast("binary")

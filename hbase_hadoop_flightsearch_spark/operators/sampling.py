@@ -996,7 +996,10 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         centers.append((idx, int(far["vec_id"])))
         cur = cur.withColumn(
             "md", F.least("md", _kc_dist_to(far["v"]))
-        ).localCheckpoint()
+            # lazy: the next round's argmax first() (a global TakeOrdered,
+            # which computes every partition) or the final radius agg is
+            # the materializing action — halves the loop's job count (r15)
+        ).localCheckpoint(eager=False)
     radius = int(cur.agg(F.max("md")).collect()[0][0])
     return spark.createDataFrame(
         [(i, vid, radius) for i, vid in centers],

@@ -1629,14 +1629,12 @@ SELECT query_id, doc_id, rrf_nano, CAST(rn AS INT) AS fused_rank FROM (
     "corpus scan + two windowed top-k + a top-k-bounded outer join.",
 )
 def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import doc_shingles
+    from .dedup import doc_shingles, explode_shingles
 
     sh = doc_shingles(spark, sf_dir).withColumn(
         "n_sh", F.size("shingles")
     )
-    ex = sh.select(
-        "doc_id", "n_sh", F.explode("shingles").alias("shingle")
-    )
+    ex = explode_shingles(sh, ["doc_id", "n_sh"], "shingle")
     qex = ex.filter(F.col("doc_id") < RRF_QUERIES).select(
         F.col("doc_id").alias("query_id"),
         F.col("n_sh").alias("q_sh"),
@@ -1779,7 +1777,7 @@ FROM (
     "plan.",
 )
 def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import doc_shingles
+    from .dedup import doc_shingles, explode_shingles
 
     emb = _embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < RRF_QUERIES).select(
@@ -1800,7 +1798,7 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank_sem") <= HARDNEG_POOL)
     )
     sh = doc_shingles(spark, sf_dir).withColumn("n_sh", F.size("shingles"))
-    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    ex = explode_shingles(sh, ["doc_id", "n_sh"], "shingle")
     qex = ex.filter(F.col("doc_id") < RRF_QUERIES).select(
         F.col("doc_id").alias("query_id"),
         F.col("n_sh").alias("q_sh"),

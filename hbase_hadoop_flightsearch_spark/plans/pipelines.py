@@ -65,6 +65,12 @@ GROUP BY lang_pred
 )
 def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # Widen before the per-doc scoring projection (see the neardup twin):
+    # a single-file corpus otherwise runs the lang-ID + BPE regexes on
+    # one task. No-op at real scale; result invariant to partitioning.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     text = F.col("text")
     n_tokens = (
         F.length(text) - F.length(F.regexp_replace(text, " ", "")) + 1
@@ -179,6 +185,14 @@ def pipeline_corpus_prep_neardup(
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
+    # Widen BEFORE the heavy per-doc scoring (r15, guide §2.5 input skew):
+    # a small single-file corpus scans as ONE partition, and the eager
+    # checkpoint below materializes at its input's width — pre-r15 the
+    # whole lang-ID + BPE regex scoring ran single-task. At real scale the
+    # scan is already wide and this is a no-op.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     text = F.col("text")
     n_tokens = (
         F.length(text) - F.length(F.regexp_replace(text, " ", "")) + 1
@@ -191,9 +205,15 @@ def pipeline_corpus_prep_neardup(
             F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
             .cast("int")
             .alias("bpe_tokens"),
+            # n_tokens rides the checkpoint so the quality filter below
+            # compares materialized ints — filtering BEFORE the checkpoint
+            # would let Catalyst push the regexp_replace-based predicate
+            # below the repartition, back onto the single-task scan.
+            n_tokens.alias("n_tokens"),
         )
-        .filter(n_tokens.between(MIN_TOKENS, MAX_TOKENS))
         .localCheckpoint()  # reused by pairs-filter, vertices, and rollup
+        .filter(F.col("n_tokens").between(MIN_TOKENS, MAX_TOKENS))
+        .drop("n_tokens")
     )
     ids = kept.select("doc_id")
     inter = shingle_pair_intersections(
@@ -639,7 +659,14 @@ def pipeline_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    from ..sources.catalog import widen_if_narrow
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # widen: the real PNG audit decode is the heavy stage and otherwise
+    # runs single-task on a single-file corpus (r15, guide §2.5); the
+    # checkpoint feeds only two aggregates, so the extra partitions do
+    # not amplify downstream stages (cf. the phash counter-example).
+    docs = widen_if_narrow(docs)
     curated = docs.mapInPandas(
         curate, schema="doc_id bigint, status string, ahash bigint"
     ).localCheckpoint(eager=True)  # one decode pass feeds both branches

@@ -111,6 +111,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def widen_if_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to cluster width when the plan is narrower.
+
+    The CPU-heavy per-row stages (Python codec decodes, shingling,
+    per-doc regex scoring) inherit the SCAN's partitioning, and a small
+    single-file corpus scans as ONE partition — the whole stage then runs
+    single-task while the rest of the cluster idles (r15, guide §2.5
+    input skew). At real scale the scan already yields
+    maxPartitionBytes-sized splits and this is a no-op. Use immediately
+    BEFORE the expensive stage; results must be (and are, for every call
+    site) partitioning-invariant."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so spark.sql() queries work."""
     for name in TABLE_NAMES:
