@@ -366,7 +366,6 @@ FROM documents
 )
 def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    docs = widen_if_narrow(docs)
     return docs.mapInPandas(
         _decode_real_batches,
         schema="doc_id bigint, format string, width int, height int, "
@@ -567,7 +566,6 @@ def multimodal_wav_sample_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    docs = widen_if_narrow(docs)
     return docs.mapInPandas(
         _wav_stats_batches,
         schema="doc_id bigint, n_samples bigint, min_amp int, max_amp int, "
@@ -725,7 +723,6 @@ FROM px GROUP BY doc_id
 )
 def multimodal_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    docs = widen_if_narrow(docs)
     return docs.mapInPandas(
         _bmp_stats_batches,
         schema="doc_id bigint, n_px bigint, sum_b bigint, sum_g bigint, "
@@ -1527,7 +1524,6 @@ def multimodal_exif_orientation(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    docs = widen_if_narrow(docs)
     return docs.mapInPandas(
         _exif_batches,
         schema="doc_id bigint, orientation int, width int, height int, "
@@ -1615,7 +1611,6 @@ def multimodal_audio_frame_features(
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars"
     )
-    docs = widen_if_narrow(docs)
     return docs.mapInPandas(
         _audio_frames_batches,
         schema="doc_id bigint, frame_idx bigint, sum_sq bigint, "
@@ -2896,7 +2891,6 @@ FROM cls GROUP BY doc_id ORDER BY doc_id
 )
 def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    docs = widen_if_narrow(docs)
     return docs.mapInPandas(
         _wav_vad_batches,
         schema="doc_id bigint, n_frames bigint, n_silence_frames bigint, "
@@ -3044,7 +3038,6 @@ FROM px GROUP BY doc_id
 )
 def multimodal_ppm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    docs = widen_if_narrow(docs)
     return docs.mapInPandas(
         _ppm_stats_batches,
         schema="doc_id bigint, n_px bigint, sum_r bigint, sum_g bigint, "

@@ -1986,24 +1986,18 @@ ORDER BY doc_id
     "full corpus audit, not just the dup tail.",
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r15 single-pass rewrite (guide §2.4): the r14 shape computed the
-    tokenize+explode+concat span pipeline THREE times (once for the
-    duplicated-span aggregate, once on the join-back probe side, once in
-    the coverage branch), each at raw-scan parallelism — a single-file
-    corpus ran them all single-task. Now: widen the scan, derive spans
-    ONCE, decide duplication with a count window over one (sh) exchange
-    instead of aggregate + join-back (one row per (sh, doc), so the
-    window count IS the distinct-doc count), and lazily checkpoint the
-    ints-only duplicated-position set so the span-count and coverage
-    branches read blocks instead of replaying the span pipeline. At
-    100 TB the checkpoint is dup-tail-sized (two ints per duplicated
-    position), never corpus-sized. Values unchanged (oracle untouched)."""
-    from pyspark.sql import Window as W
-
+    """Plan shape kept deliberately after an r15 interleaved A/B (guide
+    §1.1: the 'ideal' fresh plan lost to the measured one): the span
+    pipeline IS computed three times in this tree (dup aggregate, join
+    probe side, coverage branch), but replacing that with compute-once +
+    count-window-over-(sh) + checkpointed dup positions measured 1.75 s
+    -> 2.62 s at sf0.1 (the window's sort of span text costs more than
+    two recomputes of the cheap tokenize+slice pipeline), and widening
+    the scan first measured 1.75 s -> 2.74 s (exchange of the corpus
+    outweighs distributing a pipeline this cheap). The recompute is also
+    the honest 100 TB trade: tokenization is cheap CPU at scan width,
+    while the alternatives materialize or sort corpus-sized span sets."""
     docs = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
     toks = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("t")
     ).select("doc_id", "t", F.size("t").alias("n"))
@@ -2018,15 +2012,13 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         F.concat_ws(" ", F.expr(f"slice(t, pos, {SUBSTR_K})")).alias("sh"),
     )
-    occ = spans.groupBy("sh", "doc_id").agg(
-        F.collect_list("pos").alias("poss")
-    )
-    dspan = (
-        occ.withColumn("nd", F.count(F.lit(1)).over(W.partitionBy("sh")))
+    dups = (
+        spans.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select("doc_id", F.explode("poss").alias("pos"))
-        .localCheckpoint(eager=False)
+        .select("sh")
     )
+    dspan = spans.join(dups, "sh").select("doc_id", "pos")
     cov = dspan.select(
         "doc_id",
         F.explode(

@@ -225,10 +225,13 @@ def pipeline_corpus_prep_neardup(
     members = labels.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("n_members")
     )
-    keepers = (
-        labels.filter(F.col("doc_id") == F.col("component_id"))
-        .join(members, "component_id")
-        .join(kept, "doc_id")
+    # Min-label CC makes component_id == min doc_id in the component ==
+    # the keeper's doc_id, so the keeper row needs no separate
+    # filter(doc_id == component_id) + member join: the member counts
+    # join the kept table directly on component_id = doc_id (r15 — one
+    # join instead of two plus a filter pass; same rows by construction).
+    keepers = members.join(
+        kept, members.component_id == kept.doc_id
     )
     return keepers.groupBy("lang_pred").agg(
         F.count(F.lit(1)).alias("n_clusters"),
@@ -659,14 +662,10 @@ def pipeline_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    from ..sources.catalog import widen_if_narrow
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # widen: the real PNG audit decode is the heavy stage and otherwise
-    # runs single-task on a single-file corpus (r15, guide §2.5); the
-    # checkpoint feeds only two aggregates, so the extra partitions do
-    # not amplify downstream stages (cf. the phash counter-example).
-    docs = widen_if_narrow(docs)
+    # NOT widened (r15 A/B: 1.26 s widened vs 1.27 s narrow at sf0.1 —
+    # a tie; the decode here is header-audit-light, so the exchange buys
+    # nothing locally and the scan is already wide at real scale).
     curated = docs.mapInPandas(
         curate, schema="doc_id bigint, status string, ahash bigint"
     ).localCheckpoint(eager=True)  # one decode pass feeds both branches
