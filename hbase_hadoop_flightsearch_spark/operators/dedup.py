@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, widen_if_narrow
 
 JACCARD_THRESHOLD = 0.5
 MINHASH_BANDS = 16
@@ -215,10 +215,9 @@ def shingles_from(spark: SparkSession, docs: DataFrame) -> DataFrame:
     # Shingling is the CPU-heavy stage; a small single-file corpus arrives
     # as one input partition and would run it single-threaded. Widen only
     # when the scan is narrower than the cluster — at real scale the scan
-    # already yields maxPartitionBytes-sized splits and this is a no-op.
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    # already yields maxPartitionBytes-sized splits and this is a no-op
+    # (shared helper since r16; ADVICE r15 flagged the inline triplication).
+    docs = widen_if_narrow(docs)
     toks = F.split(F.col("text"), " ")
     shingles = F.array_distinct(
         F.transform(

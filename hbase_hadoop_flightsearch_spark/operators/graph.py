@@ -94,22 +94,23 @@ def connected_components(
     labels = active.select("doc_id", F.col("doc_id").alias("component_id"))
     prev_sum = None
     for _ in range(max_iters):
-        nbr_min = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("nbr_doc_id"))
-            .agg(F.min("component_id").alias("nbr_min"))
+        # Round update as ONE aggregate (r16): new label = min over the
+        # vertex's own label UNION the labels propagated along in-edges.
+        # groupBy-min fuses the r15 shape's neighbor-min aggregate AND
+        # its least(own, nbr_min) left join into a single exchange —
+        # one join fewer per round (guide §2.4 remove shuffles; A/B at
+        # sf0.1: seat 3.70 -> 3.41 s, AQE stage-jobs 26 -> 21 per run).
+        # Row-identical: every labels vertex survives via the union's
+        # labels branch, and min(own ∪ propagated) == least(own,
+        # coalesce(nbr_min, own)). Convergence sums are therefore the
+        # same sequence, so round counts are unchanged too.
+        prop = edges.join(labels, edges.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "component_id"
         )
         labels = (
-            labels.join(
-                nbr_min, labels.doc_id == nbr_min.nbr_doc_id, "left"
-            )
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component_id"),
-                    F.coalesce("nbr_min", F.col("component_id")),
-                ).alias("component_id"),
-            )
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("component_id").alias("component_id"))
             # lazy checkpoint: the convergence sum below is the
             # materializing action — one job per round, not two (r15).
             .localCheckpoint(eager=False)

@@ -28,10 +28,15 @@ from ..operators.dedup import (
     cc_minlabel_duck,
     scale_variant,
 )
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, widen_if_narrow
 from .registry import register
 
 MIN_TOKENS, MAX_TOKENS = 20, 200
+# Post-checkpoint consumer sizing for the neardup pipeline (kcore_peel's
+# KCORE_EDGES_PER_PARTITION idiom): ~100k kept docs (~100 MB of ~1 KB
+# texts) per partition, derived from the materializing count so a toy
+# corpus coalesces to 1 block while 100 TB fans out to thousands (capped).
+DOCS_PER_PARTITION = 100_000
 
 
 @register(
@@ -65,24 +70,26 @@ GROUP BY lang_pred
 )
 def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # Widen before the per-doc scoring projection (see the neardup twin):
-    # a single-file corpus otherwise runs the lang-ID + BPE regexes on
-    # one task. No-op at real scale; result invariant to partitioning.
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
     text = F.col("text")
     n_tokens = (
-        F.length(text) - F.length(F.regexp_replace(text, " ", "")) + 1
+        F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))) + 1
     )
-    kept = docs.select(
+    # Filter BEFORE the widen (r16, closing ADVICE r15's pushdown hazard:
+    # the r15 inline widen left this filter pushable below the repartition
+    # back onto the single-task scan). The predicate is the cheap
+    # length/literal-replace form — running it pre-exchange prunes ~20%
+    # of rows before any shuffle, the accepted trade (guide §2.3 project/
+    # filter before the exchange); the heavy lang-ID + BPE regex scoring
+    # stays post-widen. widen_if_narrow is a no-op at real scale.
+    pre = widen_if_narrow(docs.filter(n_tokens.between(MIN_TOKENS, MAX_TOKENS)))
+    kept = pre.select(
         "doc_id",
         "text",
         ngram_lang_pred(text).alias("lang_pred"),
         F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
         .cast("int")
         .alias("bpe_tokens"),
-    ).filter(n_tokens.between(MIN_TOKENS, MAX_TOKENS))
+    )
     deduped = kept.groupBy(F.md5(text.cast("binary")).alias("h")).agg(
         F.min("doc_id").alias("keeper"),
         F.first("lang_pred").alias("lang_pred"),
@@ -185,37 +192,46 @@ def pipeline_corpus_prep_neardup(
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    # Widen BEFORE the heavy per-doc scoring (r15, guide §2.5 input skew):
-    # a small single-file corpus scans as ONE partition, and the eager
-    # checkpoint below materializes at its input's width — pre-r15 the
-    # whole lang-ID + BPE regex scoring ran single-task. At real scale the
-    # scan is already wide and this is a no-op.
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
     text = F.col("text")
     n_tokens = (
-        F.length(text) - F.length(F.regexp_replace(text, " ", "")) + 1
+        F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))) + 1
     )
-    kept = (
-        docs.select(
-            "doc_id",
-            "text",
-            ngram_lang_pred(text).alias("lang_pred"),
-            F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
-            .cast("int")
-            .alias("bpe_tokens"),
-            # n_tokens rides the checkpoint so the quality filter below
-            # compares materialized ints — filtering BEFORE the checkpoint
-            # would let Catalyst push the regexp_replace-based predicate
-            # below the repartition, back onto the single-task scan.
-            n_tokens.alias("n_tokens"),
-        )
-        .localCheckpoint()  # reused by pairs-filter, vertices, and rollup
-        .filter(F.col("n_tokens").between(MIN_TOKENS, MAX_TOKENS))
-        .drop("n_tokens")
-    )
-    ids = kept.select("doc_id")
+    # Quality filter BEFORE the widen + checkpoint (r16, VERDICT r15 #1):
+    # the r15 shape checkpointed the FULL corpus (rejected rows, text and
+    # an extra n_tokens column included) to keep the filter from pushing
+    # below the repartition — a real storage/memory increase at the
+    # 100 TB design point. Filtering first is strictly better at scale
+    # (the checkpoint stores only kept docs) and the cheap length-based
+    # predicate (literal-space replace, no regex) deliberately sits below
+    # the widen: it prunes ~20% of rows before the exchange. The heavy
+    # lang-ID + BPE scoring stays post-widen, so it still runs at cluster
+    # width on a narrow toy scan (widen_if_narrow is a no-op at scale).
+    pre = widen_if_narrow(docs.filter(n_tokens.between(MIN_TOKENS, MAX_TOKENS)))
+    kept = pre.select(
+        "doc_id",
+        "text",
+        ngram_lang_pred(text).alias("lang_pred"),
+        F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
+        .cast("int")
+        .alias("bpe_tokens"),
+        # LAZY checkpoint (reused by pairs-filter, vertices, and rollup):
+        # the sizing count() below is the materializing action — one job,
+        # not checkpoint-then-count's two (r15 kcore_peel idiom).
+    ).localCheckpoint(eager=False)
+    # Right-size the downstream consumers to the DATA (kcore_peel's
+    # coalesce idiom): the checkpoint materializes at cluster width so
+    # the scoring stage is parallel, but the CC-vertex and rollup reads
+    # of a toy corpus would then schedule cluster-width near-empty tasks
+    # per job across the ~15-job driver loop (the r15 driver regression:
+    # 8.32 s at 32c vs 4.41 s at 8c — scheduling-bound). coalesce only
+    # merges already-checkpointed blocks, never recomputes; the shingle
+    # stage keeps the WIDE view (shingles_from re-widens CPU-heavy work
+    # itself). At 100 TB the row-derived target fans back out to
+    # thousands of partitions, capped like KCORE_EDGES_PER_PARTITION.
+    n_kept = kept.count()
+    target = min(max(1, -(-n_kept // DOCS_PER_PARTITION)), 4096)
+    narrow = kept.coalesce(target)
+    ids = narrow.select("doc_id")
     inter = shingle_pair_intersections(
         shingles_from(spark, kept.select("doc_id", "text"))
     )
@@ -231,7 +247,7 @@ def pipeline_corpus_prep_neardup(
     # join the kept table directly on component_id = doc_id (r15 — one
     # join instead of two plus a filter pass; same rows by construction).
     keepers = members.join(
-        kept, members.component_id == kept.doc_id
+        narrow, members.component_id == narrow.doc_id
     )
     return keepers.groupBy("lang_pred").agg(
         F.count(F.lit(1)).alias("n_clusters"),
