@@ -204,8 +204,7 @@ def connected_components_star(
     connected_components(); use this variant when components can be long
     chains (label propagation needs diameter rounds, star contraction
     needs ~log n). Edges stay normalized (src > dst); fixpoint = the
-    normalized edge set stops changing (checked by count + checksum, two
-    cheap aggregates)."""
+    edge set is a STAR FOREST (see the convergence note below)."""
     edges = (
         pairs.select(
             F.greatest("d1", "d2").alias("src"),
@@ -213,25 +212,46 @@ def connected_components_star(
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        # lazy: round 1's equality check is the materializing action
+        # lazy: round 1's convergence check is the materializing action
         .localCheckpoint(eager=False)
     )
-    prev = None
     for _ in range(max_iters):
         edges = _star_round(edges, large=True)
-        # lazy checkpoint: the exceptAll convergence counts below
-        # materialize it — one fewer job per round (r15).
+        # lazy checkpoint: the star-forest convergence probe below
+        # materializes it — one fewer job per round (r15).
         edges = _star_round(edges, large=False).localCheckpoint(eager=False)
-        # Exact set equality — a count/checksum signature is NOT sound
-        # (distinct edge sets can collide and stop the loop early). Both
-        # sides are already distinct, so two anti-joins decide equality;
-        # limit(1) short-circuits on the first difference.
-        if prev is not None and (
-            edges.exceptAll(prev).limit(1).count() == 0
-            and prev.exceptAll(edges).limit(1).count() == 0
-        ):
+        # Convergence = the normalized edge set is a star forest: every
+        # src (child) carries exactly ONE edge and no vertex is both a
+        # src and a dst (r16). This is EXACTLY the fixpoint class of the
+        # alternating rounds — star forest => both rounds reproduce the
+        # set (attach analysis: m(child)=root, m(root)=root); and any
+        # set-equality fixpoint is a star forest (a vertex that is both
+        # src and dst gets re-pointed below itself by the large round; a
+        # src with two roots gets its roots linked by the small round —
+        # both contradict invariance). It therefore fires exactly one
+        # round EARLIER than the r15 consecutive-set-equality check
+        # (which paid a full extra round to observe no change), needs no
+        # prev-round state, and costs ONE aggregate job per round
+        # instead of two exceptAll anti-join jobs. Soundness does not
+        # rest on a checksum: the probe reads the actual degree/role
+        # structure, not a collidable signature.
+        roles = (
+            edges.select(F.col("src").alias("v"), F.lit(1).alias("s"), F.lit(0).alias("d"))
+            .unionAll(
+                edges.select(F.col("dst").alias("v"), F.lit(0).alias("s"), F.lit(1).alias("d"))
+            )
+            .groupBy("v")
+            .agg(F.sum("s").alias("s"), F.sum("d").alias("d"))
+        )
+        not_star = (
+            roles.filter(
+                (F.col("s") > 1) | ((F.col("s") > 0) & (F.col("d") > 0))
+            )
+            .limit(1)
+            .count()
+        )
+        if not_star == 0:
             break
-        prev = edges
     else:
         raise RuntimeError(
             f"star contraction did not converge in {max_iters} rounds"
