@@ -32,24 +32,53 @@ from ..sources.catalog import load_table
 ATTRIBUTION_WINDOW = "1 hour"
 
 
+def _hour_bucket(ts) -> "F.Column":
+    return (F.unix_micros(ts) / F.lit(3_600_000_000)).cast("long")
+
+
 def attribute_purchases(views: DataFrame, purchases: DataFrame) -> DataFrame:
     """Inner join: purchase strictly after the view, within 1 hour, same
     user. Works unchanged on batch or streaming inputs (streaming inputs
     must carry watermarks; the time bound is what lets Spark evict
-    state)."""
+    state).
+
+    HOUR-BANDED since r16 (guide §2.5 hot keys — the flight connection
+    search's banding pattern): the plain user_id equi-join compares every
+    view against every purchase OF THAT USER across all time, and a hub
+    entity (bot, monitoring account) makes that one key quadratic — the
+    25x hub corpus's user 0 carries ~109k events and one SMJ task did
+    ~4.8e8 residual comparisons (~30 s; AQE skew-split cannot divide a
+    single key). Joining on (user_id, event-hour) with purchases
+    replicated into their own and the previous hour bucket bounds each
+    comparison group to two hours of one user's events. Pair-exact:
+    purchase_ts in (view_ts, view_ts + 1h] forces
+    floor_h(view_ts) in {floor_h(purchase_ts), floor_h(purchase_ts)-1},
+    the view row carries exactly one bucket, and the purchase's two
+    replicas land in distinct buckets — so every qualifying pair joins
+    exactly once and no extra pair survives the unchanged residual
+    time filter. The x2 purchase replication is the banding price (the
+    hourband seat's documented trade)."""
     v = views.select(
         F.col("event_id").alias("view_event_id"),
         F.col("user_id"),
         F.col("ts").alias("view_ts"),
+        _hour_bucket(F.col("ts")).alias("hb"),
     )
     p = purchases.select(
         F.col("event_id").alias("purchase_event_id"),
         F.col("user_id").alias("p_user_id"),
         F.col("ts").alias("purchase_ts"),
+        F.explode(
+            F.array(
+                _hour_bucket(F.col("ts")),
+                _hour_bucket(F.col("ts")) - 1,
+            )
+        ).alias("p_hb"),
     )
     joined = v.join(
         p,
         (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("hb") == F.col("p_hb"))
         & (F.col("purchase_ts") > F.col("view_ts"))
         & (
             F.col("purchase_ts")
@@ -99,20 +128,34 @@ def attribute_views_outer(views: DataFrame, purchases: DataFrame) -> DataFrame:
     the null-extended rows can only be emitted once the watermark proves
     no matching purchase can still arrive — the semantics that make outer
     stream joins fundamentally watermark-dependent (an inner join never
-    has to prove a negative)."""
+    has to prove a negative).
+
+    Hour-banded like attribute_purchases (r16): the left side keeps
+    exactly one bucket per view, so left-outer row preservation is
+    untouched — an unmatched view null-extends once, a matched view
+    joins each qualifying purchase exactly once (the purchase's two
+    bucket replicas are distinct)."""
     v = views.select(
         F.col("event_id").alias("view_event_id"),
         F.col("user_id"),
         F.col("ts").alias("view_ts"),
+        _hour_bucket(F.col("ts")).alias("hb"),
     )
     p = purchases.select(
         F.col("event_id").alias("purchase_event_id"),
         F.col("user_id").alias("p_user_id"),
         F.col("ts").alias("purchase_ts"),
+        F.explode(
+            F.array(
+                _hour_bucket(F.col("ts")),
+                _hour_bucket(F.col("ts")) - 1,
+            )
+        ).alias("p_hb"),
     )
     joined = v.join(
         p,
         (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("hb") == F.col("p_hb"))
         & (F.col("purchase_ts") > F.col("view_ts"))
         & (
             F.col("purchase_ts")
