@@ -61,6 +61,9 @@ SUB_SECOND_PINS: dict[str, float] = {
     "flight_otp_ranking": 0.47,
     "ts_holt_winters_additive": 0.51,
     "stream_tumbling_event_counts": 0.52,
+    # r16 re-pin (BASELINE.md): the r15 widen+codec-memo optimization
+    # moved this seat from 2.80 to ~0.55, so it joins the sub-second rule.
+    "multimodal_jpeg_pixel_stats": 0.55,
     "similarity_knn_bruteforce": 0.88,
     "flight_delay_report": 0.97,
 }
@@ -158,7 +161,14 @@ def main() -> None:
                 "sf": sf,
                 "loadavg_1m_before": round(load_before, 2),
                 "loadavg_1m_after": round(load_after, 2),
-                "n_cpus": os.cpu_count(),
+                # Effective cores the timed session actually ran on
+                # (VERDICT r15 #8: the c8 scaling artifact previously
+                # reported machine CPUs here); machine_cpus keeps the
+                # hardware count for load/steal adjudication.
+                "n_cpus": int(
+                    os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 1)
+                ),
+                "machine_cpus": os.cpu_count(),
                 "steal_pct_busy": steal_pct_busy,
                 "loaded_box_medians": sorted(PY_STAGE)
                 if loaded_box

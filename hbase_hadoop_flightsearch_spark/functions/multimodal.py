@@ -1737,6 +1737,23 @@ _ENC_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
 _ENC_AC_EOB = ([0, 1] + [0] * 14, [0x00])
 
 
+_CODEC_MEMO_CAP = 256
+# Bound for the two Huffman-table memos below (VERDICT r15 #7 / ADVICE):
+# they are keyed on DHT table BYTES, so a real heterogeneous corpus of
+# per-file-optimized tables would otherwise grow them monotonically in a
+# long-lived reused Python worker. Standard-table corpora use a handful
+# of entries; 256 keeps the full memo benefit while bounding worst-case
+# memory. Eviction is insertion-order (FIFO) — entries are cheap to
+# rebuild, so sophistication buys nothing.
+
+
+def _memo_put(cache: dict, key, value):
+    if len(cache) >= _CODEC_MEMO_CAP:
+        cache.pop(next(iter(cache)))
+    cache[key] = value
+    return value
+
+
 _CANON_CACHE: dict = {}
 
 
@@ -1761,8 +1778,7 @@ def _canonical_codes(bits: list, vals: list) -> dict:
             code += 1
             k += 1
         code <<= 1
-    _CANON_CACHE[key] = codes
-    return codes
+    return _memo_put(_CANON_CACHE, key, codes)
 
 
 def _dht_segment(tclass: int, tid: int, bits: list, vals: list) -> bytes:
@@ -1973,7 +1989,7 @@ def jpeg_decode(payload: bytes):
                         (ln, code): sym
                         for sym, (code, ln) in codes.items()
                     }
-                    _HUFF_INV_CACHE[ikey] = inv
+                    _memo_put(_HUFF_INV_CACHE, ikey, inv)
                 huff[(tc, th)] = inv
                 i += 17 + nval
         elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progr

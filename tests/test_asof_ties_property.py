@@ -26,6 +26,8 @@ import shutil
 
 import pytest
 
+pytestmark = pytest.mark.deep  # driver-default deselected tier (pytest.ini, VERDICT r15 #6)
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 

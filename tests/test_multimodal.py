@@ -991,3 +991,27 @@ def test_ppm_parser_comments_and_corruption():
         ppm_pixels(b"P5\n2 2\n255\n" + b"\x00" * 12)
     with _pytest.raises(ValueError, match="truncated"):
         ppm_pixels(_synth_ppm(7)[:-2])
+
+
+def test_codec_table_memos_are_bounded():
+    """VERDICT r15 #7: the Huffman-table memos are keyed on DHT table
+    BYTES, so a corpus of per-file-optimized tables must not grow them
+    without bound in a long-lived reused Python worker. Feed more
+    distinct synthetic tables than the cap and assert the caps hold AND
+    the construction stays correct after eviction."""
+    from hbase_hadoop_flightsearch_spark.functions import multimodal as mm
+
+    cap = mm._CODEC_MEMO_CAP
+    mm._CANON_CACHE.clear()
+    # distinct (bits, vals) specs: one 2-entry length-1..2 table per v
+    for v in range(cap + 50):
+        bits = [1, 1] + [0] * 14
+        vals = [v % 256, (v + 1) % 256]
+        codes = mm._canonical_codes(bits, vals)
+        assert codes[vals[0]] == (0, 1) and codes[vals[1]] == (2, 2)
+        assert len(mm._CANON_CACHE) <= cap
+    # an evicted entry is silently rebuilt with identical values
+    codes = mm._canonical_codes([1, 1] + [0] * 14, [0, 1])
+    assert codes == {0: (0, 1), 1: (2, 2)}
+    assert len(mm._CANON_CACHE) <= cap
+    assert len(mm._HUFF_INV_CACHE) <= cap

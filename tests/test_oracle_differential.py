@@ -8,6 +8,8 @@ import re
 
 import pytest
 
+pytestmark = pytest.mark.deep  # driver-default deselected tier (pytest.ini, VERDICT r15 #6)
+
 from hbase_hadoop_flightsearch_spark.plans.registry import load_all
 
 from .oracle_utils import compare_query_to_oracle

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.deep  # driver-default deselected tier (pytest.ini, VERDICT r15 #6)
+
 from hbase_hadoop_flightsearch_spark.plans.registry import Query, load_all
 
 from .oracle_utils import (

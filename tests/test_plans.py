@@ -1411,3 +1411,31 @@ def test_otp_ranking_plan_contract(spark):
     assert "partial_count" in plan
     assert "Join" not in plan
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_shingle_expression_evaluated_once_in_jaccard_plan(spark):
+    """ADVICE r15: the r15 shingle double-eval fix (explode_outer +
+    explicit isNotNull in explode_shingles) blocks Catalyst from pushing
+    an inferred size(shingles)>0 constraint below the width repartition,
+    which re-evaluated the full array_distinct(transform(...)) shingling
+    pre-Exchange (the round's biggest win, 2.4x). Pin the property: the
+    FORMATTED physical plan must evaluate the shingle expression exactly
+    once, and never below the RoundRobin exchange. A Spark version bump
+    that reintroduces the duplication fails here, not in the bench."""
+    df = load_all()["dedup_ngram_jaccard"].fn(spark, SF)
+    em = df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(em)
+    assert plan.count("array_distinct(transform") == 1, plan
+    # the shingling must sit ABOVE the width-normalizing exchange: no
+    # occurrence in any operator numbered at or below the RoundRobin
+    # exchange's subtree (the scan-side Filter is where the duplicate
+    # landed pre-fix)
+    head = plan.split("RoundRobinPartitioning", 1)[0]
+    # `head` is the operator tree + details up to the exchange argument
+    # line; the pre-exchange Filter detail block precedes it only if the
+    # filter carries the expression — assert it does not.
+    for block in head.split("\n\n"):
+        if block.strip().startswith("(") and "Filter" in block.splitlines()[0]:
+            assert "array_distinct(transform" not in block, block

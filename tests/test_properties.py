@@ -10,6 +10,10 @@ bijections on group keys.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.deep  # driver-default deselected tier (pytest.ini, VERDICT r15 #6)
+
 import pandas as pd
 
 from hypothesis import HealthCheck, given, settings

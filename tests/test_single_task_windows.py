@@ -18,6 +18,10 @@ on purpose so a sweep failure reports every violating query at once.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.deep  # driver-default deselected tier (pytest.ini, VERDICT r15 #6)
+
 from hbase_hadoop_flightsearch_spark.plans.registry import load_all
 
 SF = "/root/testdata/sf0.001"

@@ -3,6 +3,10 @@ corpus can't isolate (power-of-two counts make the log2 values exact)."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.deep  # driver-default deselected tier (pytest.ini, VERDICT r15 #6)
+
 from hbase_hadoop_flightsearch_spark.functions.text import unigram_logprob
 
 
