@@ -101,14 +101,26 @@ def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # closed-form twin; this proves the iterative SQL construct end to end.
 # At scale the spine is O(months) rows on the driver-side plan — the heavy
 # input only feeds the pre-aggregated monthly rollup it joins to.
+#
+# r16: the bounds are computed ONCE in a plain CTE and the upper bound
+# rides the recursion rows. The previous form kept the correlated scalar
+# subquery (SELECT MAX(o_orderdate) FROM orders) inside the recursive
+# step, and Spark's iterative UNION-loop execution re-planned and
+# re-scanned orders EVERY month step: ~80 iterations x a full aggregate =
+# 565 driver jobs, 21.5 s at sf0.1; the bounds-carrying form is 8 jobs,
+# 0.93 s (interleaved A/B), row-identical on BOTH engines (still the
+# same text on both — DuckDB evaluates the two forms identically because
+# its recursive executor materializes the scalar subquery once anyway).
 _RECURSIVE_SQL = """
-WITH RECURSIVE spine(mo) AS (
-  SELECT CAST(date_trunc('month', (SELECT MIN(o_orderdate) FROM orders))
-              AS TIMESTAMP)
+WITH RECURSIVE bounds AS (
+  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP) AS lo,
+         CAST(date_trunc('month', MAX(o_orderdate)) AS TIMESTAMP) AS hi
+  FROM orders
+),
+spine(mo, hi) AS (
+  SELECT lo, hi FROM bounds
   UNION ALL
-  SELECT mo + INTERVAL '1' MONTH FROM spine
-  WHERE mo < (SELECT CAST(date_trunc('month', MAX(o_orderdate))
-                          AS TIMESTAMP) FROM orders)
+  SELECT mo + INTERVAL '1' MONTH, hi FROM spine WHERE mo < hi
 ),
 monthly AS (
   SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mo,
