@@ -511,7 +511,8 @@ def bfs_distances(
     over undirected edges (cols a, b)."""
     sym = _symmetric(
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    ).localCheckpoint()
+        # lazy: round 1's frontier count is the materializing action
+    ).localCheckpoint(eager=False)
     spark = edges.sparkSession
     settled = spark.createDataFrame([(source, 0)], "v long, dist int")
     frontier = settled
@@ -522,14 +523,17 @@ def bfs_distances(
             .distinct()
             .join(settled.select("v"), "v", "left_anti")
             .withColumn("dist", F.lit(depth))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        # count() both fully materializes the lazy checkpoint AND decides
+        # emptiness — ONE job per round where r15's eager-checkpoint +
+        # isEmpty() take(1) paid two (r16; isEmpty on a lazy block set
+        # would only partially materialize it, count() materializes all).
+        if nxt.count() == 0:
             break
         # lazy: next round's frontier-expansion job (or the caller's
         # action after the loop) materializes the union — one fewer job
-        # per round (r15). nxt itself stays eager: isEmpty() above is a
-        # take(1) that would only partially materialize a lazy block set.
+        # per round (r15).
         settled = settled.unionAll(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return settled
